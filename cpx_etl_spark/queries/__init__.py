@@ -1,0 +1,76 @@
+"""Headline query registry — the driver contract surface.
+
+Every operator in SURVEY.md §2 registers here: a Spark callable
+``(spark, sf_dir) -> DataFrame`` and (unless genuinely
+non-SQL-expressible) an equivalent DuckDB oracle SQL string. The driver
+hash-compares the two at sf=0.01, order-insensitively, after sorting
+columns by name — so every computed column is aliased identically on
+both sides.
+
+Cross-engine determinism rules used throughout:
+- SUM over doubles is order-dependent; we cast each term to
+  DECIMAL(20,4) first (exact, associative) and round the final double.
+  ``dsum``/``davg`` encode the Spark side; oracles spell the same
+  ROUND(CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE), s).
+- Scalar double arithmetic (mul/div/sqrt) is IEEE-identical in both
+  engines, so per-row expressions are safe without rounding.
+- Every top-k ORDER BY carries a unique tiebreaker column so the
+  selected row SET is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optional DuckDB oracle) to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent double sum: exact decimal accumulate, then round."""
+    return F.round(F.sum(col.cast("decimal(20,4)")).cast("double"), scale)
+
+
+def davg(col: Column, scale: int = 4) -> Column:
+    """Order-independent mean built from the exact decimal sum."""
+    return F.round(
+        F.sum(col.cast("decimal(20,4)")).cast("double") / F.count(F.lit(1)), scale
+    )
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE), {scale})"
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*), {scale})"
+
+
+def load_registry() -> tuple[dict, dict]:
+    """Import all query modules (side effect: registration) and return maps."""
+    from cpx_etl_spark.queries import (  # noqa: F401
+        dedup,
+        etl,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
+
+    return QUERIES, ORACLES

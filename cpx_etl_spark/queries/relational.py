@@ -1,0 +1,510 @@
+"""§2.1 Relational query core.
+
+Parity target: the reference's relational views — nested query trees
+compiled to joins with findOne/findAll semantics (reference:
+src/main/etl.js:28-33, 472-491) and typed models (etl.js:143-167).
+Expressed as TPC-H-shaped DataFrame plans over the test star schema so
+Catalyst handles pushdown/broadcast/AQE; the nested-result operators
+live in operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.operators.relational import (
+    anti_join,
+    denest,
+    enrich,
+    nest,
+    semi_join,
+    unique_view,
+)
+from cpx_etl_spark.queries import davg, dsum, register, sql_davg, sql_dsum
+from cpx_etl_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- scan + filter + aggregate -----------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full-scan hash aggregate with map-side partials.
+
+    At 100 TB this is one shuffle of 6 tiny groups — the partial
+    aggregation does all the work; AQE coalesces the final stage.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: all four predicates push into the parquet reader."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# --- joins -------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join + broadcast-able customer filter + top-k.
+
+    orders⋈lineitem shuffles on the order key; the filtered customer
+    side broadcasts. Top-k carries l_orderkey as unique tiebreaker so
+    the selected set is deterministic.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): left_semi keeps one probe per match, no fanout."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join: dims broadcast, facts shuffle once on orderkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_customers_without_orders",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_inactive, {sql_davg('c_acctbal')} AS avg_acctbal
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) — customers with no recent orders."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
+    inactive = anti_join(
+        cust, recent.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_inactive"),
+        davg(F.col("c_acctbal")).alias("avg_acctbal"),
+    )
+
+
+@register(
+    "q_nation_acctbal",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_customers,
+           {sql_davg('c_acctbal')} AS avg_acctbal,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join: nation (25 rows) never shuffles the fact side."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg(F.col("c_acctbal")).alias("avg_acctbal"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_extract_enrich",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name AS part_name, s_name AS supplier_name,
+           l_quantity
+    FROM lineitem
+    LEFT JOIN part     ON l_partkey = p_partkey
+    LEFT JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_quantity >= 49
+    """,
+)
+def q_extract_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `extract` parity (etl.js:729): keyed lookups as broadcast
+    left joins instead of per-row findOne round-trips."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    out = enrich(
+        li,
+        [
+            (_t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey"),
+             "l_partkey", {"p_name": "part_name"}),
+            (_t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey"),
+             "l_suppkey", {"s_name": "supplier_name"}),
+        ],
+    )
+    return out.select("l_orderkey", "l_linenumber", "part_name", "supplier_name", "l_quantity")
+
+
+# --- distinct / sets / grouping sets ----------------------------------------
+
+@register(
+    "q_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         c AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+    SELECT 'retained' AS cohort, o_custkey FROM ((SELECT * FROM a INTERSECT SELECT * FROM b)
+                                                 EXCEPT SELECT * FROM c)
+    UNION ALL
+    SELECT 'fresh' AS cohort, o_custkey FROM (SELECT * FROM c
+                                              EXCEPT (SELECT * FROM a UNION SELECT * FROM b))
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL cohort analysis."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def keys(lo: str | None, hi: str | None) -> DataFrame:
+        df = orders
+        if lo:
+            df = df.filter(F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            df = df.filter(F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        return df.select("o_custkey").distinct()
+
+    a = keys("1995-01-01", "1996-01-01")
+    b = keys("1996-01-01", "1997-01-01")
+    c = keys("2001-01-01", None)
+    retained = a.intersect(b).subtract(c).select(
+        F.lit("retained").alias("cohort"), "o_custkey"
+    )
+    fresh = c.subtract(a.union(b)).select(F.lit("fresh").alias("cohort"), "o_custkey")
+    return retained.unionAll(fresh)
+
+
+@register(
+    "q_rollup_revenue",
+    oracle=f"""
+    SELECT r_name, n_name, COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region → nation → grand total)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+# --- windows -----------------------------------------------------------------
+
+@register(
+    "q_top_orders_per_cust",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned top-N: one shuffle on the partition key, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate; accumulation order is pinned by the unique
+    (o_orderdate, o_orderkey) sort so the float sum is cross-engine stable."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# --- nested views (applyView parity) ----------------------------------------
+
+@register(
+    "q_nest_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           MIN(o_orderkey) AS first_orderkey
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_nest_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyView parity (etl.js:472): child rows nested as array<struct>,
+    then summarized flat so the oracle can hash-compare. The nested array
+    itself is exercised in tests/test_relational.py."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    nested = nest(cust, orders, on="c_custkey", nested_name="orders", order_by=("o_orderkey",))
+    return nested.select(
+        "c_custkey",
+        "c_name",
+        F.size("orders").cast("long").alias("n_orders"),
+        F.element_at("orders", 1).getField("o_orderkey").alias("first_orderkey"),
+    )
+
+
+@register(
+    "q_denest_roundtrip",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def q_denest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nest → denest round trip reproduces the flat join exactly."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    nested = nest(orders, li, on="o_orderkey", nested_name="items", order_by=("l_linenumber",))
+    flat = denest(nested, "items", keep=["o_orderkey"])
+    return flat.filter(F.col("l_linenumber").isNotNull()).select(
+        "o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "q_unique_view",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q_unique_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findOne parity (etl.js:477): deterministic first row per key."""
+    orders = _t(spark, sf_dir, "orders")
+    first = unique_view(orders, "o_custkey", order_by=[F.col("o_orderdate"), F.col("o_orderkey")])
+    return first.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+    )
+
+
+@register(
+    "q_orders_with_lineitems_1996",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-06-01' AND o_orderdate < TIMESTAMP '1996-09-01'
+      AND o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_with_lineitems_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery as semi_join operator."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-09-01").cast("timestamp"))
+    )
+    big_items = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        semi_join(orders, big_items, on="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
