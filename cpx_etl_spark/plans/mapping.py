@@ -1,0 +1,57 @@
+"""Declarative transform-mapping compiler.
+
+Parity: the reference's ``applyTransform`` walks a mapping spec where
+each target key maps to a path reference (array whose head is a path),
+a nested object (built recursively), or a constant (reference:
+src/main/etl.js:324-405). Here the same spec shape compiles to ONE
+Spark projection:
+
+    {
+      "id":        ["doc_id"],          # path ref (list head = path)
+      "language":  ["meta.lang"],       # nested struct access
+      "n_tokens":  ["#tokens"],         # array length
+      "profile":   {"src": ["meta.source"]},   # nested object -> struct
+      "items":     ["rows", {"v": ["x"]}],     # array mapping (per element)
+      "version":   3,                   # constant
+    }
+
+The reference applies this per record in JS; compiled to Columns it is
+whole-stage-codegen'd and never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.functions.paths import path_col
+
+
+def _compile_value(spec, root: Column | None) -> Column:
+    if isinstance(spec, list):
+        if not spec or not isinstance(spec[0], str):
+            raise ValueError(f"mapping: syntax error: {spec!r}")
+        head, rest = spec[0], spec[1:]
+        base = path_col(head, root)
+        if not rest:
+            return base
+        if len(rest) == 1 and isinstance(rest[0], dict):
+            elem_spec = rest[0]
+            return F.transform(base, lambda x: _compile_struct(elem_spec, x))
+        raise ValueError(f"mapping: syntax error after path {head!r}")
+    if isinstance(spec, dict):
+        return _compile_struct(spec, root)
+    return F.lit(spec)
+
+
+def _compile_struct(spec: dict, root: Column | None) -> Column:
+    return F.struct(*[_compile_value(v, root).alias(k) for k, v in spec.items()])
+
+
+def compile_mapping(spec: dict) -> list[Column]:
+    """Compile a mapping spec to aliased top-level Columns."""
+    return [_compile_value(v, None).alias(k) for k, v in spec.items()]
+
+
+def apply_mapping(df: DataFrame, spec: dict) -> DataFrame:
+    return df.select(*compile_mapping(spec))

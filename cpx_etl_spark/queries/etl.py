@@ -1,1 +1,336 @@
-"""Placeholder — filled in this round."""
+"""§2.2 ETL surface queries — reference-parity operators, oracle-checked.
+
+Each query exercises one declarative ETL operator (schema coercion,
+fixed-width, badgerfish, path mapping, validation, defaults, routing,
+normalized load split, full pipeline, xlsx/xml sources) against the
+shared test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.functions.badgerfish import convert as bfish_convert
+from cpx_etl_spark.functions.schema_apply import schema_apply
+from cpx_etl_spark.operators.patch import apply_defaults
+from cpx_etl_spark.operators.routing import route
+from cpx_etl_spark.operators.validation import validate
+from cpx_etl_spark.plans.mapping import apply_mapping
+from cpx_etl_spark.plans.pipeline import compile_pipeline, load_related_split
+from cpx_etl_spark.queries import dsum, register, sql_dsum
+from cpx_etl_spark.sources import load_table
+from cpx_etl_spark.sources.fixed_width import Field, decode, encode
+from cpx_etl_spark.sources.xlsx import fake_workbook
+from cpx_etl_spark.sources.xml_badgerfish import parse_xml_column
+
+
+@register(
+    "q_schema_apply",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k,
+           CAST(FLOOR(value) AS BIGINT) AS value,
+           strftime(ts, '%Y%m%d') AS ts_str,
+           CAST(0 AS INTEGER) AS n_errors
+    FROM events
+    """,
+)
+def q_schema_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applySchema parity: JSON-field extraction + typed coercion
+    (number truncates like parseInt), error collection stays empty."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("k", F.get_json_object("props", "$.k"))
+    coerced = schema_apply(ev, {"k": "Number", "value": "number"})
+    return coerced.select(
+        "event_id",
+        "event_type",
+        "k",
+        "value",
+        F.date_format("ts", "yyyyMMdd").alias("ts_str"),
+        F.size("_errors").alias("n_errors"),
+    )
+
+
+_FW_FIELDS = [
+    Field("l_orderkey", 10, "number"),
+    Field("l_linenumber", 2, "number"),
+    Field("l_returnflag", 1, "string"),
+    Field("l_shipdate", 8, "date"),
+    Field("l_quantity", 3, "number"),
+]
+
+
+@register(
+    "q_fixed_width_encode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           lpad(CAST(l_orderkey AS VARCHAR), 10, '0')
+           || lpad(CAST(l_linenumber AS VARCHAR), 2, '0')
+           || rpad(l_returnflag, 1, ' ')
+           || strftime(l_shipdate, '%Y%m%d')
+           || lpad(CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR), 3, '0')
+           AS line
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def q_fixed_width_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applySchema force-mode parity: typed row -> sized text cells."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return encode(li, _FW_FIELDS).select("l_orderkey", "l_linenumber", "line")
+
+
+@register(
+    "q_fixed_width_roundtrip",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_returnflag, l_shipdate,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS l_quantity
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode -> decode returns the typed values (dates are day-aligned
+    in the corpus, numbers integral after the parseInt truncation)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    lines = encode(li, _FW_FIELDS).select("line")
+    return decode(lines, _FW_FIELDS).drop("line")
+
+
+@register(
+    "q_badgerfish_convert",
+    oracle="""
+    SELECT c_custkey AS "@c_custkey", c_name AS "@c_name", c_acctbal AS "@c_acctbal"
+    FROM customer
+    """,
+)
+def q_badgerfish_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convertJSONtoJSON parity: scalar keys gain '@' (toBfish)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return bfish_convert(cust, to_bfish=True)
+
+
+@register(
+    "q_transform_mapping",
+    oracle="""
+    SELECT doc_id AS id, lang AS language, source AS origin,
+           len(string_split(text, ' ')) AS n_tokens,
+           1 AS const_v
+    FROM documents
+    """,
+)
+def q_transform_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyTransform parity: path refs ($ root, nested struct access,
+    '#' array length) + constants, compiled to one projection."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct("lang", "source").alias("meta"),
+        F.split("text", " ").alias("tokens"),
+    )
+    return apply_mapping(
+        docs,
+        {
+            "id": ["doc_id"],
+            "language": ["$.meta.lang"],
+            "origin": ["meta.source"],
+            "n_tokens": ["#tokens"],
+            "const_v": 1,
+        },
+    )
+
+
+@register(
+    "q_validation_rules",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(c_acctbal BETWEEN 0 AND 9000, FALSE) AS valid_c_acctbal,
+           COALESCE(regexp_matches(c_name, '^Customer#[0-9]+$'), FALSE) AS valid_c_name,
+           COALESCE(c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'), FALSE)
+               AS valid_c_mktsegment,
+           (COALESCE(c_acctbal BETWEEN 0 AND 9000, FALSE)
+            AND COALESCE(regexp_matches(c_name, '^Customer#[0-9]+$'), FALSE)
+            AND COALESCE(c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'), FALSE))
+               AS _valid
+    FROM customer
+    """,
+)
+def q_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyValidation parity: per-field rule lists -> boolean verdicts."""
+    cust = load_table(spark, sf_dir, "customer")
+    out = validate(
+        cust,
+        {
+            "c_acctbal": [("between", 0, 9000)],
+            "c_name": [("regex", "^Customer#[0-9]+$")],
+            "c_mktsegment": [("in", ["BUILDING", "AUTOMOBILE", "MACHINERY"])],
+        },
+    )
+    return out.select(
+        "c_custkey", "valid_c_acctbal", "valid_c_name", "valid_c_mktsegment", "_valid"
+    )
+
+
+@register(
+    "q_defaults_patch",
+    oracle="""
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'view'), 'unknown') AS et,
+           COALESCE(CASE WHEN value < 10 THEN NULL ELSE value END, -1.0) AS val
+    FROM events
+    """,
+)
+def q_defaults_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """defaults/applyPatch parity: fill only where null."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif("event_type", F.lit("view")).alias("et"),
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("val"),
+    )
+    return apply_defaults(ev, {"et": "unknown", "val": -1.0})
+
+
+@register(
+    "q_match_route",
+    oracle=f"""
+    SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'
+                WHEN event_type = 'click' AND value > 90 THEN 'big_click'
+                WHEN event_type = 'error' THEN 'error'
+                ELSE '__rejected__' END AS _route,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_match_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match/getMapping parity: first-matching route tags each row."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = route(
+        ev,
+        [
+            ("purchase", {"event_type": ["purchase"]}),
+            ("big_click", {"event_type": ["click"], "value": [("gt", 90)]}),
+            ("error", {"event_type": ["error"]}),
+        ],
+    )
+    return tagged.groupBy("_route").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value")
+    )
+
+
+@register(
+    "q_load_related_split",
+    oracle="""
+    WITH denorm AS (
+        SELECT * FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+    SELECT 'customer' AS entity, c_custkey AS pk, c_mktsegment AS attr
+    FROM (SELECT DISTINCT c_custkey, c_mktsegment FROM denorm)
+    UNION ALL
+    SELECT 'orders' AS entity, o_orderkey AS pk, CAST(o_custkey AS VARCHAR) AS attr
+    FROM (SELECT DISTINCT o_orderkey, o_custkey FROM denorm)
+    """,
+)
+def q_load_related_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load/insertRelated parity: denormalized frame -> per-entity
+    deduped insert sets (header + related)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    denorm = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    ents = load_related_split(
+        denorm,
+        {
+            "customer": (["c_custkey"], {"c_mktsegment": "attr"}),
+            "orders": (["o_orderkey"], {"o_custkey": "attr_key"}),
+        },
+    )
+    c = ents["customer"].select(
+        F.lit("customer").alias("entity"), F.col("c_custkey").alias("pk"), F.col("attr")
+    )
+    o = ents["orders"].select(
+        F.lit("orders").alias("entity"),
+        F.col("o_orderkey").alias("pk"),
+        F.col("attr_key").cast("string").alias("attr"),
+    )
+    return c.unionAll(o)
+
+
+@register(
+    "q_pipeline_e2e",
+    oracle="""
+    WITH staged AS (
+        SELECT *,
+               CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k,
+               (COALESCE(value BETWEEN 0 AND 100, FALSE)
+                AND COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL, FALSE))
+                   AS _valid,
+               CASE WHEN event_type = 'purchase' THEN 'purchase'
+                    WHEN event_type = 'click' THEN 'click'
+                    ELSE '__rejected__' END AS _route
+        FROM events)
+    SELECT _route, COUNT(*) AS n, SUM(k) AS sum_k
+    FROM staged WHERE _valid
+    GROUP BY _route
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full declarative pipeline: derive -> schema -> validate -> route,
+    compiled to one plan, then aggregated per route."""
+    staged = compile_pipeline(
+        spark,
+        sf_dir,
+        {
+            "source": "events",
+            "derive": {"k": ("json", "props", "$.k")},
+            "schema": {"k": "Number"},
+            "validate": {"value": [("between", 0, 100)], "k": [("not_null",)]},
+            "route": [
+                ("purchase", {"event_type": ["purchase"]}),
+                ("click", {"event_type": ["click"]}),
+            ],
+        },
+    )
+    return (
+        staged.filter(F.col("_valid"))
+        .groupBy("_route")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+@register(
+    "q_xlsx_source",
+    oracle="""
+    SELECT * FROM (VALUES ('Alice', CAST(34 AS BIGINT), 'Amsterdam'),
+                          ('Bob',   CAST(28 AS BIGINT), 'Berlin'),
+                          ('Carol', CAST(41 AS BIGINT), 'Cadiz')) t(name, age, city)
+    """,
+)
+def q_xlsx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX sheet -> DataFrame (deterministic stand-in workbook; the
+    real reader is import-gated on openpyxl)."""
+    return fake_workbook(spark)["people"]
+
+
+@register(
+    "q_xml_badgerfish_source",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS "@id", c_name AS "@name"
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def q_xml_badgerfish_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed XML parse: xml-string column -> badgerfish '@' cols
+    via Arrow-batched mapInPandas."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    with_xml = cust.select(
+        F.concat(
+            F.lit('<person id="'),
+            F.col("c_custkey").cast("string"),
+            F.lit('" name="'),
+            F.col("c_name"),
+            F.lit('"/>'),
+        ).alias("xml")
+    )
+    return parse_xml_column(with_xml, "xml", ["id", "name"], "`@id` string, `@name` string")

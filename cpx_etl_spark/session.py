@@ -47,6 +47,9 @@ def get_spark(
         # Dims under 64 MB broadcast automatically; explicit hints elsewhere.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # The test corpus stores TIMESTAMP(NANOS); Spark's reader has no
+        # nanos type, so read as long and convert in the registry.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -1,0 +1,142 @@
+"""Unit tests for the ETL parity surface (schema apply, fixed width,
+badgerfish, paths/mapping, validation, defaults, routing, sources)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.functions.badgerfish import attributes, convert
+from cpx_etl_spark.functions.schema_apply import assert_valid, schema_apply
+from cpx_etl_spark.operators.patch import apply_defaults
+from cpx_etl_spark.operators.routing import REJECTED, route, split
+from cpx_etl_spark.operators.validation import validate
+from cpx_etl_spark.plans.mapping import apply_mapping
+from cpx_etl_spark.sources.file_resolver import FileResolver
+from cpx_etl_spark.sources.fixed_width import Field, decode, encode
+from cpx_etl_spark.sources.jdbc import jdbc_reader, jdbc_writer
+from cpx_etl_spark.sources.xlsx import fake_workbook
+
+
+def test_schema_apply_coercion_and_errors(spark):
+    df = spark.createDataFrame(
+        [("1", "12.9", "2020-01-02", "false"), ("", "oops", "0000-00-00", "yes")],
+        "a string, b string, c string, d string",
+    )
+    out = schema_apply(
+        df, {"a": "Number", "b": "number", "c": "Date", "d": "boolean"}
+    ).collect()
+    r0, r1 = out
+    assert (r0["a"], r0["b"], r0["d"]) == (1, 12, False)  # parseInt truncates; 'false' -> False
+    assert r0["c"].strftime("%Y-%m-%d") == "2020-01-02"
+    assert r0["_errors"] == []
+    # row 1: '' -> null (nullable Number ok), 'oops' -> number error,
+    # '0000-00-00' -> null (nullable Date ok), 'yes' -> truthy boolean
+    assert r1["a"] is None and r1["c"] is None and r1["d"] is True
+    assert r1["_errors"] == ["b"]
+
+
+def test_assert_valid_raises(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    bad = schema_apply(df, {"a": "number"})
+    with pytest.raises(ValueError, match="coercion errors"):
+        assert_valid(bad)
+
+
+def test_fixed_width_nulls_and_clipping(spark):
+    fields = [Field("n", 4, "number"), Field("s", 3, "string"), Field("b", 2, "boolean")]
+    df = spark.createDataFrame(
+        [(12, "abcdef", True), (None, None, False), (123456, "x", None)],
+        "n long, s string, b boolean",
+    )
+    lines = [r["line"] for r in encode(df, fields).collect()]
+    assert lines[0] == "0012abc01"
+    assert lines[1] == " " * 7 + "00"  # blanks for null number/string, False -> '00'
+    assert lines[2] == "1234x     "[:9]  # number clipped to width, bool null -> blank
+    back = decode(encode(df, fields).select("line"), fields).collect()
+    assert (back[0]["n"], back[0]["s"], back[0]["b"]) == (12, "abc", True)
+    assert (back[1]["n"], back[1]["s"]) == (None, None)
+
+
+def test_badgerfish_roundtrip_nested(spark):
+    df = spark.createDataFrame([(1, ("x", 2))], "id long, obj struct<name:string,v:long>")
+    bf = convert(df, to_bfish=True)
+    assert set(bf.columns) == {"@id", "obj"}
+    assert bf.schema["obj"].dataType.fieldNames() == ["@name", "@v"]
+    back = convert(bf, to_bfish=False)
+    assert set(back.columns) == {"id", "obj"}
+    attrs = attributes(bf.select("@id"))
+    assert attrs.columns == ["id"]
+
+
+def test_mapping_array_elements(spark):
+    df = spark.createDataFrame(
+        [(1, [(10, "a"), (20, "b")])],
+        "id long, rows array<struct<x:long,y:string>>",
+    )
+    out = apply_mapping(df, {"id": ["id"], "n": ["#rows"], "vals": ["rows", {"v": ["x"]}]})
+    row = out.collect()[0]
+    assert row["n"] == 2
+    assert [e["v"] for e in row["vals"]] == [10, 20]
+
+
+def test_mapping_bad_specs(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        apply_mapping(df, {"x": [123]})
+    with pytest.raises(ValueError):
+        apply_mapping(df, {"x": ["id", "extra"]})
+
+
+def test_validation_null_is_invalid(spark):
+    df = spark.createDataFrame([(None,), (5,)], "v int")
+    out = validate(df, {"v": [("gt", 3)]}).collect()
+    assert [r["valid_v"] for r in out] == [False, True]
+
+
+def test_defaults_nested_struct(spark):
+    df = spark.createDataFrame([((None, 1),), ((5, 2),)], "m struct<a:int,b:int>")
+    out = apply_defaults(df, {"m.a": 99, "newcol": "filled"}).collect()
+    assert [r["m"]["a"] for r in out] == [99, 5]
+    assert {r["newcol"] for r in out} == {"filled"}
+
+
+def test_route_first_match_wins_and_split(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], "v int, t string")
+    routes = [("small", {"v": [("lt", 3)]}), ("xs", {"t": ["x"]})]
+    tagged = route(df, routes).collect()
+    assert {r["v"]: r["_route"] for r in tagged} == {1: "small", 2: "small", 3: REJECTED}
+    parts = split(df, routes)
+    assert sorted(parts) == [REJECTED, "small", "xs"]
+    assert parts["xs"].count() == 0  # first-match semantics: 'small' wins
+
+
+def test_file_resolver(tmp_path):
+    (tmp_path / "a" / "sub").mkdir(parents=True)
+    (tmp_path / "a" / "f.json").write_text("{}")
+    (tmp_path / "a" / "sub" / "g.json").write_text("{}")
+    fr = FileResolver(str(tmp_path), {"a/": {"_": "*.json", "sub/": {"_": "*.json"}}})
+    assert fr.resolve("a/f.json").endswith(os.path.join("a", "f.json"))
+    assert fr.resolve("a/sub/g.json").endswith(os.path.join("a", "sub", "g.json"))
+    with pytest.raises(FileNotFoundError):
+        fr.resolve("a/missing.json")
+
+
+def test_jdbc_plumbing(spark):
+    reader = jdbc_reader(
+        spark, "jdbc:postgresql://db/x", "t",
+        partition_column="id", num_partitions=4, lower_bound=0, upper_bound=100,
+    )
+    assert reader is not None
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc_reader(spark, "jdbc:x", "t", partition_column="id")
+    df = spark.createDataFrame([(1,)], "a int")
+    assert jdbc_writer(df, "jdbc:x", "t") is not None
+
+
+def test_fake_workbook_sheets(spark):
+    wb = fake_workbook(spark)
+    assert set(wb) == {"people", "scores"}
+    assert wb["people"].count() == 3
