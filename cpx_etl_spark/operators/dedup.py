@@ -1,0 +1,215 @@
+"""Deduplication operators for large text/embedding corpora.
+
+Four families, all shuffle-bounded (never O(n²) over the corpus):
+
+- exact:      hash-groupBy on content digest
+- ngram/jaccard: shingle inverted index -> candidate pairs that SHARE a
+              shingle -> exact Jaccard verify (pairs only)
+- minhash+LSH: per-row signatures (array_min over salted md5 — no
+              shuffle), band keys, bucket self-join -> candidates ->
+              exact verify. Salted-md5 minhash is deliberately
+              SQL-expressible so the DuckDB oracle can replay it.
+- simhash:    64-bit sign-of-sums fingerprint, 16-bit band buckets,
+              hamming verify via xor/bit_count
+- embedding:  cosine pairs (brute force here; LSH/IVF variants live in
+              operators/similarity.py)
+
+At 100 TB the shingle/band self-joins shuffle on high-cardinality hash
+keys (uniform by construction); a document-frequency cap (`max_df`)
+drops degenerate hot shingles before the join — the standard guard
+against quadratic buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.functions.text import shingles_expr
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group by content digest: surviving id + copy count per group."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content (the dedup'd corpus)."""
+    keep = (
+        df.groupBy(F.md5(F.col(content_col)).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.expr(shingles_expr("tokens", n)).alias("sh_set"),
+    ).withColumn("n_sh", F.size("sh_set"))
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> tuple[DataFrame, DataFrame]:
+    """(full inverted index [id, sh], per-doc shingle counts [id, n_sh])."""
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
+    ).select(F.col(id_col), F.expr(shingles_expr("tokens", n)).alias("sh_set"))
+    counts = base.select(F.col(id_col), F.size("sh_set").cast("long").alias("n_sh"))
+    index = base.select(F.col(id_col), F.explode("sh_set").alias("sh"))
+    return index, counts
+
+
+def prune_hot_shingles(index: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than max_df docs — candidate
+    GENERATION only (verification always counts the full sets), the
+    standard guard against quadratic buckets at corpus scale."""
+    hot = index.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+    return index.join(F.broadcast(hot), on="sh", how="left_anti")
+
+
+def _verify_jaccard(pairs: DataFrame, index: DataFrame, counts: DataFrame,
+                    id_col: str, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (shared-shingle counting)."""
+    t1 = index.select(F.col(id_col).alias("doc_a"), "sh")
+    t2 = index.select(F.col(id_col).alias("doc_b"), "sh")
+    shared = (
+        pairs.join(t1, on="doc_a")
+        .join(t2, on=["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(ca, on="doc_a")
+        .join(cb, on="doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 2, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs: any shared n-gram shingle proposes a candidate,
+    exact Jaccard >= threshold confirms."""
+    index, counts = shingle_index(df, id_col, text_col, n)
+    cand_index = prune_hot_shingles(index, max_df) if max_df is not None else index
+    t1 = cand_index.select(F.col(id_col).alias("doc_a"), "sh")
+    t2 = cand_index.select(F.col(id_col).alias("doc_b"), "sh")
+    cand = (
+        t1.join(t2, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, index, counts, id_col, threshold)
+
+
+def minhash_signature_exprs(sh_col: str, k: int) -> list:
+    """k minhash components, each = lexicographic min of salted md5 over
+    the shingle set. Computed PER ROW (array_min) — zero shuffle, and
+    replayable in ANSI SQL for the oracle."""
+    return [
+        F.array_min(
+            F.transform(F.col(sh_col), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 2, k: int = 8, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash signatures -> LSH band buckets -> candidate pairs ->
+    exact Jaccard verify. rows_per_band = k // bands."""
+    if k % bands:
+        raise ValueError("k must divide evenly into bands")
+    r = k // bands
+    index, counts = shingle_index(df, id_col, text_col, n)
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
+    ).select(F.col(id_col), F.expr(shingles_expr("tokens", n)).alias("sh_set"))
+    sig = base.select(F.col(id_col), *minhash_signature_exprs("sh_set", k))
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    ).filter(F.col("band_key").isNotNull())
+    s1 = stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    s2 = stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        s1.join(s2, on=["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, index, counts, id_col, threshold)
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup: 64-bit sign-of-weighted-bit-sums fingerprint,
+    16-bit band buckets, hamming distance via xor+bit_count.
+
+    One shuffle builds the fingerprints (explode tokens -> 64 partial
+    sums per doc), one bucket self-join proposes candidates.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim.bitwiseOR(
+            F.shiftleft(F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+        )
+    fps = bit_sums.select(F.col(id_col), sim.alias("simhash"))
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    stacked = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band_idx", "band_key"),
+    )
+    s1 = stacked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_key")
+    s2 = stacked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_key")
+    cand = (
+        s1.join(s2, on=["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,1 +1,133 @@
-"""Placeholder — filled in this round."""
+"""§2.3 Deduplication queries over the documents/embeddings corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cpx_etl_spark.functions.text import sql_shingles
+from cpx_etl_spark.functions.vectors import sql_cosine
+from cpx_etl_spark.operators.dedup import (
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cpx_etl_spark.operators.similarity import embedding_dup_pairs
+from cpx_etl_spark.queries import register
+from cpx_etl_spark.sources import load_table
+
+_TOKENS = "string_split(text, ' ')"
+_SHINGLES = sql_shingles(_TOKENS, 2)
+
+# Shared oracle CTE: distinct bigram shingle inverted index + counts.
+_SQL_INDEX = f"""
+    tok AS (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents),
+    cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+"""
+
+_SQL_VERIFY = """
+    shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+               FROM cand c
+               JOIN tok t1 ON t1.doc_id = c.doc_a
+               JOIN tok t2 ON t2.doc_id = c.doc_b AND t2.sh = t1.sh
+               GROUP BY c.doc_a, c.doc_b)
+    SELECT s.doc_a, s.doc_b,
+           ROUND(s.shared * 1.0 / (ca.n + cb.n - s.shared), 6) AS jaccard
+    FROM shared s
+    JOIN cnt ca ON ca.doc_id = s.doc_a
+    JOIN cnt cb ON cb.doc_id = s.doc_b
+    WHERE ROUND(s.shared * 1.0 / (ca.n + cb.n - s.shared), 6) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_INDEX},
+    cand AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
+             FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
+    {_SQL_VERIFY}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-shingle inverted index -> candidates -> exact Jaccard."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5
+    )
+
+
+def _sql_minhash(k: int, bands: int) -> str:
+    r = k // bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform({_SHINGLES}, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(k)
+    )
+    band_exprs = [
+        ("md5(" + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r)) + ")")
+        for b in range(bands)
+    ]
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sig"
+        for b, expr in enumerate(band_exprs)
+    )
+    return f"""
+    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    banded AS ({band_union}),
+    cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+             FROM banded b1
+             JOIN banded b2 ON b1.band_idx = b2.band_idx
+                           AND b1.band_key = b2.band_key
+                           AND b1.doc_id < b2.doc_id
+             WHERE b1.band_key IS NOT NULL),
+    {_SQL_INDEX},
+    {_SQL_VERIFY}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_sql_minhash(8, 4))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (salted-md5 min) + LSH banding; SQL-replayable by design."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=2,
+        k=8,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+@register("dedup_simhash")  # rows-only: 64-bit bit ops are not portable SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT e1.vec_id AS vec_a, e2.vec_id AS vec_b,
+           ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)}, 6) AS cos
+    FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)}, 6) >= 0.45
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at threshold 0.45."""
+    return embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    )

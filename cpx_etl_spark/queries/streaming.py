@@ -1,1 +1,70 @@
-"""Placeholder — filled in this round."""
+"""§2.7 Streaming operator queries.
+
+The driver gate runs bounded data, so each entry executes the BATCH
+twin of the streaming operator (same logical definition — see
+streaming/events.py); tests/test_streaming.py proves stream == batch
+on the same input via memory sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cpx_etl_spark.queries import register, sql_dsum
+from cpx_etl_spark.sources import load_table
+from cpx_etl_spark.streaming.events import (
+    dedup_first_batch,
+    sessionize_batch,
+    tumbling_agg_batch,
+)
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+    f AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    g AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM g GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), integer-µs gap comparison."""
+    return sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_first_batch(load_table(spark, sf_dir, "events"))

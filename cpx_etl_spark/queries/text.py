@@ -1,1 +1,141 @@
-"""Placeholder — filled in this round."""
+"""§2.5 Text-analysis queries over the documents corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.functions.text import (
+    BPE_PATTERN,
+    PUNCT_PATTERN,
+    SQL_FINGERPRINT,
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    sql_lang_id,
+    stopword_count,
+    sum_token_lengths,
+    token_count,
+    tokens,
+    STOPWORDS,
+)
+from cpx_etl_spark.queries import register
+from cpx_etl_spark.sources import load_table
+
+_TOKENS_SQL = "string_split(text, ' ')"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len({_TOKENS_SQL}) AS n_tokens,
+               list_sum(list_transform({_TOKENS_SQL}, s -> length(s))) AS sum_len,
+               len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
+               len(list_filter({_TOKENS_SQL},
+                   s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])}))) AS n_stop,
+               length(text) AS n_chars
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           ROUND(sum_len * 1.0 / n_tokens, 4) AS mean_token_len,
+           ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           ROUND(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+           ROUND(GREATEST(0.0, LEAST(1.0,
+               0.12 * (sum_len * 1.0 / n_tokens)
+               + 0.5 * (n_stop * 1.0 / n_tokens)
+               - 2.0 * (n_punct * 1.0 / n_chars))), 4) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality signals + clipped-linear score
+    (transcendental-free so the oracle agrees exactly)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        sum_token_lengths(tokens(F.col("text"))).alias("sum_len"),
+        punct_count(F.col("text")).alias("n_punct"),
+        stopword_count(tokens(F.col("text")), STOPWORDS["en"]).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    mean_len = F.col("sum_len") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    punct_ratio = F.col("n_punct") / F.col("n_chars")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        quality_score(mean_len, stop_ratio, punct_ratio).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS declared_lang,
+           {sql_lang_id(_TOKENS_SQL)} AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile heuristic language ID (deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_id(tokens(F.col("text"))).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, {SQL_FINGERPRINT} AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set document fingerprint (vocabulary hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "doc_stats",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           ROUND(AVG(len({_TOKENS_SQL})), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup by language and source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+    )

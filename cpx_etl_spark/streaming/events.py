@@ -1,0 +1,200 @@
+"""Structured Streaming operators over the events stream.
+
+Each operator has ONE logical definition used two ways: the batch
+builder (runs in queries()/oracles and over any bounded frame) and the
+streaming builder (readStream + watermark + the same aggregation).
+tests/test_streaming.py proves the micro-batched result equals the
+batch result on the same data.
+
+Scale notes: watermarks bound state; tumbling windows aggregate with
+map-side partials; sessionization state is keyed by user_id (hash
+partitioned). Timestamp gaps compare in integer MICROSECONDS —
+float-seconds comparisons drift across engines.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts normalized to µs,
+    same as the batch registry)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a directory: stream the sf dir with a
+    # glob filter selecting just the events file
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+# --- tumbling window aggregation ---------------------------------------------
+
+def tumbling_agg_batch(df: DataFrame) -> DataFrame:
+    from cpx_etl_spark.queries import dsum
+
+    return (
+        df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+def tumbling_agg_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    from cpx_etl_spark.queries import dsum
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# --- sessionization (gap-based) ----------------------------------------------
+
+def sessionize_batch(df: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event of the same user exceeds the gap."""
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_micros("ts") - prev) > gap_us), 1
+    ).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = df.withColumn("session_id", F.sum(is_new).over(wsum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def sessionize_stream(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful sessionizer: applyInPandasWithState keyed by
+    user_id. State = (session ordinal, last event ts, open aggregates);
+    a micro-batch may emit completed sessions and carry the open one.
+
+    Emits only CLOSED sessions (a session closes when a later event
+    arrives past the gap); the tail session stays in state. Suitable
+    for unbounded streams where 'the final session' never materializes.
+    """
+    out_schema = (
+        "user_id bigint, session_id bigint, n_events bigint, "
+        "start_ts timestamp, end_ts timestamp"
+    )
+    state_schema = "ord bigint, last_us bigint, n bigint, start_us bigint"
+
+    def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            ord_, last_us, n, start_us = state.get
+        else:
+            ord_, last_us, n, start_us = 0, None, 0, None
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = int(ts.value // 1_000)  # pandas ns -> µs
+                if last_us is not None and us - last_us > gap_us:
+                    closed.append((user_id, ord_, n, start_us, last_us))
+                    ord_ += 1
+                    n, start_us = 0, us
+                elif last_us is None:
+                    ord_ += 1
+                    n, start_us = 0, us
+                n += 1
+                last_us = us
+        state.update((ord_, last_us, n, start_us))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": u,
+                        "session_id": o,
+                        "n_events": c,
+                        "start_ts": pd.Timestamp(s, unit="us"),
+                        "end_ts": pd.Timestamp(e, unit="us"),
+                    }
+                    for (u, o, c, s, e) in closed
+                ]
+            )
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+# --- streaming dedup -----------------------------------------------------------
+
+def dedup_first_batch(df: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type) — batch twin of streaming
+    dropDuplicates-with-watermark."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+def dedup_first_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup by key: keeps the first arriving row per
+    (user_id, event_type); watermark bounds the dedup state."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drain a bounded stream into a memory sink (availableNow) and
+    return the materialized result."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,130 @@
+"""Unit tests: dedup + similarity operators on literal frames with
+planted duplicates (the corpus fixtures verify thresholds end-to-end
+through the oracle gate; these pin operator semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cpx_etl_spark.operators.multimodal import attach_payload, decode_features
+from cpx_etl_spark.operators.similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different words appear in this text"),
+    (5, "zebra"),                                          # single token
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    stats = exact_dedup_stats(df, "doc_id", "text")
+    dups = {r["keep_doc_id"]: r["n_copies"] for r in stats.collect()}
+    assert dups[1] == 2  # docs 1 and 3 collapse
+    kept = {r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert kept == {1, 2, 4, 5}
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_lsh_subset_of_exact_pairs(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", n=2, k=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (1, 3) in lsh  # identical shingle sets always share all bands
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 3)) == 0
+
+
+def test_max_df_prunes_hot_shingles(spark):
+    # 'the quick' appears in 3 docs; capping max_df=2 removes it from the
+    # index so fewer candidates form, but exact dups still pair via the
+    # remaining shared shingles.
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), "doc_id", "text", n=2, threshold=0.9, max_df=2
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 3)}
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.0, 1.0, 0.0]),
+    (5, [-1.0, 0.0, 0.0, 0.0]),     # opposite of 1
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_bruteforce_topk_orders_by_cosine(spark):
+    emb = _vecs(spark)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]  # cos: ~1.0, then ties by id
+    assert rows[0]["cos"] > 0.999
+
+
+def test_embedding_dup_pairs_threshold(spark):
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             embedding_dup_pairs(_vecs(spark), "vec_id", "embedding", 0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_recalls_near_identical(spark):
+    emb = _vecs(spark)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") == 1), "vec_id", "embedding",
+                   k=2, n_planes=4, dim=4)
+    neigh = {r["neighbor_id"] for r in out.collect()}
+    assert 2 in neigh  # near-identical vectors share every hyperplane sign
+
+
+def test_multimodal_decode_batch_shape(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    feats = decode_features(attach_payload(docs), id_col="doc_id").collect()
+    assert len(feats) == len(DOCS)
+    for r in feats:
+        assert r["payload_len"] == 16  # md5 digest bytes
+        assert 0 <= r["first_byte"] <= 255
+        assert r["byte_sum"] > 0
+    # identical text -> identical payload features
+    by_id = {r["doc_id"]: (r["first_byte"], r["byte_sum"]) for r in feats}
+    assert by_id[1] == by_id[3]

@@ -1,0 +1,71 @@
+"""Streaming == batch equivalence via memory sinks on bounded input."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from cpx_etl_spark.sources import load_table
+from cpx_etl_spark.streaming.events import (
+    dedup_first_batch,
+    dedup_first_stream,
+    events_stream,
+    sessionize_batch,
+    sessionize_stream,
+    tumbling_agg_batch,
+    tumbling_agg_stream,
+)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def _drain(sdf, name, spark, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_tumbling_agg_stream_equals_batch(spark, sf_dir):
+    batch = tumbling_agg_batch(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _drain(
+        tumbling_agg_stream(events_stream(spark, sf_dir)), "t_agg", spark, "complete"
+    ).toPandas()
+    pd.testing.assert_frame_equal(_canon(batch), _canon(stream), check_dtype=False)
+
+
+def test_dedup_first_stream_matches_batch_keys(spark, sf_dir):
+    batch = dedup_first_batch(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _drain(
+        dedup_first_stream(events_stream(spark, sf_dir)), "t_dedup", spark, "append"
+    ).toPandas()
+    # dropDuplicates keeps the first ARRIVING row (arrival order is not
+    # event-time order), so compare the deduped KEY SETS, which must agree.
+    bk = set(map(tuple, batch[["user_id", "event_type"]].itertuples(index=False)))
+    sk = set(map(tuple, stream[["user_id", "event_type"]].itertuples(index=False)))
+    assert bk == sk
+
+
+def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir):
+    """Every CLOSED session emitted by the stateful streaming sessionizer
+    must appear in the batch sessionization with identical bounds."""
+    batch = sessionize_batch(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _drain(
+        sessionize_stream(events_stream(spark, sf_dir)), "t_sess", spark, "append"
+    ).toPandas()
+    assert len(stream) > 0, "expected some closed sessions in 30 days of events"
+    bkeys = {
+        (r.user_id, r.start_ts, r.end_ts, r.n_events)
+        for r in batch.itertuples(index=False)
+    }
+    for r in stream.itertuples(index=False):
+        assert (r.user_id, r.start_ts, r.end_ts, r.n_events) in bkeys, (
+            f"closed streaming session not found in batch result: {r}"
+        )
