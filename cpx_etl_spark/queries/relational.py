@@ -435,7 +435,7 @@ def q_nest_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         F.size("orders").cast("long").alias("n_orders"),
-        F.element_at("orders", 1).getField("o_orderkey").alias("first_orderkey"),
+        F.try_element_at("orders", F.lit(1)).getField("o_orderkey").alias("first_orderkey"),
     )
 
 

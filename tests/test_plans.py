@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions: the plans we'd want at 100 TB.
+
+- filters/column pruning reach the parquet scan
+- dim joins broadcast (no shuffle of the fact side)
+- relational/text paths contain no Python UDF nodes (JVM codegen only)
+"""
+
+from __future__ import annotations
+
+from cpx_etl_spark.queries import load_registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    q, _ = load_registry()
+    return q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # the shipdate range predicates reach the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 needed columns are read, not all 11
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_returnflag" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_relational_paths_stay_jvm_side(spark, sf_dir):
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q_match_route",
+        "q_pipeline_e2e",
+        "text_quality_score",
+        "text_fingerprint",
+        "dedup_minhash_lsh",
+        "stream_sessionize",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has a Python UDF node in its plan"
+        )
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) aggregate before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # codegen spans only appear in the FINAL adaptive plan, so execute first
+    q, _ = load_registry()
+    df = q["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's final plan renders codegen stages as '*(n)' markers
+    assert "*(" in plan and "isFinalPlan=true" in plan
