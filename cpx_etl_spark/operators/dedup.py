@@ -22,10 +22,8 @@ against quadratic buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from cpx_etl_spark.functions.text import shingles_expr
 
 
 def exact_dedup_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -49,20 +47,30 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def _tokenized(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        F.expr(shingles_expr("tokens", n)).alias("sh_set"),
-    ).withColumn("n_sh", F.size("sh_set"))
-
-
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> tuple[DataFrame, DataFrame]:
-    """(full inverted index [id, sh], per-doc shingle counts [id, n_sh])."""
-    base = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
-    ).select(F.col(id_col), F.expr(shingles_expr("tokens", n)).alias("sh_set"))
-    counts = base.select(F.col(id_col), F.size("sh_set").cast("long").alias("n_sh"))
-    index = base.select(F.col(id_col), F.explode("sh_set").alias("sh"))
+    """(distinct inverted index [id, sh], per-doc shingle counts [id, n_sh]).
+
+    Built as posexplode + window lead() instead of per-position array
+    slices: lead/concat_ws stay inside whole-stage codegen, while the
+    nested-HOF formulation (transform over slice) falls back to the
+    interpreted path and dominated the benchmark.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+    if n == 1:
+        index = tok.select(F.col(id_col), F.col("w").alias("sh")).dropDuplicates()
+    else:
+        w = Window.partitionBy(id_col).orderBy("pos")
+        leads = [F.lead("w", i).over(w) for i in range(1, n)]
+        index = (
+            tok.withColumn("_last", leads[-1])
+            .withColumn("sh", F.concat_ws(" ", F.col("w"), *leads))
+            .filter(F.col("_last").isNotNull())
+            .select(F.col(id_col), "sh")
+            .dropDuplicates()
+        )
+    counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return index, counts
 
 
@@ -115,16 +123,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return _verify_jaccard(cand, index, counts, id_col, threshold)
 
 
-def minhash_signature_exprs(sh_col: str, k: int) -> list:
-    """k minhash components, each = lexicographic min of salted md5 over
-    the shingle set. Computed PER ROW (array_min) — zero shuffle, and
-    replayable in ANSI SQL for the oracle."""
-    return [
-        F.array_min(
-            F.transform(F.col(sh_col), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
-        for i in range(k)
-    ]
+def minhash_signatures(index: DataFrame, id_col: str, k: int) -> DataFrame:
+    """k minhash components per doc: lexicographic min of salted md5
+    over the shingle set. One aggregation over the exploded index —
+    md5 and min both stay in codegen — and replayable in ANSI SQL."""
+    return index.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -136,10 +144,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("k must divide evenly into bands")
     r = k // bands
     index, counts = shingle_index(df, id_col, text_col, n)
-    base = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
-    ).select(F.col(id_col), F.expr(shingles_expr("tokens", n)).alias("sh_set"))
-    sig = base.select(F.col(id_col), *minhash_signature_exprs("sh_set", k))
+    sig = minhash_signatures(index, id_col, k)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
         for b in range(bands)

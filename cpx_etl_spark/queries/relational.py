@@ -21,6 +21,7 @@ from cpx_etl_spark.operators.relational import (
     semi_join,
     unique_view,
 )
+from cpx_etl_spark.operators.skew import salted_agg
 from cpx_etl_spark.queries import davg, dsum, register, sql_davg, sql_dsum
 from cpx_etl_spark.sources import load_table
 
@@ -479,6 +480,32 @@ def q_unique_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_orderkey").alias("first_orderkey"),
         F.col("o_orderdate").alias("first_orderdate"),
+    )
+
+
+@register(
+    "q_salted_agg",
+    oracle=f"""
+    SELECT l_suppkey,
+           {sql_dsum('l_quantity')} AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation; salting must be result-invariant,
+    so the oracle is the plain GROUP BY. Decimal pre-cast keeps the
+    two-phase double sum order-independent."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_quantity").cast("decimal(20,4)").alias("qty_d"),
+        F.lit(1).alias("one"),
+    )
+    out = salted_agg(li, ["l_suppkey"], {"qty_d": "sum", "one": "count"}, salt_buckets=8)
+    return out.select(
+        "l_suppkey",
+        F.round(F.col("sum_qty_d").cast("double"), 2).alias("total_qty"),
+        F.col("count_one").alias("n_items"),
     )
 
 

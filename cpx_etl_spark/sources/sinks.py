@@ -1,0 +1,61 @@
+"""Output sinks and extra tabular sources.
+
+Reference parity: the reference 'load' phase writes to relational
+tables (src/main/etl.js:792); at data-lake scale the equivalents are
+partitioned parquet (partition pruning for readers), bucketed tables
+(shuffle-free co-located joins), and csv/jsonl for interchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet: readers prune partitions on the
+    partition columns for free."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on the bucket columns between
+    co-bucketed tables skip the shuffle entirely."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str | None = None,
+    header: bool = True, **options,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)

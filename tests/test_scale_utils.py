@@ -1,0 +1,92 @@
+"""Tests for skew utilities and sinks (results must equal the naive
+plans; the value is in the plan shape, which test_plans covers for the
+core queries)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.operators.skew import salted_agg, salted_join
+from cpx_etl_spark.sources.sinks import (
+    read_csv,
+    read_jsonl,
+    write_partitioned_parquet,
+)
+
+
+def _skewed(spark):
+    # one hot key (0) with 900 rows, 9 cold keys with 10 each
+    hot = spark.range(900).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(90).select(
+        (F.col("id") % 9 + 1).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionAll(cold)
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["sum_v"], r["count_v"], r["min_v"], r["max_v"])
+        for r in salted_agg(
+            df, ["k"], {"v": "sum"}, salt_buckets=8
+        ).join(
+            salted_agg(df.withColumnRenamed("v", "w"), ["k"],
+                       {"w": "count"}, salt_buckets=8),
+            on="k",
+        ).join(
+            salted_agg(df.withColumnRenamed("v", "x"), ["k"],
+                       {"x": "min"}, salt_buckets=8).withColumnRenamed("min_x", "min_v"),
+            on="k",
+        ).join(
+            salted_agg(df.withColumnRenamed("v", "y"), ["k"],
+                       {"y": "max"}, salt_buckets=8).withColumnRenamed("max_y", "max_v"),
+            on="k",
+        ).withColumnRenamed("count_w", "count_v").collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_unknown(spark):
+    with pytest.raises(ValueError):
+        salted_agg(_skewed(spark), ["k"], {"v": "avg"})
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame([(i, f"label{i}") for i in range(10)], "k long, label string")
+    plain = sorted((r["k"], r["v"], r["label"]) for r in big.join(small, on="k").collect())
+    salted = sorted((r["k"], r["v"], r["label"]) for r in salted_join(big, small, on="k", salt_buckets=8).collect())
+    assert plain == salted
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "part string, v int"
+    )
+    path = str(tmp_path / "out")
+    write_partitioned_parquet(df, path, ["part"])
+    back = spark.read.parquet(path).filter(F.col("part") == "a")
+    assert back.count() == 2
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_csv_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    cpath, jpath = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.option("header", "true").csv(cpath)
+    df.write.json(jpath)
+    assert sorted(r["s"] for r in read_csv(spark, cpath, "id long, s string").collect()) == ["x", "y"]
+    assert sorted(r["id"] for r in read_jsonl(spark, jpath, "id long, s string").collect()) == [1, 2]
