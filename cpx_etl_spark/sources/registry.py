@@ -35,10 +35,13 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader has no
+    # type for: read nanos as long (set here at runtime so ANY session —
+    # including the driver's — works) and truncate to microseconds with
+    # INTEGER division; double division would lose precision past 2^53.
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): read as long (see session
-    # config) and truncate to microseconds with INTEGER division —
-    # double division would lose precision past 2^53.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -30,6 +30,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (nanos ts normalized to µs,
     same as the batch registry)."""
     path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # TIMESTAMP(NANOS) source
     schema = spark.read.parquet(path).schema
     # the file-stream source wants a directory: stream the sf dir with a
     # glob filter selecting just the events file
