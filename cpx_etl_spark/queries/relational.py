@@ -484,6 +484,69 @@ def q_unique_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_view_tree",
+    oracle="""
+    WITH base AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    agg AS (SELECT c_custkey, COUNT(DISTINCT o_orderkey) AS n_orders,
+                   COUNT(l_linenumber) AS total_items
+            FROM base
+            LEFT JOIN orders   ON o_custkey = c_custkey
+            LEFT JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY c_custkey),
+    fo AS (SELECT o_custkey, o_orderkey
+           FROM (SELECT o_custkey, o_orderkey,
+                        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey) AS rn
+                 FROM orders)
+           WHERE rn = 1)
+    SELECT a.c_custkey, a.n_orders, a.total_items, fo.o_orderkey AS first_orderkey
+    FROM agg a LEFT JOIN fo ON fo.o_custkey = a.c_custkey
+    """,
+)
+def q_view_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyView parity: a 3-level query tree (customer -> orders ->
+    lineitems, plus a findOne first-order node) compiled to one plan
+    with nested array/struct columns, summarized flat for the oracle."""
+    from cpx_etl_spark.plans.views import ViewCatalog
+
+    cat = ViewCatalog.from_sf_dir(spark, sf_dir)
+    view = cat.apply_view(
+        {
+            "customer": {
+                "_": {"where": {"c_mktsegment": "BUILDING"}},
+                "orders": {
+                    "_": {"on": {"o_custkey": "c_custkey"}, "order_by": ["o_orderkey"]},
+                    "lineitem": {
+                        "_": {
+                            "on": {"l_orderkey": "o_orderkey"},
+                            "order_by": ["l_linenumber"],
+                            "as": "items",
+                        },
+                    },
+                },
+                "first": {
+                    "_": {
+                        "table": "orders",
+                        "on": {"o_custkey": "c_custkey"},
+                        "unique": True,
+                        "order_by": ["o_orderdate", "o_orderkey"],
+                        "as": "first_order",
+                    },
+                },
+            },
+        }
+    )
+    return view.select(
+        "c_custkey",
+        F.size("orders").cast("long").alias("n_orders"),
+        F.aggregate(
+            F.col("orders"), F.lit(0), lambda acc, o: acc + F.size(o.getField("items"))
+        ).cast("long").alias("total_items"),
+        F.col("first_order").getField("o_orderkey").alias("first_orderkey"),
+    )
+
+
+@register(
     "q_salted_agg",
     oracle=f"""
     SELECT l_suppkey,
