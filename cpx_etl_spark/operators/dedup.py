@@ -111,6 +111,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs: any shared n-gram shingle proposes a candidate,
     exact Jaccard >= threshold confirms."""
     index, counts = shingle_index(df, id_col, text_col, n)
+    # NOTE: the index feeds several scans, but persist() measured SLOWER
+    # here — the codegen'd tokenize+window chain recomputes faster than
+    # the cache writes. Recompute deliberately.
     cand_index = prune_hot_shingles(index, max_df) if max_df is not None else index
     t1 = cand_index.select(F.col(id_col).alias("doc_a"), "sh")
     t2 = cand_index.select(F.col(id_col).alias("doc_b"), "sh")

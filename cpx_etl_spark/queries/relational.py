@@ -484,6 +484,38 @@ def q_unique_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_percentile_stats",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           ROUND(sqrt(greatest(0.0,
+               (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  * CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1))), 4) AS stddev_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated, sort-based => cross-engine
+    identical) + sample stddev assembled from exact decimal sums
+    (native stddev aggregates float in engine-specific order)."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    n = F.count(F.lit(1))
+    d_sum = F.sum(price.cast("decimal(20,4)")).cast("double")
+    d_sumsq = F.sum((price * price).cast("decimal(38,8)")).cast("double")
+    var = (d_sumsq - d_sum * d_sum / n) / (n - 1)
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        F.round(F.percentile(price, F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile(price, F.lit(0.9)), 2).alias("p90_price"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 4).alias("stddev_price"),
+    )
+
+
+@register(
     "q_view_tree",
     oracle="""
     WITH base AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -39,6 +39,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # type for: read nanos as long (set here at runtime so ANY session —
     # including the driver's — works) and truncate to microseconds with
     # INTEGER division; double division would lose precision past 2^53.
+    # pin the session timezone so timestamp values agree with the
+    # (naive-UTC) oracle engine even under a driver-supplied session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

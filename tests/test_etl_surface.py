@@ -140,3 +140,15 @@ def test_fake_workbook_sheets(spark):
     wb = fake_workbook(spark)
     assert set(wb) == {"people", "scores"}
     assert wb["people"].count() == 3
+
+
+def test_flatten_leaf_values(spark):
+    from cpx_etl_spark.functions.util import flatten_leaf_values
+
+    df = spark.createDataFrame(
+        [(1, ("x", 2), [10, 20], [(5, "a")], "meta")],
+        "id long, obj struct<name:string,v:long>, nums array<long>, "
+        "kids array<struct<k:long,s:string>>, _ string",
+    )
+    row = flatten_leaf_values(df).collect()[0]
+    assert row["_values"] == ["1", "x", "2", "10", "20", "5", "a"]  # '_' skipped

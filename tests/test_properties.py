@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the coercion and fixed-width
+codecs — SURVEY §5.4."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from cpx_etl_spark.functions.schema_apply import schema_apply
+from cpx_etl_spark.sources.fixed_width import Field, decode, encode
+
+# shared session comes from conftest's fixture; hypothesis drives data
+SETTINGS = settings(max_examples=20, deadline=None)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-999, 9999).map(str), st.just("")),
+            st.one_of(st.none(), st.dates(dt.date(1900, 1, 1), dt.date(2099, 12, 31)).map(str), st.just("0000-00-00")),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_schema_apply_nullable_never_errors(spark, rows):
+    """Nullable coercion of well-formed-or-null-token inputs never
+    produces an _errors entry, and outputs are null or typed."""
+    df = spark.createDataFrame(rows, "n string, d string")
+    out = schema_apply(df, {"n": "Number", "d": "Date"}).collect()
+    for r in out:
+        assert r["_errors"] == []
+        assert r["n"] is None or isinstance(r["n"], int)
+        assert r["d"] is None or isinstance(r["d"], dt.datetime)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 9_999_999)),
+            st.one_of(st.none(), st.text(alphabet="abcdefgh XYZ", min_size=0, max_size=12)),
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(
+                st.none(),
+                st.datetimes(dt.datetime(1900, 1, 1), dt.datetime(2099, 12, 31)).map(
+                    lambda d: d.replace(hour=0, minute=0, second=0, microsecond=0)
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fixed_width_roundtrip_property(spark, rows):
+    """encode -> decode recovers every value (strings truncated to the
+    field width and right-trimmed, numbers that fit, day-aligned dates)."""
+    fields = [
+        Field("n", 8, "number"),
+        Field("s", 10, "string"),
+        Field("b", 2, "boolean"),
+        Field("d", 8, "date"),
+    ]
+    df = spark.createDataFrame(
+        rows, "n long, s string, b boolean, d timestamp"
+    )
+    back = decode(encode(df, fields).select("line"), fields).collect()
+    orig = df.collect()
+    assert len(back) == len(orig)
+    got = sorted(
+        ((r["n"], r["s"], r["b"], r["d"]) for r in back),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    want = sorted(
+        (
+            (
+                r["n"],
+                # width-10 truncation then rtrim; all-space strings decode as null
+                (r["s"][:10].rstrip() or None) if r["s"] is not None else None,
+                r["b"],
+                r["d"],
+            )
+            for r in orig
+        ),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert got == want
