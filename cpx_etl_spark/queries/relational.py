@@ -579,6 +579,31 @@ def q_view_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_distinct_users_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count baseline for the HLL sketch below."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+
+
+@register("q_approx_distinct_users")  # rows-only: HLL estimates are engine-specific
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per day — the 100 TB path where exact
+    COUNT(DISTINCT) would shuffle every user_id; rsd=2%."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
     "q_salted_agg",
     oracle=f"""
     SELECT l_suppkey,

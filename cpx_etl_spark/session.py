@@ -51,6 +51,10 @@ def get_spark(
         # nanos type, so read as long and convert in the registry.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("CPX_WAREHOUSE_DIR", "/tmp/cpx_etl_spark_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():

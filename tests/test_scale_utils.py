@@ -90,3 +90,32 @@ def test_csv_jsonl_roundtrip(spark, tmp_path):
     df.write.json(jpath)
     assert sorted(r["s"] for r in read_csv(spark, cpath, "id long, s string").collect()) == ["x", "y"]
     assert sorted(r["id"] for r in read_jsonl(spark, jpath, "id long, s string").collect()) == [1, 2]
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT an Exchange —
+    the co-located join that replaces the shuffle at 100 TB."""
+    import uuid
+
+    from cpx_etl_spark.sources.sinks import write_bucketed_table
+
+    suffix = uuid.uuid4().hex[:8]
+    left_name, right_name = f"bl_{suffix}", f"br_{suffix}"
+    left = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(500).selectExpr("id AS k", "id * 3 AS w")
+    write_bucketed_table(left, left_name, ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed_table(right, right_name, ["k"], n_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner exercises the bucketed
+        # sort-merge path (tiny test tables would broadcast otherwise)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(left_name).join(spark.table(right_name), on="k")
+        assert joined.count() == 500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, "co-bucketed join should not shuffle"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {left_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {right_name}")

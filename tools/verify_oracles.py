@@ -76,6 +76,11 @@ def main() -> int:
     spark = get_spark("verify-oracles", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
 
+    def report(line: str) -> None:
+        # lead with \n so Spark's \r progress bars never swallow a result line
+        sys.stdout.write("\n" + line + "\n")
+        sys.stdout.flush()
+
     failures = 0
     for name, fn in sorted(queries.items()):
         if only and name not in only:
@@ -84,26 +89,26 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
-            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            report(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            report(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             ddf = con.execute(oracles[name]).fetch_df()
         except Exception as e:
-            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            report(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             failures += 1
-            print(f"FAIL {name} ({len(sdf)} spark rows / {len(ddf)} duck rows):")
+            report(f"FAIL {name} ({len(sdf)} spark rows / {len(ddf)} duck rows):")
             for p in problems:
                 print(f"  {p}")
         else:
-            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+            report(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
     print("FAILURES:", failures)
     return 1 if failures else 0
 
