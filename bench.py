@@ -34,6 +34,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality_score",
     "text_fingerprint",
+    "q_corpus_curation",
     "stream_sessionize",
     "stream_tumbling_agg",
 ]

@@ -122,6 +122,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               len({_TOKENS_SQL}) AS n_tokens,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.12 * (list_sum(list_transform({_TOKENS_SQL}, s -> length(s))) * 1.0
+                           / len({_TOKENS_SQL}))
+                   + 0.5 * (len(list_filter({_TOKENS_SQL},
+                         s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])}))) * 1.0
+                           / len({_TOKENS_SQL}))
+                   - 2.0 * (len(regexp_extract_all(text, '{PUNCT_PATTERN}')) * 1.0
+                           / length(text)))), 4) AS quality
+        FROM documents),
+    kept AS (SELECT * FROM scored
+             WHERE quality >= 0.55 AND n_tokens BETWEEN 20 AND 200),
+    dedup AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+    SELECT k.doc_id, k.n_tokens, k.quality
+    FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation pipeline in ONE plan: quality scoring ->
+    threshold + token-budget filter -> exact dedup keeping the lowest
+    doc_id per content hash. The composition the engine exists for."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(
+            sum_token_lengths(t) / token_count(F.col("text")),
+            stopword_count(t, STOPWORDS["en"]) / token_count(F.col("text")),
+            punct_count(F.col("text")) / F.length("text"),
+        ).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.55) & F.col("n_tokens").between(20, 200)
+    )
+    survivors = (
+        kept.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return kept.join(survivors, on="doc_id", how="left_semi").select(
+        "doc_id", "n_tokens", "quality"
+    )
+
+
+@register(
     "doc_stats",
     oracle=f"""
     SELECT lang, source, COUNT(*) AS n_docs,

@@ -187,6 +187,16 @@ def dedup_first_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def enrich_stream(sdf: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """Stream-static enrichment join: the static side broadcasts into
+    every micro-batch (the streaming twin of operators.relational.enrich).
+    The static frame is re-read per batch, so slowly-changing dims pick
+    up updates without restarting the query."""
+    from pyspark.sql import functions as F
+
+    return sdf.join(F.broadcast(dim), on=on, how="left")
+
+
 def run_to_memory(sdf: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Drain a bounded stream into a memory sink (availableNow) and
     return the materialized result."""

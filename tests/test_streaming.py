@@ -69,3 +69,22 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir):
         assert (r.user_id, r.start_ts, r.end_ts, r.n_events) in bkeys, (
             f"closed streaming session not found in batch result: {r}"
         )
+
+
+def test_stream_static_enrichment(spark, sf_dir):
+    """Stream-static join: every micro-batch row gets its dim label."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.streaming.events import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    enriched = enrich_stream(events_stream(spark, sf_dir), dim, on="event_type")
+    out = _drain(enriched, "t_enrich", spark, "append").toPandas()
+    batch_n = load_table(spark, sf_dir, "events").count()
+    assert len(out) == batch_n
+    assert out["category"].notna().all()
+    assert set(out[out.event_type == "purchase"]["category"]) == {"revenue"}
