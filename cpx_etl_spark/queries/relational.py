@@ -579,6 +579,95 @@ def q_view_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pivot_daily_events",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (explicit value list keeps the
+    schema static — mandatory at scale, where inference would scan)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+
+
+@register(
+    "q_moving_window_revenue",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+               AS hour_sum
+    FROM events WHERE user_id < 40
+    """,
+)
+def q_moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range moving window (trailing 1 hour per user). RANGE frame
+    over integer microseconds; decimal accumulation keeps the frame sum
+    order-independent."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,4)")).over(w).cast("double"), 2
+        ).alias("hour_sum"),
+    )
+
+
+@register(
+    "q_unpivot_nation_stats",
+    oracle="""
+    WITH base AS (
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+    SELECT n_name, 'n_customers' AS metric, CAST(n_customers AS DOUBLE) AS value FROM base
+    UNION ALL
+    SELECT n_name, 'total_bal' AS metric, ROUND(total_bal, 2) AS value FROM base
+    """,
+)
+def q_unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide metrics to long form via stack()."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+    return base.select(
+        "n_name",
+        F.expr(
+            "stack(2, 'n_customers', n_customers, 'total_bal', total_bal) AS (metric, value)"
+        ),
+    )
+
+
+@register(
     "q_distinct_users_daily",
     oracle="""
     SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS exact_users
