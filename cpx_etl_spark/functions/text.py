@@ -82,7 +82,10 @@ def quality_score(mean_token_len: Column, stop_ratio: Column, punct_ratio: Colum
     """Linear clipped quality signal — deliberately transcendental-free
     so Spark and any oracle agree bit-for-bit."""
     raw = 0.12 * mean_token_len + 0.5 * stop_ratio - 2.0 * punct_ratio
-    return F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)), 4)
+    clipped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+    # tie-safe rounding (see queries.EPS): rational scores hit exact
+    # half-ties where engine ROUND rules diverge
+    return F.round(clipped - 1e-9, 4)
 
 
 def lang_scores(tokens_col: Column) -> dict[str, Column]:

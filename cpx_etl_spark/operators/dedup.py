@@ -99,7 +99,7 @@ def _verify_jaccard(pairs: DataFrame, index: DataFrame, counts: DataFrame,
     return (
         shared.join(ca, on="doc_a")
         .join(cb, on="doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        .withColumn("jaccard", F.round(jac - 1e-9, 6))  # tie-safe (queries.EPS)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

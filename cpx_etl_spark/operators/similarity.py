@@ -45,7 +45,7 @@ def brute_force_topk(
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("v_q"), F.col("v_c")), 6).alias("cos"),
+        F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
     )
     return _ranked(pairs, k)
 
@@ -111,7 +111,7 @@ def lsh_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("v_q"), F.col("v_c")), 6).alias("cos"),
+        F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     return _ranked(scored, k)
 
@@ -150,7 +150,7 @@ def ivf_topk(
     )
     assigned = (
         vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("c_cos", F.round(cosine(F.col("v"), F.col("centroid")), 6))
+        .withColumn("c_cos", F.round(cosine(F.col("v"), F.col("centroid")) - 1e-9, 6))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("v_c"), "cell")
@@ -160,7 +160,7 @@ def ivf_topk(
     probed = (
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q"))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("c_cos", F.round(cosine(F.col("v_q"), F.col("centroid")), 6))
+        .withColumn("c_cos", F.round(cosine(F.col("v_q"), F.col("centroid")) - 1e-9, 6))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "v_q", "cell")
@@ -171,7 +171,7 @@ def ivf_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("v_q"), F.col("v_c")), 6).alias("cos"),
+        F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
     )
     return _ranked(scored, k)
 
@@ -182,6 +182,7 @@ def _round_half_away(x, decimals: int):
     import numpy as np
 
     p = 10.0 ** decimals
+    x = x - 1e-9  # tie-safe shift, mirrors queries.fround
     return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 

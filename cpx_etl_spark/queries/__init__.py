@@ -41,24 +41,44 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Rational-valued results land EXACTLY on rounding half-ties (e.g.
+# 0.12*226/48 + 0.5*3/48 = 0.59625), where Spark (BigDecimal HALF_UP)
+# and DuckDB (scaled-double / half-even decimal) disagree. Shifting
+# every rounded double by -1e-9 moves exact ties off the boundary
+# identically in both engines; values not at a tie are unaffected.
+EPS = 1e-9
+
+
+def fround(col: Column, scale: int) -> Column:
+    """Tie-safe cross-engine ROUND for double results."""
+    return F.round(col - EPS, scale)
+
+
+def sql_fround(expr: str, scale: int) -> str:
+    return f"ROUND(({expr}) - 1e-9, {scale})"
+
+
 def dsum(col: Column, scale: int = 2) -> Column:
-    """Order-independent double sum: exact decimal accumulate, then round."""
-    return F.round(F.sum(col.cast("decimal(20,4)")).cast("double"), scale)
+    """Order-independent double sum: exact decimal accumulate, then
+    tie-safe round."""
+    return fround(F.sum(col.cast("decimal(20,4)")).cast("double"), scale)
 
 
 def davg(col: Column, scale: int = 4) -> Column:
     """Order-independent mean built from the exact decimal sum."""
-    return F.round(
+    return fround(
         F.sum(col.cast("decimal(20,4)")).cast("double") / F.count(F.lit(1)), scale
     )
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE), {scale})"
+    return sql_fround(f"CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE)", scale)
 
 
 def sql_davg(expr: str, scale: int = 4) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*), {scale})"
+    return sql_fround(
+        f"CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)", scale
+    )
 
 
 def load_registry() -> tuple[dict, dict]:

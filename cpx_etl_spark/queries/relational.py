@@ -22,7 +22,7 @@ from cpx_etl_spark.operators.relational import (
     unique_view,
 )
 from cpx_etl_spark.operators.skew import salted_agg
-from cpx_etl_spark.queries import davg, dsum, register, sql_davg, sql_dsum
+from cpx_etl_spark.queries import davg, dsum, fround, register, sql_davg, sql_dsum, sql_fround
 from cpx_etl_spark.sources import load_table
 
 
@@ -395,7 +395,7 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey), 2) AS running_total
+                                         ORDER BY o_orderdate, o_orderkey) - 1e-9, 2) AS running_total
     FROM orders
     WHERE o_custkey < 50
     """,
@@ -409,7 +409,7 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        fround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
     )
 
 
@@ -487,13 +487,13 @@ def q_unique_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentile_stats",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           ROUND(quantile_cont(o_totalprice, 0.5) - 1e-9, 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9) - 1e-9, 2) AS p90_price,
            ROUND(sqrt(greatest(0.0,
                (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
                 - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   * CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*))
-               / (COUNT(*) - 1))), 4) AS stddev_price
+               / (COUNT(*) - 1))) - 1e-9, 4) AS stddev_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -509,9 +509,9 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (d_sumsq - d_sum * d_sum / n) / (n - 1)
     return orders.groupBy("o_orderpriority").agg(
         n.alias("n"),
-        F.round(F.percentile(price, F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile(price, F.lit(0.9)), 2).alias("p90_price"),
-        F.round(F.sqrt(F.greatest(F.lit(0.0), var)), 4).alias("stddev_price"),
+        fround(F.percentile(price, F.lit(0.5)), 2).alias("median_price"),
+        fround(F.percentile(price, F.lit(0.9)), 2).alias("p90_price"),
+        fround(F.sqrt(F.greatest(F.lit(0.0), var)), 4).alias("stddev_price"),
     )
 
 
@@ -579,6 +579,71 @@ def q_view_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+        SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+        WHERE rn = 1)
+    SELECT c.user_id, c.event_id, c.ts, p.value AS asof_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest prior purchase value of
+    the same user (union-and-carry, one shuffle — no native Spark ASOF).
+    Oracle uses DuckDB's native ASOF JOIN."""
+    from cpx_etl_spark.operators.asof import asof_join
+    from cpx_etl_spark.operators.relational import unique_view
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = unique_view(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value", "event_id"),
+        ["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    ).drop("event_id")
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    ).withColumnRenamed("asof_value", "asof_value")
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 60000000 AND epoch_us(a.ts)
+    WHERE a.user_id < 100
+    GROUP BY a.user_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events of the same user within a trailing
+    60s window. Equi-key + range predicate => sort-merge join with a
+    band filter, never a cross product."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    a = ev.select("user_id", F.col("event_id").alias("eid_a"), F.unix_micros("ts").alias("us_a"))
+    b = ev.select("user_id", F.col("event_id").alias("eid_b"), F.unix_micros("ts").alias("us_b"))
+    pairs = a.join(
+        b,
+        (a.user_id == b.user_id)
+        & (F.col("eid_b") != F.col("eid_a"))
+        & (F.col("us_b") >= F.col("us_a") - 60_000_000)
+        & (F.col("us_b") <= F.col("us_a")),
+    ).drop(b.user_id)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
     "q_pivot_daily_events",
     oracle="""
     SELECT date_trunc('day', ts) AS day,
@@ -609,7 +674,7 @@ def q_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, ts,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) - 1e-9, 2)
                AS hour_sum
     FROM events WHERE user_id < 40
     """,
@@ -628,7 +693,7 @@ def q_moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.round(
+        fround(
             F.sum(F.col("value").cast("decimal(20,4)")).over(w).cast("double"), 2
         ).alias("hour_sum"),
     )
@@ -644,7 +709,7 @@ def q_moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name)
     SELECT n_name, 'n_customers' AS metric, CAST(n_customers AS DOUBLE) AS value FROM base
     UNION ALL
-    SELECT n_name, 'total_bal' AS metric, ROUND(total_bal, 2) AS value FROM base
+    SELECT n_name, 'total_bal' AS metric, ROUND(total_bal - 1e-9, 2) AS value FROM base
     """,
 )
 def q_unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,7 +778,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_agg(li, ["l_suppkey"], {"qty_d": "sum", "one": "count"}, salt_buckets=8)
     return out.select(
         "l_suppkey",
-        F.round(F.col("sum_qty_d").cast("double"), 2).alias("total_qty"),
+        fround(F.col("sum_qty_d").cast("double"), 2).alias("total_qty"),
         F.col("count_one").alias("n_items"),
     )
 

@@ -16,7 +16,7 @@ from cpx_etl_spark.sources import load_table
     oracle=f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND({sql_cosine('q.embedding', 'c.embedding', 64)}, 6) AS cos
+               ROUND({sql_cosine('q.embedding', 'c.embedding', 64)} - 1e-9, 6) AS cos
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 5),
     ranked AS (
@@ -59,10 +59,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_stats",
     oracle=f"""
     SELECT label, COUNT(*) AS n_vectors,
-           ROUND(CAST(SUM(CAST(ROUND({sql_norm('embedding', 64)}, 6)
-                              AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm,
-           ROUND(MIN({sql_norm('embedding', 64)}), 4) AS min_norm,
-           ROUND(MAX({sql_norm('embedding', 64)}), 4) AS max_norm
+           ROUND(CAST(SUM(CAST(ROUND({sql_norm('embedding', 64)} - 1e-9, 6)
+                              AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) - 1e-9, 4) AS avg_norm,
+           ROUND(MIN({sql_norm('embedding', 64)}) - 1e-9, 4) AS min_norm,
+           ROUND(MAX({sql_norm('embedding', 64)}) - 1e-9, 4) AS max_norm
     FROM embeddings GROUP BY label
     """,
 )
@@ -74,10 +74,11 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(
-            F.sum(F.round(F.col("nrm"), 6).cast("decimal(20,6)")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(F.round(F.col("nrm") - 1e-9, 6).cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+            - 1e-9,
             4,
         ).alias("avg_norm"),
-        F.round(F.min("nrm"), 4).alias("min_norm"),
-        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.min("nrm") - 1e-9, 4).alias("min_norm"),
+        F.round(F.max("nrm") - 1e-9, 4).alias("max_norm"),
     )

@@ -58,13 +58,13 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(text) AS n_chars
         FROM documents)
     SELECT doc_id, n_tokens,
-           ROUND(sum_len * 1.0 / n_tokens, 4) AS mean_token_len,
-           ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-           ROUND(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+           ROUND(sum_len * 1.0 / n_tokens - 1e-9, 4) AS mean_token_len,
+           ROUND(n_stop * 1.0 / n_tokens - 1e-9, 6) AS stopword_ratio,
+           ROUND(n_punct * 1.0 / n_chars - 1e-9, 6) AS punct_ratio,
            ROUND(GREATEST(0.0, LEAST(1.0,
                0.12 * (sum_len * 1.0 / n_tokens)
                + 0.5 * (n_stop * 1.0 / n_tokens)
-               - 2.0 * (n_punct * 1.0 / n_chars))), 4) AS quality
+               - 2.0 * (n_punct * 1.0 / n_chars))) - 1e-9, 4) AS quality
     FROM t
     """,
 )
@@ -86,9 +86,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         "n_tokens",
-        F.round(mean_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_len - 1e-9, 4).alias("mean_token_len"),
+        F.round(stop_ratio - 1e-9, 6).alias("stopword_ratio"),
+        F.round(punct_ratio - 1e-9, 6).alias("punct_ratio"),
         quality_score(mean_len, stop_ratio, punct_ratio).alias("quality"),
     )
 
@@ -134,7 +134,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                          s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])}))) * 1.0
                            / len({_TOKENS_SQL}))
                    - 2.0 * (len(regexp_extract_all(text, '{PUNCT_PATTERN}')) * 1.0
-                           / length(text)))), 4) AS quality
+                           / length(text)))) - 1e-9, 4) AS quality
         FROM documents),
     kept AS (SELECT * FROM scored
              WHERE quality >= 0.55 AND n_tokens BETWEEN 20 AND 200),
@@ -177,7 +177,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang, source, COUNT(*) AS n_docs,
            SUM(n_chars) AS total_chars,
-           ROUND(AVG(len({_TOKENS_SQL})), 4) AS avg_tokens
+           ROUND(AVG(len({_TOKENS_SQL})) - 1e-9, 4) AS avg_tokens
     FROM documents
     GROUP BY lang, source
     """,
@@ -188,5 +188,5 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg(token_count(F.col("text"))) - 1e-9, 4).alias("avg_tokens"),
     )

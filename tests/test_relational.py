@@ -43,3 +43,30 @@ def test_enrich_broadcast_lookup(spark):
     out = enrich(fact, [(dim, "k", {"label": "k_label"})])
     got = {r["k"]: r["k_label"] for r in out.collect()}
     assert got == {1: "one", 2: "two", 3: None}
+
+
+def test_asof_join_semantics(spark):
+    from cpx_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 10:00:00", "c")],
+        "k int, ts string, tag string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0),
+         (1, "2024-01-01 12:00:00", 30.0)],
+        "k int, ts string, rate double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts", "rate")
+
+    out = {(r["k"], r["tag"]): r["asof_rate"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()}
+    assert out[(1, "a")] == 10.0          # latest at-or-before 10:00
+    assert out[(1, "b")] == 30.0          # equal timestamps match (<=)
+    assert out[(2, "c")] is None          # no right rows for key 2
+
+    tol = {(r["k"], r["tag"]): r["asof_rate"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     tolerance_us=10 * 60 * 1_000_000).collect()}
+    assert tol[(1, "a")] is None          # 09:30 is older than 10min tolerance
+    assert tol[(1, "b")] == 30.0
