@@ -115,6 +115,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_INDEX},
+    cand AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
+             FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
+    shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+               FROM cand c
+               JOIN tok t1 ON t1.doc_id = c.doc_a
+               JOIN tok t2 ON t2.doc_id = c.doc_b AND t2.sh = t1.sh
+               GROUP BY c.doc_a, c.doc_b),
+    pairs AS (SELECT s.doc_a, s.doc_b
+              FROM shared s
+              JOIN cnt ca ON ca.doc_id = s.doc_a
+              JOIN cnt cb ON cb.doc_id = s.doc_b
+              WHERE ROUND(s.shared * 1.0 / (ca.n + cb.n - s.shared) - 1e-9, 6) >= 0.5),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS component,
+           d.doc_id = LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS is_survivor
+    FROM documents d
+    LEFT JOIN (SELECT a, MIN(b) AS min_reach FROM reach GROUP BY a) m
+           ON m.a = d.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster id + survivor
+    flag per document. Oracle computes the transitive closure with a
+    recursive CTE; Spark uses min-label propagation (one shuffle per
+    iteration, diameter-bounded)."""
+    from cpx_etl_spark.operators.components import dedup_clusters as _clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=_NGRAM, threshold=0.5)
+    return _clusters(docs, pairs, "doc_id")
+
+
 @register("dedup_simhash")  # rows-only: 64-bit bit ops are not portable SQL
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(

@@ -128,3 +128,33 @@ def test_multimodal_decode_batch_shape(spark):
     # identical text -> identical payload features
     by_id = {r["doc_id"]: (r["first_byte"], r["byte_sum"]) for r in feats}
     assert by_id[1] == by_id[3]
+
+
+def test_connected_components_clusters(spark):
+    from cpx_etl_spark.operators.components import connected_components, dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # components: {1,2,3} (chain), {4,5}, {6}, {7}
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "src long, dst long")
+    comps = {r["id"]: r["component"] for r in
+             connected_components(nodes, edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+    df = nodes.withColumnRenamed("id", "doc_id")
+    pairs = edges.withColumnRenamed("src", "doc_a").withColumnRenamed("dst", "doc_b")
+    out = {r["doc_id"]: (r["component"], r["is_survivor"]) for r in
+           dedup_clusters(df, pairs, "doc_id").collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (6, True)
+
+
+def test_connected_components_long_chain_converges(spark):
+    from cpx_etl_spark.operators.components import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    comps = {r["id"]: r["component"] for r in
+             connected_components(nodes, edges, max_iter=30).collect()}
+    assert set(comps.values()) == {0}
