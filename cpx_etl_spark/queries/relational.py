@@ -988,3 +988,34 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         dsum(F.col("c_acctbal")).alias("totacctbal"),
     )
+
+
+@register(
+    "q_sql_interface",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) - 1e-9, 2)
+               AS total_revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface: registered temp views + the same ANSI
+    SQL text the oracle runs (modulo nothing — it is identical)."""
+    from cpx_etl_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) - 1e-9, 2)
+                   AS total_revenue
+        FROM orders
+        GROUP BY 1, 2
+        """
+    )
