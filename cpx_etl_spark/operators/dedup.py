@@ -127,14 +127,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(index: DataFrame, id_col: str, k: int) -> DataFrame:
-    """k minhash components per doc: lexicographic min of salted md5
-    over the shingle set. One aggregation over the exploded index —
-    md5 and min both stay in codegen — and replayable in ANSI SQL."""
+    """k minhash components per doc: component i is the lexicographic
+    min of the i-th 4-hex chunk of ONE md5 per shingle (md5 bits are
+    independent, so the chunks act as k independent hash functions at
+    1/k the hashing cost of salted digests). One aggregation over the
+    exploded index, fully codegen, replayable in ANSI SQL."""
+    if k > 8:
+        raise ValueError("chunked minhash supports k <= 8 (32 hex chars / 4)")
+    h = F.md5(F.col("sh"))
     return index.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh_{i}")
-            for i in range(k)
-        ]
+        *[F.min(F.substring(h, 1 + 4 * i, 4)).alias(f"mh_{i}") for i in range(k)]
     )
 
 

@@ -107,6 +107,47 @@ def enrich(
     return out
 
 
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: str | list[str]
+) -> DataFrame:
+    """SCD-1 upsert as a pure DataFrame op (no table format required):
+    full-outer join on the keys, update columns win where present,
+    unmatched update rows insert. One shuffle; at scale, pre-bucket
+    both sides on the keys to make it shuffle-free."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    value_cols = [c for c in base.columns if c not in keys]
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"_u_{c}") for c in updates.columns if c not in keys]
+    )
+    joined = base.join(upd, on=keys, how="full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+        if f"_u_{c}" in joined.columns
+        else F.col(c)
+        for c in value_cols
+    ]
+    return joined.select(*keys, *out_cols)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """SCD-2 history: each change row is valid from its own timestamp
+    until the next change of the same key (null = current). One window
+    shuffle on the key."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def semi_join(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame:
     return df.join(other, on=on, how="left_semi")
 

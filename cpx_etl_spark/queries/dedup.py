@@ -76,8 +76,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_minhash(k: int, bands: int) -> str:
     r = k // bands
     sig_cols = ", ".join(
-        f"list_min(list_transform({_SHINGLES}, s -> md5('{i}:' || s))) AS mh_{i}"
-        for i in range(k)
+        f"MIN(substr(md5(sh), {1 + 4 * i}, 4)) AS mh_{i}" for i in range(k)
     )
     band_exprs = [
         ("md5(" + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r)) + ")")
@@ -88,7 +87,8 @@ def _sql_minhash(k: int, bands: int) -> str:
         for b, expr in enumerate(band_exprs)
     )
     return f"""
-    WITH sig AS (SELECT doc_id, {sig_cols} FROM documents),
+    WITH {_SQL_INDEX},
+    sig AS (SELECT doc_id, {sig_cols} FROM tok GROUP BY doc_id),
     banded AS ({band_union}),
     cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
              FROM banded b1
@@ -96,14 +96,13 @@ def _sql_minhash(k: int, bands: int) -> str:
                            AND b1.band_key = b2.band_key
                            AND b1.doc_id < b2.doc_id
              WHERE b1.band_key IS NOT NULL),
-    {_SQL_INDEX},
     {_SQL_VERIFY}
     """
 
 
 @register("dedup_minhash_lsh", oracle=_sql_minhash(8, 4))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (salted-md5 min) + LSH banding; SQL-replayable by design."""
+    """MinHash (md5-chunk min) + LSH banding; SQL-replayable by design."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",

@@ -1019,3 +1019,62 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_custkey AS c_custkey,
+               ROUND(MAX(o_totalprice) - 1e-9, 2) AS new_acctbal
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           c.c_name,
+           COALESCE(u.new_acctbal, c.c_acctbal) AS c_acctbal,
+           CASE WHEN u.c_custkey IS NOT NULL THEN 'UPDATED'
+                ELSE c.c_mktsegment END AS c_mktsegment
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge/upsert (load-phase parity beyond plain INSERT):
+    customers with recent orders get an updated balance + segment tag."""
+    from cpx_etl_spark.operators.relational import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(fround(F.max("o_totalprice"), 2).alias("c_acctbal"))
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    return merge_upsert(cust, updates, keys="c_custkey")
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events WHERE user_id < 30
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals from a change stream."""
+    from cpx_etl_spark.operators.relational import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = scd2_intervals(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        keys="user_id", ts_col="ts", order_cols=("event_id",),
+    )
+    return out.select(
+        "user_id", "event_id", "event_type",
+        F.col("valid_from"), F.col("valid_to"), F.col("is_current"),
+    )
