@@ -37,6 +37,8 @@ HEADLINE = [
     "q_corpus_curation",
     "stream_sessionize",
     "stream_tumbling_agg",
+    "q_asof_join",
+    "q_moving_window_revenue",
 ]
 
 
@@ -59,11 +61,16 @@ def main() -> None:
         for name in HEADLINE:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # two timed passes per query, keep the min: this box is shared and
+    # noisy (+-40% run to run); min-of-2 measures the engine, not the
+    # neighbors
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -197,6 +197,23 @@ def enrich_stream(sdf: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFr
     return sdf.join(F.broadcast(dim), on=on, how="left")
 
 
+def stream_to_parquet(
+    sdf: DataFrame, path: str, checkpoint: str, available_now: bool = True
+):
+    """Checkpointed parquet sink (exactly-once file output). Append-mode
+    streams only (projections, watermarked dedup/sessionize emissions);
+    aggregations need the memory/kafka/foreachBatch sinks."""
+    writer = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(sdf: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Drain a bounded stream into a memory sink (availableNow) and
     return the materialized result."""

@@ -88,3 +88,18 @@ def test_stream_static_enrichment(spark, sf_dir):
     assert len(out) == batch_n
     assert out["category"].notna().all()
     assert set(out[out.event_type == "purchase"]["category"]) == {"revenue"}
+
+
+def test_stream_to_parquet_checkpointed(spark, sf_dir, tmp_path):
+    """Streaming dedup drains to a checkpointed parquet sink; the file
+    output holds exactly the batch-dedup key set."""
+    from cpx_etl_spark.streaming.events import stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_to_parquet(dedup_first_stream(events_stream(spark, sf_dir)), out, ckpt)
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    batch = dedup_first_batch(load_table(spark, sf_dir, "events"))
+    wk = {(r["user_id"], r["event_type"]) for r in written.collect()}
+    bk = {(r["user_id"], r["event_type"]) for r in batch.collect()}
+    assert wk == bk
