@@ -36,17 +36,45 @@ from cpx_etl_spark.sources import load_table
 def _derive_col(spec):
     kind, *args = spec
     if kind == "json":
-        src, path = args
+        src, path = args[:2]
         return F.get_json_object(F.col(src), path)
     if kind == "expr":
         return F.expr(args[0])
     raise ValueError(f"pipeline derive: unknown kind {kind!r}")
 
 
+def _derive_order(derive: dict) -> list[str]:
+    """Dependency-ordered derive names (reference `extract` declares
+    `deps` per field, etl.js:729-756 resolves them promise-by-promise;
+    here a topological sort orders the withColumn chain). A derive spec
+    may carry an optional trailing deps list: ("expr", "a * 2", ["a"])."""
+    deps = {
+        name: [d for d in (spec[-1] if isinstance(spec[-1], list) else []) if d in derive]
+        for name, spec in derive.items()
+    }
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def visit(name: str, stack: tuple = ()):
+        if name in seen:
+            return
+        if name in stack:
+            raise ValueError(f"pipeline derive: circular deps at {name!r}")
+        for d in deps[name]:
+            visit(d, stack + (name,))
+        seen.add(name)
+        order.append(name)
+
+    for name in derive:
+        visit(name)
+    return order
+
+
 def compile_pipeline(spark: SparkSession, sf_dir: str, spec: dict) -> DataFrame:
     df = load_table(spark, sf_dir, spec["source"])
-    for name, dspec in spec.get("derive", {}).items():
-        df = df.withColumn(name, _derive_col(dspec))
+    derive = spec.get("derive", {})
+    for name in _derive_order(derive):
+        df = df.withColumn(name, _derive_col(derive[name]))
     if "schema" in spec:
         df = schema_apply(df, spec["schema"])
     if "defaults" in spec:

@@ -152,3 +152,32 @@ def test_flatten_leaf_values(spark):
     )
     row = flatten_leaf_values(df).collect()[0]
     assert row["_values"] == ["1", "x", "2", "10", "20", "5", "a"]  # '_' skipped
+
+
+def test_pipeline_derive_dependency_order(spark, sf_dir):
+    from cpx_etl_spark.plans.pipeline import compile_pipeline
+
+    # 'scaled' depends on 'k' but is declared FIRST; topo sort fixes it
+    out = compile_pipeline(
+        spark, sf_dir,
+        {
+            "source": "events",
+            "derive": {
+                "scaled": ("expr", "k * 10", ["k"]),
+                "k": ("json", "props", "$.k"),
+            },
+        },
+    ).select("k", "scaled").limit(5).collect()
+    for r in out:
+        assert r["scaled"] == float(r["k"]) * 10
+
+
+def test_pipeline_derive_circular_raises(spark, sf_dir):
+    from cpx_etl_spark.plans.pipeline import compile_pipeline
+
+    with pytest.raises(ValueError, match="circular"):
+        compile_pipeline(
+            spark, sf_dir,
+            {"source": "events",
+             "derive": {"x": ("expr", "y", ["y"]), "y": ("expr", "x", ["x"])}},
+        )
