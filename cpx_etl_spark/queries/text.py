@@ -190,3 +190,43 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg(token_count(F.col("text"))) - 1e-9, 4).alias("avg_tokens"),
     )
+
+
+@register(
+    "q_deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based deterministic sampling (~10%: first md5 byte < 0x1a).
+
+    Unlike rng .sample(), the selection is a pure function of the key:
+    reproducible across runs, engines, and cluster sizes — the property
+    a training-data subsample actually needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.filter(bucket < "1a").select("doc_id", "lang")
+
+
+@register(
+    "q_dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) from the same
+    keyed-hash mechanism — stable under reprocessing and engine moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
