@@ -181,3 +181,30 @@ def test_pipeline_derive_circular_raises(spark, sf_dir):
             {"source": "events",
              "derive": {"x": ("expr", "y", ["y"]), "y": ("expr", "x", ["x"])}},
         )
+
+
+def test_xlsx_reader_import_gated(spark, tmp_path):
+    from cpx_etl_spark.sources.xlsx import read_xlsx
+
+    try:
+        import openpyxl  # noqa: F401
+        pytest.skip("openpyxl present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_xlsx(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_multimodal_real_decoders_stubbed():
+    from cpx_etl_spark.operators.multimodal import decode_image, resize_image, sample_frames
+
+    for fn in (decode_image, resize_image, sample_frames):
+        with pytest.raises(NotImplementedError):
+            fn()
+
+
+def test_xsl_transform_stubbed():
+    from cpx_etl_spark.sources.xml_badgerfish import xsl_transform
+
+    with pytest.raises(NotImplementedError, match="XSLT"):
+        xsl_transform()
