@@ -37,11 +37,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh_topk")  # rows-only: hyperplane hashing is engine-specific
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN with 1-bit multiprobe (the scale path)."""
+    """Random-hyperplane LSH ANN with 1-bit multiprobe (the scale path).
+
+    4 planes: this corpus's true neighbors sit at cosine ~0.4-0.5, so
+    P(sign agreement) ~= 0.67/plane — more planes shrink buckets faster
+    than they help precision (recall@10 measured: 4 planes 0.47,
+    8 planes 0.07). Denser corpora warrant more planes."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
-        k=10, n_planes=8, dim=64,
+        k=10, n_planes=4, dim=64,
     )
 
 

@@ -196,11 +196,10 @@ def test_xlsx_reader_import_gated(spark, tmp_path):
 
 
 def test_multimodal_real_decoders_stubbed():
-    from cpx_etl_spark.operators.multimodal import decode_image, resize_image, sample_frames
+    from cpx_etl_spark.operators.multimodal import decode_image
 
-    for fn in (decode_image, resize_image, sample_frames):
-        with pytest.raises(NotImplementedError):
-            fn()
+    with pytest.raises(NotImplementedError):
+        decode_image()
 
 
 def test_xsl_transform_stubbed():
