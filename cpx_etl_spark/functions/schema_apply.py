@@ -35,9 +35,10 @@ def coerce_column(col: Column, spec: str, fmt: str = "yyyy-MM-dd") -> Column:
             F.when(c.isNotNull(), F.lit(True))
         )
     elif base == "number":
-        # reference uses parseInt => truncate toward zero; try_cast keeps
-        # ANSI mode from aborting the job — bad cells become _errors rows
-        out = F.floor(c.try_cast("double")).cast("long")
+        # reference uses parseInt => truncate toward zero (etl.js:251);
+        # double->long cast truncates toward zero, unlike floor. try_cast
+        # keeps ANSI mode from aborting the job — bad cells become _errors
+        out = c.try_cast("double").try_cast("long")
     elif base == "date":
         out = F.try_to_timestamp(c, F.lit(fmt))
     elif base == "string":

@@ -27,7 +27,7 @@ def _ranked(pairs: DataFrame, k: int) -> DataFrame:
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -55,7 +55,10 @@ def fround(col: Column, scale: int) -> Column:
 
 
 def sql_fround(expr: str, scale: int) -> str:
-    return f"ROUND(({expr}) - 1e-9, {scale})"
+    # trailing "+ 0" normalizes DuckDB's ROUND(-tiny) = -0.0 to +0.0
+    # (IEEE: x + 0.0 is identity except for negative zero), matching
+    # Spark's BigDecimal rounding which never emits -0.0.
+    return f"ROUND(({expr}) - 1e-9, {scale}) + 0"
 
 
 def dsum(col: Column, scale: int = 2) -> Column:

@@ -37,7 +37,7 @@ _SQL_VERIFY = """
                JOIN tok t2 ON t2.doc_id = c.doc_b AND t2.sh = t1.sh
                GROUP BY c.doc_a, c.doc_b)
     SELECT s.doc_a, s.doc_b,
-           ROUND(s.shared * 1.0 / (ca.n + cb.n - s.shared) - 1e-9, 6) AS jaccard
+           ROUND(s.shared * 1.0 / (ca.n + cb.n - s.shared) - 1e-9, 6) + 0 AS jaccard
     FROM shared s
     JOIN cnt ca ON ca.doc_id = s.doc_a
     JOIN cnt cb ON cb.doc_id = s.doc_b
@@ -168,7 +168,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding",
     oracle=f"""
     SELECT e1.vec_id AS vec_a, e2.vec_id AS vec_b,
-           ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)} - 1e-9, 4) AS cos
+           ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)} - 1e-9, 4) + 0 AS cos
     FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
     WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', 64)} - 1e-9, 4) >= 0.45
     """,

@@ -29,8 +29,8 @@ from cpx_etl_spark.sources.xml_badgerfish import parse_xml_column
     "q_schema_apply",
     oracle="""
     SELECT event_id, event_type,
-           CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k,
-           CAST(FLOOR(value) AS BIGINT) AS value,
+           CAST(TRUNC(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k,
+           CAST(TRUNC(value) AS BIGINT) AS value,
            strftime(ts, '%Y%m%d') AS ts_str,
            CAST(0 AS INTEGER) AS n_errors
     FROM events
@@ -69,7 +69,7 @@ _FW_FIELDS = [
            || lpad(CAST(l_linenumber AS VARCHAR), 2, '0')
            || rpad(l_returnflag, 1, ' ')
            || strftime(l_shipdate, '%Y%m%d')
-           || lpad(CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR), 3, '0')
+           || lpad(CAST(CAST(TRUNC(l_quantity) AS BIGINT) AS VARCHAR), 3, '0')
            AS line
     FROM lineitem WHERE l_orderkey < 500
     """,
@@ -85,7 +85,7 @@ def q_fixed_width_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            l_returnflag, l_shipdate,
-           CAST(FLOOR(l_quantity) AS BIGINT) AS l_quantity
+           CAST(TRUNC(l_quantity) AS BIGINT) AS l_quantity
     FROM lineitem WHERE l_orderkey < 500
     """,
 )
@@ -262,7 +262,7 @@ def q_load_related_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH staged AS (
         SELECT *,
-               CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k,
+               CAST(TRUNC(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k,
                (COALESCE(value BETWEEN 0 AND 100, FALSE)
                 AND COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL, FALSE))
                    AS _valid,
@@ -270,7 +270,7 @@ def q_load_related_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN event_type = 'click' THEN 'click'
                     ELSE '__rejected__' END AS _route
         FROM events)
-    SELECT _route, COUNT(*) AS n, SUM(k) AS sum_k
+    SELECT _route, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
     FROM staged WHERE _valid
     GROUP BY _route
     """,

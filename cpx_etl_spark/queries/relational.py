@@ -32,14 +32,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- scan + filter + aggregate -----------------------------------------------
 
+# Per-row double products (price*(1-disc)*(1+tax)) cast to decimal can
+# round differently per engine; instead cast the FACTORS (all exact 2dp
+# source values) to decimal and multiply in the decimal domain — exact
+# and associative in both engines — then ROUND the exact decimal sum
+# (HALF_UP in both) and cast to double last.
+_DISC_PRICE_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))"
+)
+_CHARGE_DEC = f"{_DISC_PRICE_DEC} * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4)))"
+
+
 @register(
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
            {sql_dsum('l_extendedprice')} AS sum_base_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           CAST(ROUND(SUM({_DISC_PRICE_DEC}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_CHARGE_DEC}), 2) AS DOUBLE) AS sum_charge,
            {sql_davg('l_quantity')} AS avg_qty,
            {sql_davg('l_extendedprice')} AS avg_price,
            {sql_davg('l_discount')} AS avg_disc,
@@ -56,15 +68,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation does all the work; AQE coalesces the final stage.
     """
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    one = F.lit(1).cast("decimal(5,4)")
+    price_d = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc_price_dec = price_d * (one - F.col("l_discount").cast("decimal(5,4)"))
+    charge_dec = disc_price_dec * (one + F.col("l_tax").cast("decimal(5,4)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.sum(disc_price_dec), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge_dec), 2).cast("double").alias("sum_charge"),
             davg(F.col("l_quantity")).alias("avg_qty"),
             davg(F.col("l_extendedprice")).alias("avg_price"),
             davg(F.col("l_discount")).alias("avg_disc"),
@@ -384,7 +399,10 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.select(
-            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -395,7 +413,7 @@ def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey) - 1e-9, 2) AS running_total
+                                         ORDER BY o_orderdate, o_orderkey) - 1e-9, 2) + 0 AS running_total
     FROM orders
     WHERE o_custkey < 50
     """,
@@ -487,13 +505,13 @@ def q_unique_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentile_stats",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           ROUND(quantile_cont(o_totalprice, 0.5) - 1e-9, 2) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9) - 1e-9, 2) AS p90_price,
+           ROUND(quantile_cont(o_totalprice, 0.5) - 1e-9, 2) + 0 AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9) - 1e-9, 2) + 0 AS p90_price,
            ROUND(sqrt(greatest(0.0,
                (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
                 - CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   * CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*))
-               / (COUNT(*) - 1))) - 1e-9, 4) AS stddev_price
+               / (COUNT(*) - 1))) - 1e-9, 4) + 0 AS stddev_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -647,11 +665,11 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot_daily_events",
     oracle="""
     SELECT date_trunc('day', ts) AS day,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY 1
     """,
 )
@@ -674,7 +692,7 @@ def q_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, ts,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) - 1e-9, 2)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) - 1e-9, 2) + 0
                AS hour_sum
     FROM events WHERE user_id < 40
     """,
@@ -709,7 +727,7 @@ def q_moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name)
     SELECT n_name, 'n_customers' AS metric, CAST(n_customers AS DOUBLE) AS value FROM base
     UNION ALL
-    SELECT n_name, 'total_bal' AS metric, ROUND(total_bal - 1e-9, 2) AS value FROM base
+    SELECT n_name, 'total_bal' AS metric, ROUND(total_bal - 1e-9, 2) + 0 AS value FROM base
     """,
 )
 def q_unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,7 +857,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(20,4))) AS DOUBLE)
                  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE)
-                 - 1e-9, 4) AS promo_revenue_pct
+                 - 1e-9, 4) + 0 AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
     """,
@@ -869,7 +887,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH avg_qty AS (
         SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey)
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / 7.0 - 1e-9, 2)
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / 7.0 - 1e-9, 2) + 0
                AS avg_yearly
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -996,7 +1014,7 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) - 1e-9, 2)
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) - 1e-9, 2) + 0
                AS total_revenue
     FROM orders
     GROUP BY 1, 2
@@ -1013,7 +1031,7 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) - 1e-9, 2)
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) - 1e-9, 2) + 0
                    AS total_revenue
         FROM orders
         GROUP BY 1, 2
@@ -1026,7 +1044,7 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH updates AS (
         SELECT o_custkey AS c_custkey,
-               ROUND(MAX(o_totalprice) - 1e-9, 2) AS new_acctbal
+               ROUND(MAX(o_totalprice) - 1e-9, 2) + 0 AS new_acctbal
         FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
         GROUP BY o_custkey)
     SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,

@@ -16,7 +16,7 @@ from cpx_etl_spark.sources import load_table
     oracle=f"""
     WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND({sql_cosine('q.embedding', 'c.embedding', 64)} - 1e-9, 6) AS cos
+               ROUND({sql_cosine('q.embedding', 'c.embedding', 64)} - 1e-9, 6) + 0 AS cos
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 5),
     ranked AS (
@@ -65,9 +65,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT label, COUNT(*) AS n_vectors,
            ROUND(CAST(SUM(CAST(ROUND({sql_norm('embedding', 64)} - 1e-9, 6)
-                              AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) - 1e-9, 4) AS avg_norm,
-           ROUND(MIN({sql_norm('embedding', 64)}) - 1e-9, 4) AS min_norm,
-           ROUND(MAX({sql_norm('embedding', 64)}) - 1e-9, 4) AS max_norm
+                              AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) - 1e-9, 4) + 0 AS avg_norm,
+           ROUND(MIN({sql_norm('embedding', 64)}) - 1e-9, 4) + 0 AS min_norm,
+           ROUND(MAX({sql_norm('embedding', 64)}) - 1e-9, 4) + 0 AS max_norm
     FROM embeddings GROUP BY label
     """,
 )

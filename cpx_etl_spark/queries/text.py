@@ -58,13 +58,13 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(text) AS n_chars
         FROM documents)
     SELECT doc_id, n_tokens,
-           ROUND(sum_len * 1.0 / n_tokens - 1e-9, 4) AS mean_token_len,
-           ROUND(n_stop * 1.0 / n_tokens - 1e-9, 6) AS stopword_ratio,
-           ROUND(n_punct * 1.0 / n_chars - 1e-9, 6) AS punct_ratio,
+           ROUND(sum_len * 1.0 / n_tokens - 1e-9, 4) + 0 AS mean_token_len,
+           ROUND(n_stop * 1.0 / n_tokens - 1e-9, 6) + 0 AS stopword_ratio,
+           ROUND(n_punct * 1.0 / n_chars - 1e-9, 6) + 0 AS punct_ratio,
            ROUND(GREATEST(0.0, LEAST(1.0,
                0.12 * (sum_len * 1.0 / n_tokens)
                + 0.5 * (n_stop * 1.0 / n_tokens)
-               - 2.0 * (n_punct * 1.0 / n_chars))) - 1e-9, 4) AS quality
+               - 2.0 * (n_punct * 1.0 / n_chars))) - 1e-9, 4) + 0 AS quality
     FROM t
     """,
 )
@@ -134,7 +134,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                          s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])}))) * 1.0
                            / len({_TOKENS_SQL}))
                    - 2.0 * (len(regexp_extract_all(text, '{PUNCT_PATTERN}')) * 1.0
-                           / length(text)))) - 1e-9, 4) AS quality
+                           / length(text)))) - 1e-9, 4) + 0 AS quality
         FROM documents),
     kept AS (SELECT * FROM scored
              WHERE quality >= 0.55 AND n_tokens BETWEEN 20 AND 200),
@@ -176,8 +176,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_stats",
     oracle=f"""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           ROUND(AVG(len({_TOKENS_SQL})) - 1e-9, 4) AS avg_tokens
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(len({_TOKENS_SQL})) - 1e-9, 4) + 0 AS avg_tokens
     FROM documents
     GROUP BY lang, source
     """,

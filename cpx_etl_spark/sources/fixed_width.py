@@ -26,8 +26,9 @@ class Field:
 def encode_field(col: Column, f: Field) -> Column:
     blank = F.lit(" " * f.width)
     if f.type == "number":
-        # parseInt semantics: truncate, then left-pad zeros, clip to width
-        digits = F.substring(F.floor(col).cast("long").cast("string"), 1, f.width)
+        # parseInt semantics: truncate toward zero (double->long cast),
+        # then left-pad zeros, clip to width
+        digits = F.substring(col.cast("long").cast("string"), 1, f.width)
         cell = F.lpad(digits, f.width, "0")
     elif f.type == "string":
         cell = F.rpad(F.substring(col.cast("string"), 1, f.width), f.width, " ")
