@@ -80,7 +80,16 @@ def salted_join(
 
     The small side grows `salt_buckets`x (keep it genuinely small);
     each hot key spreads over `salt_buckets` reducers.
+
+    Only inner/left are supported: under right/full, an unmatched
+    replicated small-side row would survive once per salt bucket,
+    silently duplicating output.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported (unmatched replicated "
+            "small-side rows would duplicate under right/full joins)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_salted = big.withColumn("_salt", _salt(big, salt_buckets))
     small_rep = small.withColumn(

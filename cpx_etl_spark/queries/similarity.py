@@ -1,4 +1,10 @@
-"""§2.4 Similarity-search queries over the embeddings table."""
+"""§2.4 Similarity-search queries over the embeddings table.
+
+All four queries are DuckDB-oracled (round 1 had lsh/ivf rows-only):
+the LSH constructions run on md5-seeded integer hyperplanes with
+quantized integer dot products, so candidate generation is exactly
+replayable in SQL (operators/similarity.py module docstring).
+"""
 
 from __future__ import annotations
 
@@ -6,25 +12,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cpx_etl_spark.functions.vectors import as_double, norm, sql_cosine, sql_norm
-from cpx_etl_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from cpx_etl_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_weights,
+    ivf_topk,
+    lsh_topk,
+    sql_lsh_buckets_cte,
+)
 from cpx_etl_spark.queries import register
 from cpx_etl_spark.sources import load_table
 
+_DIM = 64
 
-@register(
-    "ann_bruteforce_topk",
-    oracle=f"""
-    WITH scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND({sql_cosine('q.embedding', 'c.embedding', 64)} - 1e-9, 6) + 0 AS cos
-        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 5),
+_SQL_RANKED = f"""
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND({sql_cosine('eq.embedding', 'ec.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.neighbor_id),
     ranked AS (
         SELECT query_id, neighbor_id, cos,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, neighbor_id) AS rank
         FROM scored)
     SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+    {_SQL_RANKED}
     """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,28 +58,79 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # rows-only: hyperplane hashing is engine-specific
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN with 1-bit multiprobe (the scale path).
+# multi-table LSH: L=12 tables x 6 sign bits, 1-bit multiprobe.
+# Measured recall@10 vs brute force: 1.00 @ sf0.01, 0.98 @ sf0.1
+# (round 1's single 4-plane table measured 0.47).
+_ANN_L, _ANN_B = 12, 6
+_ANN_W = hyperplane_weights(_ANN_L, _ANN_B, _DIM)
 
-    4 planes: this corpus's true neighbors sit at cosine ~0.4-0.5, so
-    P(sign agreement) ~= 0.67/plane — more planes shrink buckets faster
-    than they help precision (recall@10 measured: 4 planes 0.47,
-    8 planes 0.07). Denser corpora warrant more planes."""
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {sql_lsh_buckets_cte(_ANN_W, _DIM)},
+    qprobes AS (
+        SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 5
+        UNION
+        SELECT vec_id, tbl, xor(bucket, CAST(1 AS BIGINT) << gs.p)
+        FROM buckets, generate_series(0, {_ANN_B - 1}) gs(p)
+        WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM qprobes q
+        JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id),
+    {_SQL_RANKED}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (OR-of-ANDs banding over integer
+    hyperplane signs), 1-bit multiprobe, exact rerank on candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
-        k=10, n_planes=4, dim=64,
+        k=10, n_tables=_ANN_L, n_bits=_ANN_B, probe_bits=1,
     )
 
 
-@register("ann_ivf_topk")  # rows-only: float centroid pipeline
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    cent AS (
+        SELECT label AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY label, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    ascore AS (
+        SELECT e.vec_id, c.cell,
+               ROUND({sql_cosine('e.embedding', 'c.centroid', _DIM)} - 1e-9, 6) + 0 AS c_cos
+        FROM embeddings e CROSS JOIN centv c),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) = 1),
+    probed AS (
+        SELECT vec_id AS query_id, cell FROM ascore WHERE vec_id < 5
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) <= 2),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probed p JOIN assigned a USING (cell)
+        WHERE a.neighbor_id <> p.query_id),
+    {_SQL_RANKED}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: label-seeded centroids, nprobe=2 cells."""
+    """IVF-style ANN: label-seeded exact-decimal centroids, min_by
+    nearest-centroid assignment, nprobe=2 cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", "label",
-        k=10, nprobe=2, dim=64,
+        k=10, nprobe=2, dim=_DIM,
     )
 
 
@@ -64,10 +138,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_stats",
     oracle=f"""
     SELECT label, COUNT(*) AS n_vectors,
-           ROUND(CAST(SUM(CAST(ROUND({sql_norm('embedding', 64)} - 1e-9, 6)
+           ROUND(CAST(SUM(CAST(ROUND({sql_norm('embedding', _DIM)} - 1e-9, 6)
                               AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) - 1e-9, 4) + 0 AS avg_norm,
-           ROUND(MIN({sql_norm('embedding', 64)}) - 1e-9, 4) + 0 AS min_norm,
-           ROUND(MAX({sql_norm('embedding', 64)}) - 1e-9, 4) + 0 AS max_norm
+           ROUND(MIN({sql_norm('embedding', _DIM)}) - 1e-9, 4) + 0 AS min_norm,
+           ROUND(MAX({sql_norm('embedding', _DIM)}) - 1e-9, 4) + 0 AS max_norm
     FROM embeddings GROUP BY label
     """,
 )

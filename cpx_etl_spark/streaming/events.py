@@ -117,8 +117,14 @@ def sessionize_stream(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
         else:
             ord_, last_us, n, start_us = 0, None, 0, None
         closed = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # The iterator yields a group's rows in multiple Arrow chunks
+        # with no cross-chunk ordering — materialize and sort ONCE so
+        # the gap scan sees a globally time-ordered sequence. Per-group
+        # data is session-scale (bounded by the watermark), not corpus-
+        # scale, so the concat is safe.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for ts in pdf["ts"]:
                 us = int(ts.value // 1_000)  # pandas ns -> µs
                 if last_us is not None and us - last_us > gap_us:
@@ -214,13 +220,17 @@ def stream_to_parquet(
     return writer.start()
 
 
-def run_to_memory(sdf: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+def run_to_memory(
+    sdf: DataFrame, name: str, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
     """Drain a bounded stream into a memory sink (availableNow) and
-    return the materialized result."""
+    return the materialized result. Default mode is 'append' (valid for
+    the append-only streams this module exports); aggregation callers
+    pass mode='complete'."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if sdf.isStreaming else "append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -112,9 +112,23 @@ def test_embedding_dup_pairs_threshold(spark):
 def test_lsh_recalls_near_identical(spark):
     emb = _vecs(spark)
     out = lsh_topk(emb, emb.filter(F.col("vec_id") == 1), "vec_id", "embedding",
-                   k=2, n_planes=4, dim=4)
+                   k=2, n_tables=4, n_bits=2)
     neigh = {r["neighbor_id"] for r in out.collect()}
     assert 2 in neigh  # near-identical vectors share every hyperplane sign
+
+
+def test_lsh_index_arrow_matches_expression_path(spark):
+    # the Arrow matmul bucket computation must be bit-identical to the
+    # JVM-side int64 fold (exactness argument in lsh_index docstring)
+    from cpx_etl_spark.operators.similarity import hyperplane_weights, lsh_index
+
+    emb = _vecs(spark)
+    w = hyperplane_weights(4, 3, 4)
+    fast = {(r["vec_id"], r["tbl"]): r["bucket"]
+            for r in lsh_index(emb, "vec_id", "embedding", w).collect()}
+    slow = {(r["vec_id"], r["tbl"]): r["bucket"]
+            for r in lsh_index(emb, "vec_id", "embedding", w, use_arrow=False).collect()}
+    assert fast == slow and len(fast) == len(VECS) * 4
 
 
 def test_multimodal_decode_batch_shape(spark):
@@ -190,7 +204,9 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect()
-    approx = lsh_topk(emb, queries, "vec_id", "embedding", k=10, n_planes=4, dim=64).collect()
+    approx = lsh_topk(
+        emb, queries, "vec_id", "embedding", k=10, n_tables=12, n_bits=6, probe_bits=1
+    ).collect()
     truth = {}
     for r in exact:
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -199,6 +215,6 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
     mean_recall = sum(recalls) / len(recalls)
-    # 4 hyperplanes + 1-bit multiprobe on this weakly-clustered corpus:
-    # observed ~0.47; assert a conservative floor to catch regressions
-    assert mean_recall >= 0.3, f"LSH recall collapsed: {mean_recall:.2f}"
+    # multi-table LSH (L=12 x b=6, 1-bit multiprobe): observed 1.00 at
+    # sf0.001/sf0.01; assert the VERDICT r1 target floor
+    assert mean_recall >= 0.9, f"LSH recall collapsed: {mean_recall:.2f}"
