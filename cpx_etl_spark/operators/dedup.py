@@ -127,17 +127,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(index: DataFrame, id_col: str, k: int) -> DataFrame:
-    """k minhash components per doc: component i is the lexicographic
-    min of the i-th 4-hex chunk of ONE md5 per shingle (md5 bits are
-    independent, so the chunks act as k independent hash functions at
-    1/k the hashing cost of salted digests). One aggregation over the
-    exploded index, fully codegen, replayable in ANSI SQL."""
-    if k > 8:
-        raise ValueError("chunked minhash supports k <= 8 (32 hex chars / 4)")
-    h = F.md5(F.col("sh"))
-    return index.groupBy(id_col).agg(
-        *[F.min(F.substring(h, 1 + 4 * i, 4)).alias(f"mh_{i}") for i in range(k)]
+    """k minhash components per doc: md5 digests are chunked into 4-hex
+    pieces, so one digest yields 8 independent hash functions (md5 bits
+    are independent) and k functions cost only ceil(k/8) digests per
+    shingle — 8x cheaper than k salted digests. Digest d >= 1 salts the
+    input ("d|sh") for fresh bits. One aggregation over the exploded
+    index, fully codegen, replayable in ANSI SQL (DuckDB has md5)."""
+    chunks_per_digest = 8  # 32 hex chars / 4
+    n_digests = (k + chunks_per_digest - 1) // chunks_per_digest
+    # project the digests ONCE per row (64 min-aggs each holding their
+    # own md5 would evaluate k digests/row instead of k/8)
+    digested = index.select(
+        F.col(id_col),
+        *[
+            (
+                F.md5(F.col("sh"))
+                if d == 0
+                else F.md5(F.concat(F.lit(f"{d}|"), F.col("sh")))
+            ).alias(f"_d{d}")
+            for d in range(n_digests)
+        ],
     )
+    aggs = []
+    for i in range(k):
+        d, c = divmod(i, chunks_per_digest)
+        aggs.append(
+            F.min(F.substring(F.col(f"_d{d}"), 1 + 4 * c, 4)).alias(f"mh_{i}")
+        )
+    return digested.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,

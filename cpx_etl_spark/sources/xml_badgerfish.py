@@ -11,9 +11,11 @@ paths here:
 - ``read_xml_file`` + ``resolve_xincludes``: driver-side parse of
   small config/control documents, as in the reference.
 
-XSLT (index.js:87-126) is NOT re-implemented: no libxslt here, and its
-role — declarative XML reshaping — is covered by plans/mapping.py over
-the parsed structure. Gated stub raises NotImplementedError.
+Literal XSLT (index.js:87-126) is NOT re-implemented (no libxslt); its
+observable behavior — an xi:include-driven ORDERED CHAIN of declarative
+XML reshapes — lives in plans/xsl_chain.py (mapping specs composed in
+document order, fused by Catalyst). The literal-stylesheet entry point
+below remains a gated stub raising NotImplementedError.
 """
 
 from __future__ import annotations

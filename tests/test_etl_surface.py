@@ -207,3 +207,48 @@ def test_xsl_transform_stubbed():
 
     with pytest.raises(NotImplementedError, match="XSLT"):
         xsl_transform()
+
+
+def test_xsl_chain_order_and_fusion(spark, tmp_path):
+    """Chain steps apply in xi:include document order, and N projection
+    steps fuse into ONE pass (no per-step materialization)."""
+    import json
+
+    from cpx_etl_spark.plans.xsl_chain import apply_chain_from_control, load_chain
+
+    (tmp_path / "s1.json").write_text(json.dumps({"a2": ["a"], "keep": ["b"]}))
+    (tmp_path / "s2.json").write_text(json.dumps({"final": ["a2"]}))
+    (tmp_path / "ctl.xml").write_text(
+        '<transform xmlns:xi="http://www.w3.org/2001/XInclude">'
+        '<xi:include href="s1.json"/><xi:include href="s2.json"/></transform>'
+    )
+    specs = load_chain(str(tmp_path / "ctl.xml"))
+    assert [list(s) for s in specs] == [["a2", "keep"], ["final"]]  # document order
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = apply_chain_from_control(df, str(tmp_path / "ctl.xml"))
+    assert out.columns == ["final"] and out.first()["final"] == 1
+    # step2 referencing a column step1 dropped must fail (true chaining)
+    (tmp_path / "s2.json").write_text(json.dumps({"final": ["b"]}))
+    with pytest.raises(Exception):
+        apply_chain_from_control(df, str(tmp_path / "ctl.xml")).collect()
+    # fusion: the optimized plan has a single Project over the scan
+    (tmp_path / "s2.json").write_text(json.dumps({"final": ["a2"]}))
+    plan = apply_chain_from_control(df, str(tmp_path / "ctl.xml"))._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") == 1
+
+
+def test_upsert_parquet_table_idempotent(spark, tmp_path):
+    from cpx_etl_spark.sources.sinks import upsert_parquet_table
+
+    path = str(tmp_path / "tbl")
+    rows = [(1, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    upsert_parquet_table(df, path, ["id"])
+    upsert_parquet_table(df, path, ["id"])  # identical re-load: no growth
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == rows
+    # updates win, inserts append
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    upsert_parquet_table(upd, path, ["id"])
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
