@@ -22,7 +22,7 @@ against quadratic buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -47,29 +47,35 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> tuple[DataFrame, DataFrame]:
-    """(distinct inverted index [id, sh], per-doc shingle counts [id, n_sh]).
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Non-distinct (id, sh) shingle rows — NARROW (zero shuffles).
 
-    Built as posexplode + window lead() instead of per-position array
-    slices: lead/concat_ws stay inside whole-stage codegen, while the
-    nested-HOF formulation (transform over slice) falls back to the
-    interpreted path and dominated the benchmark.
+    The n-gram at position i is the elementwise zip of n shifted
+    slices of the token array, so shingling is a pure projection:
+    read -> split -> arrays_zip -> explode -> concat_ws, all inside
+    whole-stage codegen. (Round 1 used posexplode + window lead(),
+    which costs a partitionBy(id) shuffle+sort per use; the earlier
+    nested-HOF formulation — transform over per-position slice —
+    fell out of codegen entirely. This keeps both properties: codegen
+    AND no shuffle.) Docs with fewer than n tokens emit no rows.
     """
-    tok = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
-    )
+    arr = F.split(F.col(text_col), " ")
     if n == 1:
-        index = tok.select(F.col(id_col), F.col("w").alias("sh")).dropDuplicates()
-    else:
-        w = Window.partitionBy(id_col).orderBy("pos")
-        leads = [F.lead("w", i).over(w) for i in range(1, n)]
-        index = (
-            tok.withColumn("_last", leads[-1])
-            .withColumn("sh", F.concat_ws(" ", F.col("w"), *leads))
-            .filter(F.col("_last").isNotNull())
-            .select(F.col(id_col), "sh")
-            .dropDuplicates()
+        return df.select(F.col(id_col), F.explode(arr).alias("sh"))
+    width = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(arr, i + 1, width).alias(f"w{i}") for i in range(n)])
+    return (
+        df.select(F.col(id_col), F.explode(z).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", *[F.col(f"_t.w{i}") for i in range(n)]).alias("sh"),
         )
+    )
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> tuple[DataFrame, DataFrame]:
+    """(distinct inverted index [id, sh], per-doc shingle counts [id, n_sh])."""
+    index = shingle_rows(df, id_col, text_col, n).dropDuplicates()
     counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return index, counts
 
@@ -165,8 +171,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if k % bands:
         raise ValueError("k must divide evenly into bands")
     r = k // bands
-    index, counts = shingle_index(df, id_col, text_col, n)
-    sig = minhash_signatures(index, id_col, k)
+    # Signatures come from the NON-distinct shingle rows: min() is
+    # duplicate-insensitive, so skipping dropDuplicates saves a full
+    # shuffle — the sig path is read -> narrow shingling -> one
+    # groupBy(id) shuffle with map-side partial mins.
+    rows = shingle_rows(df, id_col, text_col, n)
+    index = rows.dropDuplicates()
+    counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sig = minhash_signatures(rows, id_col, k)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
         for b in range(bands)

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalesce floor defaults to 1 MB per partition, which
+        # collapses the MB-scale shuffles of a local test corpus onto
+        # 1-2 cores (measured: the k=64 minhash agg ran 4x slower on 2
+        # threads than on 32). 64 KB keeps small shuffles parallel; at
+        # cluster scale the parallelism-first target (total/parallelism)
+        # dwarfs this floor, so the knob is inert on big shuffles.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for every pandas/UDF interchange (multimodal, streaming state).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
