@@ -169,6 +169,8 @@ def lsh_index(
     w_flat = np.array(
         [plane for tw in weights for plane in tw], dtype=np.float64
     )  # (L*b, dim)
+    w_int = w_flat.astype(np.int64)
+    w_max = max(1, int(np.abs(w_int).max()))
     pow2 = (1 << np.arange(n_bits, dtype=np.int64))
     id_type = dict(df.dtypes)[id_col]
 
@@ -178,7 +180,20 @@ def lsh_index(
                 continue
             mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
             q = np.floor(mat * _QUANT)  # integer-valued f64, exact
-            bits = (q @ w_flat.T) >= 0  # (n, L*b); exact integer dots
+            # Exactness guard (the f64 argument above assumes partial
+            # sums < 2^53): components beyond ~1e2 at dim=64 would break
+            # it silently. Fall back to exact int64 matmul per batch;
+            # raise only if even int64 could overflow (~|x| > 1e11).
+            bound = float(np.abs(q).max() if q.size else 0.0) * w_max * q.shape[1]
+            if bound >= 2.0**53:
+                if bound >= 2.0**63:
+                    raise ValueError(
+                        "lsh_index: quantized components too large for exact "
+                        "int64 dot products; rescale the embeddings"
+                    )
+                bits = (q.astype(np.int64) @ w_int.T) >= 0
+            else:
+                bits = (q @ w_flat.T) >= 0  # (n, L*b); exact integer dots
             bk = (
                 bits.reshape(len(pdf), n_tables, n_bits).astype(np.int64) @ pow2
             )  # (n, L)
@@ -197,6 +212,23 @@ def lsh_index(
     )
 
 
+def prune_hot_buckets(idx: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (tbl, bucket) groups holding more than max_bucket rows
+    before the candidate self-join — the embedding analogue of
+    prune_hot_shingles. A degenerate corpus (mass at one bucket, e.g.
+    thousands of identical or near-zero vectors) otherwise goes
+    quadratic in the self-join. Plain join, not broadcast-hinted: the
+    hot list is tiny on healthy corpora (AQE broadcasts it at runtime)
+    but can itself be large on adversarial ones."""
+    hot = (
+        idx.groupBy("tbl", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("tbl", "bucket")
+    )
+    return idx.join(hot, on=["tbl", "bucket"], how="left_anti")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -204,12 +236,19 @@ def lsh_candidate_pairs(
     n_tables: int = 16,
     n_bits: int = 4,
     tag: str = "hp",
+    max_bucket: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing a bucket in ANY table,
     with both vectors attached (join-back on id). Bucket self-join,
-    never an all-pairs product, no driver-side collect."""
-    dim = _infer_dim(df, vec_col)
+    never an all-pairs product, no driver-side collect. Pass `dim`
+    (callers know it) to avoid a schema-probe Spark job; `max_bucket`
+    caps per-(tbl,bucket) membership for skew safety."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     idx = lsh_index(df, id_col, vec_col, hyperplane_weights(n_tables, n_bits, dim, tag))
+    if max_bucket is not None:
+        idx = prune_hot_buckets(idx, max_bucket)
     a = idx.select(F.col(id_col).alias("_ida"), "tbl", "bucket")
     b = idx.select(F.col(id_col).alias("_idb"), "tbl", "bucket")
     cand = (
@@ -242,6 +281,8 @@ def embedding_dup_pairs(
     threshold: float,
     n_tables: int = 16,
     n_bits: int = 4,
+    max_bucket: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, rounded cosine >=
     threshold): multi-table LSH candidate generation + exact JVM-side
@@ -252,7 +293,9 @@ def embedding_dup_pairs(
     Recall on this corpus measured vs brute force: 14/14 planted pairs
     at sf0.01, 140/147 at sf0.1 (pairs sit at cos 0.45-0.51 — barely
     above random; see module docstring on parameterization)."""
-    cand = lsh_candidate_pairs(df, id_col, vec_col, n_tables, n_bits)
+    cand = lsh_candidate_pairs(
+        df, id_col, vec_col, n_tables, n_bits, max_bucket=max_bucket, dim=dim
+    )
     return (
         cand.withColumn(
             "cos", F.round(cosine(F.col("_va"), F.col("_vb")) - 1e-9, 4)
@@ -276,13 +319,19 @@ def lsh_topk(
     n_bits: int = 6,
     probe_bits: int = 1,
     tag: str = "hp",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table LSH: candidates = union over L
-    tables of the query's bucket plus its `probe_bits`-flip multiprobe
-    neighbors; exact cosine rerank on candidates. Measured recall@10 on
+    tables of the query's bucket plus every bucket within Hamming
+    distance `probe_bits` of it (all bitmask flips up to that many
+    bits); exact cosine rerank on candidates. Measured recall@10 on
     the embeddings corpus at L=12, b=6, 1-bit probe: 1.00 (sf0.01),
-    0.98 (sf0.1) — vs 0.47 for round 1's single-table 4-plane hash."""
-    dim = _infer_dim(corpus, vec_col)
+    0.98 (sf0.1) — vs 0.47 for round 1's single-table 4-plane hash.
+    Pass `dim` to avoid a schema-probe Spark job during planning."""
+    from itertools import combinations
+
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     weights = hyperplane_weights(n_tables, n_bits, dim, tag)
     c = lsh_index(corpus, id_col, vec_col, weights).select(
         F.col(id_col).alias("neighbor_id"), "tbl", "bucket"
@@ -291,12 +340,14 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), "tbl", "bucket"
     )
     if probe_bits >= 1:
+        masks = [
+            sum(1 << p for p in flips)
+            for r in range(1, probe_bits + 1)
+            for flips in combinations(range(n_bits), r)
+        ]
         probes = F.array(
             F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
-                for p in range(n_bits)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks],
         )
         q = q.select("query_id", "tbl", F.explode(probes).alias("bucket"))
     cand = (

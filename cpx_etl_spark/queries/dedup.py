@@ -178,10 +178,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multi-table integer sign-LSH candidate generation (L=16 tables x 4
 # bits — this corpus's planted dups sit at cos 0.45-0.51, barely above
 # random, forcing wide bands; see operators/similarity.py). The oracle
-# replays the construction exactly, so the gate verifies BOTH the
-# candidate generation and the rerank. Measured recall vs brute force:
-# 14/14 pairs @ sf0.01, 140/147 @ sf0.1.
-_EMB_L, _EMB_B, _EMB_DIM = 16, 4, 64
+# replays the construction exactly — including the hot-bucket cap — so
+# the gate verifies BOTH the candidate generation and the rerank.
+# Measured recall vs brute force: 14/14 pairs @ sf0.01, 140/147 @
+# sf0.1. The cap (skew guard against degenerate corpora) is far above
+# the largest observed bucket (57 @ sf0.01, 195 @ sf0.1), so it never
+# fires on this data; the oracle mirrors it so results stay hash-equal
+# even if it did.
+_EMB_L, _EMB_B, _EMB_DIM, _EMB_CAP = 16, 4, 64, 2000
 
 
 def _sql_emb_lsh() -> str:
@@ -193,11 +197,16 @@ def _sql_emb_lsh() -> str:
     w = hyperplane_weights(_EMB_L, _EMB_B, _EMB_DIM)
     return f"""
     WITH {sql_lsh_buckets_cte(w, _EMB_DIM)},
+    kept AS (
+        SELECT b.* FROM buckets b
+        JOIN (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket
+              HAVING COUNT(*) <= {_EMB_CAP}) ok
+          ON ok.tbl = b.tbl AND ok.bucket = b.bucket),
     cand AS (
         SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
-        FROM buckets b1
-        JOIN buckets b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
-                       AND b1.vec_id < b2.vec_id)
+        FROM kept b1
+        JOIN kept b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+                    AND b1.vec_id < b2.vec_id)
     SELECT c.vec_a, c.vec_b,
            ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) + 0 AS cos
     FROM cand c
@@ -219,4 +228,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         n_tables=_EMB_L,
         n_bits=_EMB_B,
+        max_bucket=_EMB_CAP,
+        dim=_EMB_DIM,
     )

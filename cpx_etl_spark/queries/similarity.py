@@ -89,7 +89,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
-        k=10, n_tables=_ANN_L, n_bits=_ANN_B, probe_bits=1,
+        k=10, n_tables=_ANN_L, n_bits=_ANN_B, probe_bits=1, dim=_DIM,
     )
 
 

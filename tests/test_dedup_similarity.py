@@ -196,6 +196,38 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
 
 
+def test_hot_bucket_cap_prevents_quadratic_candidates(spark):
+    """A degenerate corpus — thousands of identical vectors — lands in
+    one (tbl, bucket) per table; the cap must drop those buckets before
+    the self-join so candidates stay far from quadratic, while distinct
+    healthy pairs still form."""
+    from cpx_etl_spark.operators.similarity import lsh_candidate_pairs
+
+    hot = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1000)]
+    tail = [(2001, [0.0, 1.0, 0.0, 0.01]), (2002, [0.0, 1.0, 0.0, 0.011])]
+    df = spark.createDataFrame(hot + tail, "vec_id long, embedding array<double>")
+    capped = lsh_candidate_pairs(
+        df, "vec_id", "embedding", n_tables=4, n_bits=2, max_bucket=100, dim=4
+    )
+    got = {(r["_ida"], r["_idb"]) for r in capped.collect()}
+    assert (2001, 2002) in got            # healthy near-dup pair survives
+    assert len(got) < 5000                # not the ~500k quadratic blowup
+
+
+def test_multiprobe_bitmask_combinations(spark):
+    """probe_bits=2 must probe ALL buckets within Hamming distance 2,
+    not silently degrade to 1-bit probing (r2 ADVICE)."""
+    emb = _vecs(spark)
+    q = emb.filter(F.col("vec_id") == 1)
+    one = lsh_topk(emb, q, "vec_id", "embedding", k=4, n_tables=2, n_bits=3,
+                   probe_bits=1, dim=4)
+    two = lsh_topk(emb, q, "vec_id", "embedding", k=4, n_tables=2, n_bits=3,
+                   probe_bits=2, dim=4)
+    n1 = {r["neighbor_id"] for r in one.collect()}
+    n2 = {r["neighbor_id"] for r in two.collect()}
+    assert n1 <= n2  # wider probe radius can only add candidates
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     """Approximate path quality evidence: multiprobe LSH recall@10
     against the exact baseline on the real embeddings corpus."""
