@@ -201,32 +201,40 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return _verify_jaccard(cand, index, counts, id_col, threshold)
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits int64 in every engine
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
-    """SimHash near-dup: 64-bit sign-of-weighted-bit-sums fingerprint,
-    16-bit band buckets, hamming distance via xor+bit_count.
+    """SimHash near-dup: 60-bit sign-of-weighted-bit-sums fingerprint,
+    15-bit band buckets, hamming distance via xor+bit_count.
 
-    One shuffle builds the fingerprints (explode tokens -> 64 partial
-    sums per doc), one bucket self-join proposes candidates.
+    Token hashes are the first 15 hex chars of md5 parsed as int64 —
+    60 bits, so the value is exactly representable in a signed BIGINT
+    in both Spark (conv) and ANSI SQL (positional hex-digit sum), which
+    makes the whole construction DuckDB-replayable (the same trick that
+    oracled the LSH paths; round 1 used xxhash64, which no other engine
+    implements). One shuffle builds the fingerprints (explode tokens ->
+    60 partial sums per doc), one bucket self-join proposes candidates.
     """
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long"))
     bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ]
     )
     sim = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(SIMHASH_BITS):
         sim = sim.bitwiseOR(
             F.shiftleft(F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
         )
     fps = bit_sums.select(F.col(id_col), sim.alias("simhash"))
-    width = 64 // n_bands
+    width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
     stacked = fps.select(
         F.col(id_col),

@@ -168,8 +168,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clusters(docs, pairs, "doc_id")
 
 
-@register("dedup_simhash")  # rows-only: 64-bit bit ops are not portable SQL
+# SimHash oracle: token hash = first 15 hex chars of md5 as BIGINT
+# (positional digit sum — DuckDB's strpos is 1-based, matching Spark's
+# conv(substr(md5,1,15),16,10)); 60 sign-sum bits -> fingerprint;
+# 4 bands x 15 bits; hamming via bit_count(xor).
+_SIMHASH_H = """list_sum(list_transform(generate_series(1, 15),
+        i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+             * (CAST(1 AS BIGINT) << (4 * (15 - i)))))"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+    hashed AS (SELECT doc_id, {_SIMHASH_H} AS h FROM tok),
+    bits AS (
+        SELECT doc_id, gs.j,
+               SUM(CASE WHEN (h >> gs.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed, generate_series(0, 59) gs(j)
+        GROUP BY doc_id, gs.j),
+    fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, simhash, gs.b AS band_idx,
+               (simhash >> (gs.b * 15)) & 32767 AS band_key
+        FROM fp, generate_series(0, 3) gs(b)),
+    cand AS (
+        SELECT DISTINCT b1.doc_id AS doc_a, b1.simhash AS sim_a,
+                        b2.doc_id AS doc_b, b2.simhash AS sim_b
+        FROM banded b1
+        JOIN banded b2 ON b1.band_idx = b2.band_idx
+                      AND b1.band_key = b2.band_key
+                      AND b1.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5-derived SimHash, exact-oracled (was rows-only in r1/r2
+    with xxhash64 bits, which no other engine can replay)."""
     return simhash_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
