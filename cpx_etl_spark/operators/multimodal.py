@@ -118,3 +118,116 @@ def decode_image(*_a, **_k):  # pragma: no cover - explicit stub
         "image decoding requires PIL/cv2 which are not installed; "
         "decode_features() provides the deterministic fake path"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real (library-free) image synthesis + header decode
+# ---------------------------------------------------------------------------
+# BMP and PNG container formats are public specifications with fixed
+# header offsets, so a pure-Python encoder/parser needs no image libs:
+# only struct + zlib from the stdlib. The synthesized payloads are
+# VALID files (a PNG viewer opens them); the parser reads the real
+# headers back — this is the actual decode path, not a fake.
+
+def synth_media_bytes(text: str) -> bytes:
+    """Deterministic valid BMP (24-bit) or PNG (8-bit RGB) whose
+    dimensions derive from md5(text): width = 1 + b0 % 64,
+    height = 1 + b1 % 64, format = BMP if b2 is even else PNG. Pixel
+    bytes tile the digest. PNG IDAT uses zlib level 0 (stored blocks)
+    so the file size is a closed-form function of (width, height) —
+    which is what lets a SQL oracle replay n_bytes exactly."""
+    import hashlib
+    import struct
+    import zlib
+
+    h = hashlib.md5(text.encode()).digest()
+    width, height = 1 + h[0] % 64, 1 + h[1] % 64
+    if h[2] % 2 == 0:  # BMP: 14B file header + 40B BITMAPINFOHEADER
+        row_bytes = (width * 3 + 3) // 4 * 4  # rows pad to 4B boundary
+        px = bytes(h[i % 16] for i in range(row_bytes * height))
+        file_header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        info_header = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 2835, 2835, 0, 0
+        )
+        return file_header + info_header + px
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+    raw = b"".join(
+        b"\x00" + bytes(h[(y + x) % 16] for x in range(width * 3))
+        for y in range(height)
+    )
+    idat = chunk(b"IDAT", zlib.compress(raw, 0))
+    return sig + ihdr + idat + chunk(b"IEND", b"")
+
+
+def parse_media_header(b: bytes) -> tuple:
+    """(fmt, width, height, bit_depth) from real container headers:
+    BMP dims at little-endian offsets 18/22, bpp at 28; PNG dims at
+    big-endian offsets 16/20 inside IHDR, bits-per-pixel = depth x
+    channels(color type). Unknown magic -> nulls (kept, not dropped)."""
+    if len(b) >= 30 and b[:2] == b"BM":
+        width = int.from_bytes(b[18:22], "little", signed=True)
+        height = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        return ("bmp", width, abs(height), bpp)
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        width = int.from_bytes(b[16:20], "big")
+        height = int.from_bytes(b[20:24], "big")
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25], 1)
+        return ("png", width, height, b[24] * channels)
+    return (None, None, None, None)
+
+
+def attach_media_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Arrow-batched synthesis of valid image payloads (BMP/PNG) from a
+    text column — the test stand-in for reading real binary columns."""
+
+    schema = f"{id_col} bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": pdf[text_col].map(synth_media_bytes),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
+def decode_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real header decode via mapInPandas: parses format, dimensions,
+    and bit depth from the payload bytes; n_bytes is the true file
+    size. One Arrow batch per task — the same batch shape a full pixel
+    decoder would use."""
+
+    schema = (
+        f"{id_col} bigint, fmt string, width int, height int, "
+        "bit_depth int, n_bytes int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(parse_media_header)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fmt": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]),
+                    "height": parsed.map(lambda t: t[2]),
+                    "bit_depth": parsed.map(lambda t: t[3]),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=schema)

@@ -1,20 +1,70 @@
-"""§2.6 Multimodal pipeline query (binary payload plumbing)."""
+"""§2.6 Multimodal pipeline queries (binary payload columns).
+
+`mm_binary_pipeline` is EXACT-oracled (was rows-only in r1/r2): the
+payloads are valid BMP/PNG files synthesized deterministically from
+md5(text), the Spark side parses the real container headers back from
+the bytes, and the DuckDB oracle derives the same fields arithmetically
+from the md5 hex digits — so a parser bug (wrong offset, wrong
+endianness, wrong row padding) breaks the hash match.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cpx_etl_spark.operators.multimodal import attach_payload, decode_features
+from cpx_etl_spark.operators.multimodal import (
+    attach_media_payload,
+    attach_payload,
+    decode_features,
+    decode_media_meta,
+)
 from cpx_etl_spark.queries import register
 from cpx_etl_spark.sources import load_table
 
 
-@register("mm_binary_pipeline")  # rows-only: decode runs through mapInPandas
-def mm_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload column + metadata -> Arrow-batched feature decode.
+def _hexbyte(k: int) -> str:
+    """SQL for byte k (0-based) of md5(text): two hex digits."""
+    return (
+        f"((strpos('0123456789abcdef', substr(md5(text), {2 * k + 1}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(md5(text), {2 * k + 2}, 1)) - 1)"
+    )
 
-    The byte features are deterministic (payload = unhex(md5(text))),
-    so the driver's rows-only check still pins row count and schema.
-    """
+
+# Synthesis contract (operators/multimodal.py synth_media_bytes):
+#   width = 1 + b0 % 64, height = 1 + b1 % 64, fmt = bmp iff b2 even;
+#   BMP size = 54 + height * (width*3 padded to 4B);
+#   PNG size = 57 + height*(1 + 3*width) + 11  (sig 8 + IHDR 25 +
+#   IDAT overhead 12 + zlib level-0 stored block (raw+11) + IEND 12).
+_MM_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id,
+               {_hexbyte(0)} AS b0, {_hexbyte(1)} AS b1, {_hexbyte(2)} AS b2
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN b2 % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+           CAST(1 + b0 % 64 AS INTEGER) AS width,
+           CAST(1 + b1 % 64 AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bit_depth,
+           CAST(CASE WHEN b2 % 2 = 0
+                THEN 54 + (1 + b1 % 64) * (((1 + b0 % 64) * 3 + 3) // 4 * 4)
+                ELSE 68 + (1 + b1 % 64) * (1 + 3 * (1 + b0 % 64))
+                END AS INTEGER) AS n_bytes
+    FROM b
+"""
+
+
+@register("mm_binary_pipeline", oracle=_MM_ORACLE)
+def mm_binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid BMP/PNG payload synthesis -> Arrow-batched REAL header
+    decode (format sniff, dimensions, bit depth, true file size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_meta(attach_media_payload(docs), id_col="doc_id")
+
+
+@register("mm_byte_features")  # rows-only: byte stats of opaque payloads
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload byte features (the pre-r3 pipeline): payload =
+    unhex(md5(text)), features via mapInPandas — kept as the
+    arbitrary-binary (non-image) plumbing path."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(attach_payload(docs), id_col="doc_id")
