@@ -79,13 +79,23 @@ def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
     from cpx_etl_spark.operators.relational import merge_upsert
 
     spark = df.sparkSession
+    tmp, old = path + "._tmp", path + "._old"
+    for stale in (tmp, old):  # a failed prior run must not poison this one
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     if os.path.exists(path):
         existing = spark.read.parquet(path).select(*df.columns)
         merged = merge_upsert(existing, df, keys=keys)
     else:
         merged = df
-    tmp = path + "._tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    # Rename-aside swap: the live table is never deleted before its
+    # replacement is in place, so a crash leaves either the old or the
+    # new table readable (plus at worst a '._old'/'._tmp' leftover that
+    # the next run clears). Still not transactional across readers —
+    # real scale lands this merge on Iceberg/Delta commit protocols.
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)

@@ -220,6 +220,38 @@ def stream_to_parquet(
     return writer.start()
 
 
+def stream_upsert_parquet(
+    sdf: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """foreachBatch upsert sink — the streaming and batch LOAD paths
+    converge on the same PK-upsert (sources/sinks.py
+    upsert_parquet_table, the reference load phase's idempotent INSERT,
+    etl.js:758-829). Each micro-batch SCD-1 merges into the parquet
+    table on `keys`, so a replayed or duplicate batch cannot grow the
+    table — the exactly-once story for sinks without transactional
+    appends. At real scale foreachBatch wraps a MERGE INTO on an
+    Iceberg/Delta table; the per-batch plan is identical."""
+    from cpx_etl_spark.sources.sinks import upsert_parquet_table
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet_table(batch_df, path, keys)
+
+    writer = (
+        sdf.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, spark: SparkSession, mode: str = "append"
 ) -> DataFrame:

@@ -90,6 +90,32 @@ def test_stream_static_enrichment(spark, sf_dir):
     assert set(out[out.event_type == "purchase"]["category"]) == {"revenue"}
 
 
+def test_stream_upsert_sink_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch upsert sink: draining the same bounded stream twice
+    (fresh checkpoint = full replay) leaves the PK-upserted table
+    unchanged — the streaming twin of q_load_roundtrip."""
+    from cpx_etl_spark.streaming.events import stream_upsert_parquet
+
+    out = str(tmp_path / "tbl")
+    keys = ["user_id", "event_type"]
+    for i in range(2):
+        ckpt = str(tmp_path / f"ckpt{i}")  # new checkpoint -> replays all
+        q = stream_upsert_parquet(
+            dedup_first_stream(events_stream(spark, sf_dir)), out, keys, ckpt
+        )
+        q.awaitTermination()
+        if i == 0:
+            first = _canon(spark.read.parquet(out).toPandas())
+    second = _canon(spark.read.parquet(out).toPandas())
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_first_batch(load_table(spark, sf_dir, "events")).collect()
+    }
+    got_keys = set(map(tuple, second[["user_id", "event_type"]].itertuples(index=False)))
+    assert got_keys == batch_keys
+    assert len(first) == len(second)  # replay did not grow the table
+
+
 def test_stream_to_parquet_checkpointed(spark, sf_dir, tmp_path):
     """Streaming dedup drains to a checkpointed parquet sink; the file
     output holds exactly the batch-dedup key set."""
