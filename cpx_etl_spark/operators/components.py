@@ -37,10 +37,16 @@ def connected_components(
     edges: (src_col, dst_col) undirected pairs.
     Converges early when an iteration changes nothing.
     """
+    # Materialize the edge list ONCE: its lineage is the full upstream
+    # candidate/verify pipeline, which would otherwise be recomputed in
+    # every propagation round. (The standard iterative-algorithm
+    # pattern — GraphX does the same; on a cluster, localCheckpoint
+    # stores partitions on executor storage.)
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionAll(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -55,8 +61,9 @@ def connected_components(
                 "a",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-        )
-        # fixed-point check: one cheap count per iteration
+        ).localCheckpoint(eager=True)  # checkpoint FIRST, then the
+        # fixed-point diff below joins two materialized frames (one
+        # cheap job per round instead of a full recompute + a job)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="a")
@@ -64,7 +71,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("a").alias(id_col), F.col("label").alias("component"))

@@ -99,8 +99,8 @@ def load_registry() -> tuple[dict, dict]:
         text,
         relational,
         etl,
-        dedup,
         multimodal,
+        dedup,
     )
 
     return QUERIES, ORACLES

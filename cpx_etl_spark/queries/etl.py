@@ -366,8 +366,9 @@ def _write_xsl_chain_control() -> str:
     import os
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "cpx_etl_xsl_chain")
-    os.makedirs(d, exist_ok=True)
+    # fresh dir per invocation (driver-side config files): concurrent
+    # or stale runs must not share mutable state (r2 ADVICE)
+    d = tempfile.mkdtemp(prefix="cpx_etl_xsl_chain_")
     for i, spec in enumerate(_XSL_STEPS, start=1):
         with open(os.path.join(d, f"step{i}.json"), "w", encoding="utf-8") as fh:
             json.dump(spec, fh)
