@@ -308,9 +308,19 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_xlsx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XLSX sheet -> DataFrame (deterministic stand-in workbook; the
-    real reader is import-gated on openpyxl)."""
-    return fake_workbook(spark)["people"]
+    """XLSX sheet -> DataFrame through a REAL file round-trip: the
+    deterministic workbook is written to an actual .xlsx (stdlib
+    zipfile/SpreadsheetML writer) and parsed back by the library-free
+    reader (sources/xlsx.py, ECMA-376 public format) — no openpyxl."""
+    import os
+    import tempfile
+
+    from cpx_etl_spark.sources.xlsx import read_xlsx, write_fake_workbook
+
+    path = write_fake_workbook(
+        os.path.join(tempfile.mkdtemp(prefix="cpx_etl_xlsx_"), "wb.xlsx")
+    )
+    return read_xlsx(spark, path)["people"]
 
 
 @register(
