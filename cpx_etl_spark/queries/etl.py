@@ -479,3 +479,58 @@ def q_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@register(
+    "q_db_load_roundtrip",
+    oracle="""
+    SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+           o.o_totalprice AS totalprice,
+           COUNT(DISTINCT l.l_linenumber) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '2001-06-01'
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    """,
+)
+def q_db_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE-database load round-trip (reference etl.js:758-829 INSERTs
+    into MySQL): the related-split insert sets land in a real embedded
+    SQL database via PK-upsert, the SAME load runs twice (idempotent),
+    and the aggregation read back FROM THE DATABASE must equal one
+    clean load. Complements q_load_roundtrip's data-lake (parquet)
+    variant with the reference's actual target shape."""
+    import os
+    import tempfile
+
+    from cpx_etl_spark.sources.db_load import load_to_database, read_from_database
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    denorm = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    ents = load_related_split(
+        denorm,
+        {
+            "order_hdr": (
+                ["o_orderkey"],
+                {"o_custkey": "customer_id", "o_totalprice": "totalprice"},
+            ),
+            "order_item": (["o_orderkey", "l_linenumber"], {"l_quantity": "quantity"}),
+        },
+    )
+    db = os.path.join(tempfile.mkdtemp(prefix="cpx_etl_db_load_"), "load.duckdb")
+    pks = {"order_hdr": ["o_orderkey"], "order_item": ["o_orderkey", "l_linenumber"]}
+    for _ in range(2):  # replay must not grow the tables
+        for name, frame in ents.items():
+            load_to_database(frame, db, name, pks[name])
+    return read_from_database(
+        spark,
+        db,
+        """
+        SELECT h.o_orderkey AS order_id, h.customer_id, h.totalprice,
+               COUNT(*) AS n_items
+        FROM order_hdr h JOIN order_item i ON i.o_orderkey = h.o_orderkey
+        GROUP BY h.o_orderkey, h.customer_id, h.totalprice
+        """,
+    )

@@ -238,6 +238,25 @@ def test_xlsx_shared_strings_parsed(tmp_path):
     assert read_xlsx_tables(path)["s"] == (["a"], [("hello",)])
 
 
+def test_db_load_upsert_semantics(spark, tmp_path):
+    """Live-DB load: replay is a no-op, updates win on conflict, new
+    keys insert — the reference load phase's insert-or-update contract
+    against a real SQL database."""
+    from cpx_etl_spark.sources.db_load import load_to_database, read_from_database
+
+    db = str(tmp_path / "load.duckdb")
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)],
+                               "id long, name string, v double")
+    assert load_to_database(df, db, "items", ["id"]) == 2
+    assert load_to_database(df, db, "items", ["id"]) == 2  # idempotent replay
+    upd = spark.createDataFrame([(2, "b2", 9.9), (3, "c", 3.5)],
+                                "id long, name string, v double")
+    assert load_to_database(upd, db, "items", ["id"]) == 3
+    out = {r["id"]: (r["name"], r["v"]) for r in
+           read_from_database(spark, db, "SELECT * FROM items").collect()}
+    assert out == {1: ("a", 1.5), 2: ("b2", 9.9), 3: ("c", 3.5)}
+
+
 def test_multimodal_real_decoders_stubbed():
     from cpx_etl_spark.operators.multimodal import decode_image
 
