@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cpx_etl_spark.functions.text import sql_shingles
 from cpx_etl_spark.functions.vectors import sql_cosine
@@ -271,4 +272,48 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=_EMB_B,
         max_bucket=_EMB_CAP,
         dim=_EMB_DIM,
+    )
+
+
+@register(
+    "dedup_paragraphs",
+    oracle="""
+    WITH chunks AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST(CEIL(len(toks) / 10.0) AS INTEGER) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)))
+    SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM chunks GROUP BY md5(chunk) HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup (the unit between whole-document
+    hashing and shingle near-dup): documents chunk into 10-token
+    pseudo-paragraphs, and any chunk shared verbatim by 2+ documents
+    reports its survivor — the cross-document boilerplate detector a
+    training corpus dedups on. One narrow chunking projection + one
+    groupBy shuffle; scales like dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(arr) / F.lit(10.0)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(arr, i * 10 + 1, 10)),
+    )
+    per_doc = (
+        docs.select(F.col("doc_id"), F.explode(chunks).alias("chunk"))
+        .dropDuplicates()
+    )
+    return (
+        per_doc.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") >= 2)
     )

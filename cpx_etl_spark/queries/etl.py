@@ -534,3 +534,48 @@ def q_db_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY h.o_orderkey, h.customer_id, h.totalprice
         """,
     )
+
+
+@register(
+    "q_describe_harness",
+    oracle="""
+    SELECT 'suite_cust/segments' AS case_name,
+           (SELECT COUNT(*) FROM customer) AS n_rows,
+           CAST(6 AS BIGINT) AS n_cols
+    UNION ALL
+    SELECT 'suite_events/enrich',
+           (SELECT COUNT(*) FROM events),
+           CAST(8 AS BIGINT)
+    """,
+)
+def q_describe_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cpx$describe analogue (index.js:160-162 declares the API; the
+    reference body is an empty stub): a glob TREE of on-disk JSON
+    pipeline specs resolves via FileResolver, each spec compiles to a
+    DataFrame plan, and the harness verdict frame reports per-case
+    row/column counts — table-driven describe/it where the cases are
+    files."""
+    import json
+    import os
+    import tempfile
+
+    from cpx_etl_spark.plans.describe import describe_summary
+
+    root = tempfile.mkdtemp(prefix="cpx_etl_describe_")
+    specs = {
+        ("suite_events", "enrich.json"): {
+            "source": "events",
+            "derive": {"k": ["json", "props", "$.k"]},
+            "schema": {"k": "Number"},
+        },
+        ("suite_cust", "segments.json"): {
+            "source": "customer",
+            "derive": {"bal2": ["expr", "c_acctbal * 2"]},
+        },
+    }
+    for (suite, fname), spec in specs.items():
+        os.makedirs(os.path.join(root, suite), exist_ok=True)
+        with open(os.path.join(root, suite, fname), "w", encoding="utf-8") as fh:
+            json.dump(spec, fh)
+    out = describe_summary(spark, sf_dir, root, {"*": {"_": "*.json"}})
+    return out.withColumnRenamed("case", "case_name")

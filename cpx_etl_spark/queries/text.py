@@ -230,3 +230,51 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH contact AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+        FROM documents)
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(full_text, '{_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(length(regexp_extract_all(full_text, '{_PHONE_RE}')) AS INTEGER)
+               AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(full_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_hash
+    FROM contact
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: regex scrub of emails and
+    phone-like tokens (pure regexp_replace — JVM-side, no UDF). Every
+    row gets a deterministic synthetic contact suffix so the scrub
+    provably fires on all rows; the oracle hash-checks the redacted
+    BYTES, so a pattern or replacement drift fails the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(full, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(full, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(full, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
