@@ -160,6 +160,83 @@ def sessionize_stream(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
     )
 
 
+def sessionize_stream_tws(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Sessionizer on the transformWithState API (the successor to
+    applyInPandasWithState: composable typed state, timers, TTL). Same
+    semantics as sessionize_stream — closed sessions emit, the open
+    tail session stays in a per-user ValueState — so the two stateful
+    engines are interchangeable behind one logical operator; tests
+    assert both match the batch sessionization. Environment gate: the
+    tws state server speaks protobuf over a local socket, so running
+    this (not defining it) requires google.protobuf, absent from this
+    container — the applyInPandasWithState variant is the tested path
+    here."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id bigint, session_id bigint, n_events bigint, "
+        "start_ts timestamp, end_ts timestamp"
+    )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "sess", "ord bigint, last_us bigint, n bigint, start_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            cur = self._state.get() if self._state.exists() else None
+            ord_, last_us, n, start_us = cur if cur else (0, None, 0, None)
+            closed = []
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                # chunks arrive unordered — sort once per batch (group
+                # data is session-scale, bounded by the watermark)
+                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+                for ts in pdf["ts"]:
+                    us = int(ts.value // 1_000)
+                    if last_us is not None and us - last_us > gap_us:
+                        closed.append((user_id, ord_, n, start_us, last_us))
+                        ord_ += 1
+                        n, start_us = 0, us
+                    elif last_us is None:
+                        ord_ += 1
+                        n, start_us = 0, us
+                    n += 1
+                    last_us = us
+            self._state.update((ord_, last_us, n, start_us))
+            if closed:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "user_id": u,
+                            "session_id": o,
+                            "n_events": c,
+                            "start_ts": pd.Timestamp(s, unit="us"),
+                            "end_ts": pd.Timestamp(e, unit="us"),
+                        }
+                        for (u, o, c, s, e) in closed
+                    ]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Sessionizer(), outputStructType=out_schema,
+            outputMode="append", timeMode="none",
+        )
+    )
+
+
 # --- streaming dedup -----------------------------------------------------------
 
 def dedup_first_batch(df: DataFrame) -> DataFrame:

@@ -71,6 +71,35 @@ def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir):
         )
 
 
+def test_sessionize_tws_matches_batch(spark, sf_dir):
+    """The transformWithState sessionizer must emit the same closed
+    sessions as the batch sessionization (and thus agree with the
+    applyInPandasWithState variant). The tws state server speaks
+    protobuf over a local socket — gate on the lib like other
+    environment-dependent paths."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs protobuf (absent from container)")
+    from cpx_etl_spark.streaming.events import sessionize_stream_tws
+
+    batch = sessionize_batch(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _drain(
+        sessionize_stream_tws(events_stream(spark, sf_dir)), "t_tws", spark, "append"
+    ).toPandas()
+    assert len(stream) > 0
+    bkeys = {
+        (r.user_id, r.start_ts, r.end_ts, r.n_events)
+        for r in batch.itertuples(index=False)
+    }
+    for r in stream.itertuples(index=False):
+        assert (r.user_id, r.start_ts, r.end_ts, r.n_events) in bkeys, (
+            f"closed tws session not found in batch result: {r}"
+        )
+
+
 def test_stream_static_enrichment(spark, sf_dir):
     """Stream-static join: every micro-batch row gets its dim label."""
     from pyspark.sql import functions as F
