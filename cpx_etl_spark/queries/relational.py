@@ -1375,3 +1375,54 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(top), F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "q_cube_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations incl. grand total) —
+    completes the grouping-set family next to ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum(disc).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_event_deltas",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER w - 1e-9, 4) + 0 AS value_delta,
+           CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag analytics: per-user value delta and microsecond gap to
+    the previous event (ts+event_id ordering is unique => deterministic;
+    first event per user yields nulls on both engines)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        fround(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .cast("long")
+        .alias("gap_us"),
+    )

@@ -72,3 +72,37 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # AQE's final plan renders codegen stages as '*(n)' markers
     assert "*(" in plan and "isFinalPlan=true" in plan
+
+
+def test_q8_joins_are_broadcast_no_sortmerge(spark, sf_dir):
+    """The 8-table market-share join must broadcast its dims; no
+    sort-merge joins should appear at test scale and no cartesian
+    product at any scale."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_filter_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    # the returnflag filter reaches the lineitem scan
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_new_queries_stay_jvm_side(spark, sf_dir):
+    for name in (
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q15_top_supplier",
+        "q_cube_revenue",
+        "q_event_deltas",
+        "text_redact_pii",
+        "dedup_simhash",
+        "dedup_paragraphs",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has a Python UDF node in its plan"
+        )
