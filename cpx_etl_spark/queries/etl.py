@@ -579,3 +579,121 @@ def q_describe_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
             json.dump(spec, fh)
     out = describe_summary(spark, sf_dir, root, {"*": {"_": "*.json"}})
     return out.withColumnRenamed("case", "case_name")
+
+
+@register(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, v
+    FROM (SELECT event_id, event_type, props,
+                 unnest([value, value * 2]) AS v
+          FROM events WHERE user_id < 20)
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round-trip: rows serialize to JSON documents
+    (struct + array fields via to_json), parse back through a typed
+    schema (from_json), and the array explodes to rows. The oracle
+    computes the same outputs directly from the columns, so any value
+    lost or perturbed in the JSON round-trip fails the hash."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+        )
+    )
+    schema = "event_id bigint, event_type string, k bigint, vals array<double>"
+    parsed = ev.select(F.from_json(doc, schema).alias("j")).select("j.*")
+    return parsed.select(
+        "event_id", "event_type", "k", F.explode("vals").alias("v")
+    )
+
+
+@register(
+    "q_csv_jsonl_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-format round-trip: customer writes to CSV and to
+    JSONL, both read back with explicit schemas, inner-joined on the
+    key, and aggregated — numeric values must survive both text
+    encodings bit-exactly for the hash to match."""
+    import tempfile
+
+    from cpx_etl_spark.sources.sinks import read_csv, read_jsonl
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="cpx_etl_interchange_")
+    cust.write.mode("overwrite").option("header", "true").csv(base + "/csv")
+    cust.write.mode("overwrite").json(base + "/jsonl")
+    schema = ("c_custkey bigint, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    from_csv = read_csv(spark, base + "/csv", schema=schema)
+    from_jsonl = read_jsonl(spark, base + "/jsonl", schema=schema).select(
+        "c_custkey", F.col("c_mktsegment").alias("seg2")
+    )
+    return (
+        from_csv.join(from_jsonl, on="c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("c_acctbal")).alias("sum_bal"))
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '2001-01-01'),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '2001-07-01')
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: two table snapshots full-outer join on the PK
+    and every row classifies as added / removed / changed / unchanged —
+    the standard change-capture primitive between batch loads. One
+    key-partitioned shuffle; pre-bucketing both snapshots makes it
+    exchange-free at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    new = orders.filter(
+        F.col("o_orderdate") < F.lit("2001-07-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        change.alias("change"),
+    )

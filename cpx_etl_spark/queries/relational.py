@@ -1426,3 +1426,90 @@ def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     )
+
+
+@register(
+    "q_salted_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum('l_extendedprice')} AS sum_price, COUNT(*) AS n
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-replicated salted join, gate-verified against the plain
+    join's answer: the big side salts uniformly, the small side
+    replicates per salt bucket, so one hot key spreads over
+    `salt_buckets` reducers (the guard AQE's skew splitting cannot
+    apply to broadcast/replicated patterns)."""
+    from cpx_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = salted_join(li, orders, on="l_orderkey", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum('o_totalprice')} AS sum_price, COUNT(*) AS n
+    FROM (SELECT DISTINCT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01') o
+    JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides land in tables
+    bucketed+sorted on the join key, so the join itself needs NO
+    exchange (SortMergeJoin reads pre-bucketed files). The gate
+    verifies content; tests/test_scale_utils.py asserts the plan has
+    no shuffle below the join."""
+    import os
+    import shutil
+
+    from cpx_etl_spark.sources.sinks import write_bucketed_table
+
+    # a fresh session has no catalog entry but the managed LOCATION can
+    # survive from an earlier run — drop both before recreating
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("cpx_bkt_orders", "cpx_bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        leftover = os.path.join(warehouse, tbl)
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .dropDuplicates(["o_orderkey"])
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).dropDuplicates()
+    write_bucketed_table(orders, "cpx_bkt_orders", ["o_orderkey"], 8,
+                         sort_cols=["o_orderkey"])
+    write_bucketed_table(li, "cpx_bkt_lineitem", ["o_orderkey"], 8,
+                         sort_cols=["o_orderkey"])
+    o = spark.table("cpx_bkt_orders")
+    l = spark.table("cpx_bkt_lineitem")
+    return (
+        o.join(l, on="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(dsum(F.col("o_totalprice")).alias("sum_price"),
+             F.count(F.lit(1)).alias("n"))
+    )
