@@ -1513,3 +1513,58 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("o_totalprice")).alias("sum_price"),
              F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_resample_fill",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, value
+        FROM events WHERE user_id < 20),
+    hourly AS (
+        SELECT user_id, h, COUNT(*) AS n, {sql_dsum('value')} AS sv
+        FROM ev GROUP BY user_id, h),
+    bounds AS (
+        SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM ev GROUP BY user_id),
+    grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM bounds)
+    SELECT g.user_id, g.h AS hour_start,
+           COALESCE(n, 0) AS n_events,
+           last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ff
+    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    """,
+)
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (the hypertable-rollup shape):
+    every user gets a dense hourly grid across their active range
+    (sequence + explode — no driver loop), hourly aggregates left-join
+    on, counts zero-fill, and the running sum forward-fills through
+    empty hours via last(ignorenulls). Grid generation is linear in
+    user-hours and partitions by user — no global materialization."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    evh = ev.select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    hourly = evh.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sv")
+    )
+    bounds = evh.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, on=["user_id", "h"], how="left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("sv", ignorenulls=True).over(w).alias("sum_value_ff"),
+        )
+    )
