@@ -87,3 +87,41 @@ def test_fixed_width_roundtrip_property(spark, rows):
         key=lambda t: tuple(str(x) for x in t),
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    exclude_categories=("Cs", "Cc"),
+                ),
+                max_size=12,
+            ),
+            st.integers(-(2**40), 2**40),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_xlsx_roundtrip_property(tmp_path_factory, rows):
+    """Arbitrary text (incl. XML-special chars), big ints, and finite
+    doubles survive the XLSX write/read round-trip. Integer-valued
+    float columns may narrow to int (documented Excel semantics) —
+    values must still compare equal."""
+    import os
+
+    from cpx_etl_spark.sources.xlsx import read_xlsx_tables, write_xlsx
+
+    path = os.path.join(str(tmp_path_factory.mktemp("xlsxprop")), "p.xlsx")
+    write_xlsx(path, {"t": (["s", "i", "f"], rows)})
+    got = read_xlsx_tables(path)["t"]
+    assert got[0] == ["s", "i", "f"]
+    assert len(got[1]) == len(rows)
+    for (s, i, f), (gs, gi, gf) in zip(rows, got[1]):
+        assert gs == s or (s == "" and gs is None)  # empty inline str
+        assert gi == i
+        assert gf == f or (gf is not None and float(gf) == f)
