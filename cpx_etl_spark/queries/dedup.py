@@ -317,3 +317,61 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# Production-regime variant: at realistic near-dup thresholds
+# (cos >= 0.8) the hyperplane collision probability p = 0.795 makes
+# NARROW bands selective, so bucket counts can grow with the corpus —
+# candidates ~ L * N^2 / 2^b stays near-linear in practice (PERF.md,
+# sf1 candidate-volume table). Same operator, different (threshold,
+# L, b); this registers the scale-path configuration the PERF analysis
+# derives, next to the corpus-tuned 0.45/16x4 variant above.
+_EMBS_L, _EMBS_B = 32, 8
+
+
+def _sql_emb_lsh_strict() -> str:
+    from cpx_etl_spark.operators.similarity import (
+        hyperplane_weights,
+        sql_lsh_buckets_cte,
+    )
+
+    w = hyperplane_weights(_EMBS_L, _EMBS_B, _EMB_DIM)
+    return f"""
+    WITH {sql_lsh_buckets_cte(w, _EMB_DIM)},
+    kept AS (
+        SELECT b.* FROM buckets b
+        JOIN (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket
+              HAVING COUNT(*) <= {_EMB_CAP}) ok
+          ON ok.tbl = b.tbl AND ok.bucket = b.bucket),
+    cand AS (
+        SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
+        FROM kept b1
+        JOIN kept b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+                    AND b1.vec_id < b2.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) + 0 AS cos
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.vec_a
+    JOIN embeddings e2 ON e2.vec_id = c.vec_b
+    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) >= 0.8
+    """
+
+
+@register("dedup_embedding_strict", oracle=_sql_emb_lsh_strict())
+def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the production threshold (cos >= 0.8) with
+    the matching narrow-band parameterization (L=32 x b=8): the
+    configuration that stays near-linear at corpus scale. On this
+    corpus (planted dups at 0.45-0.51) the result is legitimately
+    empty at small sf — the oracle replays candidates + rerank exactly
+    either way, so the gate still verifies the construction."""
+    return embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.8,
+        n_tables=_EMBS_L,
+        n_bits=_EMBS_B,
+        max_bucket=_EMB_CAP,
+        dim=_EMB_DIM,
+    )
