@@ -61,11 +61,11 @@ def main() -> None:
         for name in HEADLINE:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # two timed passes per query, keep the min: this box is shared and
-    # noisy (+-40% run to run); min-of-2 measures the engine, not the
-    # neighbors
+    # three timed passes per query, keep the min: this box is shared
+    # and noisy (up to 4-5x under neighbor load); min-of-3 measures the
+    # engine, not the neighbors
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
