@@ -106,3 +106,13 @@ def test_new_queries_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} has a Python UDF node in its plan"
         )
+
+
+def test_resample_and_snapshot_plans_clean(spark, sf_dir):
+    """The time-series grid and CDC diff stay UDF-free and avoid
+    cartesian products (the grid is sequence+explode, not a range
+    cross join)."""
+    for name in ("q_resample_fill", "q_snapshot_diff", "q_json_roundtrip"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
