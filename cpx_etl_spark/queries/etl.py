@@ -697,3 +697,33 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
         change.alias("change"),
     )
+
+
+@register(
+    "q_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink round-trip: events write partitioned by
+    day, the read-back filters ONE partition (readers prune on the
+    partition column — tests/test_plans.py asserts the scan shape),
+    and the aggregate must equal computing directly on the source."""
+    import tempfile
+
+    from cpx_etl_spark.sources.sinks import write_partitioned_parquet
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    out = tempfile.mkdtemp(prefix="cpx_etl_part_") + "/events"
+    write_partitioned_parquet(ev, out, ["day"])
+    back = spark.read.parquet(out).filter(F.col("day") == F.lit("2024-01-15"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value")
+    )
