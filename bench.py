@@ -88,7 +88,7 @@ def main() -> None:
     # ANY parameterization (measured + analyzed in PERF.md).
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchdata", "sf1")
-    if os.path.isdir(sf1_dir) and sf_dir != sf1_dir:
+    if os.path.isdir(sf1_dir) and os.path.abspath(sf_dir) != sf1_dir:
         sf1_timings: dict[str, float] = {}
         for name in HEADLINE:
             if name == "dedup_embedding":

@@ -230,13 +230,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_L, _EMB_B, _EMB_DIM, _EMB_CAP = 16, 4, 64, 2000
 
 
-def _sql_emb_lsh() -> str:
+def _sql_emb_lsh(n_tables: int = _EMB_L, n_bits: int = _EMB_B,
+                 threshold: float = 0.45) -> str:
+    """One oracle builder for every (L, b, threshold) embedding-dedup
+    configuration — the corpus-tuned and production-regime
+    registrations share the exact CTE shape."""
     from cpx_etl_spark.operators.similarity import (
         hyperplane_weights,
         sql_lsh_buckets_cte,
     )
 
-    w = hyperplane_weights(_EMB_L, _EMB_B, _EMB_DIM)
+    w = hyperplane_weights(n_tables, n_bits, _EMB_DIM)
     return f"""
     WITH {sql_lsh_buckets_cte(w, _EMB_DIM)},
     kept AS (
@@ -254,7 +258,7 @@ def _sql_emb_lsh() -> str:
     FROM cand c
     JOIN embeddings e1 ON e1.vec_id = c.vec_a
     JOIN embeddings e2 ON e2.vec_id = c.vec_b
-    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) >= 0.45
+    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) >= {threshold}
     """
 
 
@@ -329,35 +333,8 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMBS_L, _EMBS_B = 32, 8
 
 
-def _sql_emb_lsh_strict() -> str:
-    from cpx_etl_spark.operators.similarity import (
-        hyperplane_weights,
-        sql_lsh_buckets_cte,
-    )
-
-    w = hyperplane_weights(_EMBS_L, _EMBS_B, _EMB_DIM)
-    return f"""
-    WITH {sql_lsh_buckets_cte(w, _EMB_DIM)},
-    kept AS (
-        SELECT b.* FROM buckets b
-        JOIN (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket
-              HAVING COUNT(*) <= {_EMB_CAP}) ok
-          ON ok.tbl = b.tbl AND ok.bucket = b.bucket),
-    cand AS (
-        SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
-        FROM kept b1
-        JOIN kept b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
-                    AND b1.vec_id < b2.vec_id)
-    SELECT c.vec_a, c.vec_b,
-           ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) + 0 AS cos
-    FROM cand c
-    JOIN embeddings e1 ON e1.vec_id = c.vec_a
-    JOIN embeddings e2 ON e2.vec_id = c.vec_b
-    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) >= 0.8
-    """
-
-
-@register("dedup_embedding_strict", oracle=_sql_emb_lsh_strict())
+@register("dedup_embedding_strict",
+          oracle=_sql_emb_lsh(_EMBS_L, _EMBS_B, threshold=0.8))
 def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at the production threshold (cos >= 0.8) with
     the matching narrow-band parameterization (L=32 x b=8): the

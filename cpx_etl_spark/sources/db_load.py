@@ -79,4 +79,8 @@ def read_from_database(spark: SparkSession, db_path: str, query: str) -> DataFra
         tbl = con.execute(query).fetch_arrow_table()
     finally:
         con.close()
-    return spark.createDataFrame(tbl.to_pandas())
+    # carry the Arrow schema explicitly: an EMPTY result's pandas frame
+    # has only object dtypes, which Spark cannot infer a schema from
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return spark.createDataFrame(tbl.to_pandas(), schema=from_arrow_schema(tbl.schema))

@@ -80,6 +80,17 @@ def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
 
     spark = df.sparkSession
     tmp, old = path + "._tmp", path + "._old"
+    # Crash recovery BEFORE cleanup: if the live table is missing, a
+    # prior run died inside its swap. '._tmp' only replaces the live
+    # table after its write completed (the rename-aside happens last),
+    # so promote it; otherwise restore the set-aside original. Only
+    # then clear leftovers — deleting first would destroy the last
+    # surviving copy.
+    if not os.path.exists(path):
+        if os.path.exists(tmp):
+            os.rename(tmp, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
     for stale in (tmp, old):  # a failed prior run must not poison this one
         if os.path.exists(stale):
             shutil.rmtree(stale)

@@ -52,8 +52,8 @@ def _col_letters(idx: int) -> str:
 
 
 def _ref_to_col(ref: str) -> int:
-    """A1-style ref -> 0-based column index."""
-    letters = re.match(r"[A-Z]+", ref).group(0)
+    """A1-style ref -> 0-based column index (case-insensitive)."""
+    letters = re.match(r"[A-Za-z]+", ref).group(0).upper()
     idx = 0
     for ch in letters:
         idx = idx * 26 + (ord(ch) - ord("A") + 1)
@@ -65,8 +65,15 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) -> N
     inline (no sharedStrings part needed), numbers as plain <v>."""
 
     def esc(s: str) -> str:
+        # also quote-escape: sheet names land inside double-quoted
+        # XML attributes
         return (
-            str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            str(s)
+            .replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&quot;")
+            .replace("'", "&apos;")
         )
 
     def cell_xml(ref: str, value) -> str:
@@ -191,10 +198,15 @@ def read_xlsx_tables(path: str) -> dict[str, tuple[list[str], list[tuple]]]:
             rows: list[list] = []
             ws = ET.fromstring(z.read(target.lstrip("/")))
             for row in ws.iter(f"{{{_NS['m']}}}row"):
-                cells: dict[int, object] = {
-                    _ref_to_col(c.get("r")): _cell_value(c, shared)
-                    for c in row.findall("m:c", _NS)
-                }
+                # the r= cell ref is OPTIONAL in ECMA-376: cells without
+                # one occupy the next implicit column position
+                cells: dict[int, object] = {}
+                next_col = 0
+                for c in row.findall("m:c", _NS):
+                    ref = c.get("r")
+                    ci = _ref_to_col(ref) if ref else next_col
+                    cells[ci] = _cell_value(c, shared)
+                    next_col = ci + 1
                 width = max(cells) + 1 if cells else 0
                 rows.append([cells.get(i) for i in range(width)])
             if len(rows) < 2:

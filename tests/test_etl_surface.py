@@ -238,6 +238,65 @@ def test_xlsx_shared_strings_parsed(tmp_path):
     assert read_xlsx_tables(path)["s"] == (["a"], [("hello",)])
 
 
+def test_upsert_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves only '._old' and
+    '._tmp'; the next run must PROMOTE the completed tmp copy, not
+    delete both and silently restart the table."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import upsert_parquet_table
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    upsert_parquet_table(df1, path, ["id"])
+    # simulate the crash window: live table renamed aside, tmp written
+    os.rename(path, path + "._old")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string") \
+        .write.mode("overwrite").parquet(path + "._tmp")
+    upsert_parquet_table(
+        spark.createDataFrame([(4, "d")], "id long, v string"), path, ["id"]
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}  # tmp recovered + new row
+
+
+def test_xlsx_reader_handles_implicit_refs_and_quotes(spark, tmp_path):
+    """ECMA-376 allows cells without r= refs (implicit positions) and
+    lowercase refs; sheet names with quotes must escape in attributes."""
+    import zipfile
+
+    from cpx_etl_spark.sources.xlsx import read_xlsx_tables, write_xlsx
+
+    path = str(tmp_path / "q.xlsx")
+    write_xlsx(path, {'Q3 "final"': (["a", "b"], [(1, 2)])})
+    with zipfile.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = (
+        b'<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.'
+        b'org/spreadsheetml/2006/main"><sheetData>'
+        b'<row r="1"><c r="a1" t="inlineStr"><is><t>a</t></is></c>'
+        b'<c t="inlineStr"><is><t>b</t></is></c></row>'
+        b'<row r="2"><c><v>1</v></c><c><v>2</v></c></row>'
+        b"</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    tables = read_xlsx_tables(path)
+    assert tables['Q3 "final"'] == (["a", "b"], [(1, 2)])
+
+
+def test_db_load_empty_result_keeps_schema(spark, tmp_path):
+    from cpx_etl_spark.sources.db_load import load_to_database, read_from_database
+
+    db = str(tmp_path / "e.duckdb")
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    load_to_database(df, db, "items", ["id"])
+    out = read_from_database(spark, db, "SELECT * FROM items WHERE id > 99")
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"id": "bigint", "name": "string"}
+
+
 def test_db_load_upsert_semantics(spark, tmp_path):
     """Live-DB load: replay is a no-op, updates win on conflict, new
     keys insert — the reference load phase's insert-or-update contract

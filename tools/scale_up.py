@@ -78,6 +78,7 @@ def main() -> None:
 
     for t, keys in KEY_COLS.items():
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        dim = len(df.select("embedding").head()[0]) if t == "embeddings" else 0
         parts = []
         for r in range(replicas):
             rep = df
@@ -94,8 +95,10 @@ def main() -> None:
                         " ",
                     ),
                 )
+                # keep derived columns consistent with the mutated text
+                if "n_chars" in rep.columns:
+                    rep = rep.withColumn("n_chars", F.length("text").cast("long"))
             if t == "embeddings" and r > 0:
-                dim = len(df.select("embedding").head()[0])
                 signs = F.array(*[F.lit(s) for s in _sign_vec(r, dim)])
                 rep = rep.withColumn(
                     "embedding",
