@@ -278,3 +278,32 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(full, F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+# Per-language sampling rates: hash-threshold pairs are two hex chars
+# of md5(doc_id), so the fraction is exact and reproducible anywhere.
+_STRATA = {"en": "cc", "de": "66", "fr": "33"}  # ~80% / 40% / 20%
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CASE lang
+          {' '.join(f"WHEN '{lang}' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{thr}'"
+                    for lang, thr in _STRATA.items())}
+          ELSE FALSE END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling: each stratum keeps a
+    different exact hash fraction (rebalancing a multilingual corpus
+    toward a target language mix). Pure column expressions — the same
+    doc set comes back on any engine, cluster size, or rerun."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = F.lit(False)
+    for lang, thr in _STRATA.items():
+        keep = F.when(F.col("lang") == lang, bucket < thr).otherwise(keep)
+    return docs.filter(keep).select("doc_id", "lang")
