@@ -39,6 +39,9 @@ HEADLINE = [
     "stream_tumbling_agg",
     "q_asof_join",
     "q_moving_window_revenue",
+    # added r3: the widest join in the suite + the CDC primitive
+    "q8_market_share",
+    "q_snapshot_diff",
 ]
 
 
