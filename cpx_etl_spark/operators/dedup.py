@@ -254,7 +254,9 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # cast pins the cross-engine dtype: Spark bit_count yields int32,
+    # DuckDB's yields int8 — the gate compares schemas exactly
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

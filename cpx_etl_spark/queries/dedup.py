@@ -205,7 +205,7 @@ _SIMHASH_H = """list_sum(list_transform(generate_series(1, 15),
         JOIN banded b2 ON b1.band_idx = b2.band_idx
                       AND b1.band_key = b2.band_key
                       AND b1.doc_id < b2.doc_id)
-    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """,
 )
