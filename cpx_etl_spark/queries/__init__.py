@@ -84,15 +84,48 @@ def sql_davg(expr: str, scale: int = 4) -> str:
     )
 
 
+# Queries that already hold a driver gate row in CORRECTNESS_r03.json.
+# The driver's per-round sweep budget is ~50 queries; three rounds of
+# cheapest-first ordering re-confirmed exactly this set every time while
+# the other 43 registrations never earned a driver row (VERDICT r3 item
+# 1). Sweep order is registry insertion order, so load_registry() puts
+# every query OUTSIDE this set first: r3 ∪ r4 then covers the whole
+# registry with driver evidence.
+R3_CONFIRMED = frozenset(
+    {
+        "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "doc_stats",
+        "embedding_stats", "q13_customer_distribution", "q14_promo_revenue",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "q19_disjunctive_revenue", "q1_pricing_summary",
+        "q22_inactive_rich_customers", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+        "q_approx_distinct_users", "q_asof_join", "q_corpus_curation",
+        "q_customers_without_orders", "q_dataset_split",
+        "q_denest_roundtrip", "q_deterministic_sample",
+        "q_distinct_segments", "q_distinct_users_daily", "q_extract_enrich",
+        "q_moving_window_revenue", "q_nation_acctbal",
+        "q_nest_customer_orders", "q_orders_with_lineitems_1996",
+        "q_percentile_stats", "q_pivot_daily_events", "q_range_join",
+        "q_rollup_revenue", "q_running_revenue", "q_salted_agg",
+        "q_set_ops", "q_stratified_sample", "q_top_orders_per_cust",
+        "q_unique_view", "q_unpivot_nation_stats", "q_view_tree",
+        "stream_dedup_first", "stream_sessionize", "stream_tumbling_agg",
+        "text_fingerprint", "text_lang_id", "text_quality_score",
+        "text_redact_pii", "text_token_count",
+    }
+)
+
+
 def load_registry() -> tuple[dict, dict]:
     """Import all query modules (side effect: registration) and return maps.
 
-    Import order sets gate-sweep order. Deliberately cheapest-first
-    (similarity/streaming/text run in well under a second each at
-    sf0.01, the dedup family is the most expensive): if the driver's
-    correctness sweep has a budget, this order completes the most
-    queries before it expires. Round 1 ran dedup-first and the sweep
-    cut off after 50 of 70 entries (VERDICT r1 item 1)."""
+    Registry insertion order sets the driver's gate-sweep order, and the
+    gate budget is ~50 queries per round. r1–r3 ran cheapest-first, which
+    confirmed the same 50 queries three times while 43 others never got a
+    driver row. This round rotates: queries WITHOUT an r3 driver row come
+    first (module order etl → dedup → multimodal → relational tail keeps
+    cheap families early within the rotation), the r3-confirmed 50 fill
+    whatever budget remains."""
     from cpx_etl_spark.queries import (  # noqa: F401
         similarity,
         streaming,
@@ -103,4 +136,9 @@ def load_registry() -> tuple[dict, dict]:
         dedup,
     )
 
+    unconfirmed = {k: v for k, v in QUERIES.items() if k not in R3_CONFIRMED}
+    confirmed = {k: v for k, v in QUERIES.items() if k in R3_CONFIRMED}
+    ordered = {**unconfirmed, **confirmed}
+    QUERIES.clear()
+    QUERIES.update(ordered)
     return QUERIES, ORACLES
