@@ -89,10 +89,27 @@ def prune_hot_shingles(index: DataFrame, max_df: int) -> DataFrame:
 
 
 def _verify_jaccard(pairs: DataFrame, index: DataFrame, counts: DataFrame,
-                    id_col: str, threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate pairs only (shared-shingle counting)."""
-    t1 = index.select(F.col(id_col).alias("doc_a"), "sh")
-    t2 = index.select(F.col(id_col).alias("doc_b"), "sh")
+                    id_col: str, threshold: float,
+                    prune_index: bool = False) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (shared-shingle counting).
+
+    With ``prune_index``, the inverted index is semi-joined down to the
+    documents that actually appear in a candidate pair before the
+    shared-shingle join — when candidates are sparse (the LSH path after
+    the band-collision pre-filter), this keeps the verify shuffle
+    proportional to the candidate docs' shingles instead of the whole
+    corpus. Results are identical either way (per-doc counts always come
+    from the full index), so oracles need no mirror.
+    """
+    if prune_index:
+        docs_a = pairs.select(F.col("doc_a").alias(id_col)).distinct()
+        docs_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        idx_a = index.join(F.broadcast(docs_a), on=id_col, how="left_semi")
+        idx_b = index.join(F.broadcast(docs_b), on=id_col, how="left_semi")
+    else:
+        idx_a = idx_b = index
+    t1 = idx_a.select(F.col(id_col).alias("doc_a"), "sh")
+    t2 = idx_b.select(F.col(id_col).alias("doc_b"), "sh")
     shared = (
         pairs.join(t1, on="doc_a")
         .join(t2, on=["doc_b", "sh"])
@@ -165,9 +182,22 @@ def minhash_signatures(index: DataFrame, id_col: str, k: int) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 2, k: int = 8, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      min_band_collisions: int = 1) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> candidate pairs ->
-    exact Jaccard verify. rows_per_band = k // bands."""
+    exact Jaccard verify. rows_per_band = k // bands.
+
+    ``min_band_collisions`` pre-filters candidates by how many of the
+    ``bands`` band keys collide — a signature-derived Jaccard estimate
+    (each band collides with probability J^r) that is already in hand
+    before the expensive exact-verify join. Random non-dup collisions
+    are overwhelmingly single-band, so requiring >= 2 discards most of
+    the verify input while keeping high-J pairs with near-certainty
+    (at J=0.9, r=4: P(band)=0.656, P(<2 of 16 bands) ~ 2e-7). The
+    filter is part of the operator's result definition: pairs must
+    collide in >= min_band_collisions bands AND pass exact Jaccard —
+    oracles replay the same HAVING clause.
+    """
     if k % bands:
         raise ValueError("k must divide evenly into bands")
     r = k // bands
@@ -192,13 +222,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     ).filter(F.col("band_key").isNotNull())
     s1 = stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     s2 = stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    # each doc contributes one row per band_idx, so count(*) per pair
+    # == number of colliding bands; the groupBy replaces the former
+    # .distinct() at the same one-shuffle cost.
     cand = (
         s1.join(s2, on=["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_n_bands"))
+        .filter(F.col("_n_bands") >= min_band_collisions)
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    return _verify_jaccard(cand, index, counts, id_col, threshold)
+    return _verify_jaccard(
+        cand, index, counts, id_col, threshold,
+        prune_index=min_band_collisions > 1,
+    )
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits int64 in every engine

@@ -74,7 +74,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash(k: int, bands: int) -> str:
+def _sql_minhash(k: int, bands: int, min_band_collisions: int = 1) -> str:
     r = k // bands
 
     def chunk(i: int) -> str:
@@ -95,12 +95,14 @@ def _sql_minhash(k: int, bands: int) -> str:
     WITH {_SQL_INDEX},
     sig AS (SELECT doc_id, {sig_cols} FROM tok GROUP BY doc_id),
     banded AS ({band_union}),
-    cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    cand AS (SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
              FROM banded b1
              JOIN banded b2 ON b1.band_idx = b2.band_idx
                            AND b1.band_key = b2.band_key
                            AND b1.doc_id < b2.doc_id
-             WHERE b1.band_key IS NOT NULL),
+             WHERE b1.band_key IS NOT NULL
+             GROUP BY b1.doc_id, b2.doc_id
+             HAVING COUNT(*) >= {min_band_collisions}),
     {_SQL_VERIFY}
     """
 
@@ -108,11 +110,16 @@ def _sql_minhash(k: int, bands: int) -> str:
 # k=64 functions over 8 chunked salted digests; bands=16 x r=4 puts the
 # LSH S-curve midpoint at (1/16)^(1/4) = 0.50 — exactly the verify
 # threshold (round 1's k=8/4x2 midpoint sat at 0.25, far too permissive
-# for precision at corpus scale; VERDICT r1 item 6).
-_MH_K, _MH_BANDS = 64, 16
+# for precision at corpus scale; VERDICT r1 item 6). Since r4, a pair
+# must collide in >= 2 of the 16 bands before exact verification — the
+# band-collision count is a free Jaccard estimate that drops the
+# single-band random collisions dominating the verify join at scale
+# (VERDICT r3 item 2); the oracle replays the same HAVING.
+_MH_K, _MH_BANDS, _MH_MINC = 64, 16, 2
 
 
-@register("dedup_minhash_lsh", oracle=_sql_minhash(_MH_K, _MH_BANDS))
+@register("dedup_minhash_lsh",
+          oracle=_sql_minhash(_MH_K, _MH_BANDS, _MH_MINC))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (md5-chunk min) + LSH banding; SQL-replayable by design."""
     return minhash_lsh_pairs(
@@ -123,6 +130,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MH_K,
         bands=_MH_BANDS,
         threshold=0.5,
+        min_band_collisions=_MH_MINC,
     )
 
 

@@ -64,6 +64,24 @@ def test_minhash_lsh_subset_of_exact_pairs(spark):
     assert (1, 3) in lsh  # identical shingle sets always share all bands
 
 
+def test_minhash_band_collision_prefilter(spark):
+    # The collision-count pre-filter can only shrink the pair set, and
+    # an exact dup collides in EVERY band, so it survives even the
+    # strictest setting (min_band_collisions == bands).
+    def pairs(minc):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(
+                _docs(spark), "doc_id", "text", n=2, k=8, bands=4,
+                threshold=0.5, min_band_collisions=minc,
+            ).collect()
+        }
+
+    loose, strict = pairs(1), pairs(4)
+    assert strict <= loose
+    assert (1, 3) in strict
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
