@@ -30,7 +30,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding",
+    "dedup_embedding_demo",
+    "dedup_embedding_strict",
     "ann_bruteforce_topk",
     "text_quality_score",
     "text_fingerprint",
@@ -76,31 +77,62 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Rolling best-known minimums (VERDICT r3 item 8): round-over-round
+    # comparisons on this shared box are noise-dominated, so alongside
+    # this session's min-of-3 we persist the best quiet-run time ever
+    # observed per (query, sf) in BENCH_BEST.json and echo it in the
+    # output line. A regression is real only when min_of_3 exceeds
+    # best_known by more than the box's noise band.
+    best_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BEST.json")
+    try:
+        with open(best_path) as f:
+            best_all = json.load(f)
+    except (OSError, ValueError):
+        best_all = {}
+    best_sf = best_all.setdefault(str(sf), {})
+    for name, dt in timings.items():
+        best_sf[name] = min(best_sf.get(name, dt), dt)
+
     result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "best_known": dict(best_sf),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
     # Scale evidence: one pass at the derived 10x corpus when present
-    # (tools/scale_up.py -> benchdata/sf1). dedup_embedding is excluded
-    # here — its 16x4 LSH parameterization targets this corpus's
-    # cos-0.45 planted dups, a regime that is candidate-quadratic for
-    # ANY parameterization (measured + analyzed in PERF.md).
+    # (tools/scale_up.py -> benchdata/sf1). dedup_embedding_demo is
+    # excluded here — its 16x4 LSH parameterization targets this
+    # corpus's cos-0.45 planted dups, a regime that is
+    # candidate-quadratic for ANY parameterization (measured + analyzed
+    # in PERF.md); dedup_embedding_strict is the production config and
+    # runs at every scale.
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchdata", "sf1")
     if os.path.isdir(sf1_dir) and os.path.abspath(sf_dir) != sf1_dir:
         sf1_timings: dict[str, float] = {}
         for name in HEADLINE:
-            if name == "dedup_embedding":
+            if name == "dedup_embedding_demo":
                 continue
             t0 = time.time()
             queries[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
             sf1_timings[name] = round(time.time() - t0, 3)
+        best_sf1 = best_all.setdefault("1", {})
+        for name, dt in sf1_timings.items():
+            best_sf1[name] = min(best_sf1.get(name, dt), dt)
         result["sf1_queries"] = sf1_timings
         result["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        result["sf1_best_known"] = dict(best_sf1)
+
+    try:
+        with open(best_path, "w") as f:
+            json.dump(best_all, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: still print the line
 
     print(json.dumps(result))
 

@@ -13,7 +13,7 @@ from cpx_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from cpx_etl_spark.operators.similarity import embedding_dup_pairs
+from cpx_etl_spark.operators.similarity import embedding_dup_pairs, lsh_params
 from cpx_etl_spark.queries import register
 from cpx_etl_spark.sources import load_table
 
@@ -225,16 +225,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Multi-table integer sign-LSH candidate generation (L=16 tables x 4
-# bits — this corpus's planted dups sit at cos 0.45-0.51, barely above
-# random, forcing wide bands; see operators/similarity.py). The oracle
-# replays the construction exactly — including the hot-bucket cap — so
-# the gate verifies BOTH the candidate generation and the rerank.
-# Measured recall vs brute force: 14/14 pairs @ sf0.01, 140/147 @
-# sf0.1. The cap (skew guard against degenerate corpora) is far above
-# the largest observed bucket (57 @ sf0.01, 195 @ sf0.1), so it never
-# fires on this data; the oracle mirrors it so results stay hash-equal
-# even if it did.
+# Multi-table integer sign-LSH candidate generation. The DEFAULT
+# parameterization is threshold-derived via lsh_params (the S-curve
+# keyed to the verify threshold — see dedup_embedding_strict); the
+# explicit L=16 x b=4 below is the corpus-tuned DEMO config: this
+# corpus's planted dups sit at cos 0.45-0.51, barely above random,
+# forcing wide bands no derivation would pick (and making candidate
+# volume quadratic — the config exists to exercise the operator on
+# this data, not as the scale path). The oracle replays the
+# construction exactly — including the hot-bucket cap — so the gate
+# verifies BOTH the candidate generation and the rerank. Measured
+# recall vs brute force: 14/14 pairs @ sf0.01, 140/147 @ sf0.1. The
+# cap (skew guard against degenerate corpora) is far above the largest
+# observed bucket (57 @ sf0.01, 195 @ sf0.1), so it never fires on
+# this data; the oracle mirrors it so results stay hash-equal even if
+# it did.
 _EMB_L, _EMB_B, _EMB_DIM, _EMB_CAP = 16, 4, 64, 2000
 
 
@@ -270,11 +275,14 @@ def _sql_emb_lsh(n_tables: int = _EMB_L, n_bits: int = _EMB_B,
     """
 
 
-@register("dedup_embedding", oracle=_sql_emb_lsh())
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at threshold 0.45: multi-table
-    LSH candidates + exact cosine rerank — fully distributed (the
-    round-1 broadcast-matrix path driver-collected the corpus)."""
+@register("dedup_embedding_demo", oracle=_sql_emb_lsh())
+def dedup_embedding_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at the corpus-tuned demo config
+    (threshold 0.45, explicit L=16 x b=4): multi-table LSH candidates +
+    exact cosine rerank — fully distributed (the round-1
+    broadcast-matrix path driver-collected the corpus). Registered
+    until r3 as `dedup_embedding`; renamed so the default story leads
+    with the threshold-derived production config below."""
     return embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -331,21 +339,24 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Production-regime variant: at realistic near-dup thresholds
-# (cos >= 0.8) the hyperplane collision probability p = 0.795 makes
-# NARROW bands selective, so bucket counts can grow with the corpus —
-# candidates ~ L * N^2 / 2^b stays near-linear in practice (PERF.md,
-# sf1 candidate-volume table). Same operator, different (threshold,
-# L, b); this registers the scale-path configuration the PERF analysis
-# derives, next to the corpus-tuned 0.45/16x4 variant above.
-_EMBS_L, _EMBS_B = 32, 8
+# Production-regime variant — THE default parameterization: (L, b) are
+# derived from the verify threshold by lsh_params' S-curve analysis
+# (operators/similarity.py; VERDICT r3 item 3), not hand-picked. At
+# cos >= 0.8 the hyperplane collision probability p = 0.795 makes
+# narrow bands selective, so candidates ~ L * N^2 / 2^b stay
+# near-linear in corpus size (PERF.md, sf1 candidate-volume table).
+# r3 hand-picked (32, 8); the derivation lands on the same band width
+# with the minimal table count for 0.99 recall.
+_EMBS_THRESHOLD = 0.8
+_EMBS_L, _EMBS_B = lsh_params(_EMBS_THRESHOLD)
 
 
 @register("dedup_embedding_strict",
-          oracle=_sql_emb_lsh(_EMBS_L, _EMBS_B, threshold=0.8))
+          oracle=_sql_emb_lsh(_EMBS_L, _EMBS_B, threshold=_EMBS_THRESHOLD))
 def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at the production threshold (cos >= 0.8) with
-    the matching narrow-band parameterization (L=32 x b=8): the
+    threshold-DERIVED banding — lsh_params(0.8) picks the narrowest
+    bands whose table count still reaches 0.99 recall: the
     configuration that stays near-linear at corpus scale. On this
     corpus (planted dups at 0.45-0.51) the result is legitimately
     empty at small sf — the oracle replays candidates + rerank exactly
@@ -354,7 +365,7 @@ def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
-        threshold=0.8,
+        threshold=_EMBS_THRESHOLD,
         n_tables=_EMBS_L,
         n_bits=_EMBS_B,
         max_bucket=_EMB_CAP,

@@ -14,7 +14,12 @@ from cpx_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from cpx_etl_spark.operators.multimodal import attach_payload, decode_features
-from cpx_etl_spark.operators.similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
+from cpx_etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    lsh_params,
+    lsh_topk,
+)
 
 
 DOCS = [
@@ -125,6 +130,28 @@ def test_embedding_dup_pairs_threshold(spark):
     pairs = {(r["vec_a"], r["vec_b"]) for r in
              embedding_dup_pairs(_vecs(spark), "vec_id", "embedding", 0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_lsh_params_scurve_derivation():
+    import math
+
+    for t in (0.45, 0.6, 0.8, 0.9, 0.95):
+        L, b = lsh_params(t, target_recall=0.99, max_tables=32, max_bits=16)
+        assert 1 <= L <= 32 and 1 <= b <= 16
+        p = 1.0 - math.acos(t) / math.pi
+        recall = 1.0 - (1.0 - p**b) ** L
+        assert recall >= 0.99
+    # higher thresholds must never get WIDER bands (selectivity is
+    # monotone in the collision probability)
+    widths = [lsh_params(t)[1] for t in (0.45, 0.6, 0.7, 0.8, 0.9)]
+    assert widths == sorted(widths)
+    # unreachable recall within the budget raises rather than silently
+    # degrading to an all-pairs-ish config
+    try:
+        lsh_params(0.05, target_recall=0.999999, max_tables=2, max_bits=16)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
 
 
 def test_lsh_recalls_near_identical(spark):
