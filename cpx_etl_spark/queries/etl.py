@@ -443,7 +443,7 @@ def q_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from cpx_etl_spark.sources.sinks import upsert_parquet_table
+    from cpx_etl_spark.sources.sinks import read_upsert_table, upsert_parquet_table
 
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
@@ -466,8 +466,8 @@ def q_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(2):  # second pass re-inserts identical rows: no growth
         for name, frame in ents.items():
             upsert_parquet_table(frame, os.path.join(base, name), pks[name])
-    hdr = spark.read.parquet(os.path.join(base, "order_hdr"))
-    item = spark.read.parquet(os.path.join(base, "order_item"))
+    hdr = read_upsert_table(spark, os.path.join(base, "order_hdr"))
+    item = read_upsert_table(spark, os.path.join(base, "order_item"))
     return (
         hdr.join(item, on="o_orderkey")
         .groupBy("o_orderkey", "customer_id", "totalprice")

@@ -61,17 +61,56 @@ def read_jsonl(
     return reader.json(path)
 
 
+_MANIFEST = "_MANIFEST"
+
+
+def _read_manifest(path: str) -> str | None:
+    """Current committed version name, or None (no table / legacy flat
+    parquet dir without a manifest)."""
+    import os
+
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            v = f.read().strip()
+        return v or None
+    except OSError:
+        return None
+
+
+def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read the committed snapshot of an upsert table: resolve the
+    manifest pointer, scan only that version's directory. A plain
+    parquet directory (no manifest) reads as-is, so the helper works on
+    both layouts."""
+    import os
+
+    v = _read_manifest(path)
+    if v is None:
+        return spark.read.parquet(path)
+    return spark.read.parquet(os.path.join(path, v))
+
+
 def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
     """Idempotent load into a parquet-backed table (reference load
     phase, etl.js:758-829: INSERT of deduped entity sets — re-running
     the same load must not grow the table).
 
     Merge-on-read-free formulation for plain parquet: read the current
-    table if it exists, SCD-1 merge the incoming rows on the PK
-    (incoming wins), write to a sibling tmp dir, swap. At real scale
-    the same merge lands on a table format with transactional commit
-    (Iceberg/Delta); the merge plan — one key-partitioned full-outer
-    join, pre-bucketable — is identical.
+    committed snapshot, SCD-1 merge the incoming rows on the PK
+    (incoming wins), write the result as a NEW version directory, then
+    atomically repoint the `_MANIFEST` file (write-tmp + os.replace).
+    This is the poor-man's snapshot commit protocol of Iceberg/Delta:
+    - a version directory is only ever referenced AFTER its write
+      completed, so a crash at any point leaves either the old or the
+      new snapshot committed — a partial write is never promoted (it
+      sits unreferenced and is garbage-collected by the next run);
+    - readers resolve the pointer via read_upsert_table and scan an
+      immutable directory, so a reader racing the commit never sees a
+      missing or half-replaced path. The previous version is retained
+      through the commit and collected only at the START of the next
+      upsert, giving in-flight readers a full write-cycle grace window.
+    At real scale the same one-join merge plan lands on an actual
+    Iceberg/Delta MERGE commit; layout and failure story are identical.
     """
     import os
     import shutil
@@ -79,34 +118,33 @@ def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
     from cpx_etl_spark.operators.relational import merge_upsert
 
     spark = df.sparkSession
-    tmp, old = path + "._tmp", path + "._old"
-    # Crash recovery BEFORE cleanup: if the live table is missing, a
-    # prior run died inside its swap. '._tmp' only replaces the live
-    # table after its write completed (the rename-aside happens last),
-    # so promote it; otherwise restore the set-aside original. Only
-    # then clear leftovers — deleting first would destroy the last
-    # surviving copy.
-    if not os.path.exists(path):
-        if os.path.exists(tmp):
-            os.rename(tmp, path)
-        elif os.path.exists(old):
-            os.rename(old, path)
-    for stale in (tmp, old):  # a failed prior run must not poison this one
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-    if os.path.exists(path):
+    os.makedirs(path, exist_ok=True)
+    current = _read_manifest(path)
+    # GC before writing: every version dir the manifest does NOT point
+    # at is either a crashed run's partial/unpublished write (possibly
+    # truncated — promoting it would silently corrupt the table) or a
+    # superseded snapshot past its reader grace window. Delete both.
+    for entry in os.listdir(path):
+        if entry.startswith("v") and entry != current:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    if current is not None:
+        existing = spark.read.parquet(os.path.join(path, current)).select(*df.columns)
+        merged = merge_upsert(existing, df, keys=keys)
+    elif any(e.endswith(".parquet") for e in os.listdir(path)):
+        # legacy flat layout: migrate by merging the loose files into
+        # the first committed version (files stay behind for any reader
+        # still scanning the flat path; the layouts don't collide)
         existing = spark.read.parquet(path).select(*df.columns)
         merged = merge_upsert(existing, df, keys=keys)
     else:
         merged = df
-    merged.write.mode("overwrite").parquet(tmp)
-    # Rename-aside swap: the live table is never deleted before its
-    # replacement is in place, so a crash leaves either the old or the
-    # new table readable (plus at worst a '._old'/'._tmp' leftover that
-    # the next run clears). Still not transactional across readers —
-    # real scale lands this merge on Iceberg/Delta commit protocols.
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    next_v = f"v{(int(current[1:]) + 1 if current else 1):08d}"
+    merged.write.mode("overwrite").parquet(os.path.join(path, next_v))
+    # Atomic commit: the pointer swap is a single os.replace; readers
+    # observe either the old or the new version name, never a torn file.
+    tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
+    with open(tmp_mf, "w") as f:
+        f.write(next_v + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_mf, os.path.join(path, _MANIFEST))

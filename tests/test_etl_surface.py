@@ -238,26 +238,73 @@ def test_xlsx_shared_strings_parsed(tmp_path):
     assert read_xlsx_tables(path)["s"] == (["a"], [("hello",)])
 
 
-def test_upsert_recovers_from_crashed_swap(spark, tmp_path):
-    """A crash between the two swap renames leaves only '._old' and
-    '._tmp'; the next run must PROMOTE the completed tmp copy, not
-    delete both and silently restart the table."""
+def test_upsert_ignores_uncommitted_partial_version(spark, tmp_path):
+    """A crash mid-write leaves a version directory the manifest never
+    pointed at — possibly TRUNCATED. The next run must not promote it
+    (silent data loss); it must merge against the committed snapshot
+    and garbage-collect the partial dir."""
     import os
 
-    from cpx_etl_spark.sources.sinks import upsert_parquet_table
+    from cpx_etl_spark.sources.sinks import read_upsert_table, upsert_parquet_table
 
     path = str(tmp_path / "tbl")
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     upsert_parquet_table(df1, path, ["id"])
-    # simulate the crash window: live table renamed aside, tmp written
-    os.rename(path, path + "._old")
-    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string") \
-        .write.mode("overwrite").parquet(path + "._tmp")
+    # simulate a crashed run: a partial (here: wrong-content) version
+    # dir beyond the committed one, manifest untouched
+    partial = os.path.join(path, "v00000002")
+    spark.createDataFrame([(9, "TRUNCATED")], "id long, v string") \
+        .write.mode("overwrite").parquet(partial)
     upsert_parquet_table(
-        spark.createDataFrame([(4, "d")], "id long, v string"), path, ["id"]
+        spark.createDataFrame([(3, "c")], "id long, v string"), path, ["id"]
     )
-    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
-    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}  # tmp recovered + new row
+    got = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # partial never surfaced
+    # first-ever-load variant (ADVICE r3): crash mid-write with NO
+    # committed table at all — next load starts clean, no promotion
+    path2 = str(tmp_path / "tbl2")
+    os.makedirs(path2)
+    spark.createDataFrame([(9, "TRUNCATED")], "id long, v string") \
+        .write.mode("overwrite").parquet(os.path.join(path2, "v00000001"))
+    upsert_parquet_table(df1, path2, ["id"])
+    # the unreferenced partial was deleted before the fresh load, which
+    # then committed its own v00000001 (data above proves no merge with
+    # the truncated content ever happened)
+    from cpx_etl_spark.sources.sinks import _read_manifest
+
+    assert _read_manifest(path2) == "v00000001"
+    got2 = {r["id"]: r["v"] for r in read_upsert_table(spark, path2).collect()}
+    assert got2 == {1: "a", 2: "b"}
+
+
+def test_upsert_commit_keeps_prior_snapshot_for_inflight_readers(spark, tmp_path):
+    """Deterministic interleaving of the VERDICT r3 reader race: a
+    reader resolves the manifest, an upsert commits underneath it, the
+    reader then scans its resolved version — which must still exist
+    (prior snapshots are collected only at the START of the next
+    upsert, one full write-cycle later)."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import (
+        _read_manifest,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    upsert_parquet_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path, ["id"]
+    )
+    seen = _read_manifest(path)  # reader resolves the pointer...
+    upsert_parquet_table(  # ...writer commits a new version under it
+        spark.createDataFrame([(2, "b")], "id long, v string"), path, ["id"]
+    )
+    assert _read_manifest(path) != seen
+    # the reader's resolved snapshot is intact and scannable
+    old = {tuple(r) for r in spark.read.parquet(os.path.join(path, seen)).collect()}
+    assert old == {(1, "a")}
+    new = {tuple(r) for r in read_upsert_table(spark, path).collect()}
+    assert new == {(1, "a"), (2, "b")}
 
 
 def test_xlsx_reader_handles_implicit_refs_and_quotes(spark, tmp_path):
@@ -359,17 +406,30 @@ def test_xsl_chain_order_and_fusion(spark, tmp_path):
 
 
 def test_upsert_parquet_table_idempotent(spark, tmp_path):
-    from cpx_etl_spark.sources.sinks import upsert_parquet_table
+    from cpx_etl_spark.sources.sinks import read_upsert_table, upsert_parquet_table
 
     path = str(tmp_path / "tbl")
     rows = [(1, "a"), (2, "b")]
     df = spark.createDataFrame(rows, "id long, v string")
     upsert_parquet_table(df, path, ["id"])
     upsert_parquet_table(df, path, ["id"])  # identical re-load: no growth
-    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    got = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
     assert got == rows
     # updates win, inserts append
     upd = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
     upsert_parquet_table(upd, path, ["id"])
-    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    got = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_upsert_migrates_legacy_flat_parquet_dir(spark, tmp_path):
+    from cpx_etl_spark.sources.sinks import read_upsert_table, upsert_parquet_table
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .write.mode("overwrite").parquet(path)  # pre-existing flat table
+    upsert_parquet_table(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), path, ["id"]
+    )
+    got = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
     assert got == [(1, "a"), (2, "B"), (3, "c")]

@@ -123,6 +123,7 @@ def test_stream_upsert_sink_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch upsert sink: draining the same bounded stream twice
     (fresh checkpoint = full replay) leaves the PK-upserted table
     unchanged — the streaming twin of q_load_roundtrip."""
+    from cpx_etl_spark.sources.sinks import read_upsert_table
     from cpx_etl_spark.streaming.events import stream_upsert_parquet
 
     out = str(tmp_path / "tbl")
@@ -134,8 +135,8 @@ def test_stream_upsert_sink_idempotent(spark, sf_dir, tmp_path):
         )
         q.awaitTermination()
         if i == 0:
-            first = _canon(spark.read.parquet(out).toPandas())
-    second = _canon(spark.read.parquet(out).toPandas())
+            first = _canon(read_upsert_table(spark, out).toPandas())
+    second = _canon(read_upsert_table(spark, out).toPandas())
     batch_keys = {
         (r["user_id"], r["event_type"])
         for r in dedup_first_batch(load_table(spark, sf_dir, "events")).collect()
