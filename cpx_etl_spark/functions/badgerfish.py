@@ -23,7 +23,7 @@ def _convert_name(name: str, to_bfish: bool) -> str:
 
 def _convert_value(col: Column, dtype, to_bfish: bool) -> Column:
     if isinstance(dtype, StructType):
-        return F.struct(
+        rebuilt = F.struct(
             *[
                 _convert_value(col.getField(f.name), f.dataType, to_bfish).alias(
                     f.name if isinstance(f.dataType, (StructType, ArrayType)) else _convert_name(f.name, to_bfish)
@@ -31,6 +31,10 @@ def _convert_value(col: Column, dtype, to_bfish: bool) -> Column:
                 for f in dtype.fields
             ]
         )
+        # struct() of a null struct's fields is a struct of nulls — a
+        # missing object must stay missing (the reference walks JSON,
+        # where an absent object is never materialized)
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
     if isinstance(dtype, ArrayType) and isinstance(dtype.elementType, StructType):
         inner = dtype.elementType
         return F.transform(col, lambda x: _convert_value(x, inner, to_bfish))

@@ -19,6 +19,7 @@ from cpx_etl_spark.operators.validation import validate
 from cpx_etl_spark.plans.mapping import apply_mapping
 from cpx_etl_spark.plans.pipeline import compile_pipeline, load_related_split
 from cpx_etl_spark.queries import dsum, register, sql_dsum
+from cpx_etl_spark.scratch import scratch_dir
 from cpx_etl_spark.sources import load_table
 from cpx_etl_spark.sources.fixed_width import Field, decode, encode
 from cpx_etl_spark.sources.xlsx import fake_workbook
@@ -313,12 +314,11 @@ def q_xlsx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipfile/SpreadsheetML writer) and parsed back by the library-free
     reader (sources/xlsx.py, ECMA-376 public format) — no openpyxl."""
     import os
-    import tempfile
 
     from cpx_etl_spark.sources.xlsx import read_xlsx, write_fake_workbook
 
     path = write_fake_workbook(
-        os.path.join(tempfile.mkdtemp(prefix="cpx_etl_xlsx_"), "wb.xlsx")
+        os.path.join(scratch_dir("cpx_etl_xlsx_"), "wb.xlsx")
     )
     return read_xlsx(spark, path)["people"]
 
@@ -374,11 +374,10 @@ def _write_xsl_chain_control() -> str:
     xi:include; each href holds one step's mapping spec)."""
     import json
     import os
-    import tempfile
 
     # fresh dir per invocation (driver-side config files): concurrent
     # or stale runs must not share mutable state (r2 ADVICE)
-    d = tempfile.mkdtemp(prefix="cpx_etl_xsl_chain_")
+    d = scratch_dir("cpx_etl_xsl_chain_")
     for i, spec in enumerate(_XSL_STEPS, start=1):
         with open(os.path.join(d, f"step{i}.json"), "w", encoding="utf-8") as fh:
             json.dump(spec, fh)
@@ -500,7 +499,6 @@ def q_db_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean load. Complements q_load_roundtrip's data-lake (parquet)
     variant with the reference's actual target shape."""
     import os
-    import tempfile
 
     from cpx_etl_spark.sources.db_load import load_to_database, read_from_database
 
@@ -519,7 +517,7 @@ def q_db_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_item": (["o_orderkey", "l_linenumber"], {"l_quantity": "quantity"}),
         },
     )
-    db = os.path.join(tempfile.mkdtemp(prefix="cpx_etl_db_load_"), "load.duckdb")
+    db = os.path.join(scratch_dir("cpx_etl_db_load_"), "load.duckdb")
     pks = {"order_hdr": ["o_orderkey"], "order_item": ["o_orderkey", "l_linenumber"]}
     for _ in range(2):  # replay must not grow the tables
         for name, frame in ents.items():
@@ -557,11 +555,10 @@ def q_describe_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     files."""
     import json
     import os
-    import tempfile
 
     from cpx_etl_spark.plans.describe import describe_summary
 
-    root = tempfile.mkdtemp(prefix="cpx_etl_describe_")
+    root = scratch_dir("cpx_etl_describe_")
     specs = {
         ("suite_events", "enrich.json"): {
             "source": "events",
@@ -626,12 +623,11 @@ def q_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSONL, both read back with explicit schemas, inner-joined on the
     key, and aggregated — numeric values must survive both text
     encodings bit-exactly for the hash to match."""
-    import tempfile
 
     from cpx_etl_spark.sources.sinks import read_csv, read_jsonl
 
     cust = load_table(spark, sf_dir, "customer")
-    base = tempfile.mkdtemp(prefix="cpx_etl_interchange_")
+    base = scratch_dir("cpx_etl_interchange_")
     cust.write.mode("overwrite").option("header", "true").csv(base + "/csv")
     cust.write.mode("overwrite").json(base + "/jsonl")
     schema = ("c_custkey bigint, c_name string, c_nationkey int, "
@@ -714,14 +710,13 @@ def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     day, the read-back filters ONE partition (readers prune on the
     partition column — tests/test_plans.py asserts the scan shape),
     and the aggregate must equal computing directly on the source."""
-    import tempfile
 
     from cpx_etl_spark.sources.sinks import write_partitioned_parquet
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts").cast("date")
     )
-    out = tempfile.mkdtemp(prefix="cpx_etl_part_") + "/events"
+    out = scratch_dir("cpx_etl_part_") + "/events"
     write_partitioned_parquet(ev, out, ["day"])
     back = spark.read.parquet(out).filter(F.col("day") == F.lit("2024-01-15"))
     return back.groupBy("event_type").agg(

@@ -45,8 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # newer corpora store TIMESTAMP(MICROS, not UTC-adjusted);
+            # with the session pinned to UTC the cast is value-preserving
+            # and gives every downstream op (unix_micros, watermarks) the
+            # plain TIMESTAMP they expect
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -176,7 +176,16 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return bool(int(v.text))
     if t == "str":
         return v.text
-    return float(v.text)
+    if t == "e":
+        # Error cell from a real spreadsheet app (#DIV/0!, #N/A, ...):
+        # surface the error text rather than aborting the whole read.
+        return v.text
+    try:
+        # Note: date-styled cells are stored as numbers; they come back as
+        # Excel serial floats (no style-table interpretation is attempted).
+        return float(v.text)
+    except ValueError:
+        return v.text
 
 
 def read_xlsx_tables(path: str) -> dict[str, tuple[list[str], list[tuple]]]:
