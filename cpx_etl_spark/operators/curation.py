@@ -1,0 +1,124 @@
+"""Training-corpus curation operators beyond dedup: benchmark
+decontamination, document chunking, and token-budget sequence packing.
+
+These are the ops a large-scale LLM data pipeline runs after filtering
+and dedup: strip training docs that overlap evaluation sets, split long
+documents into model-window-sized chunks, and batch short documents
+into fixed token budgets. All three compile to pure DataFrame plans —
+no Python in the hot path.
+
+Scale notes (100 TB):
+- decontaminate: the eval/test side is small by construction (benchmark
+  suites are MBs, the train corpus is TBs), so its distinct shingle set
+  is broadcast — the train side is scanned once, map-side, with no
+  shuffle of the full corpus. The per-doc shingle totals ride the same
+  scan via a groupBy on doc id (one shuffle of (id, counts) pairs only).
+- chunk_documents: embarrassingly parallel projection + explode; output
+  partitioning inherits the scan.
+- pack_sequences: one window per partition key (lang here). Real
+  pipelines add a hash-bucket sub-key so no single partition's window
+  serializes more than a bucket's worth of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from cpx_etl_spark.functions.text import shingles_expr
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Flag training docs whose distinct-n-gram overlap with the test
+    corpus is >= threshold (the n-gram-overlap decontamination rule used
+    by public LLM corpus pipelines, e.g. GPT-3 appendix C / The Pile).
+
+    Returns (id, n_shingles, n_shared, contamination) for flagged docs.
+    """
+    sh = shingles_expr(f"split({text_col}, ' ')", n)
+    tr = train.select(F.col(id_col), F.explode(F.expr(sh)).alias("sh"))
+    te = test.select(F.explode(F.expr(sh)).alias("sh")).distinct()
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        tr.join(F.broadcast(te), on="sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    joined = totals.join(shared, on=id_col, how="inner")
+    contamination = F.col("n_shared") / F.col("n_shingles")
+    return (
+        joined.withColumn("contamination", F.round(contamination - 1e-9, 6))
+        .filter(F.col("contamination") >= threshold)
+        .select(id_col, "n_shingles", "n_shared", "contamination")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document's token stream into overlapping windows of
+    ``chunk_tokens`` tokens every ``stride`` tokens (chunk i covers
+    tokens [i*stride+1, i*stride+chunk_tokens]; the tail chunk may be
+    shorter). Pure projection + explode — scales linearly."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.floor((F.size(toks) - F.lit(1)) / F.lit(stride)) + F.lit(1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * F.lit(stride) + F.lit(1), F.lit(chunk_tokens))
+        ),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    part_col: str,
+    capacity: int = 2048,
+) -> DataFrame:
+    """Deterministic contiguous token-budget packing: within each
+    ``part_col`` group, documents in ``id_col`` order fill bins of
+    ``capacity`` tokens; a doc belongs to the bin its first token lands
+    in. One cumulative-sum window per group — add a hash sub-key to
+    ``part_col`` when a single group exceeds one executor's row budget.
+
+    Returns one row per (part, bin): docs packed and token total.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        F.col(part_col), F.col(id_col), token_count_col.alias("_n_tok")
+    ).withColumn("_cum", F.sum("_n_tok").over(w))
+    binned = with_cum.withColumn(
+        "bin", F.floor((F.col("_cum") - F.col("_n_tok")) / F.lit(capacity))
+    )
+    return binned.groupBy(part_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("bin_tokens"),
+        F.min(id_col).alias("first_id"),
+        F.max(id_col).alias("last_id"),
+    )

@@ -134,6 +134,7 @@ def load_registry() -> tuple[dict, dict]:
         etl,
         multimodal,
         dedup,
+        curation,
     )
 
     unconfirmed = {k: v for k, v in QUERIES.items() if k not in R3_CONFIRMED}

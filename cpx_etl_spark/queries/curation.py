@@ -1,0 +1,114 @@
+"""Training-corpus curation queries: decontamination, chunking, packing.
+
+Beyond-reference LLM-pipeline surface (SURVEY §2.5 extension): the ops
+that run between dedup and training — strip docs overlapping the eval
+set, split long docs into model windows, pack short docs into token
+budgets. Each has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.functions.text import sql_shingles, token_count
+from cpx_etl_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+)
+from cpx_etl_spark.queries import register
+from cpx_etl_spark.sources import load_table
+
+# deterministic ~1/16 eval split: first hex digit of md5(doc_id)
+_TEST_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+_NGRAM = 4
+_SHINGLES = sql_shingles("string_split(text, ' ')", _NGRAM)
+_CHUNK, _STRIDE = 32, 24
+_CAPACITY = 2048
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH te AS (SELECT DISTINCT unnest({_SHINGLES}) AS sh
+                FROM documents WHERE {_TEST_PRED}),
+    tr AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+           FROM documents WHERE NOT ({_TEST_PRED})),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+    sha AS (SELECT tr.doc_id, COUNT(*) AS n_shared
+            FROM tr JOIN te USING (sh) GROUP BY tr.doc_id)
+    SELECT t.doc_id, t.n_shingles, s.n_shared,
+           ROUND(s.n_shared * 1.0 / t.n_shingles - 1e-9, 6) + 0 AS contamination
+    FROM tot t JOIN sha s USING (doc_id)
+    WHERE ROUND(s.n_shared * 1.0 / t.n_shingles - 1e-9, 6) + 0 >= 0.2
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing >= 20% of
+    their distinct 4-gram shingles with the held-out eval split. The
+    eval shingle set broadcasts (eval corpora are small by
+    construction); the train corpus is scanned once map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return decontaminate(
+        docs.filter(~is_test),
+        docs.filter(is_test),
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        threshold=0.2,
+    )
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(generate_series(0, (len(t) - 1) // {_STRIDE})) AS chunk_idx
+            FROM toks)
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(t, chunk_idx * {_STRIDE} + 1,
+                                      chunk_idx * {_STRIDE} + {_CHUNK}), ' ')
+               AS chunk_text,
+           len(list_slice(t, chunk_idx * {_STRIDE} + 1,
+                          chunk_idx * {_STRIDE} + {_CHUNK})) AS chunk_tokens
+    FROM idx
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks every 24 tokens per document —
+    model-window splitting as a pure projection + explode."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_tokens=_CHUNK,
+        stride=_STRIDE,
+    )
+
+
+@register(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH d AS (SELECT lang, doc_id,
+                      len(string_split(text, ' ')) AS n_tok FROM documents),
+    c AS (SELECT lang, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT lang, CAST(FLOOR((cum - n_tok) / {_CAPACITY}.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+    FROM c GROUP BY lang, bin
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: per language, docs in id order fill
+    2048-token bins (a doc belongs to the bin its first token lands
+    in); one row per bin with doc count + token total."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), "lang", capacity=_CAPACITY
+    )

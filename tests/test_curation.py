@@ -1,0 +1,88 @@
+"""Curation operators: decontamination, chunking, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+)
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # 5 shingles, all shared -> 1.0
+            (2, "z y x w v u t s"),          # disjoint -> not flagged
+            (3, "a b c d q r s t u v w x"),  # shares 'a b c d' only
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(train, test, "doc_id", "text", n=4, threshold=0.2).collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["n_shingles"] == 5 and out[1]["n_shared"] == 5
+    assert out[1]["contamination"] == 1.0
+    # doc 3: 1 shared of 9 shingles = 0.111 < 0.2 -> excluded
+    low = decontaminate(train, test, "doc_id", "text", n=4, threshold=0.1).collect()
+    assert {r["doc_id"] for r in low} == {1, 3}
+
+
+def test_decontaminate_broadcasts_test_side(spark):
+    train = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    test = spark.createDataFrame([(2, "a b c d")], "doc_id long, text string")
+    plan = decontaminate(train, test, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_chunk_documents_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(str(i) for i in range(1, 81))),  # 80 tokens
+            (2, "only three tokens"),                      # 3 tokens, 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: starts at 1, 25, 49, 73 -> 4 chunks; last has 80-72=8 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_tokens"] for r in c1] == [32, 32, 32, 8]
+    assert c1[0]["chunk_text"].split()[0] == "1"
+    assert c1[1]["chunk_text"].split()[0] == "25"
+    assert c1[3]["chunk_text"].split() == [str(i) for i in range(73, 81)]
+    # overlap: chunk 0 tokens 1..32, chunk 1 starts at 25 -> 8 shared
+    assert set(c1[0]["chunk_text"].split()) & set(c1[1]["chunk_text"].split()) == {
+        str(i) for i in range(25, 33)
+    }
+    assert [r["chunk_tokens"] for r in by_doc[2]] == [3]
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    df = spark.createDataFrame(
+        [("en", i, 60) for i in range(1, 11)] + [("de", 1, 500)],
+        "lang string, doc_id long, n long",
+    )
+    out = {
+        (r["lang"], r["bin"]): r.asDict()
+        for r in pack_sequences(df, "doc_id", F.col("n"), "lang", capacity=100).collect()
+    }
+    # en: doc i starts at offset (i-1)*60 -> bins 0,0,1,1,2,3,3,4,4,5
+    assert out[("en", 0)]["n_docs"] == 2 and out[("en", 0)]["bin_tokens"] == 120
+    assert out[("en", 0)]["first_id"] == 1 and out[("en", 0)]["last_id"] == 2
+    assert out[("en", 2)]["n_docs"] == 1
+    assert out[("en", 5)]["last_id"] == 10
+    # de: single 500-token doc starts at 0 -> bin 0 despite overflow
+    assert out[("de", 0)]["n_docs"] == 1 and out[("de", 0)]["bin_tokens"] == 500
+    # every doc lands in exactly one bin
+    assert sum(v["n_docs"] for v in out.values()) == 11
