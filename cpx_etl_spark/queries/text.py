@@ -162,13 +162,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter(
         (F.col("quality") >= 0.55) & F.col("n_tokens").between(20, 200)
     )
-    survivors = (
-        kept.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return kept.join(survivors, on="doc_id", how="left_semi").select(
-        "doc_id", "n_tokens", "quality"
+    # survivor = min doc_id per content hash, as a window over the hash
+    # rather than a groupBy + semi-join: the join form derives the
+    # scored+filtered frame TWICE (once per side — measured 7.0s vs
+    # 5.0s at sf1); the window shuffles the kept rows once and keeps
+    # one derivation
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        kept.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .select("doc_id", "n_tokens", "quality")
     )
 
 
