@@ -43,6 +43,11 @@ HEADLINE = [
     # added r3: the widest join in the suite + the CDC primitive
     "q8_market_share",
     "q_snapshot_diff",
+    # added r4: corpus curation ops (decontamination joins the dedup
+    # family as a headline scale stressor; packing covers the window
+    # path over documents)
+    "q_decontaminate",
+    "q_sequence_packing",
 ]
 
 

@@ -112,3 +112,28 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, "doc_id", token_count(F.col("text")), "lang", capacity=_CAPACITY
     )
+
+
+@register(
+    "q_vocab_topk",
+    oracle="""
+    SELECT tok, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 1000
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary building: corpus-wide token frequencies,
+    top 1000 (freq desc, token asc tiebreaker). Map-side partial
+    aggregation makes the shuffle carry only distinct tokens per
+    partition; the top-k sort runs on the already-aggregated counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(1000)
+    )

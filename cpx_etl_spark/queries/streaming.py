@@ -68,3 +68,32 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_first_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+           MIN(c.event_id) AS first_click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: clicks within the hour
+    before each purchase, same user, rolled up per purchase. The
+    streaming twin (click_attribution_pairs_stream) bounds its join
+    state with per-side watermarks; tests prove pair-set equality."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.streaming.events import click_attribution_pairs_batch
+
+    pairs = click_attribution_pairs_batch(load_table(spark, sf_dir, "events"))
+    return pairs.groupBy("user_id", "purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_id").alias("first_click_id"),
+    )

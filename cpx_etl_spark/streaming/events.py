@@ -274,6 +274,65 @@ def dedup_first_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+# --- stream-stream interval join ---------------------------------------------
+
+ATTRIBUTION_WINDOW_US = 3_600_000_000  # clicks within 1 h before a purchase
+
+
+def click_attribution_pairs_batch(df: DataFrame) -> DataFrame:
+    """(purchase, click) pairs where the click happened within the hour
+    before the purchase, same user — the batch twin of the
+    stream-stream interval join."""
+    p = df.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - F.lit(ATTRIBUTION_WINDOW_US)),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id")
+
+
+def click_attribution_pairs_stream(sdf: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases join clicks from the same
+    source stream. Both sides carry watermarks so Spark bounds the join
+    state — the click side's watermark must cover the attribution
+    window or matching rows would be evicted before their purchase
+    arrives; state per key is then O(window), independent of stream
+    length."""
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return p.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND "
+            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id")
+
+
 def enrich_stream(sdf: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
     """Stream-static enrichment join: the static side broadcasts into
     every micro-batch (the streaming twin of operators.relational.enrich).

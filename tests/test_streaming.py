@@ -196,3 +196,28 @@ def test_session_gap_scan_shared_helper():
     # empty batch: state untouched, nothing emitted
     state2, out = _session_gap_scan(7, [], state, gap)
     assert out is None and state2 == state
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    """Stream-stream interval join must emit exactly the batch pair set:
+    with availableNow (all data within one run) no pair is lost to
+    watermark eviction, so set equality is exact."""
+    from cpx_etl_spark.streaming.events import (
+        click_attribution_pairs_batch,
+        click_attribution_pairs_stream,
+    )
+
+    batch = click_attribution_pairs_batch(
+        load_table(spark, sf_dir, "events")
+    ).toPandas()
+    stream = _drain(
+        click_attribution_pairs_stream(events_stream(spark, sf_dir)),
+        "t_ivjoin",
+        spark,
+        "append",
+    ).toPandas()
+    cols = ["user_id", "purchase_id", "click_id"]
+    bk = set(map(tuple, batch[cols].itertuples(index=False)))
+    sk = set(map(tuple, stream[cols].itertuples(index=False)))
+    assert len(bk) == len(batch) and len(sk) == len(stream)  # no dup pairs
+    assert bk == sk
