@@ -250,12 +250,16 @@ def _sql_emb_lsh(n_tables: int = _EMB_L, n_bits: int = _EMB_B,
     registrations share the exact CTE shape."""
     from cpx_etl_spark.operators.similarity import (
         hyperplane_weights,
+        sketch_ham_max,
         sql_lsh_buckets_cte,
+        sql_sketch_cte,
     )
 
     w = hyperplane_weights(n_tables, n_bits, _EMB_DIM)
+    hmax = sketch_ham_max(threshold)
     return f"""
     WITH {sql_lsh_buckets_cte(w, _EMB_DIM)},
+    {sql_sketch_cte(_EMB_DIM)},
     kept AS (
         SELECT b.* FROM buckets b
         JOIN (SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket
@@ -265,10 +269,18 @@ def _sql_emb_lsh(n_tables: int = _EMB_L, n_bits: int = _EMB_B,
         SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
         FROM kept b1
         JOIN kept b2 ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
-                    AND b1.vec_id < b2.vec_id)
+                    AND b1.vec_id < b2.vec_id),
+    -- the 63-bit sign-sketch Hamming pre-filter lsh_candidate_pairs
+    -- applies before its exact rerank, replayed bit-exactly
+    candf AS (
+        SELECT c.vec_a, c.vec_b
+        FROM cand c
+        JOIN sketches s1 ON s1.vec_id = c.vec_a
+        JOIN sketches s2 ON s2.vec_id = c.vec_b
+        WHERE bit_count(xor(s1.sk, s2.sk)) <= {hmax})
     SELECT c.vec_a, c.vec_b,
            ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) + 0 AS cos
-    FROM cand c
+    FROM candf c
     JOIN embeddings e1 ON e1.vec_id = c.vec_a
     JOIN embeddings e2 ON e2.vec_id = c.vec_b
     WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) >= {threshold}
