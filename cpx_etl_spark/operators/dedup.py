@@ -137,7 +137,33 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # NOTE: the index feeds several scans, but persist() measured SLOWER
     # here — the codegen'd tokenize+window chain recomputes faster than
     # the cache writes. Recompute deliberately.
-    cand_index = prune_hot_shingles(index, max_df) if max_df is not None else index
+    if max_df is None:
+        # fast path: the candidate self-join already touches every
+        # shared shingle of every pair, so COUNTING it (groupBy instead
+        # of distinct) yields the exact intersection size for free —
+        # no separate verify join re-deriving the index for both sides
+        t1 = index.select(F.col(id_col).alias("doc_a"), "sh")
+        t2 = index.select(F.col(id_col).alias("doc_b"), "sh")
+        shared = (
+            t1.join(t2, on="sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+        cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+        jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        return (
+            shared.join(ca, on="doc_a")
+            .join(cb, on="doc_b")
+            .withColumn("jaccard", F.round(jac - 1e-9, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    # with hot-shingle pruning, the pruned join undercounts shared
+    # shingles, so candidates and verification must stay separate
+    # (verification always counts the FULL sets)
+    cand_index = prune_hot_shingles(index, max_df)
     t1 = cand_index.select(F.col(id_col).alias("doc_a"), "sh")
     t2 = cand_index.select(F.col(id_col).alias("doc_b"), "sh")
     cand = (
