@@ -36,6 +36,25 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def write_clustered_parquet(
+    df: DataFrame, path: str, cluster_cols: list[str], mode: str = "overwrite",
+    n_partitions: int | None = None,
+) -> None:
+    """Range-partition + sort-within-partitions on the cluster columns
+    before writing: every parquet file then covers a narrow value range,
+    so row-group min/max statistics prune scans on those columns (the
+    poor-man's Z-order for single-dimension clustering). One range
+    exchange (sampled boundaries) — the write itself stays parallel.
+    `n_partitions` pins the file count (AQE otherwise sizes it)."""
+    args = ([n_partitions] if n_partitions is not None else []) + list(cluster_cols)
+    (
+        df.repartitionByRange(*args)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: StructType | str | None = None,
     header: bool = True, **options,
@@ -77,13 +96,36 @@ def _read_manifest(path: str) -> str | None:
         return None
 
 
-def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
+def list_upsert_versions(path: str) -> list[str]:
+    """Version directories still on disk, oldest first (the committed
+    one plus any prior version inside its reader grace window)."""
+    import os
+
+    try:
+        return sorted(e for e in os.listdir(path) if e.startswith("v"))
+    except OSError:
+        return []
+
+
+def read_upsert_table(
+    spark: SparkSession, path: str, version: str | None = None
+) -> DataFrame:
     """Read the committed snapshot of an upsert table: resolve the
     manifest pointer, scan only that version's directory. A plain
     parquet directory (no manifest) reads as-is, so the helper works on
-    both layouts."""
+    both layouts. Pass `version` (a name from list_upsert_versions) to
+    time-travel to any version still inside the retention window —
+    snapshots are immutable once written, so the read is stable even if
+    a new version commits meanwhile."""
     import os
 
+    if version is not None:
+        if version not in list_upsert_versions(path):
+            raise FileNotFoundError(
+                f"version {version!r} not retained at {path}; "
+                f"available: {list_upsert_versions(path)}"
+            )
+        return spark.read.parquet(os.path.join(path, version))
     v = _read_manifest(path)
     if v is None:
         return spark.read.parquet(path)

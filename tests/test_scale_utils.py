@@ -119,3 +119,73 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {left_name}")
         spark.sql(f"DROP TABLE IF EXISTS {right_name}")
+
+
+def test_clustered_write_prunes_and_sorts(spark, tmp_path):
+    """Range-clustered parquet: the plan carries a range exchange, each
+    output file covers a narrow key range (row-group stats prune), and
+    the data round-trips exactly."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    out = str(tmp_path / "clustered")
+    plan = (
+        df.repartitionByRange("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    write_clustered_parquet(df, out, ["id"], n_partitions=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    # per-file min/max ranges must be disjoint-ish: every file's span is
+    # far below the full domain (clustering worked)
+    import pyarrow.parquet as pq
+    import glob as g
+
+    files = g.glob(out + "/*.parquet")
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    total_span = sum(hi - lo for lo, hi in spans)
+    assert total_span <= 10000 * 1.1  # disjoint ranges sum to ~domain
+
+
+def test_upsert_time_travel(spark, tmp_path):
+    """A retained prior snapshot reads back exactly as committed, even
+    after a newer version commits; unknown versions raise."""
+    import pytest
+
+    from cpx_etl_spark.sources.sinks import (
+        list_upsert_versions,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "tt")
+    upsert_parquet_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), path, ["id"]
+    )
+    upsert_parquet_table(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), path, ["id"]
+    )
+    versions = list_upsert_versions(path)
+    assert len(versions) == 2
+    old = {r["id"]: r["v"] for r in read_upsert_table(spark, path, versions[0]).collect()}
+    new = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert old == {1: "a", 2: "b"}
+    assert new == {1: "a", 2: "B", 3: "c"}
+    with pytest.raises(FileNotFoundError):
+        read_upsert_table(spark, path, "v99999999")
