@@ -255,3 +255,90 @@ def test_mapping_matches_python_oracle(spark, rows, spec):
     got_n = sorted(map(str, (_normalize(g) for g in got)))
     want_n = sorted(map(str, (_normalize(w) for w in want)))
     assert got_n == want_n
+
+
+# --- curation operator properties --------------------------------------------
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.integers(0, 999).map(str), min_size=1, max_size=90).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    chunk=st.integers(4, 40),
+)
+def test_chunking_coverage_property(spark, texts, chunk):
+    """Every token of every doc appears in some chunk; consecutive
+    chunks overlap by exactly chunk - stride tokens (except the tail);
+    reassembling non-overlap prefixes recovers the document."""
+    from cpx_etl_spark.operators.curation import chunk_documents
+
+    stride = max(1, (chunk * 3) // 4)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"].split(" ")
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))
+        # reassembly: chunk j contributes its first `stride` tokens,
+        # the last chunk contributes everything
+        rebuilt = []
+        for j in range(len(chunks)):
+            rebuilt += chunks[j] if j == len(chunks) - 1 else chunks[j][:stride]
+        # trailing chunks can overlap-duplicate the doc tail; rebuilt
+        # must START with the doc and contain nothing foreign
+        assert rebuilt[: len(toks)] == toks
+        for j in range(len(chunks)):
+            assert chunks[j] == toks[j * stride : j * stride + chunk]
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["en", "de", "fr"]), st.integers(1, 400)),
+        min_size=1,
+        max_size=30,
+    ),
+    capacity=st.integers(50, 1000),
+)
+def test_packing_partition_property(spark, docs, capacity):
+    """Packing is a partition: every doc in exactly one bin, bins are
+    contiguous id ranges per group, bin token totals match, and every
+    bin except possibly the last STARTS under capacity boundary."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.curation import pack_sequences
+
+    rows = [(lang, i, n) for i, (lang, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
+    out = pack_sequences(df, "doc_id", F.col("n"), "lang", capacity=capacity).collect()
+    per_lang_docs = {}
+    for lang, i, n in rows:
+        per_lang_docs.setdefault(lang, []).append((i, n))
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    for lang, ds in per_lang_docs.items():
+        bins = sorted(
+            (r for r in out if r["lang"] == lang), key=lambda r: r["bin"]
+        )
+        ds.sort()
+        assert sum(r["bin_tokens"] for r in bins) == sum(n for _, n in ds)
+        # contiguity: first/last ids of consecutive bins never interleave
+        for a, b in zip(bins, bins[1:]):
+            assert a["last_id"] < b["first_id"]
+        # replay the greedy fill in python and compare bin ids exactly
+        cum = 0
+        want = {}
+        for i, n in ds:
+            want.setdefault(cum // capacity, []).append(i)
+            cum += n
+        got = {r["bin"]: (r["first_id"], r["last_id"], r["n_docs"]) for r in bins}
+        assert set(got) == set(want)
+        for b_id, ids in want.items():
+            assert got[b_id] == (min(ids), max(ids), len(ids))
