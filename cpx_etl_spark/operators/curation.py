@@ -45,7 +45,12 @@ def decontaminate(
     sh = shingles_expr(f"split({text_col}, ' ')", n)
     tr = train.select(F.col(id_col), F.explode(F.expr(sh)).alias("sh"))
     te = test.select(F.explode(F.expr(sh)).alias("sh")).distinct()
-    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # the shingle set is distinct per doc by construction, so the
+    # per-doc total is size() of the array — a projection, not an
+    # explode + groupBy shuffle over every train shingle
+    totals = train.select(
+        F.col(id_col), F.size(F.expr(sh)).cast("long").alias("n_shingles")
+    )
     shared = (
         tr.join(F.broadcast(te), on="sh")
         .groupBy(id_col)
