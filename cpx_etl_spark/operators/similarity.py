@@ -340,32 +340,40 @@ def lsh_candidate_pairs(
     idx = lsh_index(df, id_col, vec_col, hyperplane_weights(n_tables, n_bits, dim, tag))
     if max_bucket is not None:
         idx = prune_hot_buckets(idx, max_bucket)
-    a = idx.select(F.col(id_col).alias("_ida"), "tbl", "bucket")
-    b = idx.select(F.col(id_col).alias("_idb"), "tbl", "bucket")
-    cand = (
-        a.join(b, on=["tbl", "bucket"])
-        .filter(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
-        .dropDuplicates(["_ida", "_idb"])
-    )
     if sketch_ham is not None:
         # the sketch is one 63-bit LSH table: (id, tbl=0, bucket) where
-        # the packed bucket is the sketch; the frame is id + one long,
-        # so both join-backs broadcast at any realistic corpus size
+        # the packed bucket is the sketch; id + one long broadcasts at
+        # any realistic corpus size. Attaching it to the INDEX (not the
+        # deduped pairs) lets the Hamming test run on RAW bucket
+        # collisions, so the pair-dedup shuffle sees only survivors —
+        # the filter commutes with DISTINCT, results are identical.
         sk = lsh_index(df, id_col, vec_col, sketch_planes(dim)).select(
             F.col(id_col).alias("_sid"), F.col("bucket").alias("_sk")
         )
+        idx_sk = idx.join(F.broadcast(sk), idx[id_col] == sk._sid).drop("_sid")
+        a = idx_sk.select(
+            F.col(id_col).alias("_ida"), "tbl", "bucket", F.col("_sk").alias("_ska")
+        )
+        b = idx_sk.select(
+            F.col(id_col).alias("_idb"), "tbl", "bucket", F.col("_sk").alias("_skb")
+        )
         cand = (
-            cand.join(sk, cand._ida == sk._sid)
-            .withColumnRenamed("_sk", "_ska")
-            .drop("_sid")
-            .join(sk, cand._idb == sk._sid)
-            .withColumnRenamed("_sk", "_skb")
-            .drop("_sid")
+            a.join(b, on=["tbl", "bucket"])
             .filter(
-                F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb"))) <= sketch_ham
+                (F.col("_ida") < F.col("_idb"))
+                & (F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb"))) <= sketch_ham)
             )
             .select("_ida", "_idb")
+            .dropDuplicates(["_ida", "_idb"])
+        )
+    else:
+        a = idx.select(F.col(id_col).alias("_ida"), "tbl", "bucket")
+        b = idx.select(F.col(id_col).alias("_idb"), "tbl", "bucket")
+        cand = (
+            a.join(b, on=["tbl", "bucket"])
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb")
+            .dropDuplicates(["_ida", "_idb"])
         )
     vecs = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("_vec"))
     return (
