@@ -84,48 +84,54 @@ def sql_davg(expr: str, scale: int = 4) -> str:
     )
 
 
-# Queries that already hold a driver gate row in CORRECTNESS_r03.json.
-# The driver's per-round sweep budget is ~50 queries; three rounds of
-# cheapest-first ordering re-confirmed exactly this set every time while
-# the other 43 registrations never earned a driver row (VERDICT r3 item
-# 1). Sweep order is registry insertion order, so load_registry() puts
-# every query OUTSIDE this set first: r3 ∪ r4 then covers the whole
-# registry with driver evidence.
-R3_CONFIRMED = frozenset(
-    {
-        "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk", "doc_stats",
-        "embedding_stats", "q13_customer_distribution", "q14_promo_revenue",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_disjunctive_revenue", "q1_pricing_summary",
-        "q22_inactive_rich_customers", "q3_shipping_priority",
-        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
-        "q_approx_distinct_users", "q_asof_join", "q_corpus_curation",
-        "q_customers_without_orders", "q_dataset_split",
-        "q_denest_roundtrip", "q_deterministic_sample",
-        "q_distinct_segments", "q_distinct_users_daily", "q_extract_enrich",
-        "q_moving_window_revenue", "q_nation_acctbal",
-        "q_nest_customer_orders", "q_orders_with_lineitems_1996",
-        "q_percentile_stats", "q_pivot_daily_events", "q_range_join",
-        "q_rollup_revenue", "q_running_revenue", "q_salted_agg",
-        "q_set_ops", "q_stratified_sample", "q_top_orders_per_cust",
-        "q_unique_view", "q_unpivot_nation_stats", "q_view_tree",
-        "stream_dedup_first", "stream_sessionize", "stream_tumbling_agg",
-        "text_fingerprint", "text_lang_id", "text_quality_score",
-        "text_redact_pii", "text_token_count",
-    }
-)
+def _last_driver_round() -> dict[str, int]:
+    """Map query name -> most recent round with driver evidence.
+
+    Scans the driver's own CORRECTNESS_r*.json artifacts at the repo
+    root. A query counts as confirmed in round N if its row either
+    hash/row-matched its oracle or ran the declared rows-only check
+    (``err == 'no_oracle'`` with a recorded row count). Queries with no
+    artifact row at all (new this round) map to 0."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = bool(row.get("rows_match")) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def load_registry() -> tuple[dict, dict]:
     """Import all query modules (side effect: registration) and return maps.
 
     Registry insertion order sets the driver's gate-sweep order, and the
-    gate budget is ~50 queries per round. r1–r3 ran cheapest-first, which
-    confirmed the same 50 queries three times while 43 others never got a
-    driver row. This round rotates: queries WITHOUT an r3 driver row come
-    first (module order etl → dedup → multimodal → relational tail keeps
-    cheap families early within the rotation), the r3-confirmed 50 fill
-    whatever budget remains."""
+    gate budget is ~50 queries per round — smaller than the registry. To
+    keep every query's driver evidence fresh, the sweep order rotates
+    AUTOMATICALLY: queries are sorted by the round of their most recent
+    driver confirmation (read from the CORRECTNESS_r*.json artifacts),
+    least-recent first, with never-confirmed (new) queries at the very
+    front. Ties keep module registration order, so cheap families stay
+    early within each cohort. Each round the budget therefore lands on
+    the ~50 stalest queries, and evidence age is bounded at two rounds."""
     from cpx_etl_spark.queries import (  # noqa: F401
         similarity,
         streaming,
@@ -137,9 +143,10 @@ def load_registry() -> tuple[dict, dict]:
         curation,
     )
 
-    unconfirmed = {k: v for k, v in QUERIES.items() if k not in R3_CONFIRMED}
-    confirmed = {k: v for k, v in QUERIES.items() if k in R3_CONFIRMED}
-    ordered = {**unconfirmed, **confirmed}
+    latest = _last_driver_round()
+    order = list(QUERIES)
+    order.sort(key=lambda name: latest.get(name, 0))  # stable: ties keep insertion order
+    ordered = {name: QUERIES[name] for name in order}
     QUERIES.clear()
     QUERIES.update(ordered)
     return QUERIES, ORACLES

@@ -116,3 +116,17 @@ def test_resample_and_snapshot_plans_clean(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_registry_rotation_is_staleness_ordered():
+    """Sweep order = least-recently-driver-confirmed first, so the
+    driver's ~50-query budget always lands on the stalest evidence."""
+    from cpx_etl_spark.queries import _last_driver_round
+
+    q, _ = load_registry()
+    latest = _last_driver_round()
+    rounds = [latest.get(name, 0) for name in q]
+    assert rounds == sorted(rounds)
+    # new/never-confirmed queries (if any) must lead the sweep
+    if 0 in rounds:
+        assert rounds[0] == 0
