@@ -84,9 +84,12 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> tupl
 def prune_hot_shingles(index: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles appearing in more than max_df docs — candidate
     GENERATION only (verification always counts the full sets), the
-    standard guard against quadratic buckets at corpus scale."""
+    standard guard against quadratic buckets at corpus scale. Plain
+    join, not broadcast-hinted: the hot list is tiny on healthy corpora
+    (AQE broadcasts it at runtime) but unbounded on adversarial ones —
+    same rationale as prune_hot_buckets."""
     hot = index.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
-    return index.join(F.broadcast(hot), on="sh", how="left_anti")
+    return index.join(hot, on="sh", how="left_anti")
 
 
 def _verify_jaccard(pairs: DataFrame, index: DataFrame, counts: DataFrame,
@@ -103,10 +106,13 @@ def _verify_jaccard(pairs: DataFrame, index: DataFrame, counts: DataFrame,
     from the full index), so oracles need no mirror.
     """
     if prune_index:
+        # no broadcast hint: candidate-doc lists are usually small but
+        # scale with corpus dup density — AQE broadcasts when the
+        # runtime size actually allows it (VERDICT r4 item 2)
         docs_a = pairs.select(F.col("doc_a").alias(id_col)).distinct()
         docs_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        idx_a = index.join(F.broadcast(docs_a), on=id_col, how="left_semi")
-        idx_b = index.join(F.broadcast(docs_b), on=id_col, how="left_semi")
+        idx_a = index.join(docs_a, on=id_col, how="left_semi")
+        idx_b = index.join(docs_b, on=id_col, how="left_semi")
     else:
         idx_a = idx_b = index
     t1 = idx_a.select(F.col(id_col).alias("doc_a"), "sh")

@@ -181,22 +181,32 @@ def lsh_index(
     vec_col: str,
     weights: list[list[list[int]]],
     use_arrow: bool = True,
+    sketch: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Lean LSH index (id, tbl, bucket) — one row per input row per
     table; vectors are NOT carried (callers join back by id for the
     rerank), so the L-fold explode shuffles only 3 narrow columns.
 
+    `sketch`: optional extra one-table plane set (e.g. sketch_planes).
+    When given, the output carries a 4th column `_sk` — the packed sign
+    sketch — computed in the SAME pass as the buckets (one more matmul
+    block in the Arrow path). This is how callers get per-row sketches
+    WITHOUT a second index pass or an id-keyed join: a sketch join on a
+    corpus-sized (id, long) frame is exactly the O(N) broadcast that
+    dies at 10^9+ documents (VERDICT r4 item 2).
+
     Two equivalent bucket computations (tests assert equality):
     - use_arrow=True (default): one Arrow-batched numpy matmul of the
-      quantized matrix against all L*b hyperplanes. EXACT despite
-      float64 BLAS: every product |x_q * w| <= ~1e13 and every partial
-      sum <= dim * 1e13 < 2^53 is an integer exactly representable in
-      f64, so any summation order / FMA contraction yields the same
-      integer — bit-identical to the int64 fold and the DuckDB oracle.
-      ~100x faster than the interpreted per-plane HOF fold.
+      quantized matrix against all L*b (+63 sketch) hyperplanes. EXACT
+      despite float64 BLAS: every product |x_q * w| <= ~1e13 and every
+      partial sum <= dim * 1e13 < 2^53 is an integer exactly
+      representable in f64, so any summation order / FMA contraction
+      yields the same integer — bit-identical to the int64 fold and the
+      DuckDB oracle. ~100x faster than the interpreted per-plane fold.
     - use_arrow=False: pure JVM-side expression fold (_int_dot), used
       as the cross-check reference.
     """
+    sk_planes = sketch[0] if sketch is not None else None
     if not use_arrow:
         base = df.select(
             F.col(id_col), quantize_vec(F.col(vec_col)).alias("_q")
@@ -210,21 +220,41 @@ def lsh_index(
                 for t, tw in enumerate(weights)
             ]
         )
-        return base.select(F.col(id_col), F.explode(entries).alias("e")).select(
-            F.col(id_col), F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+        if sk_planes is not None:
+            base = base.withColumn(
+                "_sk", lsh_bucket_for_table(F.col("_q"), sk_planes)
+            )
+        extra = [F.col("_sk")] if sk_planes is not None else []
+        return base.select(
+            F.col(id_col), *extra, F.explode(entries).alias("e")
+        ).select(
+            F.col(id_col),
+            F.col("e.tbl").alias("tbl"),
+            F.col("e.bucket").alias("bucket"),
+            *extra,
         )
 
     import numpy as np
     import pandas as pd
 
     n_tables, n_bits = len(weights), len(weights[0])
-    w_flat = np.array(
-        [plane for tw in weights for plane in tw], dtype=np.float64
-    )  # (L*b, dim)
+    planes_all = [plane for tw in weights for plane in tw]
+    n_bk = len(planes_all)  # bucket-plane rows; sketch rows follow
+    if sk_planes is not None:
+        planes_all = planes_all + list(sk_planes)
+    w_flat = np.array(planes_all, dtype=np.float64)  # (L*b[+63], dim)
     w_int = w_flat.astype(np.int64)
     w_max = max(1, int(np.abs(w_int).max()))
     pow2 = (1 << np.arange(n_bits, dtype=np.int64))
+    pow2_sk = (
+        (1 << np.arange(len(sk_planes), dtype=np.int64))
+        if sk_planes is not None
+        else None
+    )
     id_type = dict(df.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, tbl int, bucket long" + (
+        ", _sk long" if sk_planes is not None else ""
+    )
 
     def buckets(batches):
         for pdf in batches:
@@ -245,22 +275,23 @@ def lsh_index(
                     )
                 bits = (q.astype(np.int64) @ w_int.T) >= 0
             else:
-                bits = (q @ w_flat.T) >= 0  # (n, L*b); exact integer dots
+                bits = (q @ w_flat.T) >= 0  # (n, L*b[+63]); exact int dots
             bk = (
-                bits.reshape(len(pdf), n_tables, n_bits).astype(np.int64) @ pow2
+                bits[:, :n_bk].reshape(len(pdf), n_tables, n_bits).astype(np.int64)
+                @ pow2
             )  # (n, L)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
-                    "tbl": np.tile(
-                        np.arange(n_tables, dtype=np.int32), len(pdf)
-                    ),
-                    "bucket": bk.reshape(-1),
-                }
-            )
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                "bucket": bk.reshape(-1),
+            }
+            if pow2_sk is not None:
+                sk = bits[:, n_bk:].astype(np.int64) @ pow2_sk  # (n,)
+                out["_sk"] = np.repeat(sk, n_tables)
+            yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), as_double(vec_col).alias("_v")).mapInPandas(
-        buckets, schema=f"`{id_col}` {id_type}, tbl int, bucket long"
+        buckets, schema=schema
     )
 
 
@@ -329,32 +360,36 @@ def lsh_candidate_pairs(
     (callers know it) to avoid a schema-probe Spark job; `max_bucket`
     caps per-(tbl,bucket) membership for skew safety.
 
-    `sketch_ham`: when set, candidate pairs are pre-filtered by the
+    `sketch_ham`: when set (and < SKETCH_BITS — a looser bound prunes
+    nothing and is skipped), candidate pairs are pre-filtered by the
     Hamming distance of their 63-bit sign sketches (bit_count(xor) —
     whole-stage-codegen'd) before the vectors are attached. The exact
     cosine rerank is an interpreted 2x dim-element fold per pair, so
     cutting the pair volume here is the difference between a rerank on
-    millions vs thousands of rows (measured 27s -> 12s at sf1)."""
+    millions vs thousands of rows (measured 27s -> 12s at sf1). The
+    sketch rides along as a 4th index column computed in the same
+    Arrow matmul as the buckets — NOT a second index joined back by id,
+    which at 10^9+ docs is a corpus-sized broadcast/shuffle for no
+    reason (VERDICT r4 item 2). Running the Hamming test on RAW bucket
+    collisions (before pair-dedup) means the dedup shuffle sees only
+    survivors; the filter commutes with DISTINCT, results identical."""
     if dim is None:
         dim = _infer_dim(df, vec_col)
-    idx = lsh_index(df, id_col, vec_col, hyperplane_weights(n_tables, n_bits, dim, tag))
+    use_sketch = sketch_ham is not None and sketch_ham < SKETCH_BITS
+    idx = lsh_index(
+        df,
+        id_col,
+        vec_col,
+        hyperplane_weights(n_tables, n_bits, dim, tag),
+        sketch=sketch_planes(dim) if use_sketch else None,
+    )
     if max_bucket is not None:
         idx = prune_hot_buckets(idx, max_bucket)
-    if sketch_ham is not None:
-        # the sketch is one 63-bit LSH table: (id, tbl=0, bucket) where
-        # the packed bucket is the sketch; id + one long broadcasts at
-        # any realistic corpus size. Attaching it to the INDEX (not the
-        # deduped pairs) lets the Hamming test run on RAW bucket
-        # collisions, so the pair-dedup shuffle sees only survivors —
-        # the filter commutes with DISTINCT, results are identical.
-        sk = lsh_index(df, id_col, vec_col, sketch_planes(dim)).select(
-            F.col(id_col).alias("_sid"), F.col("bucket").alias("_sk")
-        )
-        idx_sk = idx.join(F.broadcast(sk), idx[id_col] == sk._sid).drop("_sid")
-        a = idx_sk.select(
+    if use_sketch:
+        a = idx.select(
             F.col(id_col).alias("_ida"), "tbl", "bucket", F.col("_sk").alias("_ska")
         )
-        b = idx_sk.select(
+        b = idx.select(
             F.col(id_col).alias("_idb"), "tbl", "bucket", F.col("_sk").alias("_skb")
         )
         cand = (
@@ -401,6 +436,7 @@ def embedding_dup_pairs(
     n_bits: int | None = None,
     max_bucket: int | None = None,
     dim: int | None = None,
+    sketch_false_drop: float | None = 1e-3,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, rounded cosine >=
     threshold): multi-table LSH candidate generation + exact JVM-side
@@ -413,11 +449,22 @@ def embedding_dup_pairs(
     generator's selectivity always matches what the rerank keeps.
     Explicit values remain available for corpus-tuned demos (the
     0.45/16x4 registration: planted dups at cos 0.45-0.51 sit barely
-    above random, forcing wide bands no derivation would pick)."""
+    above random, forcing wide bands no derivation would pick).
+
+    `sketch_false_drop` tunes the Hamming pre-filter's per-true-pair
+    drop probability (operator recall multiplier >= 1-false_drop);
+    None disables the sketch entirely — the r3 no-sketch semantics.
+    A derived bound of >= SKETCH_BITS prunes nothing and is skipped
+    automatically (lsh_candidate_pairs)."""
     if n_tables is None or n_bits is None:
         d_tables, d_bits = lsh_params(threshold)
         n_tables = n_tables if n_tables is not None else d_tables
         n_bits = n_bits if n_bits is not None else d_bits
+    sketch_ham = (
+        sketch_ham_max(threshold, false_drop=sketch_false_drop)
+        if sketch_false_drop is not None
+        else None
+    )
     cand = lsh_candidate_pairs(
         df,
         id_col,
@@ -426,7 +473,7 @@ def embedding_dup_pairs(
         n_bits,
         max_bucket=max_bucket,
         dim=dim,
-        sketch_ham=sketch_ham_max(threshold),
+        sketch_ham=sketch_ham,
     )
     return (
         cand.withColumn(

@@ -328,3 +328,42 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     # multi-table LSH (L=12 x b=6, 1-bit multiprobe): observed 1.00 at
     # sf0.001/sf0.01; assert the VERDICT r1 target floor
     assert mean_recall >= 0.9, f"LSH recall collapsed: {mean_recall:.2f}"
+
+
+def test_lsh_index_sketch_column_matches_expression_path(spark):
+    # the sketch rides in the SAME pass as the buckets (no id-join);
+    # Arrow matmul and JVM fold must agree on it bit-for-bit
+    from cpx_etl_spark.operators.similarity import (
+        hyperplane_weights, lsh_index, sketch_planes,
+    )
+
+    emb = _vecs(spark)
+    w = hyperplane_weights(4, 3, 4)
+    sk = sketch_planes(4)
+    fast = {(r["vec_id"], r["tbl"]): (r["bucket"], r["_sk"])
+            for r in lsh_index(emb, "vec_id", "embedding", w, sketch=sk).collect()}
+    slow = {(r["vec_id"], r["tbl"]): (r["bucket"], r["_sk"])
+            for r in lsh_index(emb, "vec_id", "embedding", w, use_arrow=False,
+                               sketch=sk).collect()}
+    assert fast == slow and len(fast) == len(VECS) * 4
+    # the sketch is per-row: constant across tables for a given id
+    per_id = {}
+    for (vid, _t), (_b, s) in fast.items():
+        per_id.setdefault(vid, set()).add(s)
+    assert all(len(s) == 1 for s in per_id.values())
+
+
+def test_embedding_dup_pairs_sketch_optional(spark):
+    # sketch_false_drop=None disables the pre-filter; results at this
+    # corpus size must be identical (filter only drops true pairs with
+    # prob <= false_drop)
+    from cpx_etl_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _vecs(spark)
+    with_sk = {(r["vec_a"], r["vec_b"]) for r in embedding_dup_pairs(
+        emb, "vec_id", "embedding", 0.8, dim=4).collect()}
+    no_sk = {(r["vec_a"], r["vec_b"]) for r in embedding_dup_pairs(
+        emb, "vec_id", "embedding", 0.8, dim=4,
+        sketch_false_drop=None).collect()}
+    assert with_sk == no_sk and (1, 2) in with_sk
+

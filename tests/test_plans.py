@@ -130,3 +130,18 @@ def test_registry_rotation_is_staleness_ordered():
     # new/never-confirmed queries (if any) must lead the sweep
     if 0 in rounds:
         assert rounds[0] == 0
+
+
+def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):
+    """No forced broadcast anywhere in the dedup operator paths: every
+    frame there scales with the corpus (index, sketches, candidate doc
+    lists), so hints that pin a broadcast would hard-fail at 10^9+ docs
+    (8 GB broadcast limit). Size-based/AQE broadcasts remain free to
+    kick in at runtime — the assertion is on the LOGICAL plan, where
+    only explicit hints appear."""
+    q, _ = load_registry()
+    for name in ("dedup_embedding_strict", "dedup_embedding_demo",
+                 "dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        df = q[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in logical.lower(), f"{name} still hints a broadcast"
