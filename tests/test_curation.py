@@ -86,3 +86,56 @@ def test_pack_sequences_contiguous_fill(spark):
     assert out[("de", 0)]["n_docs"] == 1 and out[("de", 0)]["bin_tokens"] == 500
     # every doc lands in exactly one bin
     assert sum(v["n_docs"] for v in out.values()) == 11
+
+
+def test_pack_sequences_two_phase_matches_single_window(spark):
+    """Range-bucketed two-phase packing reproduces the one-window
+    result bit-for-bit at every bucket width — including widths that
+    split each language group many times, and width 1 (every id its
+    own bucket: the offset pass carries everything)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (lang, i, rng.randrange(1, 400))
+        for i, lang in enumerate(rng.choices(["en", "de", "fr"], k=300))
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
+    want = {
+        (r["lang"], r["bin"]): (r["n_docs"], r["bin_tokens"], r["first_id"], r["last_id"])
+        for r in pack_sequences(
+            df, "doc_id", F.col("n"), "lang", capacity=256, bucket_width=None
+        ).collect()
+    }
+    for width in (1, 7, 64, 10**6):
+        got = {
+            (r["lang"], r["bin"]): (r["n_docs"], r["bin_tokens"], r["first_id"], r["last_id"])
+            for r in pack_sequences(
+                df, "doc_id", F.col("n"), "lang", capacity=256, bucket_width=width
+            ).collect()
+        }
+        assert got == want, f"width={width} diverged"
+
+
+def test_pack_sequences_capacity_invariants(spark):
+    """Bin invariants hold on the multi-bucket path: bins are dense-ish
+    ascending per part, each bin's start offset lies in its bin range,
+    and id ranges of consecutive bins never overlap (contiguity)."""
+    df = spark.createDataFrame(
+        [("en", i, 60) for i in range(1, 101)], "lang string, doc_id long, n long"
+    )
+    rows = sorted(
+        pack_sequences(df, "doc_id", F.col("n"), "lang", capacity=100,
+                       bucket_width=16).collect(),
+        key=lambda r: r["bin"],
+    )
+    cum = 0
+    prev_last = None
+    for r in rows:
+        # the first doc of this bin starts inside [bin*cap, (bin+1)*cap)
+        assert r["bin"] * 100 <= cum < (r["bin"] + 1) * 100
+        if prev_last is not None:
+            assert r["first_id"] > prev_last
+        cum += r["bin_tokens"]
+        prev_last = r["last_id"]
+    assert sum(r["n_docs"] for r in rows) == 100

@@ -145,3 +145,22 @@ def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):
         df = q[name](spark, sf_dir)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         assert "broadcast" not in logical.lower(), f"{name} still hints a broadcast"
+
+
+def test_pack_sequences_no_corpus_window_keyed_by_lang_only(spark, sf_dir):
+    """The corpus-scale cumsum window must carry the range-bucket
+    sub-key; a window partitioned by lang alone serializes ~1/10 of a
+    100 TB corpus on one task. (The offset window IS lang-partitioned,
+    but runs over the per-bucket totals frame — (part, bucket)
+    cardinality, not corpus cardinality.)"""
+    import re
+
+    q, _ = load_registry()
+    plan = (
+        q["q_sequence_packing"](spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # a corpus window keyed only by lang would order by doc_id directly
+    assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan)
+    # the bucketed window is present: partition (lang, _bkt), order doc_id
+    assert re.search(r"windowspecdefinition\(lang#\d+, _bkt#\d+L?, doc_id#", plan)
