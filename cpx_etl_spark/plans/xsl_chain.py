@@ -24,6 +24,7 @@ import json
 import os
 import xml.etree.ElementTree as ET
 
+import pandas as pd  # module level: pandas_udf resolves stringified hints here
 from pyspark.sql import DataFrame
 
 from cpx_etl_spark.plans.mapping import apply_mapping
@@ -69,3 +70,54 @@ def apply_chain(df: DataFrame, specs: list[dict]) -> DataFrame:
 
 def apply_chain_from_control(df: DataFrame, control_path: str) -> DataFrame:
     return apply_chain(df, load_chain(control_path))
+
+
+# ---------------------------------------------------------------------------
+# REAL stylesheet execution (functions/xslt.py MiniXslt; lxml fast path)
+# ---------------------------------------------------------------------------
+
+def load_stylesheet_chain(control_path: str, base_dir: str | None = None) -> list[str]:
+    """Resolve a control document's xi:include chain to stylesheet
+    SOURCES (the reference's own layout: hrefs name ``.xsl`` files,
+    index.js:108-126). Document order, hrefs relative to the control."""
+    root = ET.parse(control_path).getroot()
+    base = base_dir if base_dir is not None else os.path.dirname(control_path)
+    srcs: list[str] = []
+    for elem in root.iter():
+        if _local_name(elem.tag) != "include":
+            continue
+        href = elem.attrib.get("href")
+        if not href:
+            raise ValueError(f"xsl_chain: include without href in {control_path}")
+        with open(os.path.join(base, href), encoding="utf-8") as fh:
+            srcs.append(fh.read())
+    if not srcs:
+        raise ValueError(f"xsl_chain: no xi:include entries in {control_path}")
+    return srcs
+
+
+def xslt_transform_column(
+    df: DataFrame, xml_col: str, out_col: str, stylesheet_srcs: list[str]
+) -> DataFrame:
+    """Run a stylesheet chain over an XML string column, Arrow-batched.
+
+    Stylesheet execution is genuinely imperative per-document work
+    (template dispatch over a parsed tree), so this is the legitimate
+    pandas-UDF path — same rationale as the multimodal decoders. The
+    sources (KBs of configuration) ship in the closure and compile once
+    per task; the data rows never leave the executor."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.functions.xslt import compile_stylesheet, xslt_pipeline
+
+    srcs = tuple(stylesheet_srcs)
+    state: dict = {}
+
+    @F.pandas_udf("string")
+    def run(batch: pd.Series) -> pd.Series:
+        if "fns" not in state:
+            state["fns"] = [compile_stylesheet(s) for s in srcs]
+        fns = state["fns"]
+        return batch.map(lambda x: xslt_pipeline(x, fns) if x is not None else None)
+
+    return df.withColumn(out_col, run(F.col(xml_col)))

@@ -722,3 +722,101 @@ def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value")
     )
+
+
+_XSL_STYLESHEET_1 = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/"><recs><xsl:apply-templates/></recs></xsl:template>
+  <xsl:template match="order">
+    <xsl:if test="f[@n='status'] = 'O'">
+      <rec id="{@id}">
+        <xsl:for-each select="f">
+          <xsl:if test="@n != 'status'">
+            <v key="{@n}"><xsl:value-of select="."/></v>
+          </xsl:if>
+        </xsl:for-each>
+      </rec>
+    </xsl:if>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+_XSL_STYLESHEET_2 = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/"><outs><xsl:apply-templates/></outs></xsl:template>
+  <xsl:template match="rec">
+    <out>
+      <key><xsl:value-of select="@id"/></key>
+      <pri><xsl:value-of select="v[@key='pri']"/></pri>
+      <cents><xsl:value-of select="v[@key='cents']"/></cents>
+    </out>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+
+def _write_xsl_exec_control() -> str:
+    """Write two REAL .xsl stylesheets + an xi:include control chaining
+    them — the reference's own on-disk layout (index.js:108-126)."""
+    import os
+
+    d = scratch_dir("cpx_etl_xsl_exec_")
+    for i, src in enumerate([_XSL_STYLESHEET_1, _XSL_STYLESHEET_2], start=1):
+        with open(os.path.join(d, f"step{i}.xsl"), "w", encoding="utf-8") as fh:
+            fh.write(src)
+    control = os.path.join(d, "transform.xml")
+    with open(control, "w", encoding="utf-8") as fh:
+        fh.write(
+            '<transform xmlns:xi="http://www.w3.org/2001/XInclude">\n'
+            '  <xi:include href="step1.xsl"/>\n'
+            '  <xi:include href="step2.xsl"/>\n'
+            "</transform>\n"
+        )
+    return control
+
+
+@register(
+    "q_xsl_execute",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderpriority AS pri,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_xsl_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL XSLT execution (reference index.js:87-126): each order row
+    renders to an XML document JVM-side; an xi:include control chains
+    two actual .xsl stylesheets (template match / value-of / for-each /
+    xsl:if / attribute-value-templates), executed per row by the stdlib
+    MiniXslt subset interpreter (functions/xslt.py; lxml fast path when
+    present) in one Arrow-batched pandas UDF; the transformed XML's
+    fields come back out via Spark's built-in xpath_string — JVM-side
+    again. Step 1 filters to open orders and reshapes fields; step 2
+    flattens to the final record. FLOOR(x*100) keeps the numeric text
+    engine-exact (double multiply + floor are IEEE-identical; CAST in
+    DuckDB would round half-even where Spark truncates)."""
+    from cpx_etl_spark.plans.xsl_chain import (
+        load_stylesheet_chain,
+        xslt_transform_column,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<order id="'), F.col("o_orderkey").cast("string"), F.lit('">'),
+        F.lit('<f n="status">'), F.col("o_orderstatus"), F.lit("</f>"),
+        F.lit('<f n="pri">'), F.col("o_orderpriority"), F.lit("</f>"),
+        F.lit('<f n="cents">'),
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</f></order>"),
+    )
+    chain = load_stylesheet_chain(_write_xsl_exec_control())
+    transformed = xslt_transform_column(
+        orders.select(xml.alias("doc_xml")), "doc_xml", "out_xml", chain
+    )
+    # filtered-out orders transform to an empty <outs/>: xpath gives
+    # '', which try_cast maps to NULL (plain cast throws under ANSI)
+    return transformed.select(
+        F.expr("try_cast(xpath_string(out_xml, '/outs/out/key') AS bigint)").alias("order_id"),
+        F.expr("xpath_string(out_xml, '/outs/out/pri')").alias("pri"),
+        F.expr("try_cast(xpath_string(out_xml, '/outs/out/cents') AS bigint)").alias("cents"),
+    ).filter(F.col("order_id").isNotNull())

@@ -433,3 +433,100 @@ def test_upsert_migrates_legacy_flat_parquet_dir(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
     assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+# ---------------------------------------------------------------------------
+# XSLT-subset executor (functions/xslt.py) — reference index.js:87-126
+# ---------------------------------------------------------------------------
+
+_XSL_A = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/"><people><xsl:apply-templates/></people></xsl:template>
+  <xsl:template match="person">
+    <xsl:if test="@father = 'Terah'">
+      <child name="{@name}"><xsl:value-of select="@name"/></child>
+    </xsl:if>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+_XSL_B = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="/"><names><xsl:apply-templates/></names></xsl:template>
+  <xsl:template match="child"><n><xsl:value-of select="@name"/></n></xsl:template>
+</xsl:stylesheet>
+"""
+
+
+def test_xslt_chain_applies_in_document_order(tmp_path):
+    """xi:include chain semantics (the reference's xslPipeline applied
+    to its familyTree-style rows): step order matters, each step eats
+    the previous step's serialized output."""
+    from cpx_etl_spark.functions.xslt import compile_stylesheet, xslt_pipeline
+    from cpx_etl_spark.plans.xsl_chain import load_stylesheet_chain
+
+    (tmp_path / "a.xsl").write_text(_XSL_A)
+    (tmp_path / "b.xsl").write_text(_XSL_B)
+    control = tmp_path / "transform.xml"
+    control.write_text(
+        '<transform xmlns:xi="http://www.w3.org/2001/XInclude">\n'
+        '  <xi:include href="a.xsl"/>\n  <xi:include href="b.xsl"/>\n'
+        "</transform>\n"
+    )
+    srcs = load_stylesheet_chain(str(control))
+    assert len(srcs) == 2 and "child" in srcs[0]
+    fns = [compile_stylesheet(s) for s in srcs]
+    doc = ('<tree>'
+           '<person name="Sarah" father="Terah"/>'
+           '<person name="Abraham" father="Terah"/>'
+           '<person name="Isaac" father="Abraham"/>'
+           '</tree>')
+    out = xslt_pipeline(doc, fns)
+    assert out == "<names><n>Sarah</n><n>Abraham</n></names>"
+    # order matters: reversed chain finds no <child> elements, and the
+    # last step's wrapper becomes the output root
+    assert xslt_pipeline(doc, fns[::-1]) == "<people/>"
+
+
+def test_xslt_subset_features_and_guards():
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    s = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <xsl:choose>
+          <xsl:when test="n &gt; 10"><big v="{n}"/></xsl:when>
+          <xsl:otherwise><small/></xsl:otherwise>
+        </xsl:choose>
+        <xsl:for-each select="tag[@k='x']"><t><xsl:value-of select="."/></t></xsl:for-each>
+        <xsl:text>&amp;done</xsl:text>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    run = MiniXslt(s).apply
+    assert (run('<doc><n>42</n><tag k="x">a&amp;b</tag><tag k="y">c</tag></doc>')
+            == '<r><big v="42"/><t>a&amp;b</t>&amp;done</r>')
+    assert run("<doc><n>3</n></doc>") == "<r><small/>&amp;done</r>"
+    # match specificity: parent/child beats bare name beats *
+    s2 = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="b"><plain/></xsl:template>
+      <xsl:template match="a/b"><nested/></xsl:template>
+    </xsl:stylesheet>"""
+    assert MiniXslt(s2).apply("<a><b/></a>") == "<nested/>"
+    # out-of-subset constructs raise instead of silently mis-transforming
+    import pytest as _pytest
+
+    bad = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><xsl:copy-of select="."/></xsl:template>
+    </xsl:stylesheet>"""
+    with _pytest.raises(XsltUnsupported):
+        MiniXslt(bad).apply("<doc/>")
+    # divergent recursion fails fast, not with a 1000-frame stack blowup
+    loop = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><r><xsl:apply-templates select="."/></r></xsl:template>
+    </xsl:stylesheet>"""
+    with _pytest.raises(XsltUnsupported):
+        MiniXslt(loop).apply("<doc/>")
