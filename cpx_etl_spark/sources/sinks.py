@@ -115,8 +115,14 @@ def read_upsert_table(
     parquet directory (no manifest) reads as-is, so the helper works on
     both layouts. Pass `version` (a name from list_upsert_versions) to
     time-travel to any version still inside the retention window —
-    snapshots are immutable once written, so the read is stable even if
-    a new version commits meanwhile."""
+    snapshots are immutable once written, so the read is stable WITHIN
+    the retention grace window (``retain_versions`` at the writer). A
+    version that falls out of retention while a lazy read is still
+    pending is deleted by the next upsert's GC: Spark then surfaces the
+    vanished directory as an AnalysisException/FileNotFoundError at
+    action time — the validation here only guards the common case, it
+    cannot close that race. Size ``retain_versions`` to cover the
+    longest concurrent reader."""
     import os
 
     if version is not None:
@@ -132,7 +138,9 @@ def read_upsert_table(
     return spark.read.parquet(os.path.join(path, v))
 
 
-def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
+def upsert_parquet_table(
+    df: DataFrame, path: str, keys: list[str], retain_versions: int = 2
+) -> None:
     """Idempotent load into a parquet-backed table (reference load
     phase, etl.js:758-829: INSERT of deduped entity sets — re-running
     the same load must not grow the table).
@@ -151,6 +159,11 @@ def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
       missing or half-replaced path. The previous version is retained
       through the commit and collected only at the START of the next
       upsert, giving in-flight readers a full write-cycle grace window.
+    ``retain_versions`` bounds how many committed snapshots the table
+    holds after this upsert commits (the new version plus its newest
+    predecessors) — the time-travel window for read_upsert_table. The
+    default 2 keeps exactly the prior snapshot through the commit, so
+    in-flight readers get a full write-cycle grace window.
     At real scale the same one-join merge plan lands on an actual
     Iceberg/Delta MERGE commit; layout and failure story are identical.
     """
@@ -159,15 +172,26 @@ def upsert_parquet_table(df: DataFrame, path: str, keys: list[str]) -> None:
 
     from cpx_etl_spark.operators.relational import merge_upsert
 
+    if retain_versions < 2:
+        raise ValueError("retain_versions must be >= 2 (new version + its source)")
     spark = df.sparkSession
     os.makedirs(path, exist_ok=True)
     current = _read_manifest(path)
-    # GC before writing: every version dir the manifest does NOT point
-    # at is either a crashed run's partial/unpublished write (possibly
-    # truncated — promoting it would silently corrupt the table) or a
-    # superseded snapshot past its reader grace window. Delete both.
+    # GC before writing. Two classes of dead directory:
+    # - version dirs NEWER than the manifest pointer: a crashed run's
+    #   partial/unpublished write (possibly truncated — promoting one
+    #   would silently corrupt the table). Always deleted.
+    # - committed snapshots OLDER than the newest retain_versions-1:
+    #   past their time-travel retention. Deleted; newer superseded
+    #   snapshots are kept so readers can still time-travel to them.
+    committed = sorted(
+        e
+        for e in os.listdir(path)
+        if e.startswith("v") and current is not None and e <= current
+    )
+    keep = set(committed[-(retain_versions - 1):])
     for entry in os.listdir(path):
-        if entry.startswith("v") and entry != current:
+        if entry.startswith("v") and entry not in keep:
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
     if current is not None:
         existing = spark.read.parquet(os.path.join(path, current)).select(*df.columns)

@@ -189,3 +189,47 @@ def test_upsert_time_travel(spark, tmp_path):
     assert new == {1: "a", 2: "B", 3: "c"}
     with pytest.raises(FileNotFoundError):
         read_upsert_table(spark, path, "v99999999")
+
+
+def test_upsert_multi_version_retention(spark, tmp_path):
+    """retain_versions keeps a deep time-travel window: with 4, three
+    superseded snapshots stay readable; the default (2) still collects
+    everything but the prior one."""
+    from cpx_etl_spark.sources.sinks import (
+        list_upsert_versions,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 5):
+        df = spark.createDataFrame([(1, i)], "id long, v long")
+        upsert_parquet_table(df, path, ["id"], retain_versions=4)
+    versions = list_upsert_versions(path)
+    assert len(versions) == 4  # v1..v4 all retained
+    # each retained snapshot reads back its own committed state
+    for idx, ver in enumerate(versions, start=1):
+        got = {r["id"]: r["v"] for r in read_upsert_table(spark, path, ver).collect()}
+        assert got == {1: idx}, f"{ver} corrupted"
+    # a fifth upsert at the same retention collects only the oldest
+    upsert_parquet_table(
+        spark.createDataFrame([(1, 5)], "id long, v long"), path, ["id"],
+        retain_versions=4,
+    )
+    remaining = list_upsert_versions(path)
+    assert len(remaining) == 4 and versions[0] not in remaining
+    # dropping retention to the default tightens the window to 2
+    upsert_parquet_table(
+        spark.createDataFrame([(1, 6)], "id long, v long"), path, ["id"]
+    )
+    assert len(list_upsert_versions(path)) == 2
+    # out-of-retention version: fail-fast FileNotFoundError
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_upsert_table(spark, path, versions[0])
+    with _pytest.raises(ValueError):
+        upsert_parquet_table(
+            spark.createDataFrame([(1, 7)], "id long, v long"), path, ["id"],
+            retain_versions=1,
+        )
