@@ -27,6 +27,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def observe_count(df: DataFrame, stats: dict | None, name: str) -> DataFrame:
+    """Attach a zero-cost row-count metric to a plan stage.
+
+    When ``stats`` is a dict, wraps ``df`` in a CollectMetrics node
+    (``Observation``) named ``name`` and stores the Observation there;
+    after the caller's action, ``stats[name].get["n"]`` is the number
+    of rows that flowed through this stage IN THAT JOB — no second
+    scan, no extra shuffle. This is the candidate-volume guard for the
+    dedup/similarity families: at 100 TB a quadratic candidate
+    regression (hot bucket, threshold drift) shows up here as a
+    pair-count explosion long before the stage OOMs — pipelines should
+    alert on candidates >> expected. ``stats=None`` (default) is a
+    no-op passthrough."""
+    if stats is None:
+        return df
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    stats[name] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+
 def exact_dedup_stats(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Group by content digest: surviving id + copy count per group."""
     return (
@@ -137,9 +159,11 @@ def _verify_jaccard(pairs: DataFrame, index: DataFrame, counts: DataFrame,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 2, threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        stats: dict | None = None) -> DataFrame:
     """Near-dup pairs: any shared n-gram shingle proposes a candidate,
-    exact Jaccard >= threshold confirms."""
+    exact Jaccard >= threshold confirms. ``stats`` (observe_count)
+    exposes the candidate-pair count of the run."""
     index, counts = shingle_index(df, id_col, text_col, n)
     # NOTE: the index feeds several scans, but persist() measured SLOWER
     # here — the codegen'd tokenize+window chain recomputes faster than
@@ -157,6 +181,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared"))
         )
+        shared = observe_count(shared, stats, "ngram_candidates")
         ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
         cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
         jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
@@ -173,11 +198,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     cand_index = prune_hot_shingles(index, max_df)
     t1 = cand_index.select(F.col(id_col).alias("doc_a"), "sh")
     t2 = cand_index.select(F.col(id_col).alias("doc_b"), "sh")
-    cand = (
+    cand = observe_count(
         t1.join(t2, on="sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
+        .distinct(),
+        stats, "ngram_candidates",
     )
     return _verify_jaccard(cand, index, counts, id_col, threshold)
 
@@ -227,7 +253,8 @@ def minhash_signatures(index: DataFrame, id_col: str, k: int) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 2, k: int = 8, bands: int = 4,
                       threshold: float = 0.5,
-                      min_band_collisions: int = 1) -> DataFrame:
+                      min_band_collisions: int = 1,
+                      stats: dict | None = None) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> candidate pairs ->
     exact Jaccard verify. rows_per_band = k // bands.
 
@@ -269,13 +296,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # each doc contributes one row per band_idx, so count(*) per pair
     # == number of colliding bands; the groupBy replaces the former
     # .distinct() at the same one-shuffle cost.
-    cand = (
+    cand = observe_count(
         s1.join(s2, on=["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_n_bands"))
         .filter(F.col("_n_bands") >= min_band_collisions)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b"),
+        stats, "minhash_candidates",
     )
     return _verify_jaccard(
         cand, index, counts, id_col, threshold,
@@ -287,7 +315,8 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits int64 in every engine
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+                  max_hamming: int = 3, n_bands: int = 4,
+                  stats: dict | None = None) -> DataFrame:
     """SimHash near-dup: 60-bit sign-of-weighted-bit-sums fingerprint,
     15-bit band buckets, hamming distance via xor+bit_count.
 
@@ -330,11 +359,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     s1 = stacked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_key")
     s2 = stacked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_key")
-    cand = (
+    cand = observe_count(
         s1.join(s2, on=["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
+        .distinct(),
+        stats, "simhash_candidates",
     )
     # cast pins the cross-engine dtype: Spark bit_count yields int32,
     # DuckDB's yields int8 — the gate compares schemas exactly

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cpx_etl_spark.functions.vectors import as_double, cosine
+from cpx_etl_spark.operators.dedup import observe_count
 
 _QUANT = 1000000.0  # embedding quantization scale (floor(x * 1e6))
 
@@ -353,6 +354,7 @@ def lsh_candidate_pairs(
     max_bucket: int | None = None,
     dim: int | None = None,
     sketch_ham: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing a bucket in ANY table,
     with both vectors attached (join-back on id). Bucket self-join,
@@ -392,23 +394,25 @@ def lsh_candidate_pairs(
         b = idx.select(
             F.col(id_col).alias("_idb"), "tbl", "bucket", F.col("_sk").alias("_skb")
         )
-        cand = (
+        cand = observe_count(
             a.join(b, on=["tbl", "bucket"])
             .filter(
                 (F.col("_ida") < F.col("_idb"))
                 & (F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb"))) <= sketch_ham)
             )
             .select("_ida", "_idb")
-            .dropDuplicates(["_ida", "_idb"])
+            .dropDuplicates(["_ida", "_idb"]),
+            stats, "lsh_candidates",
         )
     else:
         a = idx.select(F.col(id_col).alias("_ida"), "tbl", "bucket")
         b = idx.select(F.col(id_col).alias("_idb"), "tbl", "bucket")
-        cand = (
+        cand = observe_count(
             a.join(b, on=["tbl", "bucket"])
             .filter(F.col("_ida") < F.col("_idb"))
             .select("_ida", "_idb")
-            .dropDuplicates(["_ida", "_idb"])
+            .dropDuplicates(["_ida", "_idb"]),
+            stats, "lsh_candidates",
         )
     vecs = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("_vec"))
     return (
@@ -437,6 +441,7 @@ def embedding_dup_pairs(
     max_bucket: int | None = None,
     dim: int | None = None,
     sketch_false_drop: float | None = 1e-3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, rounded cosine >=
     threshold): multi-table LSH candidate generation + exact JVM-side
@@ -474,6 +479,7 @@ def embedding_dup_pairs(
         max_bucket=max_bucket,
         dim=dim,
         sketch_ham=sketch_ham,
+        stats=stats,
     )
     return (
         cand.withColumn(

@@ -367,3 +367,42 @@ def test_embedding_dup_pairs_sketch_optional(spark):
         sketch_false_drop=None).collect()}
     assert with_sk == no_sk and (1, 2) in with_sk
 
+
+
+def test_candidate_volume_telemetry(spark):
+    """Every dedup family exposes its candidate-pair volume via the
+    zero-cost observe() hook — the at-scale guard that surfaces a
+    quadratic candidate regression as a metric instead of an OOM."""
+    from cpx_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from cpx_etl_spark.operators.similarity import embedding_dup_pairs
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    stats = {}
+    n_pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, stats=stats
+    ).count()
+    n_cand = stats["ngram_candidates"].get["n"]
+    assert n_cand >= n_pairs > 0
+
+    stats = {}
+    m_pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, bands=4, threshold=0.3, stats=stats
+    ).count()
+    assert stats["minhash_candidates"].get["n"] >= m_pairs
+
+    stats = {}
+    s_pairs = simhash_pairs(
+        docs, "doc_id", "text", max_hamming=20, stats=stats
+    ).count()
+    assert stats["simhash_candidates"].get["n"] >= s_pairs
+
+    emb = _vecs(spark)
+    stats = {}
+    e_pairs = embedding_dup_pairs(
+        emb, "vec_id", "embedding", 0.8, dim=4, stats=stats
+    ).count()
+    assert stats["lsh_candidates"].get["n"] >= e_pairs > 0
