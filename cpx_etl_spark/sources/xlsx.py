@@ -178,13 +178,30 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return v.text
     if t == "e":
         # Error cell from a real spreadsheet app (#DIV/0!, #N/A, ...):
-        # surface the error text rather than aborting the whole read.
-        return v.text
+        # map to NULL so a stray error doesn't smuggle a string into an
+        # otherwise-numeric column (mixed-type columns break schema
+        # inference far from the cause); warn so the source cell stays
+        # traceable.
+        import warnings
+
+        warnings.warn(
+            f"xlsx: error cell {c.get('r', '?')} ({v.text}) read as NULL",
+            stacklevel=2,
+        )
+        return None
     try:
         # Note: date-styled cells are stored as numbers; they come back as
         # Excel serial floats (no style-table interpretation is attempted).
         return float(v.text)
     except ValueError:
+        # untyped non-numeric text (written by tools that skip t="str"):
+        # keep it, but warn — the column may become mixed-type
+        import warnings
+
+        warnings.warn(
+            f"xlsx: untyped non-numeric cell {c.get('r', '?')} kept as text",
+            stacklevel=2,
+        )
         return v.text
 
 

@@ -530,3 +530,37 @@ def test_xslt_subset_features_and_guards():
     </xsl:stylesheet>"""
     with _pytest.raises(XsltUnsupported):
         MiniXslt(loop).apply("<doc/>")
+
+
+def test_xlsx_error_cells_read_as_null(tmp_path):
+    """t='e' error cells (#DIV/0!, #N/A) become NULL with a warning —
+    never error TEXT inside an otherwise-numeric column."""
+    import warnings
+    import zipfile
+
+    from cpx_etl_spark.sources.xlsx import read_xlsx_tables, write_xlsx
+
+    path = str(tmp_path / "err.xlsx")
+    write_xlsx(path, {"S": (["a", "b"], [(1.0, 2.0)])})
+    with zipfile.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = (
+        b'<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.'
+        b'org/spreadsheetml/2006/main"><sheetData>'
+        b'<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        b'<c r="B1" t="inlineStr"><is><t>b</t></is></c></row>'
+        b'<row r="2"><c r="A2"><v>1.5</v></c>'
+        b'<c r="B2" t="e"><v>#DIV/0!</v></c></row>'
+        b'<row r="3"><c r="A3"><v>2.5</v></c><c r="B3"><v>7</v></c></row>'
+        b"</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tables = read_xlsx_tables(path)
+    header, rows = tables["S"]
+    assert header == ["a", "b"]
+    assert rows == [(1.5, None), (2.5, 7.0)]
+    assert any("B2" in str(w.message) for w in caught)
