@@ -170,3 +170,81 @@ def pack_sequences(
         F.min(id_col).alias("first_id"),
         F.max(id_col).alias("last_id"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition metrics — the Gopher-style
+    repetition quality rules (duplicate-n-gram fraction, most-frequent-
+    n-gram fraction) used by public LLM corpus pipelines to drop
+    boilerplate and degenerate generations.
+
+    Returns (id, n_distinct, n_total, top_count) per doc with >= n
+    tokens. Two keyed shuffles — (id, shingle) then (id) — both on
+    high-cardinality uniform keys with map-side partial aggregation;
+    the same 100 TB shape as the dedup shingle paths. Callers derive
+    dup_frac = 1 - n_distinct/n_total and top_frac = top_count/n_total
+    (exact integer ratios — engine-identical division)."""
+    from cpx_etl_spark.operators.dedup import shingle_rows
+
+    rows = shingle_rows(df, id_col, text_col, n)
+    per_sh = rows.groupBy(id_col, "sh").agg(F.count(F.lit(1)).alias("_c"))
+    return per_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("_c").alias("n_total"),
+        F.max("_c").alias("top_count"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministic language-balanced (temperature) downsampling:
+    group g keeps each row with probability min(1, T*w_g/(sum w)/n_g)
+    where w_g = n_g^alpha — the multinomial temperature-mix rule of
+    public multilingual corpus recipes, alpha < 1 flattening the
+    distribution toward rare groups.
+
+    Determinism + cross-engine exactness: the per-row uniform draw is
+    md5(id)'s first 8 hex digits / 2^32 (exact integers), and the
+    group-weight sum accumulates in DECIMAL so summation order cannot
+    perturb the probabilities. alpha is restricted to 0.5 (sqrt —
+    correctly rounded in IEEE 754, so bit-identical in every engine);
+    arbitrary pow() is NOT (libm-dependent), and a hash-compared oracle
+    would drift. One tiny groupBy for the weights (|groups| rows,
+    AQE-broadcast join back) + one corpus scan."""
+    if alpha != 0.5:
+        raise ValueError(
+            "alpha must be 0.5: sqrt is the only IEEE-exact power, and "
+            "the operator's cross-engine determinism contract needs it"
+        )
+    weights = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n_g"))
+        .withColumn("_w", F.sqrt(F.col("_n_g").cast("double")))
+    )
+    total = weights.agg(
+        F.sum(F.col("_w").cast("decimal(20,10)")).cast("double").alias("_tot")
+    )
+    probs = weights.crossJoin(total).select(
+        F.col(group_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows)) * F.col("_w") / F.col("_tot") / F.col("_n_g"),
+        ).alias("_p_keep"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(probs, on=group_col)
+        .filter(u < F.col("_p_keep"))
+        .select(F.col(id_col), F.col(group_col))
+    )

@@ -141,3 +141,71 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(1000)
     )
+
+
+@register(
+    "q_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(tk) - 1),
+                                        i -> tk[i] || ' ' || tk[i+1])) AS sh
+           FROM t),
+    c AS (SELECT doc_id, sh, COUNT(*) AS c FROM bg GROUP BY doc_id, sh),
+    m AS (SELECT doc_id, COUNT(*) AS n_distinct,
+                 CAST(SUM(c) AS BIGINT) AS n_total, MAX(c) AS top_count
+          FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND(1.0 - n_distinct * 1.0 / n_total - 1e-9, 6) + 0 AS dup_frac,
+           ROUND(top_count * 1.0 / n_total - 1e-9, 6) + 0 AS top_frac,
+           (ROUND(1.0 - n_distinct * 1.0 / n_total - 1e-9, 6) + 0 <= 0.09
+            AND ROUND(top_count * 1.0 / n_total - 1e-9, 6) + 0 <= 0.09) AS keep
+    FROM m
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-doc duplicate-bigram
+    fraction and top-bigram fraction (boilerplate / degenerate-repetition
+    detectors); keep = both under 9%. Exact integer ratios -> identical
+    doubles in every engine; two uniform-key shuffles (PERF: same shape
+    as the dedup shingle paths)."""
+    from cpx_etl_spark.operators.curation import repetition_stats
+    from cpx_etl_spark.queries import fround
+
+    m = repetition_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    dup_frac = fround(
+        F.lit(1.0) - F.col("n_distinct") * F.lit(1.0) / F.col("n_total"), 6
+    )
+    top_frac = fround(F.col("top_count") * F.lit(1.0) / F.col("n_total"), 6)
+    return m.select(
+        "doc_id",
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+        ((dup_frac <= 0.09) & (top_frac <= 0.09)).alias("keep"),
+    )
+
+
+@register(
+    "q_temperature_sample",
+    oracle="""
+    WITH lc AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_g, SQRT(CAST(n_g AS DOUBLE)) AS w FROM lc),
+    tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(20,10))) AS DOUBLE) AS tot FROM w),
+    p AS (SELECT lang, LEAST(1.0, 200.0 * w / tot / n_g) AS p_keep FROM w, tot)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN p USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < p.p_keep
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced temperature downsampling (alpha=0.5): keep
+    probability per language prop. to sqrt(n_lang), deterministic
+    md5-derived uniform draw per doc — the multilingual corpus mixing
+    rule, reproducible bit-for-bit in any engine (sqrt is IEEE-exact;
+    the weight sum accumulates in DECIMAL)."""
+    from cpx_etl_spark.operators.curation import temperature_sample
+
+    return temperature_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", "lang", target_rows=200
+    )

@@ -139,3 +139,40 @@ def test_pack_sequences_capacity_invariants(spark):
         cum += r["bin_tokens"]
         prev_last = r["last_id"]
     assert sum(r["n_docs"] for r in rows) == 100
+
+
+def test_repetition_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w v u")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["n_distinct"], r["n_total"], r["top_count"])
+        for r in __import__(
+            "cpx_etl_spark.operators.curation", fromlist=["repetition_stats"]
+        ).repetition_stats(df, "doc_id", "text").collect()
+    }
+    # doc 1 bigrams: [a b, b a, a b, b a, a b] -> 2 distinct of 5, top 3
+    assert rows[1] == (2, 5, 3)
+    # doc 2: all 5 bigrams distinct
+    assert rows[2] == (5, 5, 1)
+
+
+def test_temperature_sample_flattens_distribution(spark):
+    from cpx_etl_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, "doc_id", "lang", target_rows=300).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # temperature 0.5 flattens: the small group keeps a FAR larger share
+    # of its rows than the big group
+    assert by_lang["small"] / 100 > 2 * by_lang["big"] / 900
+    # deterministic: same call, same rows
+    again = temperature_sample(df, "doc_id", "lang", target_rows=300).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "doc_id", "lang", 300, alpha=0.7)
