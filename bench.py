@@ -48,6 +48,11 @@ HEADLINE = [
     # path over documents)
     "q_decontaminate",
     "q_sequence_packing",
+    # added r5: the Gopher repetition filter (per-doc shingle-count
+    # shuffles) and real per-row XSLT execution (the pandas-UDF path's
+    # scale behavior belongs in the headline evidence)
+    "q_repetition_filter",
+    "q_xsl_execute",
 ]
 
 

@@ -67,7 +67,11 @@ def _string(item) -> str:
     return "".join(item.itertext())
 
 
-def _parse_step(step: str) -> tuple[str, list[str]]:
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
+def _parse_step(step: str) -> tuple[str, tuple[str, ...]]:
     preds: list[str] = []
     while step.endswith("]"):
         i = step.rindex("[")
@@ -75,9 +79,18 @@ def _parse_step(step: str) -> tuple[str, list[str]]:
         step = step[:i]
     if "(" in step and step != "text()":
         raise XsltUnsupported(f"path function {step!r}")
-    return step, preds
+    return step, tuple(preds)
 
 
+@functools.lru_cache(maxsize=4096)
+def _path_steps(path: str) -> tuple[tuple[str, tuple[str, ...]], ...]:
+    """Pre-split a select path into (name, predicates) steps — paths in
+    a stylesheet are few and static, but _select runs per node per row;
+    caching removes the per-row string parsing from the hot loop."""
+    return tuple(_parse_step(raw) for raw in path.split("/") if raw)
+
+
+@functools.lru_cache(maxsize=4096)
 def _split_comparison(expr: str):
     """Find the top-level comparison operator: outside quotes AND
     outside [...] predicates (which contain their own comparisons)."""
@@ -131,13 +144,19 @@ class MiniXslt:
                 continue  # serialization is always unindented UTF-8 text
             elif isinstance(child.tag, str):
                 raise XsltUnsupported(f"top-level {child.tag!r}")
+        # ancestry is only consulted by multi-step match patterns (a/b);
+        # skip the per-document parent-map pass when none exist
+        self._needs_parents = any(
+            "/" in match and match != "/" for match, _ in self.templates
+        )
         self._parents: dict = {}
 
     # -- public -----------------------------------------------------------
 
     def apply(self, xml: str) -> str:
         src_root = ET.fromstring(xml)
-        self._parents = {c: p for p in src_root.iter() for c in p}
+        if self._needs_parents:
+            self._parents = {c: p for p in src_root.iter() for c in p}
         self._depth = 0
         return self._apply_to([_Doc(src_root)])
 
@@ -297,8 +316,7 @@ class MiniXslt:
         if path.startswith("/"):
             raise XsltUnsupported(f"absolute select path {path!r}")
         cur = [ctx]
-        for raw in (s for s in path.split("/") if s):
-            name, preds = _parse_step(raw)
+        for name, preds in _path_steps(path):
             nxt: list = []
             for node in cur:
                 if isinstance(node, str):
