@@ -312,3 +312,40 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, thr in _STRATA.items():
         keep = F.when(F.col("lang") == lang, bucket < thr).otherwise(keep)
     return docs.filter(keep).select("doc_id", "lang")
+
+
+@register(
+    "q_unicode_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'
+                          AS raw
+               FROM documents),
+    n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM d)
+    SELECT doc_id, length(raw) AS n_raw, length(nfc) AS n_nfc,
+           md5(nfc) AS nfc_md5, (nfc != raw) AS changed
+    FROM n
+    """,
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (pre-dedup canonicalization): every doc
+    gets a decomposed suffix ('e'+U+0301, 'u'+U+0308) injected, the
+    pandas-UDF normalizer composes it, and the oracle replays with
+    DuckDB's nfc_normalize — md5 of the normalized text proves
+    byte-identical output, lengths prove the composition happened
+    (2 code points shorter per doc)."""
+    from cpx_etl_spark.functions.unicode import unicode_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    # suffix is DECOMPOSED and escape-spelled so a source-normalizing
+    # editor cannot silently compose it
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301 u\u0308ber"))
+    base = docs.select(F.col("doc_id"), raw.alias("_raw"))
+    n = base.withColumn("_nfc", unicode_normalize(F.col("_raw")))
+    return n.select(
+        "doc_id",
+        F.length("_raw").cast("long").alias("n_raw"),
+        F.length("_nfc").cast("long").alias("n_nfc"),
+        F.md5("_nfc").alias("nfc_md5"),
+        (F.col("_nfc") != F.col("_raw")).alias("changed"),
+    )
