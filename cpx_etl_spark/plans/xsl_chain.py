@@ -97,7 +97,8 @@ def load_stylesheet_chain(control_path: str, base_dir: str | None = None) -> lis
 
 
 def xslt_transform_column(
-    df: DataFrame, xml_col: str, out_col: str, stylesheet_srcs: list[str]
+    df: DataFrame, xml_col: str, out_col: str, stylesheet_srcs: list[str],
+    spread: bool = True,
 ) -> DataFrame:
     """Run a stylesheet chain over an XML string column, Arrow-batched.
 
@@ -105,11 +106,20 @@ def xslt_transform_column(
     (template dispatch over a parsed tree), so this is the legitimate
     pandas-UDF path — same rationale as the multimodal decoders. The
     sources (KBs of configuration) ship in the closure and compile once
-    per task; the data rows never leave the executor."""
+    per task; the data rows never leave the executor.
+
+    ``spread`` repartitions to the cluster's default parallelism first:
+    a CPU-bound ~0.6ms/row stage must not inherit the SCAN's
+    partitioning (a small input can be 1-3 row groups → 3 busy cores
+    and the rest idle; measured 25.7s -> ~3s at sf0.1 on local[32]).
+    The exchange cost is noise next to the per-row work. Pass False
+    when the input's partitioning is already compute-shaped."""
     from pyspark.sql import functions as F
 
     from cpx_etl_spark.functions.xslt import compile_stylesheet, xslt_pipeline
 
+    if spread:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     srcs = tuple(stylesheet_srcs)
     state: dict = {}
 
@@ -120,4 +130,11 @@ def xslt_transform_column(
         fns = state["fns"]
         return batch.map(lambda x: xslt_pipeline(x, fns) if x is not None else None)
 
-    return df.withColumn(out_col, run(F.col(xml_col)))
+    # asNondeterministic: the transform IS deterministic, but this stops
+    # Catalyst from cloning the expensive Python stage into pushed-down
+    # filter predicates — a downstream filter on the output column
+    # otherwise re-evaluates the whole UDF below the repartition (two
+    # ArrowEvalPython nodes, one on the unspread scan: measured 19.5s
+    # vs 2.6s at sf0.1). Pushdown past a ~0.6ms/row stage is never a
+    # win anyway.
+    return df.withColumn(out_col, run.asNondeterministic()(F.col(xml_col)))

@@ -813,10 +813,16 @@ def q_xsl_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformed = xslt_transform_column(
         orders.select(xml.alias("doc_xml")), "doc_xml", "out_xml", chain
     )
-    # filtered-out orders transform to an empty <outs/>: xpath gives
-    # '', which try_cast maps to NULL (plain cast throws under ANSI)
+    # Field extraction: regexp_extract, not xpath_string — Spark's
+    # xpath_* re-parse the document per row PER CALL through javax
+    # XPath (~40us each; 3 calls tripled the whole query's cost at
+    # sf0.1), while regexp stays in whole-stage codegen. The output
+    # XML is machine-generated with a fixed shape, so the anchored
+    # element regexes are exact. Filtered-out orders transform to an
+    # empty <outs/>: the extract gives '', which try_cast maps to NULL
+    # (plain cast throws under ANSI).
     return transformed.select(
-        F.expr("try_cast(xpath_string(out_xml, '/outs/out/key') AS bigint)").alias("order_id"),
-        F.expr("xpath_string(out_xml, '/outs/out/pri')").alias("pri"),
-        F.expr("try_cast(xpath_string(out_xml, '/outs/out/cents') AS bigint)").alias("cents"),
+        F.expr("try_cast(regexp_extract(out_xml, '<key>([^<]*)</key>', 1) AS bigint)").alias("order_id"),
+        F.regexp_extract("out_xml", "<pri>([^<]*)</pri>", 1).alias("pri"),
+        F.expr("try_cast(regexp_extract(out_xml, '<cents>([^<]*)</cents>', 1) AS bigint)").alias("cents"),
     ).filter(F.col("order_id").isNotNull())

@@ -164,3 +164,14 @@ def test_pack_sequences_no_corpus_window_keyed_by_lang_only(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan)
     # the bucketed window is present: partition (lang, _bkt), order doc_id
     assert re.search(r"windowspecdefinition\(lang#\d+, _bkt#\d+L?, doc_id#", plan)
+
+
+def test_xsl_execute_single_python_stage_spread(spark, sf_dir):
+    """Exactly ONE ArrowEvalPython node (Catalyst must not clone the
+    ~0.6ms/row XSLT stage into pushed-down filters — asNondeterministic
+    blocks that), fed by a repartition so a row-group-limited scan
+    can't starve the CPU-bound stage (3 partitions → 3 busy cores)."""
+    q, _ = load_registry()
+    plan = _plan(spark, sf_dir, "q_xsl_execute")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "REPARTITION_BY_NUM" in plan
