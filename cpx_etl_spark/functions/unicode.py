@@ -37,4 +37,7 @@ def unicode_normalize(col: Column, form: str = "NFC") -> Column:
             lambda x: unicodedata.normalize(form, x) if x is not None else None
         )
 
-    return norm(col)
+    # asNondeterministic: deterministic in fact, but stops Catalyst
+    # from cloning the Python stage into pushed-down filter predicates
+    # (see plans/xsl_chain.py for the measured failure mode)
+    return norm.asNondeterministic()(col)
