@@ -49,10 +49,13 @@ HEADLINE = [
     "q_decontaminate",
     "q_sequence_packing",
     # added r5: the Gopher repetition filter (per-doc shingle-count
-    # shuffles) and real per-row XSLT execution (the pandas-UDF path's
-    # scale behavior belongs in the headline evidence)
+    # shuffles), real per-row XSLT execution and Unicode NFC (the
+    # pandas-UDF paths' scale behavior belongs in the headline
+    # evidence), and temperature sampling (tiny-agg + scan shape)
     "q_repetition_filter",
     "q_xsl_execute",
+    "q_unicode_normalize",
+    "q_temperature_sample",
 ]
 
 
