@@ -374,3 +374,61 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def cross_corpus_minhash_pairs(
+    df_new: DataFrame, df_ref: DataFrame, id_col: str, text_col: str,
+    n: int = 2, k: int = 8, bands: int = 4, threshold: float = 0.5,
+    min_band_collisions: int = 1, stats: dict | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup join: docs in ``df_new`` (a fresh crawl)
+    whose near-duplicate already exists in ``df_ref`` (the standing
+    corpus) — the cross-corpus dedup every incremental ingestion
+    pipeline runs so re-crawled content never re-enters training data.
+
+    Same double-hashed MinHash banding as minhash_lsh_pairs, but the
+    band join is new x ref instead of a self-join, so candidate volume
+    is driven by CROSS-corpus collisions only — the (usually much
+    larger) ref side is never joined to itself. Requires globally
+    unique ids across the two frames (verification unions the two
+    shingle indexes). Returns (doc_a=new id, doc_b=ref id, jaccard).
+    """
+    if k % bands:
+        raise ValueError("k must divide evenly into bands")
+    r = k // bands
+
+    def banded(df: DataFrame, out: str) -> tuple[DataFrame, DataFrame]:
+        rows = shingle_rows(df, id_col, text_col, n)
+        sig = minhash_signatures(rows, id_col, k)
+        band_cols = [
+            F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        stacked = (
+            sig.select(F.col(id_col), *band_cols)
+            .select(
+                F.col(id_col).alias(out),
+                F.posexplode(
+                    F.array(*[F.col(f"band_{b}") for b in range(bands)])
+                ).alias("band_idx", "band_key"),
+            )
+            .filter(F.col("band_key").isNotNull())
+        )
+        return rows, stacked
+
+    rows_new, banded_new = banded(df_new, "doc_a")
+    rows_ref, banded_ref = banded(df_ref, "doc_b")
+    cand = observe_count(
+        banded_new.join(banded_ref, on=["band_idx", "band_key"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_n_bands"))
+        .filter(F.col("_n_bands") >= min_band_collisions)
+        .select("doc_a", "doc_b"),
+        stats, "cross_corpus_candidates",
+    )
+    index = rows_new.dropDuplicates().unionByName(rows_ref.dropDuplicates())
+    counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return _verify_jaccard(
+        cand, index, counts, id_col, threshold,
+        prune_index=min_band_collisions > 1,
+    )

@@ -395,3 +395,85 @@ def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=_EMB_CAP,
         dim=_EMB_DIM,
     )
+
+
+# deterministic ~1/2 split: md5 first hex digit 0-7 = standing corpus
+# (ref side), 8-f = the fresh crawl (new side)
+_REF_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'"
+
+
+def _sql_cross_minhash(k: int, bands: int, min_band_collisions: int) -> str:
+    r = k // bands
+
+    from cpx_etl_spark.operators.dedup import KM_PRIME, km_coefficients
+
+    sig_cols = ", ".join(
+        f"MIN(({a} * h1 + {b} * h2) % {KM_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(km_coefficients(k))
+    )
+    band_exprs = [
+        (
+            "md5("
+            + " || '|' || ".join(
+                f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)
+            )
+            + ")"
+        )
+        for b in range(bands)
+    ]
+
+    def side(tag: str) -> str:
+        band_union = "\n    UNION ALL\n    ".join(
+            f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sig_{tag}"
+            for b, expr in enumerate(band_exprs)
+        )
+        return f"""
+    hs_{tag} AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % {KM_PRIME} AS h1,
+                  CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % {KM_PRIME} AS h2
+           FROM tok_{tag}),
+    sig_{tag} AS (SELECT doc_id, {sig_cols} FROM hs_{tag} GROUP BY doc_id),
+    banded_{tag} AS ({band_union})"""
+
+    return f"""
+    WITH tok_a AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+                   FROM documents WHERE NOT ({_REF_PRED})),
+    tok_b AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+              FROM documents WHERE {_REF_PRED}),
+    tok AS (SELECT * FROM tok_a UNION ALL SELECT * FROM tok_b),
+    cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    {side("a")},
+    {side("b")},
+    cand AS (SELECT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+             FROM banded_a ba
+             JOIN banded_b bb ON ba.band_idx = bb.band_idx
+                             AND ba.band_key = bb.band_key
+             WHERE ba.band_key IS NOT NULL
+             GROUP BY ba.doc_id, bb.doc_id
+             HAVING COUNT(*) >= {min_band_collisions}),
+    {_SQL_VERIFY}
+    """
+
+
+@register("dedup_cross_corpus",
+          oracle=_sql_cross_minhash(_MH_K, _MH_BANDS, _MH_MINC))
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: fresh-crawl docs (md5 split, ~1/2)
+    whose near-duplicate already exists in the standing corpus — the
+    banded MinHash join runs new x ref, never ref x ref, so the big
+    standing side is only ever probed, not self-joined."""
+    from cpx_etl_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
+    return cross_corpus_minhash_pairs(
+        docs.filter(~is_ref),
+        docs.filter(is_ref),
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        k=_MH_K,
+        bands=_MH_BANDS,
+        threshold=0.5,
+        min_band_collisions=_MH_MINC,
+    )

@@ -406,3 +406,34 @@ def test_candidate_volume_telemetry(spark):
         emb, "vec_id", "embedding", 0.8, dim=4, stats=stats
     ).count()
     assert stats["lsh_candidates"].get["n"] >= e_pairs > 0
+
+
+def test_cross_corpus_minhash_direction_and_dedup(spark):
+    """Cross-corpus dedup joins new x ref only: a dup WITHIN the new
+    side must not be reported; a new/ref dup must, with doc_a always
+    from the new side."""
+    from cpx_etl_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog now"),
+            (3, "completely different content with no overlap at all"),
+            (4, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {}
+    out = cross_corpus_minhash_pairs(
+        new, ref, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5,
+        stats=stats,
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 100) in pairs and (2, 100) in pairs
+    # 3/4 are dups of each other but BOTH in the new corpus: not reported
+    assert all(b == 100 for _a, b in pairs)
+    assert stats["cross_corpus_candidates"].get["n"] >= len(pairs)
