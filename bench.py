@@ -56,6 +56,7 @@ HEADLINE = [
     "q_xsl_execute",
     "q_unicode_normalize",
     "q_temperature_sample",
+    "dedup_cross_corpus",
 ]
 
 
