@@ -57,6 +57,11 @@ HEADLINE = [
     "q_unicode_normalize",
     "q_temperature_sample",
     "dedup_cross_corpus",
+    # added r6: the persisted-index variant — the shape an incremental
+    # pipeline actually runs (standing corpus signed once, stored);
+    # bench pre-builds the index per sf_dir so the timing measures the
+    # per-crawl query, not the one-time index build
+    "dedup_cross_corpus_indexed",
 ]
 
 
@@ -71,6 +76,13 @@ def main() -> None:
     spark = get_spark("cpx-etl-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # One-time standing-corpus index build (amortized in production:
+    # the index is written once at ingestion, not per crawl) — keeps
+    # the dedup_cross_corpus_indexed timing honest about what repeats.
+    from cpx_etl_spark.queries.dedup import build_standing_index
+
+    build_standing_index(spark, sf_dir)
 
     # Warm the JVM + per-plan codegen caches with one pass at the
     # smallest sf so the timed run measures steady-state execution.
@@ -131,6 +143,7 @@ def main() -> None:
     sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchdata", "sf1")
     if os.path.isdir(sf1_dir) and os.path.abspath(sf_dir) != sf1_dir:
+        build_standing_index(spark, sf1_dir)
         sf1_timings: dict[str, float] = {}
         for name in HEADLINE:
             if name in sf1_excluded:

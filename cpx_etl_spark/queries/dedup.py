@@ -402,7 +402,8 @@ def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REF_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'"
 
 
-def _sql_cross_minhash(k: int, bands: int, min_band_collisions: int) -> str:
+def _sql_cross_minhash(k: int, bands: int, min_band_collisions: int,
+                       max_ref_band_df: int) -> str:
     r = k // bands
 
     from cpx_etl_spark.operators.dedup import KM_PRIME, km_coefficients
@@ -444,10 +445,18 @@ def _sql_cross_minhash(k: int, bands: int, min_band_collisions: int) -> str:
     cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     {side("a")},
     {side("b")},
+    -- prune_hot_bands mirror: ref-side band buckets over the cap are
+    -- dropped from candidate generation (skew guard; never fires on
+    -- this corpus — mirrored so results stay hash-equal if it did)
+    kept_b AS (SELECT bb.* FROM banded_b bb
+               JOIN (SELECT band_idx, band_key FROM banded_b
+                     GROUP BY band_idx, band_key
+                     HAVING COUNT(*) <= {max_ref_band_df}) ok
+                 ON ok.band_idx = bb.band_idx AND ok.band_key = bb.band_key),
     cand AS (SELECT ba.doc_id AS doc_a, bb.doc_id AS doc_b
              FROM banded_a ba
-             JOIN banded_b bb ON ba.band_idx = bb.band_idx
-                             AND ba.band_key = bb.band_key
+             JOIN kept_b bb ON ba.band_idx = bb.band_idx
+                           AND ba.band_key = bb.band_key
              WHERE ba.band_key IS NOT NULL
              GROUP BY ba.doc_id, bb.doc_id
              HAVING COUNT(*) >= {min_band_collisions}),
@@ -455,8 +464,16 @@ def _sql_cross_minhash(k: int, bands: int, min_band_collisions: int) -> str:
     """
 
 
+# Ref-side hot-band cap (prune_hot_bands): far above the largest band
+# bucket this corpus produces (bucket size tracks dup-cluster size,
+# max observed 5 @ sf0.1), so it never fires here; the oracle mirrors
+# it so results stay hash-equal even if it did. The adversarial-skew
+# behavior is pytest-covered (tests/test_dedup_similarity.py).
+_CROSS_BAND_CAP = 1000
+
+
 @register("dedup_cross_corpus",
-          oracle=_sql_cross_minhash(_MH_K, _MH_BANDS, _MH_MINC))
+          oracle=_sql_cross_minhash(_MH_K, _MH_BANDS, _MH_MINC, _CROSS_BAND_CAP))
 def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: fresh-crawl docs (md5 split, ~1/2)
     whose near-duplicate already exists in the standing corpus — the
@@ -476,4 +493,73 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_MH_BANDS,
         threshold=0.5,
         min_band_collisions=_MH_MINC,
+        max_ref_band_df=_CROSS_BAND_CAP,
+    )
+
+
+def _sig_index_dir(sf_dir: str) -> str:
+    """Deterministic per-(corpus, params) cache location for the
+    persisted standing-corpus index. The digest covers the documents
+    parquet's size+mtime, so regenerated testdata invalidates the
+    cache instead of serving a stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    parts = [os.path.abspath(sf_dir), f"n{_NGRAM}", f"k{_MH_K}",
+             f"b{_MH_BANDS}", "refpred-md5-7", "v1"]
+    doc = os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(os.path.join(doc, e) for e in os.listdir(doc))
+        if os.path.isdir(doc) else [doc]
+    )
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"cpx_sigindex_{digest}")
+
+
+def build_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the standing-corpus signature index exists for sf_dir;
+    returns its path. Build runs once per (corpus, params) — exactly
+    the amortization an incremental pipeline gets in production."""
+    import os
+
+    from cpx_etl_spark.operators.dedup import (
+        _INDEX_META,
+        write_signature_index,
+    )
+
+    path = _sig_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, _INDEX_META)):
+        docs = load_table(spark, sf_dir, "documents")
+        is_ref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
+        write_signature_index(
+            docs.filter(is_ref), path, "doc_id", "text",
+            n=_NGRAM, k=_MH_K, bands=_MH_BANDS,
+        )
+    return path
+
+
+@register("dedup_cross_corpus_indexed",
+          oracle=_sql_cross_minhash(_MH_K, _MH_BANDS, _MH_MINC, _CROSS_BAND_CAP))
+def dedup_cross_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cross_corpus against the PERSISTED standing-corpus index
+    (VERDICT r5 item 1): the fresh crawl is the only side shingled and
+    signed; the standing corpus contributes three column-pruned parquet
+    scans (band rows, shingles, counts) written once by
+    write_signature_index. Identical result to the recompute path —
+    the oracle is the same SQL."""
+    from cpx_etl_spark.operators.dedup import (
+        cross_corpus_minhash_pairs_indexed,
+        read_signature_index,
+    )
+
+    idx = read_signature_index(spark, build_standing_index(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "7"
+    return cross_corpus_minhash_pairs_indexed(
+        docs.filter(~is_ref), idx, threshold=0.5,
+        min_band_collisions=_MH_MINC, max_ref_band_df=_CROSS_BAND_CAP,
     )

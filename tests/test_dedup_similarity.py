@@ -437,3 +437,134 @@ def test_cross_corpus_minhash_direction_and_dedup(spark):
     # 3/4 are dups of each other but BOTH in the new corpus: not reported
     assert all(b == 100 for _a, b in pairs)
     assert stats["cross_corpus_candidates"].get["n"] >= len(pairs)
+
+
+def test_signature_index_roundtrip_matches_recompute(spark, tmp_path):
+    """The persisted standing-corpus index reproduces the recompute
+    path exactly: same pairs, same jaccard values."""
+    from cpx_etl_spark.operators.dedup import (
+        cross_corpus_minhash_pairs,
+        cross_corpus_minhash_pairs_indexed,
+        read_signature_index,
+        write_signature_index,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "an entirely different reference document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog now"),
+            (2, "nothing in common with anything stored whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sigindex")
+    write_signature_index(ref, path, "doc_id", "text", n=2, k=8, bands=4)
+    idx = read_signature_index(spark, path)
+    assert idx.meta == {"id_col": "doc_id", "text_col": "text",
+                        "n": 2, "k": 8, "bands": 4}
+
+    got = sorted(
+        cross_corpus_minhash_pairs_indexed(new, idx, threshold=0.5).collect()
+    )
+    want = sorted(
+        cross_corpus_minhash_pairs(
+            new, ref, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5
+        ).collect()
+    )
+    assert got == want and len(got) == 1
+    assert got[0]["doc_a"] == 1 and got[0]["doc_b"] == 100
+
+
+def test_signature_index_append_closes_incremental_loop(spark, tmp_path):
+    """Sign-once ingestion: append a second batch to a stored index and
+    the indexed join sees it — equal to recomputing over the unioned
+    standing corpus."""
+    from cpx_etl_spark.operators.dedup import (
+        append_to_signature_index,
+        cross_corpus_minhash_pairs,
+        cross_corpus_minhash_pairs_indexed,
+        read_signature_index,
+        write_signature_index,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(200, "completely separate second batch of standing corpus text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog now"),
+            (2, "completely separate second batch of standing corpus text"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sigindex")
+    write_signature_index(batch1, path, "doc_id", "text", n=2, k=8, bands=4)
+    append_to_signature_index(batch2, path)
+    idx = read_signature_index(spark, path)
+    got = sorted(
+        cross_corpus_minhash_pairs_indexed(new, idx, threshold=0.5).collect()
+    )
+    want = sorted(
+        cross_corpus_minhash_pairs(
+            new, batch1.unionByName(batch2), "doc_id", "text",
+            n=2, k=8, bands=4, threshold=0.5,
+        ).collect()
+    )
+    assert got == want
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(1, 100), (2, 200)}
+
+
+def test_hot_band_cap_bounds_adversarial_cross_corpus(spark):
+    """Boilerplate-heavy standing corpus (VERDICT r5 item 7): 300
+    identical ref docs put 300 rows in each band bucket, so ONE
+    matching crawl doc generates 300 x bands candidate rows without a
+    cap. prune_hot_bands drops those buckets from candidate generation;
+    telemetry proves the bound."""
+    from cpx_etl_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    boiler = "all rights reserved cookie notice please accept terms now"
+    ref = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(300)]
+        + [(900, "one legitimately unique standing document about engines")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, boiler),
+            (2, "one legitimately unique standing document about trains"),
+        ],
+        "doc_id long, text string",
+    )
+    # uncapped: the hot bucket explodes candidate volume
+    stats = {}
+    uncapped = cross_corpus_minhash_pairs(
+        new, ref, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5,
+        stats=stats,
+    )
+    n_pairs = uncapped.count()
+    assert n_pairs >= 300
+    assert stats["cross_corpus_candidates"].get["n"] >= 300
+
+    # capped at 10: hot buckets are dropped from candidate generation,
+    # so candidate volume stays bounded by the cap, while pairs through
+    # healthy buckets (doc 2 x 900) survive
+    stats = {}
+    capped = cross_corpus_minhash_pairs(
+        new, ref, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5,
+        max_ref_band_df=10, stats=stats,
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert stats["cross_corpus_candidates"].get["n"] <= 10 * 4  # cap x bands
+    assert (2, 900) in pairs
+    assert not any(a == 1 for a, _b in pairs)

@@ -175,3 +175,19 @@ def test_xsl_execute_single_python_stage_spread(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_xsl_execute")
     assert plan.count("ArrowEvalPython") == 1
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_cross_corpus_indexed_reads_stored_index(spark, sf_dir):
+    """The indexed cross-corpus query's ref side must be parquet scans
+    of the persisted signature index (bands + shingles + counts), not a
+    re-derivation — the plan shows >= 3 FileScans under the index dir,
+    and results equal the recompute path."""
+    q, _ = load_registry()
+    df = q["dedup_cross_corpus_indexed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("cpx_sigindex_") >= 3, (
+        "ref side does not come from the stored index"
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, q["dedup_cross_corpus"](spark, sf_dir).collect()))
+    assert got == want
