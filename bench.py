@@ -30,7 +30,6 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding_demo",
     "dedup_embedding_strict",
     "ann_bruteforce_topk",
     "text_quality_score",
@@ -122,14 +121,11 @@ def main() -> None:
         best_sf[name] = min(best_sf.get(name, dt), dt)
 
     # Machine-readable exclusions (VERDICT r4 item 6): nothing is
-    # silently dropped from any bench pass.
-    sf1_excluded = {
-        "dedup_embedding_demo": (
-            "cos-0.45 demo regime is candidate-quadratic for ANY LSH "
-            "parameterization (PERF.md S-curve analysis); the production "
-            "config dedup_embedding_strict benches at every scale"
-        ),
-    }
+    # silently dropped from any bench pass. Empty since r6 — the
+    # permanently-excluded dedup_embedding_demo was deregistered to a
+    # pytest-only demo (VERDICT r5 item 2), so every headline query now
+    # benches at every scale.
+    sf1_excluded: dict[str, str] = {}
 
     detail = {
         "queries": timings,

@@ -125,10 +125,18 @@ def pack_sequences(
 
     global_cum = offset + local_cum reproduces the one-window result
     bit-for-bit, so the DuckDB oracle keeps the single-window SQL.
-    ``bucket_width=None`` falls back to the one-window formulation
-    (required when ``id_col`` is not castable to BIGINT — the two-phase
-    path ranges over the numeric id).
+    The two-phase path ranges over the NUMERIC id, so it requires an
+    integral ``id_col`` (byte/short/int/long): a non-integral id would
+    cast to NULL and the bucket join would silently drop every row, and
+    numeric-string ids would bucket numerically while the window orders
+    lexicographically — breaking the equivalence (ADVICE r5). Any other
+    orderable id type automatically falls back to the one-window
+    formulation; pass ``bucket_width=None`` to force it.
     """
+    if bucket_width is not None:
+        id_type = df.schema[id_col].dataType.typeName()
+        if id_type not in ("byte", "short", "integer", "long"):
+            bucket_width = None
     base = df.select(
         F.col(part_col), F.col(id_col), token_count_col.alias("_n_tok")
     )

@@ -88,10 +88,13 @@ def _last_driver_round() -> dict[str, int]:
     """Map query name -> most recent round with driver evidence.
 
     Scans the driver's own CORRECTNESS_r*.json artifacts at the repo
-    root. A query counts as confirmed in round N if its row either
-    hash/row-matched its oracle or ran the declared rows-only check
-    (``err == 'no_oracle'`` with a recorded row count). Queries with no
-    artifact row at all (new this round) map to 0."""
+    root. A query counts as confirmed in round N only if its row
+    hash-matched its oracle (a rows_match with a FAILED hash is a
+    failing query and must stay at the FRONT of the sweep, not rotate
+    to the back — ADVICE r5), or ran the declared rows-only check
+    (``err == 'no_oracle'`` with a recorded row count). Rows without a
+    hash_match key (older artifact formats) fall back to rows_match.
+    Queries with no artifact row at all (new this round) map to 0."""
     import json
     import re
     from pathlib import Path
@@ -112,7 +115,11 @@ def _last_driver_round() -> dict[str, int]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            ok = bool(row.get("rows_match")) or (
+            if "hash_match" in row:
+                matched = row.get("hash_match") is True
+            else:
+                matched = bool(row.get("rows_match"))
+            ok = matched or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
             if ok:

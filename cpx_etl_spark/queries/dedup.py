@@ -299,14 +299,17 @@ def _sql_emb_lsh(n_tables: int = _EMB_L, n_bits: int = _EMB_B,
     """
 
 
-@register("dedup_embedding_demo", oracle=_sql_emb_lsh())
 def dedup_embedding_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at the corpus-tuned demo config
-    (threshold 0.45, explicit L=16 x b=4): multi-table LSH candidates +
-    exact cosine rerank — fully distributed (the round-1
-    broadcast-matrix path driver-collected the corpus). Registered
-    until r3 as `dedup_embedding`; renamed so the default story leads
-    with the threshold-derived production config below."""
+    """PYTEST-ONLY demo (deregistered r6, VERDICT r5 item 2): the
+    corpus-tuned config (threshold 0.45, explicit L=16 x b=4) exists to
+    exercise the operator on this corpus's barely-above-random planted
+    dups, but at cos>=0.45 candidate volume is information-theoretically
+    quadratic for ANY LSH parameterization (PERF.md S-curve case study),
+    so it can never run at bench scale. The production regime —
+    threshold-derived banding at cos>=0.8 — is dedup_embedding_strict,
+    the sole registered embedding-dedup query. Tests:
+    tests/test_dedup_similarity.py::test_embedding_demo_config_matches_oracle
+    keeps this construction oracle-verified (DuckDB replay at sf0.001)."""
     return embedding_dup_pairs(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",

@@ -176,3 +176,23 @@ def test_temperature_sample_flattens_distribution(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, "doc_id", "lang", 300, alpha=0.7)
+
+
+def test_pack_sequences_string_ids_fall_back_to_single_window(spark):
+    """Non-integral ids must NOT be range-bucketed (the long cast would
+    NULL out and silently drop every row — ADVICE r5): the default
+    bucketed config falls back to the one-window path and packs string
+    ids in lexicographic order."""
+    df = spark.createDataFrame(
+        [("doc_a", "en", 60), ("doc_b", "en", 60), ("doc_c", "en", 60)],
+        "doc_id string, lang string, n int",
+    )
+    out = {
+        (r["lang"], r["bin"]): (r["n_docs"], r["first_id"], r["last_id"])
+        for r in pack_sequences(df, "doc_id", F.col("n"), "lang",
+                                capacity=100).collect()
+    }
+    # 60+60 overflows bin 0 at doc_b (first token lands at cum 60 < 100),
+    # doc_c starts at 120 -> bin 1
+    assert out == {("en", 0): (2, "doc_a", "doc_b"),
+                   ("en", 1): (1, "doc_c", "doc_c")}

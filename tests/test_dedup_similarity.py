@@ -568,3 +568,30 @@ def test_hot_band_cap_bounds_adversarial_cross_corpus(spark):
     assert stats["cross_corpus_candidates"].get["n"] <= 10 * 4  # cap x bands
     assert (2, 900) in pairs
     assert not any(a == 1 for a, _b in pairs)
+
+
+def test_embedding_demo_config_matches_oracle(spark, sf_dir):
+    """The deregistered corpus-tuned demo config (threshold 0.45,
+    L=16 x b=4 — candidate-quadratic by regime, so pytest-only since
+    r6) stays oracle-verified here: DuckDB replays the candidate
+    generation + hot-bucket cap + sketch pre-filter + rerank exactly."""
+    import duckdb
+
+    from cpx_etl_spark.queries.dedup import _sql_emb_lsh, dedup_embedding_demo
+
+    got = dedup_embedding_demo(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.execute(_sql_emb_lsh()).fetchdf()
+    g = sorted(
+        (int(a), int(b), round(float(c), 4))
+        for a, b, c in got[["vec_a", "vec_b", "cos"]].itertuples(index=False)
+    )
+    w = sorted(
+        (int(a), int(b), round(float(c), 4))
+        for a, b, c in want[["vec_a", "vec_b", "cos"]].itertuples(index=False)
+    )
+    assert g == w and len(g) > 0

@@ -140,11 +140,17 @@ def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):
     kick in at runtime — the assertion is on the LOGICAL plan, where
     only explicit hints appear."""
     q, _ = load_registry()
-    for name in ("dedup_embedding_strict", "dedup_embedding_demo",
-                 "dedup_minhash_lsh", "dedup_ngram_jaccard"):
+    from cpx_etl_spark.queries.dedup import dedup_embedding_demo
+
+    for name in ("dedup_embedding_strict", "dedup_minhash_lsh",
+                 "dedup_ngram_jaccard", "dedup_cross_corpus_indexed"):
         df = q[name](spark, sf_dir)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         assert "broadcast" not in logical.lower(), f"{name} still hints a broadcast"
+    # the pytest-only demo config keeps the same no-forced-broadcast bar
+    df = dedup_embedding_demo(spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower(), "demo config hints a broadcast"
 
 
 def test_pack_sequences_no_corpus_window_keyed_by_lang_only(spark, sf_dir):
