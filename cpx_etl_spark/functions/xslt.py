@@ -16,14 +16,24 @@ wrong answers are impossible):
 - ``xsl:template`` with match patterns ``/``, ``name``, ``a/b``,
   ``*``, ``text()``, with ``[...]`` predicates; last-declared wins on
   equal specificity (document/built-in rules per XSLT 1.0 5.8)
+- NAMED templates + ``xsl:call-template`` with ``xsl:with-param``
+  (r6); ``xsl:param`` declares defaults in both named and match
+  templates (``xsl:apply-templates`` may also carry with-param)
+- ``xsl:variable`` / ``xsl:param``, global and local, ``select`` or
+  body content (result-tree fragments: string-value for comparisons
+  and value-of, markup for copy-of); referenced as ``$name`` in
+  selects, tests, and AVTs; lexically scoped, shadowing allowed
 - ``xsl:apply-templates`` (optional ``select``), ``xsl:for-each``,
-  ``xsl:value-of``, ``xsl:if``, ``xsl:choose/when/otherwise``,
-  ``xsl:text``, literal result elements with ``{expr}`` attribute
-  value templates
-- select/test paths: relative child steps, ``@attr``, ``.``,
-  ``text()``, ``*``, ``[...]`` predicates; tests support ``not(...)``,
-  existence, and ``= != < <= > >=`` against quoted-string or numeric
-  literals
+  both with ``xsl:sort`` keys (select / data-type text|number /
+  order ascending|descending, stable multi-key)
+- ``xsl:value-of``, ``xsl:if``, ``xsl:choose/when/otherwise``,
+  ``xsl:text``, ``xsl:copy-of``, literal result elements with
+  ``{expr}`` attribute value templates
+- select/test paths: relative child steps, absolute ``/a/b`` selects,
+  ``@attr``, ``.``, ``text()``, ``*``, ``[...]`` predicates (predicates
+  may contain nested paths — bracket/quote-aware parsing); tests
+  support ``not(...)``, existence, and ``= != < <= > >=`` against
+  quoted-string or numeric literals or ``$var`` references
 """
 
 from __future__ import annotations
@@ -59,9 +69,29 @@ def _is_xsl(elem, name: str | None = None) -> bool:
     return name is None or _local(tag) == name
 
 
+class _RTF:
+    """Result-tree fragment from an xsl:variable body: ``markup`` is
+    the rendered XML; the XPath string-value (text content only) is
+    recovered lazily by re-parsing — our own output is well-formed."""
+
+    __slots__ = ("markup", "_text")
+
+    def __init__(self, markup: str):
+        self.markup = markup
+        self._text: str | None = None
+
+    def text(self) -> str:
+        if self._text is None:
+            frag = ET.fromstring(f"<r>{self.markup}</r>")
+            self._text = "".join(frag.itertext())
+        return self._text
+
+
 def _string(item) -> str:
     if isinstance(item, str):
         return item
+    if isinstance(item, _RTF):
+        return item.text()
     if isinstance(item, _Doc):
         return "".join(item.root.itertext())
     return "".join(item.itertext())
@@ -70,16 +100,58 @@ def _string(item) -> str:
 import functools
 
 
+def _scan_brackets(s: str):
+    """Yield (i, ch, depth, in_quote) with depth counted OUTSIDE quotes."""
+    depth = 0
+    in_q = False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        yield i, ch, depth, in_q
+
+
 @functools.lru_cache(maxsize=4096)
 def _parse_step(step: str) -> tuple[str, tuple[str, ...]]:
     preds: list[str] = []
     while step.endswith("]"):
-        i = step.rindex("[")
-        preds.insert(0, step[i + 1 : -1])
-        step = step[:i]
+        # balanced, quote-aware scan for the matching '[' of the final
+        # ']' — rindex broke on nested predicates and paths inside
+        # predicates like a[b[c]] or a[b/c] (ADVICE r5)
+        opens: list[int] = []
+        close_match: int | None = None
+        for i, ch, depth, in_q in _scan_brackets(step):
+            if in_q:
+                continue
+            if ch == "[" and depth == 1:
+                opens.append(i)
+            elif ch == "]" and depth == 0 and i == len(step) - 1:
+                close_match = opens[-1] if opens else None
+        if close_match is None:
+            raise XsltUnsupported(f"unbalanced predicate in step {step!r}")
+        preds.insert(0, step[close_match + 1 : -1])
+        step = step[:close_match]
     if "(" in step and step != "text()":
         raise XsltUnsupported(f"path function {step!r}")
     return step, tuple(preds)
+
+
+@functools.lru_cache(maxsize=4096)
+def _split_path(path: str) -> tuple[str, ...]:
+    """Split a path on '/' at bracket depth 0 outside quotes, so
+    predicates containing path steps (a[b/c]) stay intact (ADVICE r5)."""
+    parts: list[str] = []
+    start = 0
+    for i, ch, depth, in_q in _scan_brackets(path):
+        if ch == "/" and depth == 0 and not in_q:
+            parts.append(path[start:i])
+            start = i + 1
+    parts.append(path[start:])
+    return tuple(p for p in parts if p)
 
 
 @functools.lru_cache(maxsize=4096)
@@ -87,7 +159,7 @@ def _path_steps(path: str) -> tuple[tuple[str, tuple[str, ...]], ...]:
     """Pre-split a select path into (name, predicates) steps — paths in
     a stylesheet are few and static, but _select runs per node per row;
     caching removes the per-row string parsing from the hot loop."""
-    return tuple(_parse_step(raw) for raw in path.split("/") if raw)
+    return tuple(_parse_step(raw) for raw in _split_path(path))
 
 
 @functools.lru_cache(maxsize=4096)
@@ -132,14 +204,24 @@ class MiniXslt:
         if _local(root.tag) not in ("stylesheet", "transform"):
             raise XsltUnsupported(f"root element {root.tag!r}")
         self.templates: list[tuple[str, ET.Element]] = []
+        self.named: dict[str, ET.Element] = {}
+        self._globals: list[ET.Element] = []
         for child in root:
             if _is_xsl(child, "template"):
                 match = child.get("match")
-                if not match:
-                    raise XsltUnsupported("template without match (named templates)")
-                if match.startswith("/") and match != "/":
-                    raise XsltUnsupported(f"absolute match pattern {match!r}")
-                self.templates.append((match, child))
+                name = child.get("name")
+                if name:
+                    self.named[name] = child
+                if match:
+                    if match.startswith("/") and match != "/":
+                        raise XsltUnsupported(f"absolute match pattern {match!r}")
+                    self.templates.append((match, child))
+                elif not name:
+                    raise XsltUnsupported("template without match or name")
+            elif _is_xsl(child, "variable") or _is_xsl(child, "param"):
+                # top-level params use their defaults (no external
+                # parameter API); evaluated at apply() against the doc
+                self._globals.append(child)
             elif _is_xsl(child, "output"):
                 continue  # serialization is always unindented UTF-8 text
             elif isinstance(child.tag, str):
@@ -154,37 +236,59 @@ class MiniXslt:
     # -- public -----------------------------------------------------------
 
     def apply(self, xml: str) -> str:
+        import sys
+
         src_root = ET.fromstring(xml)
         if self._needs_parents:
             self._parents = {c: p for p in src_root.iter() for c in p}
-        self._depth = 0
-        return self._apply_to([_Doc(src_root)])
+        self._tdepth = 0
+        self._root = src_root
+        doc = _Doc(src_root)
+        self._scopes = [{}]
+        for g in self._globals:
+            self._scopes[0][g.get("name", "")] = self._eval_binding(g, doc)
+        # template-dispatch depth is bounded at _MAX_TDEPTH below, but
+        # a legitimate deep recursion still needs ~8 CPython frames per
+        # template level — lift the interpreter limit for the call
+        old_limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old_limit, 5000))
+        try:
+            return self._apply_to([doc])
+        finally:
+            sys.setrecursionlimit(old_limit)
 
     # -- template dispatch ------------------------------------------------
 
-    def _apply_to(self, nodes) -> str:
-        # depth guard: a template that re-applies to its own context
-        # (legal-but-divergent XSLT) fails fast instead of blowing the
-        # recursion limit 1000 frames deep inside an executor
-        self._depth += 1
-        if self._depth > 64:
-            # each template cycle costs ~8 interpreter frames, so 64
-            # stays far from CPython's 1000-frame default while being
-            # deeper than any sane row-document stylesheet
-            raise XsltUnsupported("template recursion deeper than 64")
-        try:
-            return "".join(self._apply_one(n) for n in nodes)
-        finally:
-            self._depth -= 1
+    # Guard counts TEMPLATE-BODY invocations only (matched templates and
+    # call-template), not built-in-rule descent — built-in recursion
+    # strictly consumes document children and terminates on its own, so
+    # deep documents no longer trip the guard (ADVICE r5); a divergent
+    # stylesheet must pass through a template body each cycle and still
+    # fails fast.
+    _MAX_TDEPTH = 256
 
-    def _apply_one(self, node) -> str:
+    def _apply_to(self, nodes) -> str:
+        return "".join(self._apply_one(n) for n in nodes)
+
+    def _enter_template(self):
+        self._tdepth += 1
+        if self._tdepth > self._MAX_TDEPTH:
+            raise XsltUnsupported(
+                f"template recursion deeper than {self._MAX_TDEPTH}"
+            )
+
+    def _apply_one(self, node, params: dict | None = None) -> str:
         best = None
         for idx, (pattern, telem) in enumerate(self.templates):
             score = self._match_score(pattern, node)
             if score is not None and (best is None or score + (idx,) >= best[0]):
                 best = (score + (idx,), telem)
         if best is not None:
-            return self._run_children(best[1], node)
+            self._enter_template()
+            try:
+                return self._run_children(best[1], node, params=params)
+            finally:
+                self._tdepth -= 1
         # built-in rules: recurse into children; copy text through
         if isinstance(node, str):
             return escape(node)
@@ -198,7 +302,7 @@ class MiniXslt:
             return (0, 0, 2) if isinstance(node, _Doc) else None
         if isinstance(node, (str, _Doc)):
             return (0, 0, 0) if pattern == "text()" and isinstance(node, str) else None
-        steps = pattern.split("/")
+        steps = _split_path(pattern)
         target = node
         n_preds = 0
         for i, raw in enumerate(reversed(steps)):
@@ -229,15 +333,98 @@ class MiniXslt:
 
     # -- instruction execution --------------------------------------------
 
-    def _run_children(self, container: ET.Element, ctx) -> str:
-        frags: list[str] = []
-        if container.text and container.text.strip():
-            frags.append(escape(container.text))
-        for child in container:
-            frags.append(self._run_node(child, ctx))
-            if child.tail and child.tail.strip():
-                frags.append(escape(child.tail))
-        return "".join(frags)
+    def _eval_binding(self, elem: ET.Element, ctx):
+        """Value of an xsl:variable / xsl:param / xsl:with-param: the
+        ``select`` expression — a quoted-string or numeric literal, or
+        a path's string-value — or the body as a result-tree fragment."""
+        sel = elem.get("select")
+        if sel is not None:
+            sel = sel.strip()
+            if len(sel) >= 2 and sel[0] == "'" and sel[-1] == "'":
+                return sel[1:-1]
+            if _literal(sel) is not None:
+                return sel  # numeric literal: keep its lexical form
+            items = self._select(ctx, sel)
+            return _string(items[0]) if items else ""
+        return _RTF(self._run_children(elem, ctx))
+
+    def _lookup_var(self, name: str):
+        for scope in reversed(self._scopes):
+            if name in scope:
+                return scope[name]
+        raise XsltUnsupported(f"reference to undeclared variable ${name}")
+
+    def _run_children(self, container: ET.Element, ctx,
+                      params: dict | None = None) -> str:
+        self._scopes.append(dict(params) if params else {})
+        try:
+            frags: list[str] = []
+            scope = self._scopes[-1]
+            if container.text and container.text.strip():
+                frags.append(escape(container.text))
+            for child in container:
+                if _is_xsl(child, "variable"):
+                    scope[child.get("name", "")] = self._eval_binding(child, ctx)
+                elif _is_xsl(child, "param"):
+                    pname = child.get("name", "")
+                    if pname not in scope:  # caller's with-param wins
+                        scope[pname] = self._eval_binding(child, ctx)
+                elif _is_xsl(child, "sort") or _is_xsl(child, "with-param"):
+                    pass  # consumed by the enclosing instruction
+                else:
+                    frags.append(self._run_node(child, ctx))
+                if child.tail and child.tail.strip():
+                    frags.append(escape(child.tail))
+            return "".join(frags)
+        finally:
+            self._scopes.pop()
+
+    def _gather_params(self, elem: ET.Element, ctx) -> dict:
+        return {
+            wp.get("name", ""): self._eval_binding(wp, ctx)
+            for wp in elem
+            if _is_xsl(wp, "with-param")
+        }
+
+    def _sorted_nodes(self, nodes: list, elem: ET.Element, ctx) -> list:
+        """Apply the instruction's xsl:sort keys (stable multi-key:
+        last key first). Unparseable number keys sort first ascending."""
+        sorts = [s for s in elem if _is_xsl(s, "sort")]
+        for s in reversed(sorts):
+            sel = s.get("select", ".")
+            numeric = s.get("data-type", "text") == "number"
+            reverse = s.get("order", "ascending") == "descending"
+
+            def key(n, _sel=sel, _num=numeric):
+                items = self._select(n, _sel)
+                v = _string(items[0]) if items else ""
+                if _num:
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return float("-inf")
+                return v
+
+            nodes = sorted(nodes, key=key, reverse=reverse)
+        return nodes
+
+    def _serialize(self, item) -> str:
+        """copy-of rendering: elements as markup, text/attrs escaped."""
+        if isinstance(item, str):
+            return escape(item)
+        if isinstance(item, _RTF):
+            return item.markup
+        if isinstance(item, _Doc):
+            return self._serialize(item.root)
+        attrs = "".join(
+            f" {_local(k)}={quoteattr(v)}" for k, v in item.attrib.items()
+        )
+        inner = (escape(item.text) if item.text else "") + "".join(
+            self._serialize(c) + (escape(c.tail) if c.tail else "")
+            for c in item
+        )
+        tag = _local(item.tag)
+        return f"<{tag}{attrs}>{inner}</{tag}>" if inner else f"<{tag}{attrs}/>"
 
     def _run_node(self, elem: ET.Element, ctx) -> str:
         if not isinstance(elem.tag, str):  # comments / PIs in the stylesheet
@@ -247,10 +434,14 @@ class MiniXslt:
             if name == "value-of":
                 items = self._select(ctx, elem.get("select", "."))
                 return escape(_string(items[0])) if items else ""
+            if name == "copy-of":
+                items = self._select(ctx, elem.get("select", "."))
+                return "".join(self._serialize(it) for it in items)
             if name == "for-each":
+                nodes = self._select(ctx, elem.get("select", "."))
                 return "".join(
                     self._run_children(elem, n)
-                    for n in self._select(ctx, elem.get("select", "."))
+                    for n in self._sorted_nodes(nodes, elem, ctx)
                 )
             if name == "if":
                 return self._run_children(elem, ctx) if self._test(ctx, elem.get("test", "")) else ""
@@ -272,7 +463,20 @@ class MiniXslt:
                     nodes = self._node_children(ctx)
                 else:
                     nodes = []
-                return self._apply_to(nodes)
+                nodes = self._sorted_nodes(nodes, elem, ctx)
+                params = self._gather_params(elem, ctx)
+                return "".join(self._apply_one(n, params or None) for n in nodes)
+            if name == "call-template":
+                tname = elem.get("name", "")
+                telem = self.named.get(tname)
+                if telem is None:
+                    raise XsltUnsupported(f"call to undeclared template {tname!r}")
+                params = self._gather_params(elem, ctx)
+                self._enter_template()
+                try:
+                    return self._run_children(telem, ctx, params=params or None)
+                finally:
+                    self._tdepth -= 1
             if name == "text":
                 return escape(elem.text or "")
             raise XsltUnsupported(f"xsl:{name}")
@@ -313,13 +517,22 @@ class MiniXslt:
         path = path.strip()
         if path == ".":
             return [ctx]
+        if path.startswith("$"):
+            rest = path[1:]
+            if "/" in rest or "[" in rest:
+                raise XsltUnsupported(f"path into variable {path!r}")
+            return [self._lookup_var(rest)]
+        if path.startswith("//"):
+            raise XsltUnsupported(f"descendant axis {path!r}")
         if path.startswith("/"):
-            raise XsltUnsupported(f"absolute select path {path!r}")
-        cur = [ctx]
+            cur: list = [_Doc(self._root)]
+            path = path[1:]
+        else:
+            cur = [ctx]
         for name, preds in _path_steps(path):
             nxt: list = []
             for node in cur:
-                if isinstance(node, str):
+                if isinstance(node, (str, _RTF)):
                     continue
                 children = [node.root] if isinstance(node, _Doc) else list(node)
                 if name == ".":
@@ -356,10 +569,20 @@ class MiniXslt:
         if cmp is None:
             return bool(self._select(ctx, expr))
         lhs, op, rhs = cmp
-        rhs_lit = _literal(rhs)
+
+        def operand_literal(tok: str):
+            # a $var operand compares as a numeric literal when its
+            # string value parses as a number, else as a string literal
+            if tok.startswith("$"):
+                v = _string(self._lookup_var(tok[1:]))
+                num = _literal(v)
+                return v if num is None else num
+            return _literal(tok)
+
+        rhs_lit = operand_literal(rhs)
         if rhs_lit is None:
             lhs, rhs = rhs, lhs  # literal-first spelling: 'x' = path
-            rhs_lit = _literal(rhs)
+            rhs_lit = operand_literal(rhs)
             if rhs_lit is None:
                 raise XsltUnsupported(f"path-to-path comparison {expr!r}")
         values = [_string(v) for v in self._select(ctx, lhs)]

@@ -724,13 +724,19 @@ def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Step 1 exercises the r6 interpreter constructs on the hot path:
+# a global xsl:variable in the filter test, and xsl:sort over the field
+# elements (step 2 selects by key, so sorting cannot change the final
+# output — but the sort executes for every row).
 _XSL_STYLESHEET_1 = """<xsl:stylesheet version="1.0"
     xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:variable name="open" select="'O'"/>
   <xsl:template match="/"><recs><xsl:apply-templates/></recs></xsl:template>
   <xsl:template match="order">
-    <xsl:if test="f[@n='status'] = 'O'">
+    <xsl:if test="f[@n='status'] = $open">
       <rec id="{@id}">
         <xsl:for-each select="f">
+          <xsl:sort select="@n"/>
           <xsl:if test="@n != 'status'">
             <v key="{@n}"><xsl:value-of select="."/></v>
           </xsl:if>
@@ -741,14 +747,26 @@ _XSL_STYLESHEET_1 = """<xsl:stylesheet version="1.0"
 </xsl:stylesheet>
 """
 
+# Step 2 exercises named templates: field lookup goes through
+# xsl:call-template + xsl:with-param, with the key compared against a
+# $param inside a predicate.
 _XSL_STYLESHEET_2 = """<xsl:stylesheet version="1.0"
     xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template name="field">
+    <xsl:param name="k"/>
+    <xsl:value-of select="v[@key=$k]"/>
+  </xsl:template>
   <xsl:template match="/"><outs><xsl:apply-templates/></outs></xsl:template>
   <xsl:template match="rec">
+    <xsl:variable name="id" select="@id"/>
     <out>
-      <key><xsl:value-of select="@id"/></key>
-      <pri><xsl:value-of select="v[@key='pri']"/></pri>
-      <cents><xsl:value-of select="v[@key='cents']"/></cents>
+      <key><xsl:value-of select="$id"/></key>
+      <pri><xsl:call-template name="field">
+        <xsl:with-param name="k" select="'pri'"/>
+      </xsl:call-template></pri>
+      <cents><xsl:call-template name="field">
+        <xsl:with-param name="k" select="'cents'"/>
+      </xsl:call-template></cents>
     </out>
   </xsl:template>
 </xsl:stylesheet>

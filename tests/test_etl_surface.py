@@ -519,7 +519,7 @@ def test_xslt_subset_features_and_guards():
 
     bad = """<xsl:stylesheet version="1.0"
         xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:template match="/"><xsl:copy-of select="."/></xsl:template>
+      <xsl:template match="/"><xsl:apply-imports/></xsl:template>
     </xsl:stylesheet>"""
     with _pytest.raises(XsltUnsupported):
         MiniXslt(bad).apply("<doc/>")
@@ -564,3 +564,168 @@ def test_xlsx_error_cells_read_as_null(tmp_path):
     assert header == ["a", "b"]
     assert rows == [(1.5, None), (2.5, 7.0)]
     assert any("B2" in str(w.message) for w in caught)
+
+
+_XSL_NS = 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
+
+
+def _mini(s):
+    from cpx_etl_spark.functions.xslt import MiniXslt
+
+    return MiniXslt(s).apply
+
+
+def test_xslt_variables_params_scoping():
+    """xsl:variable / xsl:param (r6): global + local bindings, select
+    and result-tree-fragment bodies, $var in value-of / AVT / tests,
+    lexical shadowing."""
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:variable name="site" select="'corpus'"/>
+      <xsl:variable name="frag"><x>rtf-<xsl:value-of select="$site"/></x></xsl:variable>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <xsl:variable name="n" select="count"/>
+        <out site="{{$site}}">
+          <xsl:if test="$n &gt;= 10"><big n="{{$n}}"/></xsl:if>
+          <xsl:value-of select="$frag"/>
+          <xsl:for-each select="item">
+            <xsl:variable name="site" select="@id"/>
+            <i><xsl:value-of select="$site"/></i>
+          </xsl:for-each>
+          <tail><xsl:value-of select="$site"/></tail>
+        </out>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)('<doc><count>42</count><item id="a"/><item id="b"/></doc>')
+    # $frag's string-value is its text content; the for-each shadows
+    # $site per iteration and the outer binding is restored after
+    assert out == ('<r><out site="corpus"><big n="42"/>rtf-corpus'
+                   '<i>a</i><i>b</i><tail>corpus</tail></out></r>')
+
+
+def test_xslt_named_templates_call_with_param():
+    """xsl:call-template + xsl:with-param (r6); xsl:param defaults used
+    when the caller omits a parameter."""
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template name="row">
+        <xsl:param name="label" select="'none'"/>
+        <xsl:param name="val" select="v"/>
+        <row l="{{$label}}" v="{{$val}}"/>
+      </xsl:template>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <xsl:call-template name="row">
+          <xsl:with-param name="label" select="'first'"/>
+          <xsl:with-param name="val" select="'7'"/>
+        </xsl:call-template>
+        <xsl:call-template name="row"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)("<doc><v>9</v></doc>")
+    assert out == '<r><row l="first" v="7"/><row l="none" v="9"/></r>'
+
+    import pytest as _pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    missing = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><xsl:call-template name="nope"/></xsl:template>
+    </xsl:stylesheet>"""
+    with _pytest.raises(XsltUnsupported):
+        MiniXslt(missing).apply("<doc/>")
+
+
+def test_xslt_sort_text_number_multikey():
+    """xsl:sort (r6): text vs number data-types, descending order,
+    stable multi-key, in both for-each and apply-templates."""
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <byname>
+          <xsl:for-each select="p">
+            <xsl:sort select="@grp"/>
+            <xsl:sort select="@age" data-type="number" order="descending"/>
+            <p n="{{@name}}"/>
+          </xsl:for-each>
+        </byname>
+        <bynum>
+          <xsl:apply-templates select="p">
+            <xsl:sort select="@age" data-type="number"/>
+          </xsl:apply-templates>
+        </bynum>
+      </xsl:template>
+      <xsl:template match="p"><q a="{{@age}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    doc = ('<doc>'
+           '<p name="ada" grp="b" age="9"/>'
+           '<p name="bob" grp="a" age="100"/>'
+           '<p name="cid" grp="a" age="20"/>'
+           '</doc>')
+    out = _mini(s)(doc)
+    # text sort on age would give 100 < 20 < 9; number sort must not
+    assert out == ('<r><byname><p n="bob"/><p n="cid"/><p n="ada"/></byname>'
+                   '<bynum><q a="9"/><q a="20"/><q a="100"/></bynum></r>')
+
+
+def test_xslt_copy_of_nodes_and_rtf():
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:variable name="hdr"><h k="1">t&amp;x</h></xsl:variable>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <xsl:copy-of select="$hdr"/>
+        <xsl:copy-of select="keep"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)('<doc><keep a="b">in<deep/>ner</keep><drop/></doc>')
+    assert out == '<r><h k="1">t&amp;x</h><keep a="b">in<deep/>ner</keep></r>'
+
+
+def test_xslt_bracket_aware_paths():
+    """Predicates containing path steps (ADVICE r5): match="a[b/c]" and
+    select steps like item[meta/flag='y'] parse and evaluate instead of
+    raising from inside the step parser."""
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <xsl:for-each select="item[meta/flag='y']"><hit id="{{@id}}"/></xsl:for-each>
+      </xsl:template>
+      <xsl:template match="side[a/b]"><nested/></xsl:template>
+      <xsl:template match="side"><plain/></xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)(
+        '<doc><item id="1"><meta><flag>y</flag></meta></item>'
+        '<item id="2"><meta><flag>n</flag></meta></item></doc>'
+    )
+    assert out == '<r><hit id="1"/></r>'
+    out2 = _mini(s)('<side><a><b/></a></side>')
+    assert out2 == "<r><nested/></r>"
+    out3 = _mini(s)('<side><a/></side>')
+    assert out3 == "<r><plain/></r>"
+
+
+def test_xslt_deep_document_does_not_trip_recursion_guard():
+    """Built-in-rule descent through a deep document is not template
+    recursion (ADVICE r5): a 120-element-deep tree transforms fine,
+    while a genuinely divergent template still fails fast."""
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="leaf"><found/></xsl:template>
+    </xsl:stylesheet>"""
+    deep = "<a>" * 120 + "<leaf/>" + "</a>" * 120
+    assert _mini(s)(deep) == "<found/>"
+    # template-dispatched descent (one template invocation per level)
+    # also works at document depths beyond the old 64 cap
+    s2 = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="a"><d><xsl:apply-templates/></d></xsl:template>
+      <xsl:template match="leaf"><found/></xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s2)(deep)
+    assert out == "<d>" * 120 + "<found/>" + "</d>" * 120
+
+
+def test_xslt_absolute_select_path():
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><r><xsl:apply-templates select="doc/item"/></r></xsl:template>
+      <xsl:template match="item"><i t="{{/doc/title}}" v="{{.}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)("<doc><title>T</title><item>a</item><item>b</item></doc>")
+    assert out == '<r><i t="T" v="a"/><i t="T" v="b"/></r>'
