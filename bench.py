@@ -61,6 +61,10 @@ HEADLINE = [
     # bench pre-builds the index per sf_dir so the timing measures the
     # per-crawl query, not the one-time index build
     "dedup_cross_corpus_indexed",
+    # exact duplicated-substring coverage: one window-hash shuffle over
+    # every overlapping 8-token window — a corpus-tokens-sized shuffle,
+    # the heaviest honest scan shape in the curation family
+    "q_substring_dedup",
 ]
 
 

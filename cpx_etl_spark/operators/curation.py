@@ -256,3 +256,77 @@ def temperature_sample(
         .filter(u < F.col("_p_keep"))
         .select(F.col(id_col), F.col(group_col))
     )
+
+
+def duplicated_window_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Exact duplicated-substring coverage per document — the
+    token-window formulation of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": substrings repeated verbatim across a corpus are
+    memorization fuel and should be removed or down-weighted).
+
+    Every OVERLAPPING ``n``-token window of every document is hashed; a
+    window is *duplicated* when it appears in >= ``min_docs`` DISTINCT
+    documents (cross-document repetition — within-document repetition is
+    the Gopher repetition filter's job). Per document, the tokens
+    covered by the UNION of its duplicated windows are counted exactly
+    via the classic sorted-interval sweep: with window starts in order,
+    each interval [pos, pos+n) contributes max(0, pos+n - max(prev_max_end,
+    pos)) new covered tokens, where prev_max_end is the running max end
+    over preceding intervals — a per-document window function, never a
+    corpus-wide one. Returns one row per document:
+    (id, n_tokens, dup_tokens, dup_frac, keep).
+
+    Scale: the window index is a narrow projection (posexplode of
+    zipped slices — zero shuffles, same construction as shingle_rows),
+    then ONE groupBy shuffle on the window hash (uniform md5 keys) and
+    one per-document window over duplicated starts only (rows per doc
+    bounded by tokens per doc). No all-pairs stage anywhere; candidate
+    volume is linear in corpus tokens.
+    """
+    arr = F.split(F.col(text_col), " ")
+    width = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(arr, i + 1, width).alias(f"w{i}") for i in range(n)])
+    wins = (
+        df.select(F.col(id_col), F.size(arr).alias("n_tokens"),
+                  F.posexplode(z).alias("pos", "_t"))
+        .select(
+            F.col(id_col), "n_tokens", "pos",
+            F.md5(F.concat_ws(" ", *[F.col(f"_t.w{i}") for i in range(n)])).alias("wh"),
+        )
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("wh")
+    )
+    starts = wins.join(dup, on="wh", how="left_semi").select(id_col, "pos")
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.when(prev_end.isNull(), F.lit(n)).otherwise(
+        F.greatest(F.lit(0), F.col("pos") + n - F.greatest(prev_end, F.col("pos")))
+    )
+    covered = (
+        starts.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("dup_tokens"))
+    )
+    per_doc = df.select(F.col(id_col), F.size(arr).alias("n_tokens"))
+    frac = F.col("dup_tokens") / F.col("n_tokens")
+    return (
+        per_doc.join(covered, on=id_col, how="left")
+        .withColumn("dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0)))
+        .withColumn("dup_frac", F.round(frac - 1e-9, 6))
+        .withColumn("keep", F.col("dup_frac") <= max_dup_frac)
+        .select(id_col, "n_tokens", "dup_tokens", "dup_frac", "keep")
+    )

@@ -209,3 +209,55 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         load_table(spark, sf_dir, "documents"), "doc_id", "lang", target_rows=200
     )
+
+
+_SUBW = 8  # duplicated-window width in tokens
+
+
+@register(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i + 1 : i + {_SUBW}], ' ')) AS wh
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(0, len(t) - {_SUBW})) AS i
+              FROM toks)),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+    starts AS (
+        SELECT w.doc_id, w.pos,
+               MAX(w.pos + {_SUBW}) OVER (
+                   PARTITION BY w.doc_id ORDER BY w.pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM wins w JOIN dup d USING (wh)),
+    cov AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN prev_end IS NULL THEN {_SUBW}
+                        ELSE GREATEST(0, pos + {_SUBW} - GREATEST(prev_end, pos))
+                        END) AS BIGINT) AS dup_tokens
+        FROM starts GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(c.dup_tokens, 0) * 1.0
+                 / len(string_split(d.text, ' ')) - 1e-9, 6) + 0 AS dup_frac,
+           (ROUND(COALESCE(c.dup_tokens, 0) * 1.0
+                  / len(string_split(d.text, ' ')) - 1e-9, 6) + 0) <= 0.5 AS keep
+    FROM documents d LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. 2022 exact
+    substring dedup, token-window formulation): per document, the exact
+    fraction of tokens covered by 8-token windows repeated verbatim in
+    other documents, via one window-hash shuffle + a per-document
+    interval-union sweep. keep=false marks memorization-risk docs
+    (>50% duplicated content)."""
+    from cpx_etl_spark.operators.curation import duplicated_window_coverage
+
+    out = duplicated_window_coverage(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=_SUBW, min_docs=2, max_dup_frac=0.5,
+    )
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))

@@ -196,3 +196,29 @@ def test_pack_sequences_string_ids_fall_back_to_single_window(spark):
     # doc_c starts at 120 -> bin 1
     assert out == {("en", 0): (2, "doc_a", "doc_b"),
                    ("en", 1): (1, "doc_c", "doc_c")}
+
+
+def test_duplicated_window_coverage_interval_union(spark):
+    """Coverage counts the UNION of overlapping duplicated windows, not
+    their sum: a 10-token run shared verbatim by two docs yields three
+    overlapping 8-token windows but only 10 covered tokens."""
+    from cpx_etl_spark.operators.curation import duplicated_window_coverage
+
+    shared = "a b c d e f g h i j"          # 10 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one two"),
+            (2, "other head " + shared),
+            (3, "entirely distinct words with no overlap at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           duplicated_window_coverage(df, "doc_id", "text", n=8).collect()}
+    # doc 1: tokens 0..9 covered (3 windows: 0,1,2 -> union [0,10))
+    assert (out[1]["dup_tokens"], out[1]["n_tokens"]) == (10, 14)
+    assert out[2]["dup_tokens"] == 10
+    assert out[3]["dup_tokens"] == 0 and out[3]["keep"]
+    # docs 1 (10/14) and 2 (10/12) are both >50% duplicated -> flagged
+    assert not out[1]["keep"] and not out[2]["keep"]
+    assert out[2]["dup_frac"] > 0.5
