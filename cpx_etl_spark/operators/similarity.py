@@ -620,22 +620,17 @@ def sql_sketch_cte(
 # IVF
 # ---------------------------------------------------------------------------
 
-def ivf_topk(
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str,
     vec_col: str,
     cell_col: str,
-    k: int = 10,
-    nprobe: int = 2,
-    dim: int = 64,
-) -> DataFrame:
-    """IVF-style ANN with data-derived centroids: the exact-decimal mean
-    vector of each `cell_col` group is the cell centroid; every vector
-    is re-assigned to its NEAREST centroid via min_by aggregation (one
-    partial-aggregated shuffle — no per-id window sort over the corpus,
-    VERDICT r1 item 8); queries probe the nprobe nearest cells and
-    rerank exactly within them."""
+) -> tuple[DataFrame, DataFrame]:
+    """IVF training half: (centroids [cell, centroid], assignments
+    [neighbor_id, v_c, cell]). Centroid = exact-decimal mean per seed
+    cell; every vector re-assigned to its NEAREST centroid via min_by
+    aggregation (one partial-aggregated shuffle — no per-id window sort
+    over the corpus, VERDICT r1 item 8)."""
     vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("v"), F.col(cell_col))
     # centroid = elementwise mean per seed cell; decimal-cast sum is
     # exact => order-independent => identical in the SQL oracle
@@ -666,6 +661,21 @@ def ivf_topk(
         ).alias("cell"),
         F.first("v").alias("v_c"),
     ).select(F.col(id_col).alias("neighbor_id"), F.col("v_c"), "cell")
+    return centroids, assigned
+
+
+def ivf_serve(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF serving half: queries probe the nprobe nearest cells of a
+    (possibly PERSISTED) centroid set and rerank exactly against the
+    stored assignments of those cells only."""
     # queries probe nprobe nearest cells (query side is small — the
     # window here is over |queries| x |cells| rows only)
     w_probe = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell"))
@@ -686,3 +696,89 @@ def ivf_topk(
         F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
     )
     return _ranked(scored, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-style ANN, one-shot: ivf_build + ivf_serve in a single plan.
+    An ANN *deployment* trains once and serves many — persist the build
+    half with write_ivf_index and serve via ivf_topk_indexed."""
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    return ivf_serve(queries, centroids, assigned, id_col, vec_col,
+                     k=k, nprobe=nprobe)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — train once, serve many (r6; the ANN analogue of
+# the MinHash signature index in operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_IVF_META = "_IVF_META.json"
+
+
+class IvfIndex:
+    """Handle over a persisted IVF index: tiny centroids table + cell-
+    clustered assignments (each cell's vectors sit in few parquet row
+    groups, so an nprobe-cell query reads a sliver of the corpus)."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        import os
+
+        self.path = path
+        self.meta = meta
+        self.centroids_df = spark.read.parquet(os.path.join(path, "centroids"))
+        self.assignments_df = spark.read.parquet(os.path.join(path, "assignments"))
+
+
+def write_ivf_index(
+    corpus: DataFrame, path: str, id_col: str, vec_col: str, cell_col: str,
+) -> None:
+    """Train and persist the IVF index: centroids/ (one small file) and
+    assignments/ (neighbor_id, v_c, cell) clustered by cell so serving
+    scans prune to the probed cells' row groups."""
+    import json
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    os.makedirs(path, exist_ok=True)
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    write_clustered_parquet(assigned, os.path.join(path, "assignments"), ["cell"])
+    meta = {"id_col": id_col, "vec_col": vec_col, "cell_col": cell_col}
+    tmp = os.path.join(path, f"{_IVF_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _IVF_META))
+
+
+def read_ivf_index(spark, path: str) -> IvfIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, _IVF_META)) as f:
+        meta = json.load(f)
+    return IvfIndex(spark, path, meta)
+
+
+def ivf_topk_indexed(
+    queries: DataFrame, index: IvfIndex, id_col: str, vec_col: str,
+    k: int = 10, nprobe: int = 2,
+) -> DataFrame:
+    """ANN serving against a persisted IVF index: the corpus is never
+    re-scanned or re-assigned — probing reads the stored centroids
+    (broadcast) and only the probed cells' assignment rows."""
+    return ivf_serve(
+        queries, index.centroids_df, index.assignments_df, id_col, vec_col,
+        k=k, nprobe=nprobe,
+    )

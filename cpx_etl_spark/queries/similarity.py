@@ -93,9 +93,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+_IVF_ORACLE = f"""
     WITH comp AS (
         SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
         FROM embeddings, generate_series(1, {_DIM}) gs(i)),
@@ -122,8 +120,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probed p JOIN assigned a USING (cell)
         WHERE a.neighbor_id <> p.query_id),
     {_SQL_RANKED}
-    """,
-)
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label-seeded exact-decimal centroids, min_by
     nearest-centroid assignment, nprobe=2 cells."""
@@ -160,4 +160,63 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_norm"),
         F.round(F.min("nrm") - 1e-9, 4).alias("min_norm"),
         F.round(F.max("nrm") - 1e-9, 4).alias("max_norm"),
+    )
+
+
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Deterministic cache location for the persisted IVF index; the
+    digest covers the embeddings parquet's size+mtime so regenerated
+    testdata invalidates it (same convention as the dedup signature
+    index)."""
+    import hashlib
+    import os
+    import tempfile
+
+    parts = [os.path.abspath(sf_dir), "label-cells", f"dim{_DIM}", "v1"]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(os.path.join(src, e) for e in os.listdir(src))
+        if os.path.isdir(src) else [src]
+    )
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"cpx_ivfindex_{digest}")
+
+
+def build_ivf_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted IVF index exists for sf_dir; returns its
+    path. Trains once per (corpus, params) — the serve path never
+    re-derives it."""
+    import os
+
+    from cpx_etl_spark.operators.similarity import _IVF_META, write_ivf_index
+
+    path = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, _IVF_META)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb, path, "vec_id", "embedding", "label")
+    return path
+
+
+@register("ann_ivf_topk_indexed", oracle=_IVF_ORACLE)
+def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against the PERSISTED IVF index (train once, serve
+    many — the deployment shape): centroids and cell-clustered
+    assignments come from parquet written by write_ivf_index; the query
+    plan re-scans nothing corpus-wide. Same oracle as ann_ivf_topk —
+    the stored index is the identical derivation."""
+    from cpx_etl_spark.operators.similarity import (
+        ivf_topk_indexed,
+        read_ivf_index,
+    )
+
+    idx = read_ivf_index(spark, build_ivf_standing_index(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(
+        emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
+        k=10, nprobe=2,
     )

@@ -595,3 +595,39 @@ def test_embedding_demo_config_matches_oracle(spark, sf_dir):
         for a, b, c in want[["vec_a", "vec_b", "cos"]].itertuples(index=False)
     )
     assert g == w and len(g) > 0
+
+
+def test_ivf_index_roundtrip_matches_one_shot(spark, tmp_path):
+    """write_ivf_index -> read_ivf_index -> ivf_topk_indexed equals the
+    one-shot ivf_topk on the same corpus/queries."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.99, 0.1, 0.0, 0.0], "a"),
+        (3, [0.0, 1.0, 0.0, 0.0], "b"),
+        (4, [0.1, 0.95, 0.0, 0.0], "b"),
+        (5, [0.0, 0.0, 1.0, 0.0], "c"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, "vec_id", "embedding", "label")
+    idx = read_ivf_index(spark, path)
+    assert idx.meta == {"id_col": "vec_id", "vec_col": "embedding",
+                        "cell_col": "label"}
+    queries = emb.filter(F.col("vec_id") == 1)
+    got = sorted(map(tuple, ivf_topk_indexed(
+        queries, idx, "vec_id", "embedding", k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, ivf_topk(
+        emb, queries, "vec_id", "embedding", "label",
+        k=3, nprobe=2, dim=4).collect()))
+    assert got == want and len(got) == 3

@@ -197,3 +197,16 @@ def test_cross_corpus_indexed_reads_stored_index(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, q["dedup_cross_corpus"](spark, sf_dir).collect()))
     assert got == want
+
+
+def test_ivf_indexed_reads_stored_index(spark, sf_dir):
+    """The persisted-IVF serving query must read centroids and
+    assignments from the stored index (>= 2 FileScans under the index
+    dir) and return exactly the one-shot ivf_topk result."""
+    q, _ = load_registry()
+    df = q["ann_ivf_topk_indexed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("cpx_ivfindex_") >= 2
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, q["ann_ivf_topk"](spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
