@@ -97,3 +97,29 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clicks"),
         F.min("click_id").alias("first_click_id"),
     )
+
+
+@register(
+    "stream_trending_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rank
+        FROM counts)
+    SELECT window_start, event_type, n, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per hourly window (count-ranked,
+    type tiebreak) — batch twin of the watermarked update-mode counts
+    stream whose sink is ranked at read time
+    (streaming/events.py trending_topk_stream / read_trending_topk;
+    stream == batch proven in tests/test_streaming.py)."""
+    from cpx_etl_spark.streaming.events import trending_topk_batch
+
+    return trending_topk_batch(load_table(spark, sf_dir, "events"))

@@ -349,3 +349,61 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("_nfc").alias("nfc_md5"),
         (F.col("_nfc") != F.col("_raw")).alias("changed"),
     )
+
+
+@register(
+    "q_tfidf_keywords",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, t AS token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)
+        GROUP BY doc_id, t),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * CAST(n.n_docs AS DOUBLE) / df.df - 1e-9, 6) + 0
+                   AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rank
+        FROM scored)
+    SELECT doc_id, token, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by a RATIONAL
+    tf-idf (tf * N / df — no logarithm, so the score is one IEEE
+    double division and replays bit-exactly in any engine; log-based
+    idf ranks identically for fixed tf because log is monotone).
+    Two hash-aggregate shuffles (doc-term counts, term doc-frequencies)
+    + a per-document top-k window; the token tiebreaker makes the
+    selected set deterministic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="token")
+        .crossJoin(n_docs)  # 1-row scalar frame
+        .select(
+            "doc_id", "token",
+            F.round(
+                F.col("tf") * F.col("n_docs").cast("double") / F.col("df") - 1e-9, 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "score", "rank")
+    )

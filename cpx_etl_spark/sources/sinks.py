@@ -214,3 +214,99 @@ def upsert_parquet_table(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_mf, os.path.join(path, _MANIFEST))
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    already-bucketed non-negative integer column — pure bit arithmetic,
+    whole-stage-codegen'd. With k columns the key has k*bits bits; keep
+    k*bits <= 62 for BIGINT."""
+    from pyspark.sql import functions as F
+
+    if len(cols) * bits > 62:
+        raise ValueError("zorder_key: k*bits must fit a signed 64-bit key")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * len(cols) + ci))
+    return key
+
+
+def write_zorder_parquet(
+    df: DataFrame, path: str, cluster_cols: list[str], bits: int = 12,
+    mode: str = "overwrite", n_partitions: int | None = None,
+) -> None:
+    """Multi-dimensional clustering: bucket each cluster column to
+    2^bits quantile-free range buckets via its min/max, interleave the
+    bucket bits into a Morton key, then range-partition + sort by that
+    key. Every parquet file then covers a small HYPER-RECTANGLE of the
+    cluster-column space, so row-group min/max statistics prune scans
+    filtered on ANY subset of the columns — the multi-column upgrade of
+    write_clustered_parquet (which optimizes one column at the expense
+    of the others).
+
+    The min/max scan is one extra aggregation pass over the input; on a
+    real lakehouse those bounds come free from table-level metadata —
+    pass nothing else. NULLs in a cluster column map to bucket 0."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cluster_cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]  # planning-time 1-row stats pass
+    span = (1 << bits) - 1
+    buckets = []
+    for c in cluster_cols:
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        width = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(span),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * span)
+            .cast("long"),
+        )
+        buckets.append(F.coalesce(b, F.lit(0)))
+    keyed = df.withColumn("_zk", zorder_key(buckets, bits))
+    args = ([n_partitions] if n_partitions is not None else []) + ["_zk"]
+    (
+        keyed.repartitionByRange(*args)
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in (write
+    to a sibling tmp dir, then rename over). The lakehouse maintenance
+    op that keeps scan task counts proportional to data, not to
+    historical write patterns. Returns the new file count.
+
+    The swap is two renames (old -> trash, new -> old) — readers racing
+    the swap should hold a snapshot path (upsert_parquet_table) rather
+    than the raw directory; this utility targets append-only staging
+    dirs between pipeline stages."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    trash = path.rstrip("/") + ".compact.old"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return n_files

@@ -408,3 +408,78 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def trending_topk_batch(df: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k trending event types per hourly window by event count
+    (event_type tiebreak) — the dashboard feeder every event pipeline
+    runs. Batch twin of trending_topk_stream."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
+    )
+
+
+def trending_topk_stream(
+    sdf: DataFrame, out_path: str, checkpoint: str,
+    watermark: str = "1 hour",
+):
+    """Streaming side of trending_topk: watermarked tumbling counts in
+    UPDATE mode; each micro-batch PK-upserts the CHANGED (window, type)
+    count rows — update mode emits the full revised aggregate per
+    changed key from the state store, so the sink always holds every
+    window's complete count set and read_trending_topk ranks it
+    consistently. (Rank-over-aggregate can't run inside one streaming
+    plan — two stateful steps — and a sink holding only the top-k rows
+    could never re-rank unchanged keys, so the sink stores counts and
+    the rank is the read-side step.)"""
+    counts = (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+    def upsert_counts(batch_df: DataFrame, _bid: int):
+        if not batch_df.take(1):
+            return
+        from cpx_etl_spark.sources.sinks import upsert_parquet_table
+
+        upsert_parquet_table(
+            batch_df, out_path, keys=["window_start", "event_type"]
+        )
+
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert_counts)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_trending_topk(spark: SparkSession, out_path: str, k: int = 3) -> DataFrame:
+    """Rank the streamed count sink into the top-k view (same
+    definition as trending_topk_batch's rank step)."""
+    from pyspark.sql.window import Window
+
+    from cpx_etl_spark.sources.sinks import read_upsert_table
+
+    counts = read_upsert_table(spark, out_path)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
+    )

@@ -300,3 +300,71 @@ def test_upsert_gc_retention_property(spark, tmp_path):
             assert not [e for e in os.listdir(path) if e.endswith(".tmp")]
 
     run()
+
+
+def test_zorder_write_two_dim_locality(spark, tmp_path):
+    """Morton-key clustering: every output file covers a small
+    hyper-rectangle of the (x, y) space, so the summed per-file
+    bounding-box area is a fraction of the domain — the property that
+    makes row-group stats prune 2-D box filters. Single-column range
+    clustering by x leaves y's span near-full per file; z-order must
+    beat it on the product metric."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.sources.sinks import write_zorder_parquet
+
+    # a 100x100 grid: both dims uniform, no correlation
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y")
+    )
+    out = str(tmp_path / "zorder")
+    write_zorder_parquet(df, out, ["x", "y"], bits=8, n_partitions=16)
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    assert {tuple(sorted(r)) for r in [back.columns]} == {("x", "y")}
+
+    files = g.glob(out + "/*.parquet")
+    assert len(files) > 4
+    box_area = 0.0
+    schema_cols = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if schema_cols is None:
+            schema_cols = [md.schema.column(i).name for i in range(md.num_columns)]
+        stats = {}
+        for rg in range(md.num_row_groups):
+            for ci, name in enumerate(schema_cols):
+                col = md.row_group(rg).column(ci)
+                lo, hi = col.statistics.min, col.statistics.max
+                if name in stats:
+                    stats[name] = (min(stats[name][0], lo), max(stats[name][1], hi))
+                else:
+                    stats[name] = (lo, hi)
+        box_area += (stats["x"][1] - stats["x"][0] + 1) * (
+            stats["y"][1] - stats["y"][0] + 1
+        )
+    # 16 perfect z-tiles of a 100x100 domain cover ~10000 total; allow
+    # boundary slop but demand far below 16 x full-domain (160000)
+    assert box_area < 40000, f"z-order locality too weak: {box_area}"
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Compaction rewrites many small files into few, preserves rows
+    exactly, and leaves no tmp/trash dirs behind."""
+    import glob as g
+    import os
+
+    from cpx_etl_spark.sources.sinks import compact_parquet_dir
+
+    path = str(tmp_path / "staged")
+    spark.range(0, 5000).repartition(64).write.parquet(path)
+    assert len(g.glob(path + "/*.parquet")) == 64
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(g.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 5000
+    assert not os.path.isdir(path + ".compact.tmp")
+    assert not os.path.isdir(path + ".compact.old")

@@ -221,3 +221,28 @@ def test_interval_join_stream_equals_batch(spark, sf_dir):
     sk = set(map(tuple, stream[cols].itertuples(index=False)))
     assert len(bk) == len(batch) and len(sk) == len(stream)  # no dup pairs
     assert bk == sk
+
+
+def test_stream_trending_topk_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed count sink, ranked at read time, equals the batch
+    trending top-k on the same bounded input."""
+    from cpx_etl_spark.streaming.events import (
+        read_trending_topk,
+        trending_topk_batch,
+        trending_topk_stream,
+    )
+
+    out, ckpt = str(tmp_path / "counts"), str(tmp_path / "ckpt")
+    q = trending_topk_stream(events_stream(spark, sf_dir), out, ckpt)
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n"])
+        for r in read_trending_topk(spark, out, k=3).collect()
+    }
+    want = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n"])
+        for r in trending_topk_batch(
+            load_table(spark, sf_dir, "events"), k=3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
