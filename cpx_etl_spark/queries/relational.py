@@ -1568,3 +1568,116 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sv", ignorenulls=True).over(w).alias("sum_value_ff"),
         )
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> later click -> later
+    purchase): each stage is a groupBy(user) min-timestamp aggregate
+    semi-joined to the prior stage with a strict time ordering — three
+    user-keyed shuffles, no window over the event stream, so each stage
+    frame is |users|, never |events|."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events)
+    SELECT f.cohort_week, a.activity_week, COUNT(*) AS n_users
+    FROM first f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, a.activity_week
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in every week they return — the standard growth analytic.
+    Two user-keyed aggregates + one join; activity is distinct per
+    (user, week) so each user counts once per cell."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        first.join(activity, on="user_id")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           COUNT(*) AS n,
+           {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE compile
+    to): (flag, status) detail, per-flag subtotal, grand total in ONE
+    aggregation pass with map-side partials — not a UNION of three
+    scans. NULL group markers are labeled so the result is
+    row-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(rev).alias("revenue"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
