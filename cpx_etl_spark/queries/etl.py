@@ -844,3 +844,36 @@ def q_xsl_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("out_xml", "<pri>([^<]*)</pri>", 1).alias("pri"),
         F.expr("try_cast(regexp_extract(out_xml, '<cents>([^<]*)</cents>', 1) AS bigint)").alias("cents"),
     ).filter(F.col("order_id").isNotNull())
+
+
+@register(
+    "q_zorder_sink_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 19 AND value BETWEEN 20 AND 60
+    """,
+)
+def q_zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered sink round-trip: events write
+    clustered on (user_id, value), the read-back applies a 2-D box
+    filter — the access pattern multi-column clustering exists for
+    (each file covers a small hyper-rectangle, so row-group min/max
+    stats prune most of the scan; locality proven in
+    tests/test_scale_utils.py) — and the aggregate must equal computing
+    directly on the source."""
+    from cpx_etl_spark.sources.sinks import write_zorder_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scratch_dir("cpx_etl_zorder_") + "/events"
+    write_zorder_parquet(ev, out, ["user_id", "value"], bits=8, n_partitions=16)
+    back = spark.read.parquet(out).filter(
+        F.col("user_id").between(10, 19) & F.col("value").between(20, 60)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
