@@ -782,3 +782,123 @@ def ivf_topk_indexed(
         queries, index.centroids_df, index.assignments_df, id_col, vec_col,
         k=k, nprobe=nprobe,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted embedding LSH index (r6) — the embedding-side analogue of
+# operators/dedup.py's MinHash signature index: buckets + sketches +
+# vectors stored once, fresh batches probe without re-indexing the
+# standing corpus.
+# ---------------------------------------------------------------------------
+
+_EMB_INDEX_META = "_EMB_INDEX_META.json"
+
+
+class EmbeddingIndex:
+    """Handle over a persisted sign-LSH embedding index."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        import os
+
+        self.path = path
+        self.meta = meta
+        self.buckets_df = spark.read.parquet(os.path.join(path, "buckets"))
+        self.vectors_df = spark.read.parquet(os.path.join(path, "vectors"))
+
+
+def write_embedding_index(
+    df: DataFrame, path: str, id_col: str, vec_col: str,
+    threshold: float, dim: int,
+    n_tables: int | None = None, n_bits: int | None = None,
+    tag: str = "hp",
+) -> None:
+    """Index the standing corpus once: multi-table sign-LSH buckets
+    WITH the 63-bit sketch as a 4th column (one Arrow matmul pass),
+    clustered by (tbl, bucket) so a probe's bucket join reads few row
+    groups; vectors stored id-clustered for the rerank join-back.
+    (n_tables, n_bits) default to the lsh_params S-curve derivation for
+    ``threshold`` — persisted in the meta so probes always use the
+    exact same hyperplanes."""
+    import json
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    if n_tables is None or n_bits is None:
+        d_tables, d_bits = lsh_params(threshold)
+        n_tables = n_tables if n_tables is not None else d_tables
+        n_bits = n_bits if n_bits is not None else d_bits
+    idx = lsh_index(
+        df, id_col, vec_col,
+        hyperplane_weights(n_tables, n_bits, dim, tag),
+        sketch=sketch_planes(dim),
+    )
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("_vec"))
+    os.makedirs(path, exist_ok=True)
+    write_clustered_parquet(idx, os.path.join(path, "buckets"), ["tbl", "bucket"])
+    write_clustered_parquet(vecs, os.path.join(path, "vectors"), [id_col])
+    meta = {"id_col": id_col, "vec_col": vec_col, "threshold": threshold,
+            "dim": dim, "n_tables": n_tables, "n_bits": n_bits, "tag": tag}
+    tmp = os.path.join(path, f"{_EMB_INDEX_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _EMB_INDEX_META))
+
+
+def read_embedding_index(spark, path: str) -> EmbeddingIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, _EMB_INDEX_META)) as f:
+        meta = json.load(f)
+    return EmbeddingIndex(spark, path, meta)
+
+
+def cross_corpus_embedding_pairs_indexed(
+    df_new: DataFrame, index: EmbeddingIndex,
+    max_bucket: int | None = None,
+    sketch_false_drop: float = 1e-3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Embedding near-dups of a fresh batch against the PERSISTED
+    standing-corpus index: only the new batch is sign-hashed; the ref
+    side is parquet scans of stored buckets (+sketch) and vectors.
+    Returns (vec_a=new id, vec_b=ref id, cos >= threshold). The
+    asymmetric join never self-joins the standing corpus — the
+    embedding twin of cross_corpus_minhash_pairs_indexed."""
+    meta = index.meta
+    id_col, vec_col, dim = meta["id_col"], meta["vec_col"], meta["dim"]
+    threshold = meta["threshold"]
+    idx_new = lsh_index(
+        df_new, id_col, vec_col,
+        hyperplane_weights(meta["n_tables"], meta["n_bits"], dim, meta["tag"]),
+        sketch=sketch_planes(dim),
+    )
+    buckets_ref = index.buckets_df
+    if max_bucket is not None:
+        buckets_ref = prune_hot_buckets(buckets_ref, max_bucket)
+    a = idx_new.select(
+        F.col(id_col).alias("vec_a"), "tbl", "bucket", F.col("_sk").alias("_ska")
+    )
+    b = buckets_ref.select(
+        F.col(id_col).alias("vec_b"), "tbl", "bucket", F.col("_sk").alias("_skb")
+    )
+    hmax = sketch_ham_max(threshold, false_drop=sketch_false_drop)
+    cand = observe_count(
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.bit_count(F.col("_ska").bitwiseXOR(F.col("_skb"))) <= hmax)
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"]),
+        stats, "emb_cross_candidates",
+    )
+    va = df_new.select(F.col(id_col).alias("vec_a"), as_double(vec_col).alias("_va"))
+    vb = index.vectors_df.select(
+        F.col(id_col).alias("vec_b"), F.col("_vec").alias("_vb")
+    )
+    return (
+        cand.join(va, on="vec_a")
+        .join(vb, on="vec_b")
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")) - 1e-9, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -566,3 +566,115 @@ def dedup_cross_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~is_ref), idx, threshold=0.5,
         min_band_collisions=_MH_MINC, max_ref_band_df=_CROSS_BAND_CAP,
     )
+
+
+# vec_id md5 split mirroring _REF_PRED (standing corpus vs fresh batch)
+_EMB_REF_PRED = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7'"
+
+
+def _sql_emb_cross_indexed(threshold: float) -> str:
+    """Oracle for the persisted-embedding-index cross dedup: identical
+    bucket/sketch construction over the full embeddings table, with the
+    candidate join restricted to new x ref and the ref-side hot-bucket
+    cap mirrored."""
+    from cpx_etl_spark.operators.similarity import (
+        hyperplane_weights,
+        lsh_params,
+        sketch_ham_max,
+        sql_lsh_buckets_cte,
+        sql_sketch_cte,
+    )
+
+    n_tables, n_bits = lsh_params(threshold)
+    w = hyperplane_weights(n_tables, n_bits, _EMB_DIM)
+    hmax = sketch_ham_max(threshold)
+    return f"""
+    WITH {sql_lsh_buckets_cte(w, _EMB_DIM)},
+    {sql_sketch_cte(_EMB_DIM)},
+    b_ref AS (SELECT * FROM buckets WHERE {_EMB_REF_PRED}),
+    kept_ref AS (
+        SELECT b.* FROM b_ref b
+        JOIN (SELECT tbl, bucket FROM b_ref GROUP BY tbl, bucket
+              HAVING COUNT(*) <= {_EMB_CAP}) ok
+          ON ok.tbl = b.tbl AND ok.bucket = b.bucket),
+    b_new AS (SELECT * FROM buckets WHERE NOT ({_EMB_REF_PRED})),
+    cand AS (
+        SELECT DISTINCT bn.vec_id AS vec_a, br.vec_id AS vec_b
+        FROM b_new bn
+        JOIN kept_ref br ON br.tbl = bn.tbl AND br.bucket = bn.bucket
+        JOIN sketches sa ON sa.vec_id = bn.vec_id
+        JOIN sketches sb ON sb.vec_id = br.vec_id
+        WHERE bit_count(xor(sa.sk, sb.sk)) <= {hmax})
+    SELECT c.vec_a, c.vec_b,
+           ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) + 0 AS cos
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.vec_a
+    JOIN embeddings e2 ON e2.vec_id = c.vec_b
+    WHERE ROUND({sql_cosine('e1.embedding', 'e2.embedding', _EMB_DIM)} - 1e-9, 4) >= {threshold}
+    """
+
+
+def _emb_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    parts = [os.path.abspath(sf_dir), f"t{_EMBS_THRESHOLD}", f"d{_EMB_DIM}",
+             "refpred-md5-7", "v1"]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(os.path.join(src, e) for e in os.listdir(src))
+        if os.path.isdir(src) else [src]
+    )
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"cpx_embindex_{digest}")
+
+
+def build_embedding_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted standing-corpus embedding index exists for
+    sf_dir; returns its path."""
+    import os
+
+    from cpx_etl_spark.operators.similarity import (
+        _EMB_INDEX_META,
+        write_embedding_index,
+    )
+
+    path = _emb_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, _EMB_INDEX_META)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        is_ref = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7"
+        write_embedding_index(
+            emb.filter(is_ref), path, "vec_id", "embedding",
+            threshold=_EMBS_THRESHOLD, dim=_EMB_DIM,
+        )
+    return path
+
+
+@register("dedup_embedding_cross_indexed",
+          oracle=_sql_emb_cross_indexed(_EMBS_THRESHOLD))
+def dedup_embedding_cross_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup against the PERSISTED sign-LSH index
+    (the embedding twin of dedup_cross_corpus_indexed): the fresh batch
+    is the only side hashed; the standing corpus contributes stored
+    bucket+sketch rows and vectors. Production threshold (cos >= 0.8,
+    lsh_params-derived banding) — legitimately empty on this corpus's
+    barely-correlated planted dups, while the oracle replays candidates
+    + sketch filter + rerank exactly, so the construction is still
+    hash-verified (same precedent as dedup_embedding_strict)."""
+    from cpx_etl_spark.operators.similarity import (
+        cross_corpus_embedding_pairs_indexed,
+        read_embedding_index,
+    )
+
+    idx = read_embedding_index(
+        spark, build_embedding_standing_index(spark, sf_dir)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_ref = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7"
+    return cross_corpus_embedding_pairs_indexed(
+        emb.filter(~is_ref), idx, max_bucket=_EMB_CAP,
+    )

@@ -631,3 +631,103 @@ def test_ivf_index_roundtrip_matches_one_shot(spark, tmp_path):
         emb, queries, "vec_id", "embedding", "label",
         k=3, nprobe=2, dim=4).collect()))
     assert got == want and len(got) == 3
+
+
+def test_incremental_ingestion_pipeline_end_to_end(spark, tmp_path):
+    """The full sign-once ingestion loop over two crawl batches:
+    batch N dedups against the PERSISTED index, survivors append their
+    signatures, and batch N+1 sees them — with the standing corpus
+    never re-shingled (its side of every plan is parquet scans of the
+    index). Final survivor set must equal the sequential recompute."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.dedup import (
+        append_to_signature_index,
+        cross_corpus_minhash_pairs,
+        cross_corpus_minhash_pairs_indexed,
+        read_signature_index,
+        write_signature_index,
+    )
+
+    seed = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 100
+            (2, "one totally fresh document about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (11, "one totally fresh document about spark physical plan"),  # near-dup of 2
+            (12, "another genuinely novel piece of text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_signature_index(seed, path, "doc_id", "text", n=2, k=8, bands=4)
+
+    def ingest(batch):
+        idx = read_signature_index(spark, path)
+        dup_ids = {
+            r["doc_a"]
+            for r in cross_corpus_minhash_pairs_indexed(
+                batch, idx, threshold=0.5
+            ).collect()
+        }
+        survivors = batch.filter(~F.col("doc_id").isin(list(dup_ids) or [-1]))
+        append_to_signature_index(survivors, path)
+        return {r["doc_id"] for r in survivors.collect()}
+
+    s1 = ingest(batch1)
+    s2 = ingest(batch2)
+    assert s1 == {2}          # doc 1 matched the seed corpus
+    assert s2 == {12}         # doc 11 matched doc 2, which entered the index
+
+    # sequential recompute oracle: batch2 against seed + batch1-survivors
+    standing = seed.unionByName(batch1.filter(F.col("doc_id") == 2))
+    recompute_dups = {
+        r["doc_a"]
+        for r in cross_corpus_minhash_pairs(
+            batch2, standing, "doc_id", "text", n=2, k=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert recompute_dups == {11}
+
+
+def test_embedding_index_roundtrip_finds_cross_pairs(spark, tmp_path):
+    """write_embedding_index -> probe: a fresh batch vector near a
+    stored one is found; in-batch dups are not reported; meta pins the
+    derived banding."""
+    from cpx_etl_spark.operators.similarity import (
+        cross_corpus_embedding_pairs_indexed,
+        read_embedding_index,
+        write_embedding_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near 100
+            (2, [0.998, 0.02, 0.0, 0.0]),   # near 100 AND near 1 (in-batch)
+            (3, [0.0, 0.0, 1.0, 0.0]),      # novel
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "embidx")
+    write_embedding_index(ref, path, "vec_id", "embedding",
+                          threshold=0.9, dim=4)
+    idx = read_embedding_index(spark, path)
+    assert idx.meta["threshold"] == 0.9 and idx.meta["dim"] == 4
+    stats = {}
+    out = cross_corpus_embedding_pairs_indexed(new, idx, stats=stats)
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos"] for r in out.collect()}
+    assert set(pairs) == {(1, 100), (2, 100)}
+    assert all(c >= 0.9 for c in pairs.values())
+    assert stats["emb_cross_candidates"].get["n"] >= 2
