@@ -84,7 +84,7 @@ def sql_davg(expr: str, scale: int = 4) -> str:
     )
 
 
-def _last_driver_round() -> dict[str, int]:
+def _last_driver_round(root=None) -> dict[str, int]:
     """Map query name -> most recent round with driver evidence.
 
     Scans the driver's own CORRECTNESS_r*.json artifacts at the repo
@@ -99,7 +99,9 @@ def _last_driver_round() -> dict[str, int]:
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    root = Path(root)
     latest: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.stem)

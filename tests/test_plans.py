@@ -210,3 +210,27 @@ def test_ivf_indexed_reads_stored_index(spark, sf_dir):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, q["ann_ivf_topk"](spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_rotation_predicate_requires_hash_match(tmp_path):
+    """A rows_match row whose hash FAILED must NOT count as driver
+    confirmation (ADVICE r5) — failing queries stay at the sweep
+    front; rows-only (no_oracle) and legacy rows without a hash_match
+    key still confirm."""
+    import json
+
+    from cpx_etl_spark.queries import _last_driver_round
+
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({
+        "good": {"rows_match": True, "hash_match": True, "spark_rows": 5},
+        "bad_hash": {"rows_match": True, "hash_match": False, "spark_rows": 5},
+        "rows_only": {"rows_match": True, "err": "no_oracle", "spark_rows": 5},
+        "legacy": {"rows_match": True, "spark_rows": 5},
+        "failed": {"rows_match": False, "hash_match": False, "spark_rows": 0},
+    }))
+    latest = _last_driver_round(root=tmp_path)
+    assert latest.get("good") == 7
+    assert latest.get("rows_only") == 7
+    assert latest.get("legacy") == 7
+    assert "bad_hash" not in latest
+    assert "failed" not in latest
