@@ -234,3 +234,44 @@ def test_rotation_predicate_requires_hash_match(tmp_path):
     assert latest.get("legacy") == 7
     assert "bad_hash" not in latest
     assert "failed" not in latest
+
+
+def test_r6_queries_stay_jvm_side(spark, sf_dir):
+    """The r6 additions keep the no-Python-UDF bar (the only sanctioned
+    Arrow stages remain XSLT/unicode/multimodal)."""
+    for name in (
+        "q_substring_dedup",
+        "q_tfidf_keywords",
+        "q_event_funnel",
+        "q_cohort_retention",
+        "q_grouping_sets",
+        "stream_trending_topk",
+        "dedup_cross_corpus_indexed",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has a Python UDF node in its plan"
+        )
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS must compile to ONE scan + Expand + partial/final
+    aggregate — not a union of three scans."""
+    plan = _plan(spark, sf_dir, "q_grouping_sets")
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2  # map-side partials survive
+
+
+def test_funnel_cartesians_are_scalar_only(spark, sf_dir):
+    """q_event_funnel's crossJoins combine three 1-row aggregates —
+    the only place a nested-loop join is sanctioned. Every per-user
+    stage join must be a hash/broadcast join, so the plan carries no
+    join of two EVENT-CARDINALITY frames without keys: the funnel
+    stages all join on user_id."""
+    plan = _plan(spark, sf_dir, "q_event_funnel")
+    # stage joins keyed on user_id appear as real equi-joins
+    assert "user_id" in plan
+    # the scalar combiner may be BNLJ/cartesian, but only AFTER full
+    # aggregation: no Expand of raw events through a cartesian
+    assert plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin") <= 2
