@@ -231,3 +231,91 @@ def decode_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real (library-free) audio synthesis + header decode — the audio
+# modality twin of the BMP/PNG path: RIFF/WAVE PCM is a public fixed-
+# offset container, so synthesis + parsing need only struct.
+# ---------------------------------------------------------------------------
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def synth_wav_bytes(text: str) -> bytes:
+    """Deterministic VALID 16-bit PCM WAV whose parameters derive from
+    md5(text): sample_rate = rates[b0 % 4], channels = 1 + b1 % 2,
+    n_samples = 64 + b2 (per channel). Sample words tile the digest,
+    so the payload is a closed-form function of the text — which lets
+    a SQL oracle replay every decoded field exactly."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(text.encode()).digest()
+    rate = _WAV_RATES[h[0] % 4]
+    channels = 1 + h[1] % 2
+    n_samples = 64 + h[2]
+    data = bytes(h[i % 16] for i in range(n_samples * channels * 2))
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * channels * 2, channels * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def parse_wav_header(b: bytes) -> tuple:
+    """(sample_rate, channels, bit_depth, n_samples, duration_ms) from
+    the real RIFF header fields (little-endian fixed offsets: channels
+    at 22, rate at 24, bits at 34, data size at 40). Unknown magic ->
+    nulls."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None, None, None)
+    channels = int.from_bytes(b[22:24], "little")
+    rate = int.from_bytes(b[24:28], "little")
+    bits = int.from_bytes(b[34:36], "little")
+    data_size = int.from_bytes(b[40:44], "little")
+    frame = channels * bits // 8
+    n_samples = data_size // frame if frame else 0
+    duration_ms = n_samples * 1000 // rate if rate else None
+    return (rate, channels, bits, n_samples, duration_ms)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    schema = f"{id_col} bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col],
+                 "payload": pdf[text_col].map(synth_wav_bytes)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
+def decode_wav_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real RIFF header decode via mapInPandas: rate, channels, bit
+    depth, sample count, floor-ms duration, true file size."""
+    schema = (
+        f"{id_col} bigint, sample_rate int, channels int, bit_depth int, "
+        "n_samples int, duration_ms int, n_bytes int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(parse_wav_header)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": parsed.map(lambda t: t[0]),
+                    "channels": parsed.map(lambda t: t[1]),
+                    "bit_depth": parsed.map(lambda t: t[2]),
+                    "n_samples": parsed.map(lambda t: t[3]),
+                    "duration_ms": parsed.map(lambda t: t[4]),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=schema)

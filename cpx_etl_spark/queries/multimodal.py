@@ -68,3 +68,41 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary-binary (non-image) plumbing path."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_features(attach_payload(docs), id_col="doc_id")
+
+
+# Synthesis contract (operators/multimodal.py synth_wav_bytes):
+#   rate = (8000,16000,22050,44100)[b0 % 4], channels = 1 + b1 % 2,
+#   n_samples = 64 + b2, data = n_samples*channels*2, file = 44 + data.
+_WAV_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id,
+               {_hexbyte(0)} AS b0, {_hexbyte(1)} AS b1, {_hexbyte(2)} AS b2
+        FROM documents)
+    SELECT doc_id,
+           CAST(CASE b0 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(1 + b1 % 2 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bit_depth,
+           CAST(64 + b2 AS INTEGER) AS n_samples,
+           CAST((64 + b2) * 1000 // (CASE b0 % 4 WHEN 0 THEN 8000
+                WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END)
+                AS INTEGER) AS duration_ms,
+           CAST(44 + (64 + b2) * (1 + b1 % 2) * 2 AS INTEGER) AS n_bytes
+    FROM b
+"""
+
+
+@register("mm_audio_pipeline", oracle=_WAV_ORACLE)
+def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid RIFF/WAVE PCM payload synthesis -> Arrow-batched REAL
+    header decode (rate, channels, bit depth, sample count, duration,
+    true file size) — the audio modality through the same binary-column
+    plumbing as the image path; a parser bug (wrong offset, wrong
+    endianness, wrong frame size) breaks the hash match."""
+    from cpx_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_meta(attach_wav_payload(docs), id_col="doc_id")
