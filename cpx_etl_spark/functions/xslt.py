@@ -27,8 +27,12 @@ wrong answers are impossible):
   both with ``xsl:sort`` keys (select / data-type text|number /
   order ascending|descending, stable multi-key)
 - ``xsl:value-of``, ``xsl:if``, ``xsl:choose/when/otherwise``,
-  ``xsl:text``, ``xsl:copy-of``, literal result elements with
-  ``{expr}`` attribute value templates
+  ``xsl:text``, ``xsl:copy-of``, ``xsl:element`` (AVT name) and
+  ``xsl:attribute`` on any constructed element, literal result
+  elements with ``{expr}`` attribute value templates
+- ``position()`` / ``last()`` inside iterations and predicates,
+  ``count(path)``, numeric index predicates (``item[2]``,
+  ``item[last()]``) with XPath 1.0 sequential-renumbering semantics
 - select/test paths: relative child steps, absolute ``/a/b`` selects,
   ``@attr``, ``.``, ``text()``, ``*``, ``[...]`` predicates (predicates
   may contain nested paths — bracket/quote-aware parsing); tests
@@ -156,6 +160,21 @@ def _split_path(path: str) -> tuple[str, ...]:
 
 
 @functools.lru_cache(maxsize=4096)
+def _pred_kind(p: str):
+    """Classify a predicate once (predicates are stylesheet-static):
+    ('index', k) | ('last',) | ('positional', stripped) | ('plain',
+    stripped)."""
+    ps = p.strip()
+    if ps.isdigit():
+        return ("index", int(ps))
+    if ps == "last()":
+        return ("last",)
+    if "position()" in ps or "last()" in ps:
+        return ("positional", ps)
+    return ("plain", ps)
+
+
+@functools.lru_cache(maxsize=4096)
 def _avt_segments(value: str) -> tuple[tuple[str, str], ...]:
     """Attribute-value-template -> ('lit'|'expr', payload) segments,
     cached: AVT strings are stylesheet-static but rendered per row."""
@@ -233,6 +252,9 @@ class MiniXslt:
 
     def __init__(self, src: str):
         root = ET.fromstring(src)
+        # position()/last() cost a context push per iterated node; skip
+        # the bookkeeping entirely for stylesheets that never use them
+        self._needs_pos = "position()" in src or "last()" in src
         if _local(root.tag) not in ("stylesheet", "transform"):
             raise XsltUnsupported(f"root element {root.tag!r}")
         self.templates: list[tuple[str, ET.Element]] = []
@@ -278,6 +300,7 @@ class MiniXslt:
         self._sorts: dict[int, tuple] = {}
         self._wparams: dict[int, tuple] = {}
         self._hasbind: dict[int, bool] = {}
+        self._dynattrs: dict[int, tuple] = {}
         for elem in root.iter():
             if not isinstance(elem.tag, str):
                 self._kind[id(elem)] = "#comment"
@@ -290,6 +313,9 @@ class MiniXslt:
             )
             self._hasbind[id(elem)] = any(
                 _is_xsl(c, "variable") or _is_xsl(c, "param") for c in elem
+            )
+            self._dynattrs[id(elem)] = tuple(
+                c for c in elem if _is_xsl(c, "attribute")
             )
 
     # -- public -----------------------------------------------------------
@@ -304,6 +330,7 @@ class MiniXslt:
         self._root = src_root
         doc = _Doc(src_root)
         self._scopes = [{}]
+        self._ctx_pos: list[tuple[int, int]] = []
         for g in self._globals:
             self._scopes[0][g.get("name", "")] = self._eval_binding(g, doc)
         # template-dispatch depth is bounded at _MAX_TDEPTH below, but
@@ -434,8 +461,8 @@ class MiniXslt:
                     pname = child.get("name", "")
                     if pname not in self._scopes[-1]:  # caller's with-param wins
                         self._scopes[-1][pname] = self._eval_binding(child, ctx)
-                elif kind in ("sort", "with-param", "#comment"):
-                    pass  # sort/with-param consumed by enclosing instruction
+                elif kind in ("sort", "with-param", "attribute", "#comment"):
+                    pass  # consumed by the enclosing instruction/element
                 else:
                     frags.append(self._run_node(child, ctx, kind))
                 if child.tail and child.tail.strip():
@@ -503,11 +530,10 @@ class MiniXslt:
                 items = self._select(ctx, elem.get("select", "."))
                 return "".join(self._serialize(it) for it in items)
             if name == "for-each":
-                nodes = self._select(ctx, elem.get("select", "."))
-                return "".join(
-                    self._run_children(elem, n)
-                    for n in self._sorted_nodes(nodes, elem, ctx)
+                nodes = self._sorted_nodes(
+                    self._select(ctx, elem.get("select", ".")), elem, ctx
                 )
+                return self._iterate(nodes, lambda n: self._run_children(elem, n))
             if name == "if":
                 return self._run_children(elem, ctx) if self._test(ctx, elem.get("test", "")) else ""
             if name == "choose":
@@ -530,7 +556,9 @@ class MiniXslt:
                     nodes = []
                 nodes = self._sorted_nodes(nodes, elem, ctx)
                 params = self._gather_params(elem, ctx)
-                return "".join(self._apply_one(n, params or None) for n in nodes)
+                return self._iterate(
+                    nodes, lambda n: self._apply_one(n, params or None)
+                )
             if name == "call-template":
                 tname = elem.get("name", "")
                 telem = self.named.get(tname)
@@ -544,13 +572,43 @@ class MiniXslt:
                     self._tdepth -= 1
             if name == "text":
                 return escape(elem.text or "")
+            if name == "element":
+                tag = self._avt(elem.get("name", ""), ctx)
+                return self._element_markup(tag, elem, ctx, "")
             raise XsltUnsupported(f"xsl:{name}")
         # literal result element
         attrs = "".join(
             f" {k}={quoteattr(self._avt(v, ctx))}" for k, v in elem.attrib.items()
         )
+        return self._element_markup(_local(elem.tag), elem, ctx, attrs)
+
+    def _iterate(self, nodes: list, render) -> str:
+        """Run ``render`` per node with (position, last) context pushed,
+        so position()/last() see the iteration per XSLT 1.0."""
+        if not self._needs_pos:
+            return "".join(render(n) for n in nodes)
+        size = len(nodes)
+        parts: list[str] = []
+        for i, n in enumerate(nodes, 1):
+            self._ctx_pos.append((i, size))
+            try:
+                parts.append(render(n))
+            finally:
+                self._ctx_pos.pop()
+        return "".join(parts)
+
+    def _element_markup(self, tag: str, elem: ET.Element, ctx,
+                        static_attrs: str) -> str:
+        """Render an element (literal or xsl:element): direct
+        xsl:attribute children contribute dynamic attributes (AVT name,
+        body string-value); the body renders with those skipped."""
+        dyn = "".join(
+            f" {self._avt(a.get('name', ''), ctx)}="
+            + quoteattr(_RTF(self._run_children(a, ctx)).text())
+            for a in self._dynattrs.get(id(elem), ())
+        )
         inner = self._run_children(elem, ctx)
-        tag = _local(elem.tag)
+        attrs = static_attrs + dyn
         return f"<{tag}{attrs}>{inner}</{tag}>" if inner else f"<{tag}{attrs}/>"
 
     def _avt(self, value: str, ctx) -> str:
@@ -573,6 +631,13 @@ class MiniXslt:
         path = path.strip()
         if path == ".":
             return [ctx]
+        if path == "position()" or path == "last()":
+            if not self._ctx_pos:
+                raise XsltUnsupported(f"{path} outside an iteration context")
+            pos, size = self._ctx_pos[-1]
+            return [str(pos if path == "position()" else size)]
+        if path.startswith("count(") and path.endswith(")"):
+            return [str(len(self._select(ctx, path[6:-1])))]
         # fast paths for the two step shapes that dominate row
         # stylesheets (profiled: _select is ~36% of apply time)
         if path.startswith("@") and "[" not in path and "/" not in path:
@@ -624,9 +689,30 @@ class MiniXslt:
                     cand = children
                 else:
                     cand = [c for c in children if _local(c.tag) == name]
-                for c in cand:
-                    if all(self._test(c, p) for p in preds):
-                        nxt.append(c)
+                # predicates filter SEQUENTIALLY, positions renumbering
+                # after each (XPath 1.0 semantics): [k] indexes, and
+                # position()/last() see the current candidate list
+                for p in preds:
+                    pk = _pred_kind(p)
+                    if pk[0] == "index":
+                        k = pk[1]
+                        cand = [cand[k - 1]] if 0 < k <= len(cand) else []
+                    elif pk[0] == "last":
+                        cand = cand[-1:]
+                    elif pk[0] == "positional":
+                        size = len(cand)
+                        kept = []
+                        for i, c in enumerate(cand, 1):
+                            self._ctx_pos.append((i, size))
+                            try:
+                                if self._test(c, pk[1]):
+                                    kept.append(c)
+                            finally:
+                                self._ctx_pos.pop()
+                        cand = kept
+                    else:
+                        cand = [c for c in cand if self._test(c, pk[1])]
+                nxt.extend(cand)
             cur = nxt
         return cur
 

@@ -729,3 +729,52 @@ def test_xslt_absolute_select_path():
     </xsl:stylesheet>"""
     out = _mini(s)("<doc><title>T</title><item>a</item><item>b</item></doc>")
     assert out == '<r><i t="T" v="a"/><i t="T" v="b"/></r>'
+
+
+def test_xslt_position_last_count_and_index_predicates():
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <n c="{{count(item)}}"/>
+        <xsl:for-each select="item">
+          <i p="{{position()}}" of="{{last()}}"><xsl:value-of select="."/></i>
+        </xsl:for-each>
+        <second><xsl:value-of select="item[2]"/></second>
+        <final><xsl:value-of select="item[last()]"/></final>
+        <xsl:for-each select="item[position() &lt; 3]"><early/></xsl:for-each>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)("<doc><item>a</item><item>b</item><item>c</item></doc>")
+    assert out == ('<r><n c="3"/>'
+                   '<i p="1" of="3">a</i><i p="2" of="3">b</i><i p="3" of="3">c</i>'
+                   '<second>b</second><final>c</final>'
+                   '<early/><early/></r>')
+
+    # position() with no iteration context fails fast, not silently
+    import pytest as _pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    bad = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><x v="{{position()}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    with _pytest.raises(XsltUnsupported):
+        MiniXslt(bad).apply("<doc/>")
+
+
+def test_xslt_element_and_attribute_constructors():
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <xsl:element name="{{@kind}}">
+          <xsl:attribute name="id"><xsl:value-of select="@n"/>-x</xsl:attribute>
+          <xsl:attribute name="q">a&amp;b</xsl:attribute><xsl:text>body</xsl:text>
+        </xsl:element>
+        <lit static="s">
+          <xsl:attribute name="dyn"><xsl:value-of select="@n"/></xsl:attribute>
+        </lit>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)('<doc kind="widget" n="7"/>')
+    assert out == ('<r><widget id="7-x" q="a&amp;b">body</widget>'
+                   '<lit static="s" dyn="7"/></r>')
