@@ -69,6 +69,10 @@ HEADLINE = [
     # every overlapping 8-token window — a corpus-tokens-sized shuffle,
     # the heaviest honest scan shape in the curation family
     "q_substring_dedup",
+    # r6 event-analytics + modality representatives
+    "q_cohort_retention",
+    "q_grouping_sets",
+    "mm_audio_pipeline",
 ]
 
 

@@ -140,7 +140,8 @@ def load_registry() -> tuple[dict, dict]:
     least-recent first, with never-confirmed (new) queries at the very
     front. Ties keep module registration order, so cheap families stay
     early within each cohort. Each round the budget therefore lands on
-    the ~50 stalest queries, and evidence age is bounded at two rounds."""
+    the ~50 stalest queries, bounding evidence age at
+    ceil(n_queries / budget) rounds (~3 at the current registry size)."""
     from cpx_etl_spark.queries import (  # noqa: F401
         similarity,
         streaming,

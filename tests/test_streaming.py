@@ -246,3 +246,66 @@ def test_stream_trending_topk_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_windowed_append_finalizes_and_drops_late_beyond_watermark(spark, tmp_path):
+    """Watermark semantics end-to-end on a 3-micro-batch file stream
+    (append mode): only windows the watermark has passed are finalized
+    to the sink; a straggler arriving after the watermark moved past
+    its window is dropped by the aggregation (visible in
+    numRowsDroppedByWatermark). The watermark applied to a batch's
+    input derives from data committed BEFORE the previous batch, so the
+    straggler lands two batches after the data that outdates it."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put(rows):
+        spark.createDataFrame(rows, "ts string, event_type string").selectExpr(
+            "CAST(ts AS TIMESTAMP) AS ts", "event_type"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # file mtime orders the micro-batches
+
+    put([("2024-01-15 10:30:00", "click")] * 3
+        + [("2024-01-15 12:00:00", "view")] * 2)
+    put([("2024-01-15 12:15:00", "view")])
+    put([("2024-01-15 08:30:00", "error"),        # straggler, hours late
+         ("2024-01-15 12:30:00", "purchase")])    # in-watermark
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped >= 1  # the 08:30 straggler was filtered, not counted
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # only the 10:00 window is BOTH complete and past the final
+    # watermark (11:30); the 12:00+ windows correctly remain open
+    assert got == {("2024-01-15 10:00:00", "click"): 3}
