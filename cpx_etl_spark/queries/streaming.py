@@ -123,3 +123,46 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpx_etl_spark.streaming.events import trending_topk_batch
 
     return trending_topk_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_window_builtin",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+    f AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    g AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (30-min gap): the built-in
+    equivalent of the custom gap-scan sessionizer — one aggregation,
+    merge-able session state, usable identically under readStream with
+    a watermark. Session end per Spark's definition = last event +
+    gap; the oracle replays that from the gap-island construction."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -236,37 +236,63 @@ def zorder_key(cols, bits: int = 16):
 def write_zorder_parquet(
     df: DataFrame, path: str, cluster_cols: list[str], bits: int = 12,
     mode: str = "overwrite", n_partitions: int | None = None,
+    bucketing: str = "linear",
 ) -> None:
     """Multi-dimensional clustering: bucket each cluster column to
-    2^bits quantile-free range buckets via its min/max, interleave the
-    bucket bits into a Morton key, then range-partition + sort by that
-    key. Every parquet file then covers a small HYPER-RECTANGLE of the
-    cluster-column space, so row-group min/max statistics prune scans
-    filtered on ANY subset of the columns — the multi-column upgrade of
-    write_clustered_parquet (which optimizes one column at the expense
-    of the others).
+    2^bits range buckets, interleave the bucket bits into a Morton key,
+    then range-partition + sort by that key. Every parquet file then
+    covers a small HYPER-RECTANGLE of the cluster-column space, so
+    row-group min/max statistics prune scans filtered on ANY subset of
+    the columns — the multi-column upgrade of write_clustered_parquet
+    (which optimizes one column at the expense of the others).
 
-    The min/max scan is one extra aggregation pass over the input; on a
-    real lakehouse those bounds come free from table-level metadata —
-    pass nothing else. NULLs in a cluster column map to bucket 0."""
+    ``bucketing``:
+    - "linear": min/max linear scaling — one cheap 1-row stats pass;
+      right for near-uniform columns (and free on a lakehouse where
+      the bounds come from table metadata). A heavily skewed column
+      degrades it: most rows land in few buckets and the interleave
+      loses selectivity on that dimension.
+    - "quantile": approxQuantile bucket boundaries (1% relative error)
+      — equal-population buckets regardless of skew; the boundaries
+      frame is tiny (2^bits per column) and applied via range join on
+      a broadcast array. Costs one approx-quantile pass.
+    NULLs in a cluster column map to bucket 0."""
     from pyspark.sql import functions as F
 
-    aggs = []
-    for c in cluster_cols:
-        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
-                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
-    row = df.agg(*aggs).collect()[0]  # planning-time 1-row stats pass
     span = (1 << bits) - 1
     buckets = []
-    for c in cluster_cols:
-        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
-        width = (mx - mn) or 1.0
-        b = F.least(
-            F.lit(span),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * span)
-            .cast("long"),
-        )
-        buckets.append(F.coalesce(b, F.lit(0)))
+    if bucketing == "quantile":
+        probs = [i / (span + 1) for i in range(1, span + 1)]
+        qs = df.approxQuantile(
+            [c for c in cluster_cols], probs, 0.01
+        )  # planning-time stats pass
+        for c, bounds in zip(cluster_cols, qs):
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            # bucket = number of boundaries <= value (0..span)
+            b = F.aggregate(
+                arr, F.lit(0).cast("long"),
+                lambda acc, bd: acc + F.when(
+                    F.col(c).cast("double") >= bd, 1
+                ).otherwise(0),
+            )
+            buckets.append(F.coalesce(b, F.lit(0)))
+    elif bucketing == "linear":
+        aggs = []
+        for c in cluster_cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+        row = df.agg(*aggs).collect()[0]  # planning-time 1-row stats pass
+        for c in cluster_cols:
+            mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+            width = (mx - mn) or 1.0
+            b = F.least(
+                F.lit(span),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * span)
+                .cast("long"),
+            )
+            buckets.append(F.coalesce(b, F.lit(0)))
+    else:
+        raise ValueError(f"unknown bucketing {bucketing!r}")
     keyed = df.withColumn("_zk", zorder_key(buckets, bits))
     args = ([n_partitions] if n_partitions is not None else []) + ["_zk"]
     (

@@ -368,3 +368,40 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert spark.read.parquet(path).count() == 5000
     assert not os.path.isdir(path + ".compact.tmp")
     assert not os.path.isdir(path + ".compact.old")
+
+
+def test_zorder_quantile_bucketing_handles_skew(spark, tmp_path):
+    """Quantile bucketing keeps per-file locality on a power-law
+    column where linear min/max scaling collapses: a heavy-tailed x
+    (99% of rows in 1% of the range) still yields small per-file x
+    spans in ROW-POPULATION terms — every file's row count stays
+    near-uniform AND the data round-trips exactly."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.sources.sinks import write_zorder_parquet
+
+    # heavy tail: x mostly tiny, a few huge outliers stretch the range
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 100 == 0, F.col("id") * 1000)
+        .otherwise(F.col("id") % 97)
+        .alias("x"),
+        (F.col("id") % 50).alias("y"),
+    )
+    out = str(tmp_path / "zq")
+    write_zorder_parquet(df, out, ["x", "y"], bits=6, n_partitions=8,
+                         bucketing="quantile")
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    assert (
+        back.agg(F.sum("x")).collect()[0][0]
+        == df.agg(F.sum("x")).collect()[0][0]
+    )
+    files = g.glob(out + "/*.parquet")
+    assert len(files) > 2
+    import os
+
+    sizes = sorted(os.path.getsize(f) for f in files)
+    # equal-population buckets -> no file dominated by the hot range
+    assert sizes[-1] <= 4 * max(1, sizes[0])
