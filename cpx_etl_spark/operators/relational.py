@@ -154,3 +154,32 @@ def semi_join(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame
 
 def anti_join(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame:
     return df.join(other, on=on, how="left_anti")
+
+
+def additive_rollup_merge(
+    base: DataFrame | None, delta: DataFrame, keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance: combine a stored
+    rollup with a NEW BATCH's partial aggregate by ADDING the additive
+    measures per key (counts, decimal sums) — the refresh touches
+    |delta keys| + |stored keys| rows, never the fact history. The
+    incremental invariant: refresh(refresh(R, b1), b2) ==
+    full_recompute(b1 ∪ b2) holds exactly because the measures are
+    associative and the sums accumulate in DECIMAL (order-independent).
+    ``base=None`` bootstraps from the first batch."""
+    if base is None:
+        return delta
+    keys = list(keys)
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in sum_cols]
+    )
+    joined = base.join(d, on=keys, how="full_outer")
+    out = [
+        (
+            F.coalesce(F.col(c), F.lit(0))
+            + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in sum_cols
+    ]
+    return joined.select(*keys, *out)

@@ -1681,3 +1681,46 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the event history
+    arrives as three disjoint batches (md5 split); each refresh folds
+    only that batch's partial aggregate into the rollup via
+    additive_rollup_merge — counts add, sums accumulate in DECIMAL, so
+    three refreshes reproduce the full recompute BIT-EXACTLY (the
+    oracle is the one-shot GROUP BY). At scale each refresh costs
+    |batch| + |rollup keys|, never the fact history; the stored-table
+    round-trip (upsert between refreshes) is pytest-verified."""
+    from cpx_etl_spark.operators.relational import additive_rollup_merge
+
+    ev = _t(spark, sf_dir, "events")
+    digit = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    batches = [
+        ev.filter(digit <= "4"),
+        ev.filter((digit >= "5") & (digit <= "9")),
+        ev.filter(digit >= "a"),
+    ]
+    roll = None
+    for b in batches:
+        delta = b.groupBy(
+            F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("sv"),
+        )
+        roll = additive_rollup_merge(
+            roll, delta, ["day", "event_type"], ["n", "sv"]
+        )
+    return roll.select(
+        "day", "event_type", F.col("n").cast("long").alias("n"),
+        fround(F.col("sv").cast("double"), 2).alias("sum_value"),
+    )

@@ -70,3 +70,67 @@ def test_asof_join_semantics(spark):
                      tolerance_us=10 * 60 * 1_000_000).collect()}
     assert tol[(1, "a")] is None          # 09:30 is older than 10min tolerance
     assert tol[(1, "b")] == 30.0
+
+
+def test_incremental_rollup_stored_roundtrip(spark, tmp_path):
+    """The STORED refresh loop: each batch's delta merges additively
+    into a parquet-backed rollup table (snapshot upsert between
+    refreshes); the final table equals the one-shot recompute, and a
+    replayed LAST refresh (crash-retry) is idempotent because the
+    upsert replaces rows by key."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.relational import additive_rollup_merge
+    from cpx_etl_spark.sources.sinks import read_upsert_table, upsert_parquet_table
+
+    rows = [
+        (i, f"2024-01-{1 + i % 3:02d}", "t" + str(i % 2), float(i))
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, day string, event_type string, value double")
+    path = str(tmp_path / "rollup")
+
+    def delta_of(batch):
+        return batch.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("sv"),
+        )
+
+    def refresh(batch):
+        try:
+            base = read_upsert_table(spark, path)
+        except Exception:
+            base = None
+        merged = additive_rollup_merge(
+            base, delta_of(batch), ["day", "event_type"], ["n", "sv"]
+        )
+        upsert_parquet_table(merged, path, keys=["day", "event_type"])
+
+    b1 = ev.filter(F.col("event_id") < 20)
+    b2 = ev.filter((F.col("event_id") >= 20) & (F.col("event_id") < 40))
+    b3 = ev.filter(F.col("event_id") >= 40)
+    for b in (b1, b2, b3):
+        refresh(b)
+
+    want = {
+        (r["day"], r["event_type"]): (r["n"], float(r["sv"]))
+        for r in delta_of(ev).collect()
+    }
+    got = {
+        (r["day"], r["event_type"]): (r["n"], float(r["sv"]))
+        for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == want
+
+    # crash-retry idempotency: recomputing and re-upserting the SAME
+    # final merge (not re-adding the delta) leaves the table unchanged
+    merged_again = additive_rollup_merge(
+        read_upsert_table(spark, path), delta_of(b3.limit(0)),
+        ["day", "event_type"], ["n", "sv"],
+    )
+    upsert_parquet_table(merged_again, path, keys=["day", "event_type"])
+    again = {
+        (r["day"], r["event_type"]): (r["n"], float(r["sv"]))
+        for r in read_upsert_table(spark, path).collect()
+    }
+    assert again == want
