@@ -604,3 +604,48 @@ def cross_corpus_minhash_pairs_indexed(
         cand, idx_new, cnt_new, index.shingles_df, index.counts_df,
         id_col, threshold, prune_index=min_band_collisions > 1,
     )
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 2, threshold: float = 0.8,
+                      max_df: int | None = None,
+                      stats: dict | None = None) -> DataFrame:
+    """ASYMMETRIC near-dup: ordered pairs where doc_a's shingle set is
+    mostly CONTAINED in doc_b's (|A ∩ B| / |A| >= threshold, a != b) —
+    the quotation/subset detector Jaccard misses: a paragraph quoted
+    inside a much larger document scores near-zero Jaccard but full
+    containment. Same inverted-index candidate generation as
+    ngram_jaccard_pairs (shared-shingle join, optional hot-shingle
+    cap), same one-groupBy exact verify; only the normalizer differs
+    (|A| instead of the union)."""
+    index, counts = shingle_index(df, id_col, text_col, n)
+    cand_index = index if max_df is None else prune_hot_shingles(index, max_df)
+    t1 = cand_index.select(F.col(id_col).alias("doc_a"), "sh")
+    t2 = cand_index.select(F.col(id_col).alias("doc_b"), "sh")
+    shared = observe_count(
+        t1.join(t2, on="sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared")),
+        stats, "containment_candidates",
+    )
+    if max_df is not None:
+        # pruned join undercounts; verify against the FULL index
+        pairs = shared.select("doc_a", "doc_b")
+        shared = (
+            pairs.join(index.select(F.col(id_col).alias("doc_a"), "sh"), on="doc_a")
+            .join(index.select(F.col(id_col).alias("doc_b"), "sh"),
+                  on=["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        shared.join(ca, on="doc_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.col("n_a") - 1e-9, 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -678,3 +678,30 @@ def dedup_embedding_cross_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     return cross_corpus_embedding_pairs_indexed(
         emb.filter(~is_ref), idx, max_bucket=_EMB_CAP,
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_INDEX},
+    shared AS (SELECT t1.doc_id AS doc_a, t2.doc_id AS doc_b,
+                      COUNT(*) AS shared
+               FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh
+                                      AND t1.doc_id <> t2.doc_id
+               GROUP BY t1.doc_id, t2.doc_id)
+    SELECT s.doc_a, s.doc_b,
+           ROUND(s.shared * 1.0 / ca.n - 1e-9, 6) + 0 AS containment
+    FROM shared s JOIN cnt ca ON ca.doc_id = s.doc_a
+    WHERE ROUND(s.shared * 1.0 / ca.n - 1e-9, 6) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| >= 0.8): the
+    quotation/subset detector — a doc mostly contained in a larger one
+    scores low Jaccard but high containment. Ordered pairs."""
+    from cpx_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=_NGRAM, threshold=0.8,
+    )

@@ -1724,3 +1724,31 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type", F.col("n").cast("long").alias("n"),
         fround(F.col("sv").cast("double"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "q_user_value_deciles",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+        FROM events GROUP BY user_id)
+    SELECT user_id, n_events, total_value,
+           CAST(NTILE(10) OVER (ORDER BY total_value DESC, user_id)
+                AS INTEGER) AS decile
+    FROM per_user
+    """,
+)
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value deciles via NTILE(10) over the aggregated user
+    frame (user-cardinality, not event-cardinality — the global window
+    orders |users| rows, acceptable because the rollup is the small
+    output of a partial-aggregated shuffle; a corpus-scale frame would
+    range-partition first). user_id tiebreak pins the SQL-standard
+    remainder distribution deterministically."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return per_user.withColumn("decile", F.ntile(10).over(w).cast("int"))
