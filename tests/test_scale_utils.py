@@ -405,3 +405,51 @@ def test_zorder_quantile_bucketing_handles_skew(spark, tmp_path):
     sizes = sorted(os.path.getsize(f) for f in files)
     # equal-population buckets -> no file dominated by the hot range
     assert sizes[-1] <= 4 * max(1, sizes[0])
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling — the runtime half of the skew story
+    (salting is the planned half): with the skew thresholds lowered to
+    test scale, a join against a key where one value holds ~90% of the
+    rows must show skew-split partitions in the FINAL adaptive plan."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        skewed = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # aggregate after the join so the driver collects ~256 rows,
+        # not 200k; group on a DIFFERENT key than the join key — AQE
+        # declines to split a skewed join whose output partitioning
+        # feeds a same-key aggregate (the split would force a reshuffle)
+        joined = (
+            skewed.join(dim, on="k")
+            .groupBy(F.substring("pad", 1, 1).alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
