@@ -1752,3 +1752,34 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
     return per_user.withColumn("decile", F.ntile(10).over(w).cast("int"))
+
+
+@register(
+    "q12_ship_lag_buckets",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'normal'
+                ELSE 'slow' END AS lag_bucket,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q12_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape adapted to this schema (no l_shipmode /
+    commitdate columns exist): ship lag = l_shipdate - o_orderdate,
+    bucketed fast/normal/slow and counted per order priority. One
+    fact-fact join on the order key (AQE-managed) + one aggregation
+    with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag <= 30, "fast").when(lag <= 90, "normal").otherwise("slow")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority", bucket.alias("lag_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
