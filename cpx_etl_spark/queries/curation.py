@@ -261,3 +261,33 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=_SUBW, min_docs=2, max_dup_frac=0.5,
     )
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+_CURATION_SPEC = {
+    "source": "documents",
+    "steps": [
+        {"op": "lang_filter", "keep": ["en", "de", "fr"]},
+        {"op": "quality_filter", "min_quality": 0.3},
+        {"op": "exact_dedup"},
+        {"op": "sample", "rate": 0.8, "salt": "cur-r6"},
+    ],
+}
+
+
+def _spec_oracle() -> str:
+    from cpx_etl_spark.plans.curation_pipeline import sql_curation_pipeline
+
+    return sql_curation_pipeline(_CURATION_SPEC)
+
+
+@register("q_curation_spec_pipeline", oracle=_spec_oracle())
+def q_curation_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-DRIVEN curation pipeline (the reference's declarative
+    pipeline pattern over the curation family): language filter ->
+    quality filter -> exact dedup -> deterministic 80% sample compile
+    from one dict into ONE fused plan, and the SAME spec compiles the
+    DuckDB oracle — the gate verifies the compiler, not a hand-paired
+    query (plans/curation_pipeline.py)."""
+    from cpx_etl_spark.plans.curation_pipeline import compile_curation_pipeline
+
+    return compile_curation_pipeline(spark, sf_dir, _CURATION_SPEC)

@@ -222,3 +222,37 @@ def test_duplicated_window_coverage_interval_union(spark):
     # docs 1 (10/14) and 2 (10/12) are both >50% duplicated -> flagged
     assert not out[1]["keep"] and not out[2]["keep"]
     assert out[2]["dup_frac"] > 0.5
+
+
+def test_curation_spec_compiles_to_one_fused_plan(spark, sf_dir):
+    """The spec pipeline is ONE Catalyst plan: a single documents scan
+    feeds every step except the dedup survivor derivation (which
+    re-reads for its aggregate side), no Python UDFs anywhere, and
+    unknown ops fail fast."""
+    import pytest
+
+    from cpx_etl_spark.plans.curation_pipeline import (
+        compile_curation_pipeline,
+        sql_curation_pipeline,
+    )
+
+    spec = {
+        "source": "documents",
+        "steps": [
+            {"op": "lang_filter", "keep": ["en"]},
+            {"op": "quality_filter", "min_quality": 0.2},
+            {"op": "sample", "rate": 0.5, "salt": "t"},
+        ],
+    }
+    df = compile_curation_pipeline(spark, sf_dir, spec)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1  # all three steps fused onto one scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert df.count() > 0
+    # the same spec builds the oracle: step CTE per step, same order
+    sql = sql_curation_pipeline(spec)
+    assert sql.count("AS (SELECT") == 3 and "lang IN ('en')" in sql
+
+    with pytest.raises(ValueError, match="unknown curation step"):
+        compile_curation_pipeline(spark, sf_dir,
+                                  {"steps": [{"op": "nope"}]})
