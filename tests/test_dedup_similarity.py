@@ -759,3 +759,33 @@ def test_wav_payloads_are_valid_and_decoded(spark):
             assert w.getnframes() == r["n_samples"]
         assert r["sample_rate"] in (8000, 16000, 22050, 44100)
         assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+
+
+def test_containment_detects_quotation_jaccard_misses(spark):
+    """A short doc quoted inside a much larger one: Jaccard stays far
+    below any dedup threshold, containment hits 1.0 — and only in the
+    quoted-side direction (ordered pairs)."""
+    from cpx_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote), (3, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=2,
+                                   threshold=0.8).collect()
+    }
+    assert set(cont) == {(1, 2)}  # direction: the CONTAINED doc is doc_a
+    assert cont[(1, 2)] == 1.0
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                                     threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.25  # Jaccard would never flag this pair
