@@ -247,6 +247,12 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "q_grouping_sets",
         "stream_trending_topk",
         "dedup_cross_corpus_indexed",
+        "q12_ship_lag_buckets",
+        "q_user_value_deciles",
+        "q_curation_spec_pipeline",
+        "dedup_containment",
+        "q_incremental_rollup",
+        "stream_session_window_builtin",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
