@@ -75,6 +75,31 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
         return df.filter(draw < step["rate"])
     if op == "lang_filter":
         return df.filter(F.col("lang").isin(*step["keep"]))
+    if op == "repetition_filter":
+        from cpx_etl_spark.operators.curation import repetition_stats
+
+        n = step.get("n", 2)
+        mx = step["max_dup_frac"]
+        m = repetition_stats(df, "doc_id", "text", n=n)
+        dup_frac = F.round(
+            F.lit(1.0) - F.col("n_distinct") * F.lit(1.0) / F.col("n_total")
+            - 1e-9, 6,
+        )
+        keep = m.filter(dup_frac <= mx).select("doc_id")
+        return df.join(keep, on="doc_id", how="left_semi")
+    if op == "decontaminate":
+        from cpx_etl_spark.operators.curation import decontaminate
+
+        n = step.get("n", 4)
+        is_test = (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            == step.get("eval_digit", "0")
+        )
+        flagged = decontaminate(
+            df.filter(~is_test), df.filter(is_test), "doc_id", "text",
+            n=n, threshold=step["threshold"],
+        ).select("doc_id")
+        return df.filter(~is_test).join(flagged, on="doc_id", how="left_anti")
     raise ValueError(f"unknown curation step {op!r}")
 
 
@@ -111,6 +136,40 @@ def _sql_step(step: dict, prev: str, idx: int) -> tuple[str, str]:
     elif op == "lang_filter":
         keep = ", ".join(repr(v) for v in step["keep"])
         body = f"SELECT * FROM {prev} WHERE lang IN ({keep})"
+    elif op == "repetition_filter":
+        n = step.get("n", 2)
+        sh = (" || ' ' || ".join(f"tk[i+{j}]" for j in range(n))).replace("tk[i+0]", "tk[i]")
+        body = (
+            f"SELECT p.* FROM {prev} p JOIN ("
+            f"SELECT doc_id FROM ("
+            f"SELECT doc_id, COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS nt FROM ("
+            f"SELECT doc_id, sh, COUNT(*) AS c FROM ("
+            f"SELECT doc_id, unnest(list_transform("
+            f"generate_series(1, len(tk) - {n - 1}), i -> {sh})) AS sh "
+            f"FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM {prev})"
+            f") GROUP BY doc_id, sh) GROUP BY doc_id) "
+            f"WHERE ROUND(1.0 - nd * 1.0 / nt - 1e-9, 6) + 0 "
+            f"<= {step['max_dup_frac']}) k USING (doc_id)"
+        )
+    elif op == "decontaminate":
+        n = step.get("n", 4)
+        digit = step.get("eval_digit", "0")
+        pred = f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{digit}'"
+        from cpx_etl_spark.functions.text import sql_shingles
+
+        sh = sql_shingles("string_split(text, ' ')", n)
+        body = (
+            f"SELECT * FROM {prev} WHERE NOT ({pred}) AND doc_id NOT IN ("
+            f"SELECT tr.doc_id FROM ("
+            f"SELECT doc_id, unnest({sh}) AS s FROM {prev} WHERE NOT ({pred})"
+            f") tr JOIN ("
+            f"SELECT DISTINCT unnest({sh}) AS s FROM {prev} WHERE {pred}"
+            f") te USING (s) "
+            f"GROUP BY tr.doc_id "
+            f"HAVING ROUND(COUNT(*) * 1.0 / ("
+            f"SELECT len({sh}) FROM {prev} x "
+            f"WHERE x.doc_id = tr.doc_id) - 1e-9, 6) + 0 >= {step['threshold']})"
+        )
     else:
         raise ValueError(f"unknown curation step {op!r}")
     return name, body

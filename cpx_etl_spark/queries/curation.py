@@ -268,6 +268,8 @@ _CURATION_SPEC = {
     "steps": [
         {"op": "lang_filter", "keep": ["en", "de", "fr"]},
         {"op": "quality_filter", "min_quality": 0.3},
+        {"op": "repetition_filter", "max_dup_frac": 0.5, "n": 2},
+        {"op": "decontaminate", "threshold": 0.2, "n": 4},
         {"op": "exact_dedup"},
         {"op": "sample", "rate": 0.8, "salt": "cur-r6"},
     ],
@@ -284,10 +286,11 @@ def _spec_oracle() -> str:
 def q_curation_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-DRIVEN curation pipeline (the reference's declarative
     pipeline pattern over the curation family): language filter ->
-    quality filter -> exact dedup -> deterministic 80% sample compile
-    from one dict into ONE fused plan, and the SAME spec compiles the
-    DuckDB oracle — the gate verifies the compiler, not a hand-paired
-    query (plans/curation_pipeline.py)."""
+    quality filter -> Gopher repetition filter -> benchmark
+    decontamination -> exact dedup -> deterministic 80% sample compile
+    from one dict into ONE plan, and the SAME spec compiles the DuckDB
+    oracle — the gate verifies the COMPILER, not a hand-paired query
+    (plans/curation_pipeline.py)."""
     from cpx_etl_spark.plans.curation_pipeline import compile_curation_pipeline
 
     return compile_curation_pipeline(spark, sf_dir, _CURATION_SPEC)

@@ -256,3 +256,37 @@ def test_curation_spec_compiles_to_one_fused_plan(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown curation step"):
         compile_curation_pipeline(spark, sf_dir,
                                   {"steps": [{"op": "nope"}]})
+
+
+def test_curation_spec_full_chain_matches_spec_oracle(spark, sf_dir):
+    """The extended spec (repetition filter + decontaminate included)
+    agrees with its OWN compiled oracle on DuckDB — compiler-level
+    correctness beyond the registered query's fixed spec."""
+    import duckdb
+
+    from cpx_etl_spark.plans.curation_pipeline import (
+        compile_curation_pipeline,
+        sql_curation_pipeline,
+    )
+
+    spec = {
+        "source": "documents",
+        "steps": [
+            {"op": "quality_filter", "min_quality": 0.2},
+            {"op": "repetition_filter", "max_dup_frac": 0.5, "n": 2},
+            {"op": "decontaminate", "threshold": 0.2, "n": 4},
+            {"op": "exact_dedup"},
+            {"op": "sample", "rate": 0.9, "salt": "chain"},
+        ],
+    }
+    got = sorted(
+        (r["doc_id"], r["lang"], r["source"], r["n_tokens"])
+        for r in compile_curation_pipeline(spark, sf_dir, spec).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(sql_curation_pipeline(spec)).fetchall()))
+    assert got == want and len(got) > 0
