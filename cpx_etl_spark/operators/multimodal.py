@@ -319,3 +319,87 @@ def decode_wav_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Real (library-free) video container synthesis + box walk — ISO base
+# media file format (MP4): length-prefixed top-level boxes, a public
+# fixed layout, so synthesis + parsing need only struct.
+# ---------------------------------------------------------------------------
+
+def synth_mp4_bytes(text: str) -> bytes:
+    """Deterministic VALID ISO-BMFF container from md5(text): an ftyp
+    box (isom), a free box of 8 + b0 bytes, and an mdat box holding
+    16 + 4*b1 payload bytes tiling the digest — sizes are closed-form
+    functions of the text for the SQL oracle."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(text.encode()).digest()
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    free = box(b"free", bytes(h[i % 16] for i in range(h[0])))
+    mdat = box(b"mdat", bytes(h[i % 16] for i in range(16 + 4 * h[1])))
+    return ftyp + free + mdat
+
+
+def walk_mp4_boxes(b: bytes) -> tuple:
+    """(n_boxes, box_types_csv, mdat_bytes, n_bytes) from the real
+    length-prefixed box structure; (None,)*4 on bad magic/truncation."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return (None, None, None, None)
+    i = 0
+    types = []
+    mdat = 0
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8].decode("latin1")
+        if size < 8 or i + size > len(b):
+            return (None, None, None, None)  # torn container
+        types.append(typ)
+        if typ == "mdat":
+            mdat += size - 8
+        i += size
+    if i != len(b):
+        return (None, None, None, None)
+    return (len(types), ",".join(types), mdat, len(b))
+
+
+def attach_mp4_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    schema = f"{id_col} bigint, payload binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col],
+                 "payload": pdf[text_col].map(synth_mp4_bytes)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
+def decode_mp4_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real ISO-BMFF box walk via mapInPandas: box count, type list,
+    media payload size, true file size."""
+    schema = (
+        f"{id_col} bigint, n_boxes int, box_types string, "
+        "mdat_bytes int, n_bytes int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(walk_mp4_boxes)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_boxes": parsed.map(lambda t: t[0]),
+                    "box_types": parsed.map(lambda t: t[1]),
+                    "mdat_bytes": parsed.map(lambda t: t[2]),
+                    "n_bytes": parsed.map(lambda t: t[3]),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=schema)

@@ -106,3 +106,34 @@ def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_wav_meta(attach_wav_payload(docs), id_col="doc_id")
+
+
+# Synthesis contract (operators/multimodal.py synth_mp4_bytes):
+#   ftyp = 8 + 20, free = 8 + b0, mdat = 8 + 16 + 4*b1.
+_MP4_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id, {_hexbyte(0)} AS b0, {_hexbyte(1)} AS b1
+        FROM documents)
+    SELECT doc_id,
+           CAST(3 AS INTEGER) AS n_boxes,
+           'ftyp,free,mdat' AS box_types,
+           CAST(16 + 4 * b1 AS INTEGER) AS mdat_bytes,
+           CAST(28 + (8 + b0) + (24 + 4 * b1) AS INTEGER) AS n_bytes
+    FROM b
+"""
+
+
+@register("mm_video_pipeline", oracle=_MP4_ORACLE)
+def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid ISO-BMFF (MP4) container synthesis -> Arrow-batched REAL
+    box walk (count, types, mdat payload size, true file size) — the
+    video-container modality through the same binary-column plumbing;
+    a parser bug (size arithmetic, truncation handling) breaks the
+    hash match. Frame decode stays import-gated like pixel decode."""
+    from cpx_etl_spark.operators.multimodal import (
+        attach_mp4_payload,
+        decode_mp4_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_mp4_meta(attach_mp4_payload(docs), id_col="doc_id")

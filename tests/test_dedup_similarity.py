@@ -789,3 +789,20 @@ def test_containment_detects_quotation_jaccard_misses(spark):
                                      threshold=0.0).collect()
     }
     assert jac[(1, 2)] < 0.25  # Jaccard would never flag this pair
+
+
+def test_mp4_box_walk_rejects_torn_containers(spark):
+    """The box walker parses the real length-prefixed structure and
+    nulls out torn/truncated containers instead of guessing."""
+    from cpx_etl_spark.operators.multimodal import (
+        synth_mp4_bytes,
+        walk_mp4_boxes,
+    )
+
+    good = synth_mp4_bytes("hello world")
+    n, types, mdat, total = walk_mp4_boxes(good)
+    assert types == "ftyp,free,mdat" and n == 3 and total == len(good)
+    assert mdat >= 16
+    # truncating mid-box must fail closed
+    assert walk_mp4_boxes(good[:-5]) == (None, None, None, None)
+    assert walk_mp4_boxes(b"\x00\x00\x00\x08junk") == (None, None, None, None)
