@@ -31,8 +31,10 @@ wrong answers are impossible):
   ``xsl:attribute`` on any constructed element, literal result
   elements with ``{expr}`` attribute value templates
 - ``position()`` / ``last()`` inside iterations and predicates,
-  ``count(path)``, numeric index predicates (``item[2]``,
-  ``item[last()]``) with XPath 1.0 sequential-renumbering semantics
+  ``count(path)``, ``concat(...)``, ``string-length(...)``,
+  ``normalize-space(...)``, ``string(...)``, numeric index predicates
+  (``item[2]``, ``item[last()]``) with XPath 1.0
+  sequential-renumbering semantics
 - select/test paths: relative child steps, absolute ``/a/b`` selects,
   ``@attr``, ``.``, ``text()``, ``*``, ``[...]`` predicates (predicates
   may contain nested paths — bracket/quote-aware parsing); tests
@@ -157,6 +159,29 @@ def _split_path(path: str) -> tuple[str, ...]:
             start = i + 1
     parts.append(path[start:])
     return tuple(p for p in parts if p)
+
+
+@functools.lru_cache(maxsize=4096)
+def _split_args(inner: str) -> tuple[str, ...]:
+    """Split a function-argument list on top-level commas (outside
+    quotes, brackets, and nested parens)."""
+    parts: list[str] = []
+    depth = 0
+    in_q = False
+    start = 0
+    for i, ch in enumerate(inner):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(inner[start:i])
+                start = i + 1
+    parts.append(inner[start:])
+    return tuple(p.strip() for p in parts if p.strip())
 
 
 @functools.lru_cache(maxsize=4096)
@@ -636,8 +661,25 @@ class MiniXslt:
                 raise XsltUnsupported(f"{path} outside an iteration context")
             pos, size = self._ctx_pos[-1]
             return [str(pos if path == "position()" else size)]
-        if path.startswith("count(") and path.endswith(")"):
-            return [str(len(self._select(ctx, path[6:-1])))]
+        if path.endswith(")") and "(" in path:
+            fname = path[: path.index("(")]
+            inner = path[path.index("(") + 1 : -1]
+            if fname == "count":
+                return [str(len(self._select(ctx, inner)))]
+            if fname == "concat":
+                return ["".join(self._arg_string(ctx, a)
+                                for a in _split_args(inner))]
+            if fname == "string-length":
+                v = self._arg_string(ctx, inner) if inner.strip() else _string(ctx)
+                return [str(len(v))]
+            if fname == "normalize-space":
+                v = self._arg_string(ctx, inner) if inner.strip() else _string(ctx)
+                return [" ".join(v.split())]
+            if fname == "string":
+                return [self._arg_string(ctx, inner) if inner.strip()
+                        else _string(ctx)]
+            # text() falls through to step parsing; anything else is an
+            # unsupported XPath function and fails fast there too
         # fast paths for the two step shapes that dominate row
         # stylesheets (profiled: _select is ~36% of apply time)
         if path.startswith("@") and "[" not in path and "/" not in path:
@@ -715,6 +757,17 @@ class MiniXslt:
                 nxt.extend(cand)
             cur = nxt
         return cur
+
+    def _arg_string(self, ctx, tok: str) -> str:
+        """One function argument -> string value: quoted literal,
+        numeric literal (lexical form), or a path's string-value."""
+        tok = tok.strip()
+        if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+            return tok[1:-1]
+        if _literal(tok) is not None:
+            return tok
+        items = self._select(ctx, tok)
+        return _string(items[0]) if items else ""
 
     def _test(self, ctx, expr: str) -> bool:
         expr = expr.strip()

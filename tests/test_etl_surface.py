@@ -778,3 +778,29 @@ def test_xslt_element_and_attribute_constructors():
     out = _mini(s)('<doc kind="widget" n="7"/>')
     assert out == ('<r><widget id="7-x" q="a&amp;b">body</widget>'
                    '<lit static="s" dyn="7"/></r>')
+
+
+def test_xslt_string_functions():
+    s = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><r><xsl:apply-templates/></r></xsl:template>
+      <xsl:template match="doc">
+        <a v="{{concat(@pre, '-', name, '-', 7)}}"/>
+        <b l="{{string-length(name)}}" n="{{normalize-space(messy)}}"/>
+        <c s="{{string(@pre)}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _mini(s)(
+        '<doc pre="x"><name>spark</name><messy>  a   b  \n c </messy></doc>'
+    )
+    assert out == '<r><a v="x-spark-7"/><b l="5" n="a b c"/><c s="x"/></r>'
+
+    # unknown functions still fail fast
+    import pytest as _pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    bad = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><x v="{{translate(., 'a', 'b')}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    with _pytest.raises(XsltUnsupported):
+        MiniXslt(bad).apply("<doc/>")
