@@ -87,6 +87,13 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
         )
         keep = m.filter(dup_frac <= mx).select("doc_id")
         return df.join(keep, on="doc_id", how="left_semi")
+    if op == "temperature_sample":
+        from cpx_etl_spark.operators.curation import temperature_sample
+
+        kept = temperature_sample(
+            df, "doc_id", step.get("group_col", "lang"), step["target_rows"]
+        ).select("doc_id")
+        return df.join(kept, on="doc_id", how="left_semi")
     if op == "decontaminate":
         from cpx_etl_spark.operators.curation import decontaminate
 
@@ -150,6 +157,21 @@ def _sql_step(step: dict, prev: str, idx: int) -> tuple[str, str]:
             f") GROUP BY doc_id, sh) GROUP BY doc_id) "
             f"WHERE ROUND(1.0 - nd * 1.0 / nt - 1e-9, 6) + 0 "
             f"<= {step['max_dup_frac']}) k USING (doc_id)"
+        )
+    elif op == "temperature_sample":
+        g = step.get("group_col", "lang")
+        t = step["target_rows"]
+        body = (
+            f"SELECT p.* FROM {prev} p JOIN ("
+            f"SELECT {g}, LEAST(1.0, {t}.0 * w / tot / n_g) AS p_keep FROM ("
+            f"SELECT {g}, COUNT(*) AS n_g, SQRT(CAST(COUNT(*) AS DOUBLE)) AS w "
+            f"FROM {prev} GROUP BY {g}), ("
+            f"SELECT CAST(SUM(CAST(w2 AS DECIMAL(20,10))) AS DOUBLE) AS tot "
+            f"FROM (SELECT SQRT(CAST(COUNT(*) AS DOUBLE)) AS w2 "
+            f"FROM {prev} GROUP BY {g}))"
+            f") pr USING ({g}) "
+            f"WHERE CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8)) "
+            f"AS BIGINT) / 4294967296.0 < pr.p_keep"
         )
     elif op == "decontaminate":
         n = step.get("n", 4)

@@ -290,3 +290,36 @@ def test_curation_spec_full_chain_matches_spec_oracle(spark, sf_dir):
     )
     want = sorted(map(tuple, con.execute(sql_curation_pipeline(spec)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_curation_spec_temperature_step_matches_oracle(spark, sf_dir):
+    """The temperature-sample step composed mid-chain agrees with the
+    spec-compiled oracle (group weights computed over the FILTERED
+    frame, not the source — the composition detail a hand-written
+    query can get wrong)."""
+    import duckdb
+
+    from cpx_etl_spark.plans.curation_pipeline import (
+        compile_curation_pipeline,
+        sql_curation_pipeline,
+    )
+
+    spec = {
+        "source": "documents",
+        "steps": [
+            {"op": "quality_filter", "min_quality": 0.25},
+            {"op": "temperature_sample", "target_rows": 120,
+             "group_col": "lang"},
+        ],
+    }
+    got = sorted(
+        (r["doc_id"], r["lang"], r["source"], r["n_tokens"])
+        for r in compile_curation_pipeline(spark, sf_dir, spec).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(sql_curation_pipeline(spec)).fetchall()))
+    assert got == want and len(got) > 0
