@@ -294,3 +294,53 @@ def q_curation_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpx_etl_spark.plans.curation_pipeline import compile_curation_pipeline
 
     return compile_curation_pipeline(spark, sf_dir, _CURATION_SPEC)
+
+
+_CMS_D, _CMS_W = 4, 1024
+
+
+def _cms_oracle() -> str:
+    from cpx_etl_spark.operators.sketches import sql_count_min
+
+    return f"""
+    WITH stream AS (
+        SELECT unnest(string_split(text, ' ')) AS k FROM documents),
+    exact AS (SELECT k, COUNT(*) AS exact_cnt FROM stream GROUP BY k),
+    keys AS (SELECT k FROM exact ORDER BY exact_cnt DESC, k LIMIT 20),
+    {sql_count_min(_CMS_D, _CMS_W)}
+    SELECT e.k AS token, x.exact_cnt, e.est,
+           e.est - x.exact_cnt AS overcount
+    FROM est e JOIN exact x USING (k)
+    """
+
+
+@register("q_heavy_hitters_cms", oracle=_cms_oracle())
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: a d=4 x w=1024 counter sketch
+    (one groupBy shuffle, map-side partials, <= 4096 cells total)
+    estimates the top-20 tokens' frequencies; overcount = est - exact
+    exposes the sketch's one-sided error (always >= 0 — asserted in
+    pytest; the gate hash-verifies the exact double-hashed
+    construction). At 100 TB the sketch replaces the exact groupBy
+    wherever an eps-approximate count suffices, and broadcasts for
+    estimate joins."""
+    from cpx_etl_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("k"))
+    exact = toks.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("k")).limit(20)
+    sketch = count_min_build(toks, "k", d=_CMS_D, w=_CMS_W)
+    est = count_min_estimate(sketch, top.select("k"), "k", d=_CMS_D, w=_CMS_W)
+    return (
+        top.join(est, on="k")
+        .select(
+            F.col("k").alias("token"),
+            "exact_cnt",
+            "est",
+            (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

@@ -323,3 +323,37 @@ def test_curation_spec_temperature_step_matches_oracle(spark, sf_dir):
     )
     want = sorted(map(tuple, con.execute(sql_curation_pipeline(spec)).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_count_min_one_sided_error_and_exactness_when_wide(spark):
+    """CMS guarantees: estimates NEVER undercount; with w far above the
+    distinct-key count every estimate is exact (no collisions)."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    keys = df.select("k").distinct()
+    # wide sketch: collisions vanish, estimates exact
+    wide = count_min_estimate(
+        count_min_build(df, "k", d=4, w=4096), keys, "k", d=4, w=4096
+    )
+    assert {r["k"]: r["est"] for r in wide.collect()} == exact
+    # absurdly narrow sketch: massive collisions, but NEVER undercount
+    narrow = count_min_estimate(
+        count_min_build(df, "k", d=2, w=4), keys, "k", d=2, w=4
+    )
+    for r in narrow.collect():
+        assert r["est"] >= exact[r["k"]]
+    # unseen keys estimate >= 0 (may collide upward, never negative)
+    ghost = spark.createDataFrame([("nope",)], "k string")
+    g = count_min_estimate(
+        count_min_build(df, "k", d=4, w=4096), ghost, "k", d=4, w=4096
+    ).collect()
+    assert g[0]["est"] == 0
