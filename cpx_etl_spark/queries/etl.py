@@ -877,3 +877,69 @@ def q_zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2
         ).alias("sum_value"),
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "BIGINT"),
+    ("o_custkey", "BIGINT"),
+    ("o_orderstatus", "VARCHAR"),
+    ("o_totalprice", "DECIMAL"),
+    ("o_orderdate", "DATE"),
+    ("o_orderpriority", "VARCHAR"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        mn, mx = f"MIN({c})", f"MAX({c})"
+        if kind == "DECIMAL":
+            mn = f"CAST(CAST({mn} AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST({mx} AS DECIMAL(18,2)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST({mn} AS VARCHAR)", f"CAST({mx} AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col, COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_v, {mx} AS max_v "
+            f"FROM orders"
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@register("q_table_profile", oracle=_profile_oracle())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ETL data-quality report every load phase
+    runs): per column — null count, exact distinct count, min/max
+    rendered as strings (decimals pinned to 2dp so the lexical form is
+    engine-identical). ONE scan: all 6 columns' aggregates compute in a
+    single pass with map-side partials, then unpivot to one row per
+    column — not 6 scans like the naive UNION (the oracle's shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        mn, mx = F.min(c), F.max(c)
+        if kind == "DECIMAL":
+            mn = mn.cast("decimal(18,2)").cast("string")
+            mx = mx.cast("decimal(18,2)").cast("string")
+        else:
+            mn, mx = mn.cast("string"), mx.cast("string")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            mn.alias(f"_mn_{c}"),
+            mx.alias(f"_mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stacked = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"_nn_{c}").cast("long").alias("n_nulls"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            F.col(f"_mn_{c}").alias("min_v"),
+            F.col(f"_mx_{c}").alias("max_v"),
+        )
+        for c, _ in _PROFILE_COLS
+    ])
+    return wide.select(F.explode(stacked).alias("p")).select(
+        "p.col", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v"
+    )
