@@ -1783,3 +1783,53 @@ def q12_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", bucket.alias("lag_bucket"))
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "q_nested_hof_metrics",
+    oracle=f"""
+    SELECT l_orderkey AS order_id,
+           COUNT(*) AS n_items,
+           COUNT(*) FILTER (WHERE l_returnflag = 'N') AS n_kept,
+           {sql_dsum("CASE WHEN l_returnflag = 'N' "
+                     "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+               AS kept_revenue,
+           MAX(l_extendedprice) AS max_item_price
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_nested_hof_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order metrics computed ON THE NESTED ARRAY with higher-order
+    functions (size / filter / aggregate / array_max) after nest() —
+    the reference's nested-view results are compute targets, not just
+    output shapes. The decimal accumulate inside F.aggregate keeps the
+    revenue sum order-independent, so the flat GROUP BY oracle matches
+    bit-for-bit. One groupBy shuffle (the nest); every HOF then runs
+    narrow over the in-row array."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_returnflag", "l_extendedprice", "l_discount")
+        ).alias("items")
+    )
+    items = F.col("items")
+    kept = F.filter(items, lambda x: x.getField("l_returnflag") == "N")
+    rev = F.aggregate(
+        kept,
+        F.lit(0).cast("decimal(20,4)"),
+        lambda acc, x: (
+            acc + (
+                x.getField("l_extendedprice") * (1 - x.getField("l_discount"))
+            ).cast("decimal(20,4)")
+        ).cast("decimal(20,4)"),
+    )
+    return nested.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.size(items).cast("long").alias("n_items"),
+        F.size(kept).cast("long").alias("n_kept"),
+        fround(rev.cast("double"), 2).alias("kept_revenue"),
+        F.array_max(F.transform(items, lambda x: x.getField("l_extendedprice"))).alias("max_item_price"),
+    )
