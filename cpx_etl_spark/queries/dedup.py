@@ -705,3 +705,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         n=_NGRAM, threshold=0.8,
     )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH ranked AS (
+        SELECT md5(text) AS content_hash, doc_id, source,
+               CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                    WHEN 'src2' THEN 2 ELSE 3 END AS src_rank
+        FROM documents),
+    winners AS (
+        SELECT content_hash, COUNT(*) AS n_copies,
+               MIN(src_rank * 10000000000 + doc_id) AS w
+        FROM ranked GROUP BY content_hash)
+    SELECT w.content_hash, w.n_copies,
+           r.doc_id AS keep_doc_id, r.source AS keep_source
+    FROM winners w
+    JOIN ranked r ON r.content_hash = w.content_hash
+                 AND (r.src_rank * 10000000000 + r.doc_id) = w.w
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-policy exact dedup (the MDM generalization of the
+    reference load phase's 'incoming wins' SCD-1): duplicates by
+    content pick their winner by SOURCE PRIORITY (src0 > src1 > src2 >
+    anything else), doc_id tiebreak — one min_by aggregation per
+    content hash, no window over the corpus. The packed
+    rank*1e10+doc_id key makes the winner a single MIN both engines
+    compute identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_rank = (
+        F.when(F.col("source") == "src0", 0)
+        .when(F.col("source") == "src1", 1)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(3)
+    )
+    ranked = docs.select(
+        F.md5("text").alias("content_hash"),
+        "doc_id",
+        "source",
+        (src_rank * F.lit(10000000000) + F.col("doc_id")).alias("_w"),
+    )
+    return ranked.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by(F.col("doc_id"), F.col("_w")).alias("keep_doc_id"),
+        F.min_by(F.col("source"), F.col("_w")).alias("keep_source"),
+    )
