@@ -549,14 +549,32 @@ def write_signature_index(df: DataFrame, path: str, id_col: str,
     os.replace(tmp, os.path.join(path, _INDEX_META))
 
 
-def append_to_signature_index(df: DataFrame, path: str) -> None:
+def append_to_signature_index(df: DataFrame, path: str,
+                              validate_unique: bool = False) -> None:
     """Add a new batch of docs (e.g. the crawl docs that SURVIVED dedup)
     to an existing index — the step that closes the incremental loop:
     sign once on ingestion, never re-derive. Parameters come from the
-    stored meta; ids must not already exist in the index."""
+    stored meta; ids must not already exist in the index (an id
+    appended twice double-counts its shingles and corrupts every
+    verify involving it). ``validate_unique=True`` pays one semi-join
+    against the stored counts to enforce that before writing."""
     import os
 
     meta = read_index_meta(path)
+    if validate_unique:
+        stored = df.sparkSession.read.parquet(os.path.join(path, "counts"))
+        clash = (
+            df.select(meta["id_col"])
+            .join(stored.select(meta["id_col"]), on=meta["id_col"],
+                  how="left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append_to_signature_index: id {clash[0][0]!r} already "
+                f"exists in the index at {path}"
+            )
     banded, index, counts = _index_frames(
         df, meta["id_col"], meta["text_col"], meta["n"], meta["k"],
         meta["bands"],

@@ -262,6 +262,15 @@ def write_zorder_parquet(
     span = (1 << bits) - 1
     buckets = []
     if bucketing == "quantile":
+        numeric = {"byte", "short", "integer", "long", "float", "double",
+                   "decimal"}
+        for c in cluster_cols:
+            t = df.schema[c].dataType.typeName()
+            if t.split("(")[0] not in numeric:
+                raise ValueError(
+                    f"zorder quantile bucketing needs numeric columns; "
+                    f"{c!r} is {t}"
+                )
         probs = [i / (span + 1) for i in range(1, span + 1)]
         qs = df.approxQuantile(
             [c for c in cluster_cols], probs, 0.01

@@ -806,3 +806,32 @@ def test_mp4_box_walk_rejects_torn_containers(spark):
     # truncating mid-box must fail closed
     assert walk_mp4_boxes(good[:-5]) == (None, None, None, None)
     assert walk_mp4_boxes(b"\x00\x00\x00\x08junk") == (None, None, None, None)
+
+
+def test_signature_index_append_rejects_duplicate_ids(spark, tmp_path):
+    """validate_unique: appending an id already in the index fails fast
+    (a double-signed id corrupts every verify involving it)."""
+    import pytest
+
+    from cpx_etl_spark.operators.dedup import (
+        append_to_signature_index,
+        write_signature_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_signature_index(ref, path, "doc_id", "text", n=2, k=8, bands=4)
+    dup = spark.createDataFrame(
+        [(100, "entirely different text but the same identifier")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="already"):
+        append_to_signature_index(dup, path, validate_unique=True)
+    fresh = spark.createDataFrame(
+        [(200, "a genuinely new standing document")],
+        "doc_id long, text string",
+    )
+    append_to_signature_index(fresh, path, validate_unique=True)  # ok

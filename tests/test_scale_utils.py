@@ -453,3 +453,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_zorder_quantile_rejects_non_numeric_columns(spark, tmp_path):
+    import pytest
+
+    from cpx_etl_spark.sources.sinks import write_zorder_parquet
+
+    df = spark.range(0, 10).selectExpr("CAST(id AS STRING) AS s", "id AS x")
+    with pytest.raises(ValueError, match="numeric"):
+        write_zorder_parquet(df, str(tmp_path / "z"), ["s", "x"],
+                             bucketing="quantile")
