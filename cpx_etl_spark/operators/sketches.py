@@ -95,3 +95,42 @@ def sql_count_min(d: int, w: int, stream_rel: str = "stream",
         SELECT p.{key_col}, MIN(COALESCE(s.cnt, 0)) AS est
         FROM probes p LEFT JOIN sketch s USING (row_idx, bucket)
         GROUP BY p.{key_col})"""
+
+
+def count_min_stream_upsert(sdf: DataFrame, key_col: str, out_path: str,
+                            checkpoint: str, d: int = 4, w: int = 1024):
+    """Maintain a Count-Min sketch OVER A STREAM: each micro-batch
+    builds its delta sketch (bounded: <= d*w cells) and ADDS it into
+    the parquet-backed sketch table — counters are additive, so the
+    maintained sketch equals the batch-built sketch over the full
+    stream EXACTLY (no approximation drift from incremental
+    maintenance; pytest asserts cell-level equality). The sketch table
+    never exceeds d*w rows regardless of stream volume — the
+    bounded-state frequency tracker for unbounded key domains, where a
+    per-key streaming aggregation's state would grow without limit."""
+    from cpx_etl_spark.operators.relational import additive_rollup_merge
+    from cpx_etl_spark.sources.sinks import (
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    def upsert_delta(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        delta = count_min_build(batch_df, key_col, d=d, w=w)
+        try:
+            base = read_upsert_table(batch_df.sparkSession, out_path)
+        except Exception:
+            base = None
+        merged = additive_rollup_merge(
+            base, delta, ["row_idx", "bucket"], ["cnt"]
+        )
+        upsert_parquet_table(merged, out_path, keys=["row_idx", "bucket"])
+
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert_delta)
+        .trigger(availableNow=True)
+        .start()
+    )

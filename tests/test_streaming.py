@@ -309,3 +309,45 @@ def test_windowed_append_finalizes_and_drops_late_beyond_watermark(spark, tmp_pa
     # only the 10:00 window is BOTH complete and past the final
     # watermark (11:30); the 12:00+ windows correctly remain open
     assert got == {("2024-01-15 10:00:00", "click"): 3}
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Incrementally-maintained Count-Min sketch == batch-built sketch
+    CELL FOR CELL (counters are additive, so micro-batch maintenance
+    introduces zero drift), and estimates served from the maintained
+    sketch never undercount the true stream frequencies."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_stream_upsert,
+    )
+    from cpx_etl_spark.sources.sinks import read_upsert_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k")
+    )
+    sdf = events_stream(spark, sf_dir).select(F.col("event_type").alias("k"))
+    out, ckpt = str(tmp_path / "cms"), str(tmp_path / "ckpt")
+    q = count_min_stream_upsert(sdf, "k", out, ckpt, d=4, w=256)
+    q.awaitTermination()
+
+    maintained = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in read_upsert_table(spark, out).collect()
+    }
+    batch = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in count_min_build(ev, "k", d=4, w=256).collect()
+    }
+    assert maintained == batch and len(batch) > 0
+
+    exact = {r["k"]: r["c"] for r in
+             ev.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = count_min_estimate(
+        read_upsert_table(spark, out), ev.select("k").distinct(), "k",
+        d=4, w=256,
+    )
+    for r in est.collect():
+        assert r["est"] >= exact[r["k"]]
