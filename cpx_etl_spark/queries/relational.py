@@ -1833,3 +1833,54 @@ def q_nested_hof_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(rev.cast("double"), 2).alias("kept_revenue"),
         F.array_max(F.transform(items, lambda x: x.getField("l_extendedprice"))).alias("max_item_price"),
     )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev
+        GROUP BY event_type)
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           ROUND(MIN(d.med) - 1e-9, 6) + 0 AS med,
+           ROUND(MIN(m.mad) - 1e-9, 6) + 0 AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type: median / MAD (median
+    absolute deviation) flag values with |v - med| > 3*MAD — the
+    outlier rule that, unlike z-scores, a few extreme values cannot
+    poison. Exact interpolated medians are IEEE-identical across
+    engines (midpoint of two doubles), so the raw-double comparison
+    replays without rounding games; two group-aggregations + one
+    dim-sized join back, never a corpus window."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(med, on="event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(mad, on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fround(F.min("med"), 6).alias("med"),
+            fround(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
