@@ -183,3 +183,35 @@ def additive_rollup_merge(
         for c in sum_cols
     ]
     return joined.select(*keys, *out)
+
+
+def apply_cdc(
+    base: DataFrame, changes: DataFrame, keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change set to a snapshot: ``changes`` carries an
+    ``op_col`` of 'U' (upsert: update-or-insert) or 'D' (delete). One
+    full-outer join on the keys resolves all three outcomes — matched
+    U replaces, matched D drops, unmatched U inserts, unmatched D is a
+    no-op — exactly the MERGE WHEN MATCHED / NOT MATCHED ladder,
+    expressed as a join so plain parquet (or any format) can run it.
+    Later-wins conflict resolution within a batch is the CALLER's job
+    (dedupe the change set first); this operator assumes one change
+    row per key."""
+    keys = list(keys)
+    value_cols = [c for c in base.columns if c not in keys]
+    ch = changes.select(
+        *keys,
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_u_{c}") for c in changes.columns
+          if c not in keys and c != op_col],
+    )
+    joined = base.join(ch, on=keys, how="full_outer")
+    keep = F.col("_op").isNull() | (F.col("_op") == "U")
+    out_cols = [
+        F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+        if f"_u_{c}" in joined.columns
+        else F.col(c)
+        for c in value_cols
+    ]
+    return joined.filter(keep).select(*keys, *out_cols)

@@ -943,3 +943,47 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(stacked).alias("p")).select(
         "p.col", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v"
     )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <= 'b'),
+    changes AS (
+        SELECT c_custkey,
+               CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1) <= '3'
+                    THEN 'D' ELSE 'U' END AS op,
+               c_name, ROUND(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) >= '8')
+    SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+           COALESCE(c.c_name, b.c_name) AS c_name,
+           COALESCE(c.c_acctbal, b.c_acctbal) AS c_acctbal
+    FROM base b FULL OUTER JOIN changes c USING (c_custkey)
+    WHERE c.op IS NULL OR c.op = 'U'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE with deletes over a customer snapshot: the change set
+    (md5-derived — overlapping and non-overlapping keys, ~1/4 deletes)
+    applies in ONE full-outer join resolving update / insert / delete /
+    no-op — the complete WHEN MATCHED ladder on plain parquet
+    (operators/relational.py apply_cdc; q_snapshot_diff is the inverse
+    direction: deriving the change set from two snapshots)."""
+    from cpx_etl_spark.operators.relational import apply_cdc
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    d1 = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    d2 = F.substring(F.md5(F.col("c_custkey").cast("string")), 2, 1)
+    base = cust.filter(d1 <= "b")
+    changes = cust.filter(d1 >= "8").select(
+        "c_custkey",
+        F.when(d2 <= "3", "D").otherwise("U").alias("op"),
+        "c_name",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+    )
+    return apply_cdc(base, changes, ["c_custkey"], op_col="op")

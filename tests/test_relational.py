@@ -134,3 +134,20 @@ def test_incremental_rollup_stored_roundtrip(spark, tmp_path):
         for r in read_upsert_table(spark, path).collect()
     }
     assert again == want
+
+
+def test_apply_cdc_merge_ladder(spark):
+    """All four MERGE outcomes in one batch: matched-U replaces,
+    matched-D drops, unmatched-U inserts, unmatched-D no-ops."""
+    from cpx_etl_spark.operators.relational import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", "B"), (3, "D", None), (4, "U", "d"), (9, "D", None)],
+        "id long, op string, v string",
+    )
+    got = {r["id"]: r["v"] for r in
+           apply_cdc(base, changes, ["id"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
