@@ -1884,3 +1884,44 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name)
+    SELECT region, nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region) - 1e-9, 6)
+               + 0 AS region_share
+    FROM rev
+    """,
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's revenue —
+    the window runs over the aggregated (region, nation) frame (25
+    rows), never the fact table; dims broadcast, one fact shuffle for
+    the group-by. The share division happens on the already-rounded
+    decimal-exact revenue, so both engines divide identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.withColumn(
+        "region_share",
+        fround(F.col("revenue") / F.sum("revenue").over(w), 6),
+    )
