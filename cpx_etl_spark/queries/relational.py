@@ -1925,3 +1925,81 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_share",
         fround(F.col("revenue") / F.sum("revenue").over(w), 6),
     )
+
+
+@register(
+    "q_session_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, ts,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+    f AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    g AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f),
+    per_session AS (
+        SELECT user_id, sid,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id, sid),
+    conv AS (
+        SELECT p.user_id, p.sid,
+               MIN(g.ts) AS t_click
+        FROM per_session p
+        JOIN g ON g.user_id = p.user_id AND g.sid = p.sid
+              AND g.event_type = 'click' AND g.ts > p.t_view
+        GROUP BY p.user_id, p.sid)
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(*) FILTER (WHERE p.t_view IS NOT NULL) AS n_with_view,
+           (SELECT COUNT(*) FROM conv) AS n_converted
+    FROM per_session p
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion funnel: sessions (30-min gap islands,
+    per-event session ids via lag + running sum — user-partitioned
+    windows, never corpus-global), sessions that contain a view, and
+    sessions where a click follows that view WITHIN the session. The
+    global funnel (q_event_funnel) measures lifetime conversion; this
+    measures within-visit conversion — the product-analytics pair."""
+    ev = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_ord)
+    with_sid = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap_us.isNull() | (gap_us > 1800000000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per_session = with_sid.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    conv = (
+        with_sid.filter(F.col("event_type") == "click")
+        .join(per_session.select("user_id", "sid", "t_view"),
+              on=["user_id", "sid"])
+        .filter(F.col("ts") > F.col("t_view"))
+        .select("user_id", "sid")
+        .distinct()
+    )
+    return (
+        per_session.agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_view"),
+        )
+        .crossJoin(conv.agg(F.count(F.lit(1)).alias("n_converted")))
+    )
