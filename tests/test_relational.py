@@ -151,3 +151,47 @@ def test_apply_cdc_merge_ladder(spark):
     got = {r["id"]: r["v"] for r in
            apply_cdc(base, changes, ["id"]).collect()}
     assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_cdc_composes_with_later_wins(spark):
+    """Hypothesis: applying two change batches sequentially equals
+    applying the later-wins merge of the batches — the invariant that
+    lets a CDC consumer compact its backlog before applying."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cpx_etl_spark.operators.relational import apply_cdc
+
+    ops = st.sampled_from(["U", "D"])
+    batch = st.lists(
+        st.tuples(st.integers(0, 6), ops, st.integers(0, 99)),
+        min_size=0, max_size=5, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(b1=batch, b2=batch, base_rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 99)),
+        min_size=0, max_size=5, unique_by=lambda t: t[0]))
+    def run(b1, b2, base_rows):
+        base = spark.createDataFrame(
+            base_rows or [(99, 0)], "id long, v long"
+        )
+        if not base_rows:
+            base = base.filter("id < 0")
+
+        def mkchanges(b):
+            df = spark.createDataFrame(
+                b or [(99, "U", 0)], "id long, op string, v long"
+            )
+            return df if b else df.filter("id < 0")
+
+        seq = apply_cdc(
+            apply_cdc(base, mkchanges(b1), ["id"]), mkchanges(b2), ["id"]
+        )
+        merged = {t[0]: t for t in b1}
+        merged.update({t[0]: t for t in b2})  # later batch wins per key
+        one = apply_cdc(base, mkchanges(list(merged.values())), ["id"])
+        assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, one.collect()))
+
+    run()
