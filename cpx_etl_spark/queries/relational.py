@@ -2003,3 +2003,34 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(conv.agg(F.count(F.lit(1)).alias("n_converted")))
     )
+
+
+@register(
+    "q_approx_distinct_sampled",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(DISTINCT user_id) AS n_exact,
+           16 * COUNT(DISTINCT CASE
+               WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+               THEN user_id END) AS n_est
+    FROM events GROUP BY 1
+    """,
+)
+def q_approx_distinct_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampling distinct estimator — the exactly-replayable
+    alternative to HLL (q_approx_distinct_users stays rows-only because
+    HLL registers are engine-specific): keys whose md5 starts '0' form
+    a deterministic 1/16 sample OF THE KEY SPACE, so 16x the sample's
+    distinct count estimates the total, unbiased, with the SAME keys
+    sampled in every engine — the estimate itself is hash-verified, not
+    just row-counted. Distinct-count work shrinks 16x; the pattern
+    scales to any p = 16^-k by lengthening the prefix."""
+    ev = _t(spark, sf_dir, "events")
+    sampled_user = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0",
+        F.col("user_id"),
+    )
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (16 * F.countDistinct(sampled_user)).alias("n_est"),
+    )
