@@ -2034,3 +2034,230 @@ def q_approx_distinct_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact"),
         (16 * F.countDistinct(sampled_user)).alias("n_est"),
     )
+
+@register(
+    "q_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    contrib AS (SELECT user_id, d + to_days(CAST(gs.i AS INTEGER)) AS day
+                FROM ud, generate_series(0, 6) gs(i))
+    SELECT c.day, COUNT(DISTINCT c.user_id) AS users_7d
+    FROM contrib c JOIN days USING (day)
+    GROUP BY c.day
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day rolling distinct users — the sliding-window distinct
+    that a RANGE window cannot express (COUNT(DISTINCT) is unsupported
+    in window frames in both engines). Contribution-explode formulation:
+    each distinct (user, day) fans out to the <=7 window-end days it can
+    serve, then one groupBy counts distincts per day. Linear (7x the
+    distinct-pair frame, never |events| x window), uniform day keys, no
+    per-user state — the shape that survives a 100x corpus, unlike the
+    naive per-day self-join which rescans the event table once per day."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.join(days, on="day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase'),
+    la AS (SELECT p.event_id, p.p_ts, p.value, MAX(c.ts) AS c_ts
+           FROM p LEFT JOIN events c
+             ON c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts <= p.p_ts AND c.ts > p.p_ts - INTERVAL 1 HOUR
+           GROUP BY p.event_id, p.p_ts, p.value)
+    SELECT date_trunc('day', p_ts) AS day,
+           COUNT(*) FILTER (WHERE c_ts IS NOT NULL) AS n_attributed,
+           COUNT(*) FILTER (WHERE c_ts IS NULL) AS n_organic,
+           {sql_dsum('CASE WHEN c_ts IS NOT NULL THEN value ELSE 0 END')} AS rev_attributed,
+           {sql_dsum('CASE WHEN c_ts IS NULL THEN value ELSE 0 END')} AS rev_organic
+    FROM la GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the most
+    recent click by the same user within the preceding hour, else counts
+    as organic. One time-banded left join (user-keyed, 1h band bounds
+    the join state exactly like the stream-stream interval join's
+    watermark) + max-reduce per purchase — no window over raw events,
+    no per-user collect. Daily revenue split closes the funnel family."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    la = j.groupBy("event_id", "p_ts", "value").agg(F.max("c_ts").alias("c_ts"))
+    attributed = F.col("c_ts").isNotNull()
+    return la.groupBy(F.date_trunc("day", "p_ts").alias("day")).agg(
+        F.count(F.when(attributed, 1)).alias("n_attributed"),
+        F.count(F.when(~attributed, 1)).alias("n_organic"),
+        dsum(F.when(attributed, F.col("value")).otherwise(0)).alias("rev_attributed"),
+        dsum(F.when(~attributed, F.col("value")).otherwise(0)).alias("rev_organic"),
+    )
+
+
+@register(
+    "q_winsorized_stats",
+    oracle=f"""
+    WITH b AS (SELECT c_mktsegment,
+                      quantile_cont(c_acctbal, 0.05) AS lo,
+                      quantile_cont(c_acctbal, 0.95) AS hi
+               FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE c_acctbal < lo OR c_acctbal > hi) AS n_clipped,
+           {sql_fround('quantile_cont(c_acctbal, 0.05)', 2)} AS p05,
+           {sql_fround('quantile_cont(c_acctbal, 0.95)', 2)} AS p95,
+           {sql_davg('c_acctbal')} AS mean_raw,
+           {sql_davg('least(greatest(c_acctbal, lo), hi)')} AS mean_winsor
+    FROM customer c JOIN b USING (c_mktsegment)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) statistics per segment — the
+    outlier-robust mean used to keep heavy-tailed features from skewing
+    training statistics. Pass 1 computes exact interpolated p05/p95 per
+    segment (sort-based, IEEE-identical cross-engine — the q_anomaly_mad
+    precedent); the 5-row bounds frame broadcasts back onto the table
+    and the clipped mean accumulates in exact decimal. Two scans, one
+    tiny broadcast, no window."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    b = cust.groupBy("c_mktsegment").agg(
+        F.percentile(bal, F.lit(0.05)).alias("lo"),
+        F.percentile(bal, F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(bal, F.col("lo")), F.col("hi"))
+    return (
+        cust.join(F.broadcast(b), on="c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when((bal < F.col("lo")) | (bal > F.col("hi")), 1)).alias(
+                "n_clipped"
+            ),
+            fround(F.percentile(bal, F.lit(0.05)), 2).alias("p05"),
+            fround(F.percentile(bal, F.lit(0.95)), 2).alias("p95"),
+            davg(bal).alias("mean_raw"),
+            davg(clipped).alias("mean_winsor"),
+        )
+    )
+
+# --- record linkage ----------------------------------------------------------
+
+# Deterministic name corruption for the linkage demo: one digit of the
+# 9-digit customer id inside c_name is substituted, with position and
+# replacement both md5-derived from the custkey — replayable in any
+# engine, guaranteed to change the name (shift 1..9 mod 10 never maps a
+# digit to itself).
+_LNK_POS = "CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 9 AS INTEGER)"
+_LNK_SHIFT = "CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)) AS BIGINT) % 9 + 1 AS INTEGER)"
+
+
+@register(
+    "q_record_linkage",
+    oracle=f"""
+    WITH src AS (SELECT c_custkey, c_name, c_nationkey,
+                        {_LNK_POS} AS pos, {_LNK_SHIFT} AS shift
+                 FROM customer),
+    dirty AS (SELECT c_custkey AS d_key, c_nationkey AS d_nation,
+                     substr(c_name, 1, 9 + pos)
+                     || CAST((CAST(substr(c_name, 10 + pos, 1) AS INTEGER) + shift) % 10 AS VARCHAR)
+                     || substr(c_name, 11 + pos, 9) AS d_name
+              FROM src),
+    cand AS (
+        SELECT DISTINCT d.d_key, d.d_name, c.c_custkey, c.c_name
+        FROM dirty d JOIN customer c
+          ON c.c_nationkey = d.d_nation
+         AND (substr(c.c_name, 10, 5) = substr(d.d_name, 10, 5)
+              OR substr(c.c_name, 15, 4) = substr(d.d_name, 15, 4)))
+    SELECT d_key AS dirty_custkey, c_custkey AS matched_custkey,
+           levenshtein(d_name, c_name) AS dist,
+           (d_key = c_custkey) AS is_true_match
+    FROM cand
+    WHERE levenshtein(d_name, c_name) <= 1
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage with multi-pass blocking — the entity-
+    resolution primitive (dirty feed -> master data). A deterministic
+    md5-derived corruption flips ONE digit of each customer name; the
+    linker then recovers matches WITHOUT an all-pairs scan: two blocking
+    passes (nation + id-prefix, nation + id-suffix) — a single
+    substituted character leaves at least one key intact, so every true
+    pair survives blocking by construction — and candidates are verified
+    with levenshtein <= 1. Candidate volume is sum of block sizes
+    squared, never |table|^2; blocks are equi-join keys so the whole
+    linker is two hash joins + one distinct. Every true pair is found
+    (is_true_match flags them vs incidental near-collisions)."""
+    cust = _t(spark, sf_dir, "customer")
+    d = F.md5(F.col("c_custkey").cast("string"))
+    src = cust.select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % 9).cast("int").alias("pos"),
+        (F.conv(F.substring(d, 9, 8), 16, 10).cast("long") % 9 + 1).cast("int").alias("shift"),
+    )
+    dirty = src.select(
+        F.col("c_custkey").alias("d_key"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.concat(
+            F.expr("substring(c_name, 1, 9 + pos)"),
+            ((F.expr("CAST(substring(c_name, 10 + pos, 1) AS INT)") + F.col("shift")) % 10).cast("string"),
+            F.expr("substring(c_name, 11 + pos, 9)"),
+        ).alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name", "c_nationkey")
+    # two equi-key blocking passes (hash joins — an OR-of-equalities
+    # join would degrade to a nested-loop), unioned then de-duplicated
+    d_keys = dirty.withColumns(
+        {"blk_a": F.substring("d_name", 10, 5), "blk_b": F.substring("d_name", 15, 4)}
+    )
+    c_keys = clean.withColumns(
+        {"blk_a": F.substring("c_name", 10, 5), "blk_b": F.substring("c_name", 15, 4)}
+    )
+    cols = ["d_key", "d_name", "c_custkey", "c_name"]
+    pass_a = d_keys.join(
+        c_keys,
+        (F.col("c_nationkey") == F.col("d_nation"))
+        & (d_keys["blk_a"] == c_keys["blk_a"]),
+    ).select(*cols)
+    pass_b = d_keys.join(
+        c_keys,
+        (F.col("c_nationkey") == F.col("d_nation"))
+        & (d_keys["blk_b"] == c_keys["blk_b"]),
+    ).select(*cols)
+    cand = pass_a.unionByName(pass_b).distinct()
+    dist = F.levenshtein("d_name", "c_name")
+    return cand.filter(dist <= 1).select(
+        F.col("d_key").alias("dirty_custkey"),
+        F.col("c_custkey").alias("matched_custkey"),
+        dist.alias("dist"),
+        (F.col("d_key") == F.col("c_custkey")).alias("is_true_match"),
+    )

@@ -220,3 +220,61 @@ def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
         k=10, nprobe=2,
     )
+
+@register(
+    "ann_knn_classify",
+    oracle=f"""
+    WITH cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        WHERE q.vec_id < 10),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND({sql_cosine('eq.embedding', 'ec.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.neighbor_id),
+    top5 AS (
+        SELECT query_id, neighbor_id FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) <= 5),
+    votes AS (
+        SELECT t.query_id, e.label AS pred_label, COUNT(*) AS n_votes
+        FROM top5 t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        GROUP BY t.query_id, e.label),
+    pred AS (
+        SELECT query_id, pred_label, n_votes FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, pred_label) = 1)
+    SELECT p.query_id, q.label AS true_label, p.pred_label, p.n_votes
+    FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+    """,
+)
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label voting — nearest-neighbor classification over the
+    embedding column (label propagation for weakly-labeled corpora):
+    exact cosine top-5 from the held-out queries (vec_id < 10) against
+    the labeled corpus, then a majority vote with a deterministic
+    (votes DESC, label ASC) tiebreak. Composition of the ANN operator +
+    two tiny keyed aggregations; at scale the brute-force stage swaps
+    for lsh_topk/ivf_topk with the vote logic unchanged."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    qs = emb.filter(F.col("vec_id") < 10)
+    top5 = brute_force_topk(corpus, qs, "vec_id", "embedding", k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("pred_label"))
+    votes = (
+        top5.join(labels, on="neighbor_id")
+        .groupBy("query_id", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label")
+    )
+    pred = votes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(truth, on="query_id").select(
+        "query_id", "true_label", "pred_label", "n_votes"
+    )

@@ -407,3 +407,136 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "score", "rank")
     )
+
+# 4-gram shingles over whitespace tokens — same construction as the
+# dedup family (operators/dedup.py shingle_rows), reused here for the
+# corpus-diagnostic queries below.
+from cpx_etl_spark.functions.text import sql_shingles as _sql_shingles
+
+_SH4_SQL = _sql_shingles(_TOKENS_SQL, 4)
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SH4_SQL}) AS sh FROM documents)
+    SELECT sh AS shingle, COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok GROUP BY sh HAVING COUNT(*) >= 2
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over duplicated 4-gram shingles: shingle ->
+    sorted posting list of the docs containing it. Restricted to df >= 2
+    (the provenance index for shared content — singleton shingles carry
+    no cross-doc signal and would dominate the output 16:1); posting
+    lists are bounded by the hot-shingle reality that df stays small
+    once exact dups are removed. One groupBy shuffle on the shingle key;
+    the per-doc shingle set is distinct by construction so each doc
+    appears once per posting."""
+    from cpx_etl_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = shingle_rows(docs, "doc_id", "text", 4).dropDuplicates()
+    return (
+        idx.groupBy(F.col("sh").alias("shingle"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+@register(
+    "q_source_similarity",
+    oracle=f"""
+    WITH tok AS (SELECT DISTINCT source, unnest({_SH4_SQL}) AS sh FROM documents),
+    sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+              FROM tok a JOIN tok b ON a.sh = b.sh AND a.source < b.source
+              GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_shared,
+           ROUND(i.n_shared * 1.0 / (sa.n + sb.n - i.n_shared) - 1e-9, 6) + 0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap diagnostic: pairwise Jaccard similarity between
+    SOURCES over their distinct 4-gram shingle sets — the crawl-audit
+    that finds mirror sites / syndicated feeds before document-level
+    dedup runs. The shingle self-join is bounded by #sources per
+    shingle (never #docs), so candidate volume is |index| x avg
+    source-df — linear in the corpus with a tiny constant; the sizes
+    frame is #sources rows and broadcasts."""
+    from cpx_etl_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = shingle_rows(docs, "source", "text", 4).dropDuplicates()
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("source_a"), "sh")
+    b = tok.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            on="source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                - 1e-9,
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_source_quota_cap",
+    oracle="""
+    SELECT doc_id, source, rn AS quota_rank
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (the RefinedWeb/C4 per-domain cap): keep at
+    most N=20 documents per source, chosen by deterministic md5 rank so
+    the kept set is stable across engines, cluster sizes, and reruns —
+    a capped UNIFORM sample per source, not head-of-file bias. One
+    window per source partition; a pathologically hot source makes one
+    big partition, in which case the hash-threshold pre-filter (keep
+    md5 < p where p ~ N/|source| from a first-pass count) bounds the
+    window input — documented here, not needed at these source sizes."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("quota_rank"))
+        .filter(F.col("quota_rank") <= 20)
+    )
