@@ -253,11 +253,29 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "dedup_containment",
         "q_incremental_rollup",
         "stream_session_window_builtin",
+        "q_rolling_distinct_users",
+        "q_attribution_last_touch",
+        "q_winsorized_stats",
+        "q_record_linkage",
+        "q_inverted_index",
+        "q_source_similarity",
+        "q_source_quota_cap",
+        "ann_knn_classify",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} has a Python UDF node in its plan"
         )
+
+
+def test_record_linkage_blocking_is_hash_joined(spark, sf_dir):
+    """Both blocking passes must compile to equi-key (hash/sort-merge/
+    broadcast) joins — an OR-of-blocking-keys join would silently fall
+    back to BroadcastNestedLoopJoin and turn the linker all-pairs at
+    scale."""
+    plan = _plan(spark, sf_dir, "q_record_linkage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_grouping_sets_single_expand_pass(spark, sf_dir):
