@@ -2261,3 +2261,158 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("dist"),
         (F.col("d_key") == F.col("c_custkey")).alias("is_true_match"),
     )
+
+@register(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY l_partkey),
+    no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2)
+    SELECT p.part_a, p.part_b, p.support,
+           ROUND(p.support * 1.0 * no.n_orders / (ca.n * cb.n) - 1e-9, 6) + 0 AS lift
+    FROM pairs p
+    JOIN pc ca ON ca.l_partkey = p.part_a
+    JOIN pc cb ON cb.l_partkey = p.part_b
+    CROSS JOIN no
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same order
+    with support >= 2, scored by lift. The pair generation self-joins
+    the distinct (order, part) frame ON THE ORDER KEY, so candidate
+    volume is sum over orders of (items-per-order choose 2) — bounded
+    by basket size, never |parts|^2; a pathological mega-basket is the
+    hot-shingle situation and would take the same df-cap guard. Lift's
+    scalar factors come from two broadcast-sized frames (per-part
+    counts, 1-row order count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("_na"))),
+            on="part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("_nb"))),
+            on="part_b",
+        )
+        .crossJoin(n_orders)  # 1-row scalar frame
+        .select(
+            "part_a", "part_b", "support",
+            F.round(
+                F.col("support") * F.col("n_orders").cast("double") / (F.col("_na") * F.col("_nb"))
+                - 1e-9,
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- PageRank (fixed-iteration, IEEE-deterministic) --------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_N = 25  # nation count — the graph's node set
+
+
+def _pr_sql() -> str:
+    """Unrolled 3-iteration PageRank oracle. Per-target sums run
+    SEQUENTIALLY over sources in ascending order (list_reduce over an
+    ORDER BY src list), matching Spark's F.aggregate over an
+    array_sort'ed collect_list — identical IEEE add order, so the raw
+    doubles match bit-for-bit with no rounding slop."""
+    base = f"(0.15 / {_PR_N})"
+    cte = [
+        """e AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey, c.c_nationkey)""",
+        """p AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e)""",
+        f"""r0 AS (SELECT n_nationkey AS node, 1.0 / {_PR_N} AS r FROM nation)""",
+    ]
+    for t in range(_PR_ITERS):
+        cte.append(f"""s{t} AS (
+        SELECT p.dst AS node,
+               list_reduce(list(r{t}.r * p.p ORDER BY p.src), (a, b) -> a + b) AS s
+        FROM p JOIN r{t} ON r{t}.node = p.src GROUP BY p.dst)""")
+        cte.append(f"""r{t + 1} AS (
+        SELECT n.node, {base} + {_PR_DAMP} * COALESCE(s{t}.s, 0.0) AS r
+        FROM r0 n LEFT JOIN s{t} USING (node))""")
+    return (
+        "WITH " + ",\n    ".join(cte) + f"""
+    SELECT r.node, n.n_name, r.r AS pagerank
+    FROM r{_PR_ITERS} r JOIN nation n ON n.n_nationkey = r.node"""
+    )
+
+
+@register("q_pagerank_trade", oracle=_pr_sql())
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the nation trade graph (supplier
+    nation -> customer nation, edge weight = lineitem count): the
+    iterative-algorithm pattern as pure DataFrame ops. Edge derivation
+    is the heavy distributed join; the 3 power iterations then run on
+    the tiny aggregated edge frame. Cross-engine exactness WITHOUT
+    rounding: per-target contributions are summed sequentially in
+    ascending-source order (F.aggregate over a sorted array == DuckDB
+    list_reduce over an ORDER BY list), so both engines perform the
+    identical IEEE add sequence. Dangling nodes (no out-edges at tiny
+    SFs) leak mass — standard taxation-free formulation, deterministic
+    in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    wsum = Window.partitionBy("src")
+    p = e.select("src", "dst", (F.col("w") / F.sum("w").over(wsum)).alias("p"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.select("node", (F.lit(1.0) / _PR_N).alias("r"))
+    base = F.lit(0.15) / _PR_N
+    for _ in range(_PR_ITERS):
+        contrib = p.join(ranks, p["src"] == ranks["node"]).select(
+            "dst", "src", (F.col("r") * F.col("p")).alias("c")
+        )
+        summed = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        ranks = nodes.join(summed, on="node", how="left").select(
+            "node", (base + _PR_DAMP * F.coalesce(F.col("s"), F.lit(0.0))).alias("r")
+        )
+    return ranks.join(
+        F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
+    ).select("node", "n_name", F.col("r").alias("pagerank"))

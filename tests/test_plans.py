@@ -261,6 +261,9 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "q_source_similarity",
         "q_source_quota_cap",
         "ann_knn_classify",
+        "q_fk_integrity_audit",
+        "q_copurchase_pairs",
+        "q_pagerank_trade",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
