@@ -73,6 +73,11 @@ HEADLINE = [
     "q_cohort_retention",
     "q_grouping_sets",
     "mm_audio_pipeline",
+    # added late-r6: the sliding-distinct fan-out shape, the basket
+    # self-join shape, and the two-pass blocked linkage joins
+    "q_rolling_distinct_users",
+    "q_copurchase_pairs",
+    "q_record_linkage",
 ]
 
 

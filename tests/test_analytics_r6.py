@@ -1,0 +1,91 @@
+"""Semantic tests for the late-r6 analytics additions — properties the
+oracle hash cannot express (completeness guarantees, equivalence to a
+brute-force reference, runtime-filter plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.queries import load_registry
+
+QUERIES, _ = load_registry()
+
+
+def test_record_linkage_recovers_every_true_pair(spark, sf_dir):
+    """Blocking completeness: one substituted character always leaves
+    the prefix OR suffix block key intact, so EVERY corrupted row must
+    link back to its own clean row at distance exactly 1."""
+    from cpx_etl_spark.sources import load_table
+
+    res = QUERIES["q_record_linkage"](spark, sf_dir)
+    true_matches = res.filter(F.col("is_true_match"))
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert true_matches.count() == n_cust
+    assert true_matches.filter(F.col("dist") != 1).count() == 0
+
+
+def test_rolling_distinct_matches_bruteforce(spark, sf_dir):
+    """The contribution-explode formulation equals the quadratic
+    per-day rescan on the same data."""
+    from cpx_etl_spark.sources import load_table
+
+    fast = QUERIES["q_rolling_distinct_users"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    days = ev.select(F.col("d").alias("day")).distinct()
+    brute = (
+        days.join(
+            ev,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_pagerank_mass_is_bounded(spark, sf_dir):
+    """Rank vector stays a sub-stochastic distribution: every rank >=
+    0.15/N and the total never exceeds 1 (dangling nodes only LEAK
+    mass, they can't mint it)."""
+    rows = QUERIES["q_pagerank_trade"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    assert 0.15 - 1e-9 <= total <= 1.0 + 1e-9
+    assert all(r["pagerank"] >= 0.15 / 25 - 1e-12 for r in rows)
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Spark's runtime row-level bloom filter (the shuffle-pruning
+    runtime filter a 100 TB fact-fact join wants) activates for a
+    selective dim-side filter once the size thresholds allow it —
+    proving the engine config keeps the feature reachable."""
+    from cpx_etl_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
