@@ -134,3 +134,96 @@ def count_min_stream_upsert(sdf: DataFrame, key_col: str, out_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — bounded-size membership sketch as a STORED artifact
+# ---------------------------------------------------------------------------
+#
+# The decontamination / blocklist shape at 100 TB: the "is this shingle
+# in the eval set / banned list?" question must not require shipping
+# the full key set to every executor. A Bloom filter is a fixed m-bit
+# bitmap (here words of 63 bits so 1 << (pos % 63) never touches the
+# int64 sign bit — identical two's-complement behavior either way, but
+# staying positive keeps every engine comparison trivial); k bit
+# positions per key come from the same Kirsch-Mitzenmacher double-hash
+# construction as the MinHash/CMS families, so membership decisions —
+# INCLUDING the deterministic false positives — replay exactly in SQL.
+
+BLOOM_TAG = "bloom"
+BLOOM_WORD = 63
+
+
+def _bloom_positions(key_col, k: int, m_bits: int):
+    dig = F.md5(key_col)
+    h1 = F.conv(F.substring(dig, 1, 8), 16, 10).cast("long") % KM_PRIME
+    h2 = F.conv(F.substring(dig, 9, 8), 16, 10).cast("long") % KM_PRIME
+    return [
+        ((F.lit(a) * h1 + F.lit(b) * h2) % KM_PRIME % m_bits)
+        for a, b in km_coefficients(k, BLOOM_TAG)
+    ]
+
+
+def sql_bloom_positions(key_expr: str, k: int, m_bits: int) -> list[str]:
+    """DuckDB twin of _bloom_positions."""
+    h1 = f"CAST(concat('0x', substr(md5({key_expr}), 1, 8)) AS BIGINT) % {KM_PRIME}"
+    h2 = f"CAST(concat('0x', substr(md5({key_expr}), 9, 8)) AS BIGINT) % {KM_PRIME}"
+    return [
+        f"(({a} * ({h1}) + {b} * ({h2})) % {KM_PRIME} % {m_bits})"
+        for a, b in km_coefficients(k, BLOOM_TAG)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = 4, m_bits: int = 1 << 18) -> DataFrame:
+    """Build the bitmap: (word_idx, bits) rows, at most
+    ceil(m_bits/63) of them regardless of corpus size. One shuffle of
+    distinct bit positions with map-side partials."""
+    pos = df.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col), k, m_bits))).alias("pos")
+    ).distinct()
+    return pos.groupBy(F.expr(f"pos DIV {BLOOM_WORD}").alias("word_idx")).agg(
+        F.bit_or(F.shiftleft(F.lit(1).cast("long"), (F.col("pos") % BLOOM_WORD).cast("int"))).alias("bits")
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, keys: DataFrame, key_col: str, k: int = 4, m_bits: int = 1 << 18
+) -> DataFrame:
+    """Membership test for every row of `keys`: adds boolean
+    `maybe_present` (true iff ALL k bits are set — one-sided error:
+    never a false negative, false positives deterministic). Wide
+    formulation: the k probes are k COLUMNS joined against the
+    broadcast bitmap (<= ceil(m_bits/63) rows), so the key stream is
+    scanned once with NO shuffle and no explode-regroup round trip."""
+    positions = _bloom_positions(F.col(key_col), k, m_bits)
+    out = keys
+    cond = F.lit(True)
+    for i, pos in enumerate(positions):
+        b = bloom.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = out.withColumn(f"_p{i}", pos).join(
+            F.broadcast(b),
+            F.expr(f"_p{i} DIV {BLOOM_WORD}") == F.col(f"_w{i}"),
+            "left",
+        )
+        hit_i = F.col(f"_b{i}").isNotNull() & (
+            F.shiftright(F.col(f"_b{i}"), (F.col(f"_p{i}") % BLOOM_WORD).cast("int")).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+            == 1
+        )
+        cond = cond & hit_i
+    return out.withColumn("maybe_present", cond).select(
+        *keys.columns, "maybe_present"
+    )
+
+
+def write_bloom(bloom: DataFrame, path: str) -> None:
+    """Persist the bitmap as a single-file parquet artifact (a few KB
+    to a few MB — the whole point vs shipping the raw key set)."""
+    bloom.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_bloom(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
