@@ -182,7 +182,9 @@ def bloom_build(df: DataFrame, key_col: str, k: int = 4, m_bits: int = 1 << 18) 
         F.explode(F.array(*_bloom_positions(F.col(key_col), k, m_bits))).alias("pos")
     ).distinct()
     return pos.groupBy(F.expr(f"pos DIV {BLOOM_WORD}").alias("word_idx")).agg(
-        F.bit_or(F.shiftleft(F.lit(1).cast("long"), (F.col("pos") % BLOOM_WORD).cast("int"))).alias("bits")
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))")
+        ).alias("bits")
     )
 
 
@@ -207,11 +209,8 @@ def bloom_probe(
             F.expr(f"_p{i} DIV {BLOOM_WORD}") == F.col(f"_w{i}"),
             "left",
         )
-        hit_i = F.col(f"_b{i}").isNotNull() & (
-            F.shiftright(F.col(f"_b{i}"), (F.col(f"_p{i}") % BLOOM_WORD).cast("int")).bitwiseAND(
-                F.lit(1).cast("long")
-            )
-            == 1
+        hit_i = F.col(f"_b{i}").isNotNull() & F.expr(
+            f"(shiftright(_b{i}, CAST(_p{i} % {BLOOM_WORD} AS INT)) & 1) = 1"
         )
         cond = cond & hit_i
     return out.withColumn("maybe_present", cond).select(

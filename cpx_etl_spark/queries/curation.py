@@ -344,3 +344,80 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+def _bloom_oracle() -> str:
+    from cpx_etl_spark.operators.sketches import BLOOM_WORD, sql_bloom_positions
+
+    k, m_bits = 4, 1 << 18
+    te_pos = sql_bloom_positions("sh", k, m_bits)
+    p_cols = ", ".join(f"{e} AS p{i}" for i, e in enumerate(te_pos))
+    joins = "\n         ".join(
+        f"LEFT JOIN bloom b{i} ON b{i}.word_idx = p{i} // {BLOOM_WORD}"
+        for i in range(k)
+    )
+    hit = " AND ".join(
+        f"(b{i}.bits IS NOT NULL AND ((b{i}.bits >> CAST(p{i} % {BLOOM_WORD} AS INTEGER)) & 1) = 1)"
+        for i in range(k)
+    )
+    return f"""
+    WITH te AS (SELECT DISTINCT unnest({_SHINGLES}) AS sh
+                FROM documents WHERE {_TEST_PRED}),
+    pos AS (SELECT DISTINCT unnest([{", ".join(te_pos)}]) AS pos FROM te),
+    bloom AS (SELECT pos // {BLOOM_WORD} AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INTEGER)) AS bits
+              FROM pos GROUP BY 1),
+    tr AS (SELECT doc_id, unnest({_SHINGLES}) AS sh
+           FROM documents WHERE NOT ({_TEST_PRED})),
+    trp AS (SELECT doc_id, sh, {p_cols} FROM tr),
+    hits AS (SELECT doc_id,
+                    CASE WHEN {hit} THEN 1 ELSE 0 END AS maybe
+             FROM trp
+         {joins}),
+    sha AS (SELECT doc_id, CAST(SUM(maybe) AS BIGINT) AS n_maybe
+            FROM hits GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles, s.n_maybe,
+           ROUND(s.n_maybe * 1.0 / t.n_shingles - 1e-9, 6) + 0 AS contamination
+    FROM tot t JOIN sha s USING (doc_id)
+    WHERE s.n_maybe > 0
+      AND ROUND(s.n_maybe * 1.0 / t.n_shingles - 1e-9, 6) + 0 >= 0.2
+    """
+
+
+@register("q_decontaminate_bloom", oracle=_bloom_oracle())
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a BLOOM FILTER of the eval shingle set —
+    the bounded-size membership artifact that replaces shipping the raw
+    eval shingles at 100 TB (q_decontaminate broadcasts the set itself;
+    this broadcasts a fixed <=ceil(2^18/63)-row bitmap, a few KB, no
+    matter how large the eval corpus grows). One-sided error: false
+    negatives impossible, false positives DETERMINISTIC (same md5
+    double-hash bit positions in any engine) — so the flagged set,
+    including any FP-inflated counts, hash-verifies against the SQL
+    replay of the identical bitmap. Probe is shuffle-free: k=4 probe
+    columns, k broadcast joins, verdict per shingle row, then one
+    doc-keyed count."""
+    from cpx_etl_spark.functions.text import shingles_expr
+    from cpx_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    k, m_bits = 4, 1 << 18
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    sh = shingles_expr("split(text, ' ')", _NGRAM)
+    te = docs.filter(is_test).select(F.explode(F.expr(sh)).alias("sh")).distinct()
+    bloom = bloom_build(te, "sh", k=k, m_bits=m_bits)
+    train = docs.filter(~is_test)
+    tr = train.select("doc_id", F.explode(F.expr(sh)).alias("sh"))
+    probed = bloom_probe(bloom, tr, "sh", k=k, m_bits=m_bits)
+    totals = train.select("doc_id", F.size(F.expr(sh)).cast("long").alias("n_shingles"))
+    sha = (
+        probed.groupBy("doc_id")
+        .agg(F.sum(F.col("maybe_present").cast("int")).alias("n_maybe"))
+        .filter(F.col("n_maybe") > 0)
+    )
+    contamination = F.round(F.col("n_maybe") / F.col("n_shingles") - 1e-9, 6)
+    return (
+        totals.join(sha, on="doc_id")
+        .select("doc_id", "n_shingles", "n_maybe", contamination.alias("contamination"))
+        .filter(F.col("contamination") >= 0.2)
+    )

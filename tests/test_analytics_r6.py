@@ -89,3 +89,44 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_filter_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """The persisted bitmap serves probes identically to the in-plan
+    build, never false-negatives, and stays bounded-size."""
+    from cpx_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        read_bloom,
+        write_bloom,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    keys = docs.select(F.expr("explode(split(text, ' '))").alias("tok")).distinct()
+    bloom = bloom_build(keys, "tok", k=4, m_bits=1 << 14)
+    assert bloom.count() <= (1 << 14) // 63 + 1  # bounded regardless of corpus
+    path = str(tmp_path / "bloom")
+    write_bloom(bloom, path)
+    stored = read_bloom(spark, path)
+    # no false negatives: every inserted key probes true
+    probed = bloom_probe(stored, keys, "tok", k=4, m_bits=1 << 14)
+    assert probed.filter(~F.col("maybe_present")).count() == 0
+    # probing from the stored artifact == probing the in-plan build
+    a = sorted(map(tuple, probed.collect()))
+    b = sorted(map(tuple, bloom_probe(bloom, keys, "tok", k=4, m_bits=1 << 14).collect()))
+    assert a == b
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """One-sided error: the bloom-flagged doc set contains every doc
+    the exact decontaminator flags (false positives may add docs,
+    never remove)."""
+    exact = {
+        r["doc_id"] for r in QUERIES["q_decontaminate"](spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in QUERIES["q_decontaminate_bloom"](spark, sf_dir).collect()
+    }
+    assert exact <= bloom
