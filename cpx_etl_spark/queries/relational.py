@@ -2422,3 +2422,82 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(nation), ranks["node"] == nation["n_nationkey"]
     ).select("node", "n_name", F.col("r").alias("pagerank"))
+
+@register(
+    "q_max_concurrency",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events),
+    f AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    g AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f),
+    s AS (SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+          FROM g GROUP BY user_id, session_id),
+    d AS (SELECT st AS ts, 1 AS ns, 0 AS ne FROM s
+          UNION ALL
+          SELECT en, 0, 1 FROM s),
+    p AS (SELECT ts, SUM(ns) AS n_start, SUM(ne) AS n_end FROM d GROUP BY ts),
+    r AS (SELECT ts, n_start, n_end,
+                 SUM(n_start - n_end) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                     + n_end AS peak
+          FROM p)
+    SELECT date_trunc('day', ts) AS day,
+           CAST(SUM(n_start) AS BIGINT) AS n_sessions_started,
+           CAST(MAX(peak) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY 1
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line / interval-
+    overlap aggregation (capacity planning over session intervals).
+    Sessions (30-min gap islands) emit +1/-1 boundary deltas; deltas
+    are pre-aggregated per DISTINCT timestamp (unique sort key, so the
+    running sum is deterministic — no ROWS-frame tie ambiguity), and a
+    session's start counts before any end at the same instant
+    (inclusive overlap): peak(ts) = running_after(ts) + n_end(ts).
+    The cumulative sum is TWO-PHASE like pack_sequences: a per-day
+    local window plus a 30-row day-total prefix frame joined back as
+    carry-in — no single task ever orders the whole timeline, the
+    shape a 100x event stream requires (the oracle's single global
+    window is the semantic spec, not the physical plan)."""
+    from cpx_etl_spark.streaming.events import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_batch(ev)
+    d = s.select(F.col("start_ts").alias("ts"), F.lit(1).alias("ns"), F.lit(0).alias("ne")).unionByName(
+        s.select(F.col("end_ts").alias("ts"), F.lit(0).alias("ns"), F.lit(1).alias("ne"))
+    )
+    p = (
+        d.groupBy("ts")
+        .agg(F.sum("ns").alias("n_start"), F.sum("ne").alias("n_end"))
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    w_local = (
+        Window.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = p.withColumn("local_net", F.sum(F.col("n_start") - F.col("n_end")).over(w_local))
+    day_tot = p.groupBy("day").agg(F.sum(F.col("n_start") - F.col("n_end")).alias("net"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("net").over(w_days), F.lit(0)).alias("carry")
+    )
+    peak = F.col("carry") + F.col("local_net") + F.col("n_end")
+    return (
+        p.join(F.broadcast(carry), on="day")
+        .withColumn("peak", peak)
+        .groupBy("day")
+        .agg(
+            F.sum("n_start").alias("n_sessions_started"),
+            F.max("peak").alias("max_concurrent"),
+        )
+    )

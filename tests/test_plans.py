@@ -265,6 +265,7 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "q_copurchase_pairs",
         "q_pagerank_trade",
         "q_decontaminate_bloom",
+        "q_max_concurrency",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
