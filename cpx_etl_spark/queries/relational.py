@@ -2501,3 +2501,100 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("peak").alias("max_concurrent"),
         )
     )
+
+@register(
+    "q_trend_regression",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS x,
+               o_totalprice AS y
+        FROM orders),
+    s AS (
+        SELECT o_orderpriority, COUNT(*) AS n,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(20,4)) * CAST(y AS DECIMAL(20,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(20,4)) * CAST(y AS DECIMAL(20,4))) AS DOUBLE) AS syy
+        FROM b GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) - 1e-9, 6) + 0 AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n - 1e-9, 4) + 0 AS intercept,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx) * (n * syy - sy * sy)) - 1e-9, 6) + 0 AS pearson_r
+    FROM s
+    """,
+)
+def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group OLS trend (price over time) + Pearson r from the
+    normal equations: the five moment sums accumulate EXACTLY (integer
+    x / decimal y products — order-independent, unlike the engines'
+    native regr_slope/corr which sum floats in partition order), then
+    the closed-form slope/intercept/r are per-row IEEE arithmetic.
+    One aggregation pass, map-side partials, any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderpriority",
+        (F.unix_timestamp("o_orderdate") / 86400).cast("long").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    yd = F.col("y").cast("decimal(20,4)")
+    xd = F.col("x").cast("decimal(20,4)")
+    s = b.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx.cast("double") * sx
+    slope = cov_n / var_n
+    return s.select(
+        "o_orderpriority", "n",
+        fround(slope, 6).alias("slope"),
+        fround((sy - slope * sx) / n, 4).alias("intercept"),
+        fround(cov_n / F.sqrt(var_n * (n * syy - sy * sy)), 6).alias("pearson_r"),
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    c AS (SELECT event_type, next_type, COUNT(*) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+    t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type, c.n,
+           ROUND(c.n * 1.0 / t.tot - 1e-9, 6) + 0 AS prob
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-path analytic): one user-partitioned
+    lead() window, one pair-count aggregation, row probabilities from
+    the per-source totals (a #event-types-row broadcast frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), on="event_type")
+        .select(
+            "event_type", "next_type", "n",
+            F.round(F.col("n") / F.col("tot") - 1e-9, 6).alias("prob"),
+        )
+    )

@@ -266,6 +266,8 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "q_pagerank_trade",
         "q_decontaminate_bloom",
         "q_max_concurrency",
+        "q_trend_regression",
+        "q_event_transitions",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
