@@ -2598,3 +2598,65 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("tot") - 1e-9, 6).alias("prob"),
         )
     )
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE event_type = 'purchase'),
+    s AS (
+        SELECT arm, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(value AS DECIMAL(20,4)) * CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS syy
+        FROM a GROUP BY arm)
+    SELECT arm, n,
+           ROUND(sy / n - 1e-9, 6) + 0 AS mean_value,
+           ROUND((syy - sy * sy / n) / (n - 1) - 1e-9, 6) + 0 AS var_value,
+           ROUND((sy / n - (SELECT sy / n FROM s WHERE arm = 'B'))
+                 / sqrt((syy - sy * sy / n) / (n - 1) / n
+                        + (SELECT (syy - sy * sy / n) / (n - 1) / n FROM s WHERE arm = 'B'))
+                 - 1e-9, 6) + 0 AS t_vs_b
+    FROM s
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms (md5
+    parity — the same deterministic assignment any engine replays),
+    per-arm mean/variance from exact decimal sums, and the Welch
+    t-statistic of each arm against arm B (arm B's scalar moments
+    broadcast as a 1-row frame). The row set is per-arm so the frame
+    doubles as the experiment dashboard; B's own t_vs_b row is 0 by
+    construction."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    yd = F.col("value").cast("decimal(20,4)")
+    s = ev.select(arm.alias("arm"), "value").groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    mean = sy / n
+    var = (syy - sy * sy / n) / (n - 1)
+    b = s.filter(F.col("arm") == "B").select(
+        (F.col("sy") / F.col("n")).alias("_mean_b"),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1) / F.col("n")).alias("_se2_b"),
+    )
+    return (
+        s.crossJoin(F.broadcast(b))  # 1-row scalar frame
+        .select(
+            "arm", "n",
+            fround(mean, 6).alias("mean_value"),
+            fround(var, 6).alias("var_value"),
+            fround(
+                (mean - F.col("_mean_b")) / F.sqrt(var / n + F.col("_se2_b")), 6
+            ).alias("t_vs_b"),
+        )
+    )

@@ -130,3 +130,29 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
         for r in QUERIES["q_decontaminate_bloom"](spark, sf_dir).collect()
     }
     assert exact <= bloom
+
+
+def test_bloom_never_false_negative_property(spark):
+    """Hypothesis: for ANY key set inserted into the bloom, every
+    inserted key probes maybe_present=true (one-sided error is a
+    structural guarantee, not a tuning outcome)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cpx_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcdefg0123456789", min_size=1, max_size=12),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        )
+    )
+    def run(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        bloom = bloom_build(df, "key", k=3, m_bits=1 << 10)
+        probed = bloom_probe(bloom, df, "key", k=3, m_bits=1 << 10)
+        assert probed.filter(~F.col("maybe_present")).count() == 0
+
+    run()
