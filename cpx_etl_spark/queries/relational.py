@@ -2660,3 +2660,58 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_vs_b"),
         )
     )
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH ok AS (SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    pk AS (SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    okt AS (SELECT 'l_orderkey' AS join_key, key, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk,
+                   COUNT(*) OVER () AS n_keys, SUM(n) OVER () AS n_rows
+            FROM ok),
+    pkt AS (SELECT 'l_partkey' AS join_key, key, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk,
+                   COUNT(*) OVER () AS n_keys, SUM(n) OVER () AS n_rows
+            FROM pk),
+    u AS (SELECT * FROM okt WHERE rk <= 5 UNION ALL SELECT * FROM pkt WHERE rk <= 5)
+    SELECT join_key, CAST(rk AS INT) AS hot_rank, key AS hot_key, n AS key_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           ROUND(n * 1.0 * n_keys / n_rows - 1e-9, 4) + 0 AS skew_factor
+    FROM u
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight check that decides
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (operators/skew.py): per candidate join key, the 5 hottest
+    values with their frequency and skew factor (key rows / mean rows
+    per key). One count aggregation per key column; the rank/total
+    windows run over the per-key COUNT frame, never the raw table."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = None
+    for col in ("l_orderkey", "l_partkey"):
+        cnt = li.groupBy(F.col(col).alias("hot_key")).agg(
+            F.count(F.lit(1)).alias("key_rows")
+        )
+        # top-5 via orderBy+limit => distributed TakeOrdered, never a
+        # global row_number sort over the |keys|-sized count frame
+        top5 = cnt.orderBy(F.col("key_rows").desc(), F.col("hot_key")).limit(5)
+        totals = cnt.agg(
+            F.count(F.lit(1)).alias("n_keys"), F.sum("key_rows").alias("n_rows")
+        )
+        w_rank = Window.orderBy(F.col("key_rows").desc(), F.col("hot_key"))
+        frame = (
+            top5.withColumn("hot_rank", F.row_number().over(w_rank))  # 5-row frame
+            .crossJoin(F.broadcast(totals))  # 1-row scalar frame
+            .select(
+                F.lit(col).alias("join_key"),
+                F.col("hot_rank").cast("int").alias("hot_rank"),
+                "hot_key", "key_rows", "n_keys",
+                F.round(
+                    F.col("key_rows") * F.col("n_keys") / F.col("n_rows") - 1e-9, 4
+                ).alias("skew_factor"),
+            )
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out

@@ -483,3 +483,77 @@ def read_trending_topk(spark: SparkSession, out_path: str, k: int = 3) -> DataFr
         .filter(F.col("rank") <= k)
         .select("window_start", "event_type", "n", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state streaming dedup via the persisted Bloom artifact
+# ---------------------------------------------------------------------------
+
+def bloom_dedup_stream(
+    sdf: DataFrame, out_path: str, bloom_path: str, checkpoint: str,
+    key_col: str = "event_id", k: int = 4, m_bits: int = 1 << 18,
+):
+    """Streaming first-occurrence dedup whose state is a FIXED-SIZE
+    bitmap instead of dropDuplicates' unbounded per-key store: each
+    micro-batch (1) dedups within itself, (2) drops keys the persisted
+    Bloom filter already contains, (3) appends survivors to the sink
+    and (4) folds their bits into the stored bitmap (bit_or of the old
+    and new bitmaps — union of Blooms IS the Bloom of the union).
+
+    Trade-off, stated plainly: false positives DROP genuinely-new rows
+    at the bitmap's FP rate (size m_bits for the expected key volume;
+    never false-duplicates-pass). That is the standard bounded-memory
+    contract for at-most-once keys over unbounded streams — the exact
+    variant (dropDuplicates + watermark) holds per-key state forever
+    within the watermark and is the right tool when memory allows.
+    The bitmap write reuses the atomic overwrite convention (tmp +
+    rename not needed: parquet overwrite is a fresh dir swap under one
+    writer — single-writer assumption identical to the upsert sink)."""
+    from cpx_etl_spark.operators.sketches import (
+        bloom_build, bloom_probe, read_bloom, write_bloom,
+    )
+
+    def apply_batch(batch_df: DataFrame, _bid: int):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([key_col])
+        import os
+
+        if os.path.isdir(bloom_path):
+            bloom = read_bloom(spark, bloom_path)
+            keyed = batch.withColumn("_k", F.col(key_col).cast("string"))
+            fresh = (
+                bloom_probe(bloom, keyed, "_k", k=k, m_bits=m_bits)
+                .filter(~F.col("maybe_present"))
+                .drop("maybe_present")
+            )
+            fresh.drop("_k").write.mode("append").parquet(out_path)
+            add = bloom_build(
+                fresh.select("_k"), "_k", k=k, m_bits=m_bits
+            )
+            merged = (
+                bloom.unionByName(add)
+                .groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+            # materialize BEFORE overwriting the dir being read
+            rows = merged.collect()
+            write_bloom(spark.createDataFrame(rows, merged.schema), bloom_path)
+        else:
+            batch.write.mode("append").parquet(out_path)
+            write_bloom(
+                bloom_build(
+                    batch.select(F.col(key_col).cast("string").alias("_k")),
+                    "_k", k=k, m_bits=m_bits,
+                ),
+                bloom_path,
+            )
+
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

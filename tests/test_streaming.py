@@ -351,3 +351,58 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
     )
     for r in est.collect():
         assert r["est"] >= exact[r["k"]]
+
+
+def test_bloom_dedup_stream_matches_batch_first_occurrence(spark, tmp_path):
+    """Bounded-state streaming dedup via the persisted Bloom artifact:
+    across 3 micro-batches with within-batch and cross-batch repeats,
+    the sink holds exactly the batch first-occurrence set (the bitmap
+    is sized so the test keys cannot collide — any drop would be a
+    REAL false negative, which the structure forbids), and replaying
+    the same stream into the same artifact appends nothing."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.streaming.events import bloom_dedup_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def put(rows):
+        spark.createDataFrame(rows, "event_id long, payload string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    put([(1, "a"), (2, "b"), (2, "b2")])          # within-batch repeat
+    put([(2, "b3"), (3, "c")])                    # cross-batch repeat
+    put([(1, "a2"), (4, "d"), (4, "d2"), (5, "e")])
+
+    def run(ckpt_name):
+        sdf = (
+            spark.readStream.schema("event_id long, payload string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = bloom_dedup_stream(
+            sdf,
+            out_path=str(tmp_path / "out"),
+            bloom_path=str(tmp_path / "bloom"),
+            checkpoint=str(tmp_path / ckpt_name),
+            key_col="event_id",
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [1, 2, 3, 4, 5]
+    # replay from a fresh checkpoint: every key already in the bitmap
+    run("ckpt2")
+    again = sorted(
+        r["event_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert again == [1, 2, 3, 4, 5]
