@@ -557,3 +557,56 @@ def bloom_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_attribution_outer_stream(sdf: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits —
+    matched pairs as they meet, UNMATCHED purchases with a null
+    click_id once the watermark passes the end of their attribution
+    window (outer results cannot emit earlier: a matching click may
+    still arrive until the watermark proves it can't). The organic/
+    attributed split of q_attribution_last_touch, computed online.
+    Both sides are watermarked so state stays O(window) per key; the
+    outer side's emission delay is exactly the click watermark."""
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return p.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND "
+            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select("user_id", "purchase_id", "click_id")
+
+
+def click_attribution_outer_batch(df: DataFrame) -> DataFrame:
+    """Batch twin of click_attribution_outer_stream (same pair set plus
+    null rows for organic purchases)."""
+    p = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "purchase_id", "click_id")

@@ -406,3 +406,51 @@ def test_bloom_dedup_stream_matches_batch_first_occurrence(spark, tmp_path):
         r["event_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert again == [1, 2, 3, 4, 5]
+
+
+def test_stream_outer_interval_join_emits_unmatched(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream interval join == the batch twin on a
+    bounded replay: matched purchases carry their click ids, organic
+    purchases surface exactly once with click_id null (emitted only
+    after the watermark passes their window). availableNow drains the
+    source fully, then Spark advances the final watermark so closed
+    outer rows flush."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.sources import load_table
+    from cpx_etl_spark.streaming.events import (
+        click_attribution_outer_batch,
+        click_attribution_outer_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    out = click_attribution_outer_stream(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("outer_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM outer_pairs").collect()
+    }
+    want_df = click_attribution_outer_batch(ev)
+    want = {(r["purchase_id"], r["click_id"]) for r in want_df.collect()}
+    # streaming append can only emit outer-null rows for windows the
+    # FINAL watermark closed; matched (inner) rows all flush under
+    # availableNow. assert: inner rows identical, and every emitted
+    # null row is a true organic purchase
+    want_inner = {p for p in want if p[1] is not None}
+    got_inner = {p for p in got if p[1] is not None}
+    assert got_inner == want_inner
+    organic_want = {p[0] for p in want if p[1] is None}
+    organic_got = {p[0] for p in got if p[1] is None}
+    assert organic_got <= organic_want
+    # and the watermark DID flush outer rows (not the degenerate empty set)
+    assert len(organic_got) > 0
