@@ -197,6 +197,15 @@ def bloom_probe(
     formulation: the k probes are k COLUMNS joined against the
     broadcast bitmap (<= ceil(m_bits/63) rows), so the key stream is
     scanned once with NO shuffle and no explode-regroup round trip."""
+    reserved = {"word_idx", "bits", "maybe_present"} | {
+        f"_p{i}" for i in range(k)
+    } | {f"_w{i}" for i in range(k)} | {f"_b{i}" for i in range(k)}
+    clash = reserved & set(keys.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe: key frame columns collide with probe "
+            f"internals: {sorted(clash)} — rename them first"
+        )
     positions = _bloom_positions(F.col(key_col), k, m_bits)
     out = keys
     cond = F.lit(True)

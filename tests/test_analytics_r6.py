@@ -156,3 +156,16 @@ def test_bloom_never_false_negative_property(spark):
         assert probed.filter(~F.col("maybe_present")).count() == 0
 
     run()
+
+
+def test_bloom_probe_rejects_colliding_columns(spark):
+    """Probe internals must not silently shadow caller columns."""
+    import pytest
+
+    from cpx_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame([("a",)], "key string")
+    bloom = bloom_build(df, "key", k=2, m_bits=1 << 8)
+    bad = df.withColumn("maybe_present", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        bloom_probe(bloom, bad, "key", k=2, m_bits=1 << 8)
