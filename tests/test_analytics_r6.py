@@ -169,3 +169,16 @@ def test_bloom_probe_rejects_colliding_columns(spark):
     bad = df.withColumn("maybe_present", F.lit(1))
     with pytest.raises(ValueError, match="collide"):
         bloom_probe(bloom, bad, "key", k=2, m_bits=1 << 8)
+
+
+def test_sq8_recall_vs_bruteforce(spark, sf_dir):
+    """The quantized scan's exact-reranked top-10 should recover
+    nearly all of the true top-10 (recall@10 >= 0.9 at test scale; the
+    rerank pool is 3x k so only a quantization-induced rank error past
+    3k can lose a true neighbor)."""
+    exact = QUERIES["ann_bruteforce_topk"](spark, sf_dir).collect()
+    sq8 = QUERIES["ann_sq8_topk"](spark, sf_dir).collect()
+    t = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    s = {(r["query_id"], r["neighbor_id"]) for r in sq8}
+    recall = len(t & s) / len(t)
+    assert recall >= 0.9, f"recall@10 = {recall}"
