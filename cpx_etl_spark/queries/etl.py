@@ -1040,3 +1040,84 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+@register(
+    "q_cascade_delete",
+    oracle="""
+    WITH victims AS (
+        SELECT c_custkey FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '10'),
+    kept_c AS (SELECT * FROM customer
+               WHERE c_custkey NOT IN (SELECT c_custkey FROM victims)),
+    kept_o AS (SELECT * FROM orders
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM victims)),
+    kept_l AS (SELECT * FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM kept_o))
+    SELECT 'customer' AS entity,
+           (SELECT COUNT(*) FROM customer) AS n_before,
+           (SELECT COUNT(*) FROM kept_c) AS n_after,
+           0 AS n_orphans
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM kept_o),
+           (SELECT COUNT(*) FROM kept_o
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM kept_c))
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM kept_l),
+           (SELECT COUNT(*) FROM kept_l
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM kept_o))
+    """,
+)
+def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: a deterministic victim set of
+    customers is deleted and the deletion propagates down the FK tree
+    (orders by key anti-join, lineitem by semi-join to surviving
+    orders), with a post-condition orphan count per entity proving
+    referential integrity held — 0 everywhere or the erasure job must
+    not commit. Anti/semi joins only (broadcast victim set; the
+    lineitem semi-join shuffles on the order key), one verdict row per
+    entity."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    victims = cust.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) < "10"
+    ).select("c_custkey")
+    kept_c = cust.join(F.broadcast(victims), on="c_custkey", how="left_anti")
+    kept_o = orders.join(
+        F.broadcast(victims.withColumnRenamed("c_custkey", "o_custkey")),
+        on="o_custkey",
+        how="left_anti",
+    )
+    kept_l = li.join(
+        kept_o.select(F.col("o_orderkey").alias("l_orderkey")),
+        on="l_orderkey",
+        how="left_semi",
+    )
+
+    def row(entity, before_df, after_df, orphans_df):
+        return (
+            before_df.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(after_df.agg(F.count(F.lit(1)).alias("n_after")))
+            .crossJoin(orphans_df.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(entity).alias("entity"), "n_before", "n_after", "n_orphans")
+        )
+
+    orphan_o = kept_o.join(
+        kept_c.select(F.col("c_custkey").alias("o_custkey")),
+        on="o_custkey",
+        how="left_anti",
+    )
+    orphan_l = kept_l.join(
+        kept_o.select(F.col("o_orderkey").alias("l_orderkey")),
+        on="l_orderkey",
+        how="left_anti",
+    )
+    return (
+        row("customer", cust, kept_c, kept_c.limit(0))
+        .unionByName(row("orders", orders, kept_o, orphan_o))
+        .unionByName(row("lineitem", li, kept_l, orphan_l))
+    )
