@@ -1121,3 +1121,49 @@ def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", orders, kept_o, orphan_o))
         .unionByName(row("lineitem", li, kept_l, orphan_l))
     )
+
+@register(
+    "q_data_gaps",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                           date_trunc('hour', MAX(ts)) AS hi
+                    FROM events),
+    grid AS (SELECT t.event_type, g.h
+             FROM (SELECT DISTINCT event_type FROM events) t,
+                  bounds,
+                  unnest(generate_series(bounds.lo, bounds.hi,
+                                         INTERVAL 1 HOUR)) AS g(h)),
+    obs AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events)
+    SELECT g.event_type, g.h AS missing_hour
+    FROM grid g ANTI JOIN obs o
+      ON o.event_type = g.event_type AND o.h = g.h
+    """,
+)
+def q_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap detector — the backfill planner's input: for every
+    event type, the hours inside the corpus's own [min, max] range with
+    NO events (silent pipeline stalls that row counts alone never
+    show). The dense hour grid comes from one 1-row min/max aggregate
+    exploded through sequence() (grid size = hours x types, trivially
+    broadcastable); observed (type, hour) cells are one distinct
+    aggregate; missing = grid anti-join observed. Same grid discipline
+    as q_resample_fill — never a per-type scan loop."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))  # |types| x 1-row
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("missing_hour"),
+        )
+    )
+    obs = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("missing_hour")
+    ).distinct()
+    return grid.join(obs, on=["event_type", "missing_hour"], how="left_anti")

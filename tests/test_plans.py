@@ -272,6 +272,7 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "q_skew_report",
         "ann_sq8_topk",
         "q_cascade_delete",
+        "q_data_gaps",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
