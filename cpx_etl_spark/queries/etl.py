@@ -1167,3 +1167,67 @@ def q_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("missing_hour")
     ).distinct()
     return grid.join(obs, on=["event_type", "missing_hour"], how="left_anti")
+
+@register(
+    "q_late_dimension",
+    oracle="""
+    WITH known AS (
+        SELECT * FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <> 'f'),
+    joined AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               COALESCE(k.c_mktsegment, 'UNKNOWN') AS segment,
+               (k.c_custkey IS NULL) AS is_placeholder
+        FROM orders o LEFT JOIN known k ON k.c_custkey = o.o_custkey),
+    reconciled AS (
+        SELECT j.o_orderkey,
+               CASE WHEN j.is_placeholder THEN c.c_mktsegment
+                    ELSE j.segment END AS segment,
+               j.is_placeholder, j.o_totalprice
+        FROM joined j JOIN customer c ON c.c_custkey = j.o_custkey)
+    SELECT segment,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE is_placeholder) AS n_late_resolved,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) - 1e-9, 2) + 0
+               AS revenue
+    FROM reconciled GROUP BY segment
+    """,
+)
+def q_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-arriving facts / late-arriving dimension: facts landing
+    before their dim row exists join an 'UNKNOWN' placeholder member
+    (the load never blocks and never drops rows), and the later
+    reconciliation pass re-keys exactly the placeholder rows once the
+    dim catches up — the per-segment rollup proves totals are identical
+    to an always-complete dim, with n_late_resolved auditing how many
+    facts flowed through the placeholder. A deterministic md5 bucket
+    simulates the 1/16 of dim rows that arrive late. Both passes are
+    plain broadcast-dim left joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "f"
+    known = cust.filter(~late)
+    joined = orders.join(
+        F.broadcast(known.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")),
+        on="o_custkey",
+        how="left",
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("c_mktsegment").isNull().alias("is_placeholder"),
+    )
+    reconciled = joined.join(
+        F.broadcast(
+            cust.select(F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("_true_seg"))
+        ),
+        on="o_custkey",
+    ).select(
+        "o_orderkey",
+        F.when(F.col("is_placeholder"), F.col("_true_seg")).otherwise(F.col("segment")).alias("segment"),
+        "is_placeholder", "o_totalprice",
+    )
+    return reconciled.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("is_placeholder"), 1)).alias("n_late_resolved"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )

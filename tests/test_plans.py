@@ -273,6 +273,7 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "ann_sq8_topk",
         "q_cascade_delete",
         "q_data_gaps",
+        "q_late_dimension",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
