@@ -55,3 +55,42 @@ def compile_mapping(spec: dict) -> list[Column]:
 
 def apply_mapping(df: DataFrame, spec: dict) -> DataFrame:
     return df.select(*compile_mapping(spec))
+
+
+def mapping_lineage(spec: dict) -> list[tuple[str, str, str]]:
+    """Column-level lineage of a mapping spec WITHOUT executing it:
+    (output_path, kind, source) rows where kind is 'path' (reads an
+    input path), 'length' (reads an array's size), or 'constant'.
+    The walk mirrors _compile_value exactly, so anything the compiler
+    would accept is covered and anything it would reject raises the
+    same ValueError — the impact-analysis / audit view a declarative
+    mapping engine owes its operators (which inputs feed this output?
+    which outputs break if an input column is dropped?)."""
+
+    rows: list[tuple[str, str, str]] = []
+
+    def walk(out: str, v, prefix: str) -> None:
+        if isinstance(v, list):
+            if not v or not isinstance(v[0], str):
+                raise ValueError(f"mapping: syntax error: {v!r}")
+            head, rest = v[0], v[1:]
+            src = f"{prefix}{head}"
+            if head.startswith("#"):
+                rows.append((out, "length", f"{prefix}{head[1:]}"))
+            else:
+                rows.append((out, "path", src))
+            if rest:
+                if len(rest) == 1 and isinstance(rest[0], dict):
+                    for k2, v2 in rest[0].items():
+                        walk(f"{out}[].{k2}", v2, f"{src}[].")
+                else:
+                    raise ValueError(f"mapping: syntax error after path {head!r}")
+        elif isinstance(v, dict):
+            for k2, v2 in v.items():
+                walk(f"{out}.{k2}", v2, prefix)
+        else:
+            rows.append((out, "constant", repr(v)))
+
+    for k, v in spec.items():
+        walk(k, v, "")
+    return rows

@@ -1231,3 +1231,60 @@ def q_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_placeholder"), 1)).alias("n_late_resolved"),
         dsum(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+@register(
+    "q_quarantine_bad_records",
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey,
+               CASE WHEN substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2'
+                    THEN substr('{"k":' || CAST(c_custkey AS VARCHAR)
+                                || ',"seg":"' || c_mktsegment || '"}', 1, 12)
+                    ELSE '{"k":' || CAST(c_custkey AS VARCHAR)
+                         || ',"seg":"' || c_mktsegment || '"}'
+               END AS payload
+        FROM customer),
+    parsed AS (
+        SELECT c_custkey, payload,
+               CASE WHEN json_valid(payload)
+                    THEN json_extract_string(payload, '$.seg') END AS seg
+        FROM raw)
+    SELECT COALESCE(seg, '_QUARANTINE') AS segment,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE seg IS NULL) AS n_bad,
+           MIN(c_custkey) AS first_key
+    FROM parsed GROUP BY 1
+    """,
+)
+def q_quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine — robust ingestion of semi-structured
+    payloads: a deterministic 1/8 of the JSON payloads arrive truncated
+    (the md5 bucket simulates upstream corruption); from_json parses
+    PERMISSIVE so malformed rows yield null structs, which route to the
+    '_QUARANTINE' partition with counts instead of failing the load or
+    silently vanishing. One projection + one aggregate; the quarantine
+    rows keep their raw payload for replay (asserted via first_key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    good = F.concat(
+        F.lit('{"k":'), F.col("c_custkey").cast("string"),
+        F.lit(',"seg":"'), F.col("c_mktsegment"), F.lit('"}'),
+    )
+    corrupt = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "2"
+    raw = cust.select(
+        "c_custkey",
+        F.when(corrupt, F.substring(good, 1, 12)).otherwise(good).alias("payload"),
+    )
+    parsed = raw.select(
+        "c_custkey",
+        "payload",
+        F.from_json(F.col("payload"), "k bigint, seg string").alias("j"),
+    ).select("c_custkey", F.col("j.seg").alias("seg"))
+    # a record is bad when the REQUIRED field didn't materialize —
+    # robust to PERMISSIVE mode salvaging a parsable prefix
+    return parsed.groupBy(
+        F.coalesce(F.col("seg"), F.lit("_QUARANTINE")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("seg").isNull(), 1)).alias("n_bad"),
+        F.min("c_custkey").alias("first_key"),
+    )

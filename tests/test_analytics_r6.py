@@ -182,3 +182,30 @@ def test_sq8_recall_vs_bruteforce(spark, sf_dir):
     s = {(r["query_id"], r["neighbor_id"]) for r in sq8}
     recall = len(t & s) / len(t)
     assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_mapping_lineage_covers_compiler_surface():
+    """Lineage rows name every input a mapping reads, through nested
+    structs, array-element mappings, and length refs — and reject the
+    same malformed specs the compiler rejects."""
+    import pytest
+
+    from cpx_etl_spark.plans.mapping import mapping_lineage
+
+    spec = {
+        "id": ["doc_id"],
+        "language": ["meta.lang"],
+        "n_tokens": ["#tokens"],
+        "profile": {"src": ["meta.source"], "ver": 3},
+        "items": ["rows", {"v": ["x"]}],
+    }
+    rows = set(mapping_lineage(spec))
+    assert ("id", "path", "doc_id") in rows
+    assert ("language", "path", "meta.lang") in rows
+    assert ("n_tokens", "length", "tokens") in rows
+    assert ("profile.src", "path", "meta.source") in rows
+    assert ("profile.ver", "constant", "3") in rows
+    assert ("items", "path", "rows") in rows
+    assert ("items[].v", "path", "rows[].x") in rows
+    with pytest.raises(ValueError, match="syntax error"):
+        mapping_lineage({"bad": [123]})

@@ -274,6 +274,7 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "q_cascade_delete",
         "q_data_gaps",
         "q_late_dimension",
+        "q_quarantine_bad_records",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
