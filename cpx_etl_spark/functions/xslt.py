@@ -162,6 +162,38 @@ def _split_path(path: str) -> tuple[str, ...]:
 
 
 @functools.lru_cache(maxsize=4096)
+def _split_path_marked(path: str) -> tuple[tuple[str, bool], ...]:
+    """Split on '/' keeping '//' semantics: each returned (segment,
+    is_descendant) marks whether the step is reached via the
+    descendant axis. A leading empty part (absolute path) is skipped —
+    the caller roots absolute paths itself. Malformed runs ('///',
+    trailing '//') fail fast. Before this, 'a//b' silently collapsed
+    to 'a/b' — a contract violation (silent wrong answers)."""
+    parts: list[str] = []
+    start = 0
+    for i, ch, depth, in_q in _scan_brackets(path):
+        if ch == "/" and depth == 0 and not in_q:
+            parts.append(path[start:i])
+            start = i + 1
+    parts.append(path[start:])
+    out: list[tuple[str, bool]] = []
+    pending = False
+    for j, seg in enumerate(parts):
+        if seg == "":
+            if j == 0:
+                continue
+            if pending:
+                raise XsltUnsupported(f"malformed path {path!r}")
+            pending = True
+            continue
+        out.append((seg, pending))
+        pending = False
+    if pending:
+        raise XsltUnsupported(f"trailing '//' in path {path!r}")
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=4096)
 def _split_args(inner: str) -> tuple[str, ...]:
     """Split a function-argument list on top-level commas (outside
     quotes, brackets, and nested parens)."""
@@ -231,11 +263,14 @@ def _avt_segments(value: str) -> tuple[tuple[str, str], ...]:
 
 
 @functools.lru_cache(maxsize=4096)
-def _path_steps(path: str) -> tuple[tuple[str, tuple[str, ...]], ...]:
-    """Pre-split a select path into (name, predicates) steps — paths in
-    a stylesheet are few and static, but _select runs per node per row;
-    caching removes the per-row string parsing from the hot loop."""
-    return tuple(_parse_step(raw) for raw in _split_path(path))
+def _path_steps(path: str) -> tuple[tuple[str, tuple[str, ...], bool], ...]:
+    """Pre-split a select path into (name, predicates, is_descendant)
+    steps — paths in a stylesheet are few and static, but _select runs
+    per node per row; caching removes the per-row string parsing from
+    the hot loop."""
+    return tuple(
+        (*_parse_step(seg), desc) for seg, desc in _split_path_marked(path)
+    )
 
 
 @functools.lru_cache(maxsize=4096)
@@ -414,6 +449,8 @@ class MiniXslt:
             return (0, 0, 2) if isinstance(node, _Doc) else None
         if isinstance(node, (str, _Doc)):
             return (0, 0, 0) if pattern == "text()" and isinstance(node, str) else None
+        if any(d for _s, d in _split_path_marked(pattern)):
+            raise XsltUnsupported(f"descendant axis in match pattern {pattern!r}")
         steps = _split_path(pattern)
         target = node
         n_preds = 0
@@ -700,19 +737,47 @@ class MiniXslt:
             if "/" in rest or "[" in rest:
                 raise XsltUnsupported(f"path into variable {path!r}")
             return [self._lookup_var(rest)]
-        if path.startswith("//"):
-            raise XsltUnsupported(f"descendant axis {path!r}")
         if path.startswith("/"):
             cur: list = [_Doc(self._root)]
-            path = path[1:]
         else:
             cur = [ctx]
-        for name, preds in _path_steps(path):
+        for name, preds, desc in _path_steps(path):
             nxt: list = []
             for node in cur:
                 if isinstance(node, (str, _RTF)):
                     continue
                 children = [node.root] if isinstance(node, _Doc) else list(node)
+                if desc:
+                    # descendant-or-self::node()/child:: — strict
+                    # descendants of an element context; for the
+                    # document, the root and everything below it.
+                    # ET.iter() is preorder == XPath document order.
+                    if isinstance(node, _Doc):
+                        sub = list(node.root.iter())
+                    else:
+                        sub = [e for e in node.iter() if e is not node]
+                    if name == "*":
+                        cand = sub
+                    elif name == "text()":
+                        cand = [e.text for e in sub if e.text]
+                    elif name.startswith("@"):
+                        cand = [
+                            e.attrib[name[1:]] for e in sub if name[1:] in e.attrib
+                        ]
+                    else:
+                        cand = [e for e in sub if _local(e.tag) == name]
+                    for p in preds:
+                        pk = _pred_kind(p)
+                        if pk[0] in ("index", "last", "positional"):
+                            # XPath numbers descendant-step candidates
+                            # per PARENT, not globally — refusing beats
+                            # a silently wrong global index
+                            raise XsltUnsupported(
+                                f"positional predicate on descendant step [{p}]"
+                            )
+                        cand = [c for c in cand if self._test(c, pk[1])]
+                    nxt.extend(cand)
+                    continue
                 if name == ".":
                     cand: list = [node]
                 elif name.startswith("@"):
