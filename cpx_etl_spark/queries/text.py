@@ -540,3 +540,107 @@ def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", F.row_number().over(w).alias("quota_rank"))
         .filter(F.col("quota_rank") <= 20)
     )
+
+@register(
+    "q_groupwise_split",
+    oracle="""
+    WITH assign AS (
+        SELECT doc_id, source,
+               CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_groups,
+           MIN(doc_id) AS first_doc
+    FROM assign GROUP BY split
+    """,
+)
+def q_groupwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash is taken on the
+    GROUP key (source), not the row, so every document of a source
+    lands in the same split — near-duplicates and shared boilerplate
+    within a crawl domain can never straddle the train/eval boundary
+    (the leakage q_dataset_split's row-hash split permits). ~80/10/10
+    by hash range; a projection plus one aggregate, no shuffle beyond
+    the verdict rollup. The no-straddle property is pytest-asserted."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("source")), 1, 2)
+    split = (
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# deterministic weighted interleave: source s with weight w emits its
+# k-th document (k = 1, 2, ...) at virtual time k / w — the classic
+# stride scheduler. Weights sum to anything; only ratios matter.
+_MIX_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1}
+
+
+@register(
+    "q_corpus_mixture_order",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS k,
+               CASE source {' '.join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())}
+               END AS w
+        FROM documents
+        WHERE source IN ({', '.join(repr(s) for s in _MIX_WEIGHTS)})),
+    timed AS (
+        SELECT doc_id, source, k,
+               ROUND(k * 1.0 / w - 1e-9, 6) + 0 AS vt
+        FROM ranked)
+    SELECT doc_id, source, k, vt,
+           CAST(ROW_NUMBER() OVER (ORDER BY vt, source, k) AS BIGINT) AS mix_pos
+    FROM timed
+    QUALIFY mix_pos <= 100
+    """,
+)
+def q_corpus_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus interleave — the data-mixing
+    schedule a training run consumes (e.g. 4:2:1 over three sources):
+    source s emits its k-th doc at virtual time k/w(s), and the global
+    order sorts by that stride clock. Per-source order is an md5
+    shuffle (stable across engines/reruns); the first 100 mix
+    positions come back via TakeOrdered — the full schedule would
+    stream out partition-wise in production, never a global sort. The
+    emitted prefix provably honors the weight ratios (pytest)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*_MIX_WEIGHTS)
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+    )
+    ranked = docs.select(
+        "doc_id", "source",
+        F.row_number().over(w_src).cast("long").alias("k"),
+        wmap[F.col("source")].alias("w"),
+    )
+    timed = ranked.select(
+        "doc_id", "source", "k",
+        F.round(F.col("k") / F.col("w") - 1e-9, 6).alias("vt"),
+    )
+    # take the 100-row prefix via distributed TakeOrdered FIRST, then
+    # number the tiny frame — a global row_number window would
+    # single-task sort the whole corpus
+    head = timed.orderBy("vt", "source", "k").limit(100)
+    w_glob = Window.orderBy("vt", "source", "k")
+    return head.withColumn("mix_pos", F.row_number().over(w_glob).cast("long"))

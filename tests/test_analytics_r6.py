@@ -209,3 +209,39 @@ def test_mapping_lineage_covers_compiler_surface():
     assert ("items[].v", "path", "rows[].x") in rows
     with pytest.raises(ValueError, match="syntax error"):
         mapping_lineage({"bad": [123]})
+
+
+def test_groupwise_split_no_source_straddles(spark, sf_dir):
+    """Leakage safety: no source contributes to two splits."""
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("source")), 1, 2)
+    split = F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    per_source = (
+        docs.select("source", split.alias("split"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    assert per_source.filter(F.col("n_splits") > 1).count() == 0
+
+
+def test_mixture_order_honors_weight_ratios(spark, sf_dir):
+    """While no source is exhausted (virtual time T before the fastest
+    stream runs dry), source s has emitted floor(T * w_s) +- 1 docs —
+    the stride scheduler's defining property. (The FULL prefix at tiny
+    SFs equalizes trivially because every source exhausts.)"""
+    from collections import Counter
+
+    rows = QUERIES["q_corpus_mixture_order"](spark, sf_dir).collect()
+    weights = {"src0": 4, "src1": 2, "src2": 1}
+    # T = last instant the fastest (highest-weight) source still emits
+    per_src_max_k = Counter()
+    for r in rows:
+        per_src_max_k[r["source"]] = max(per_src_max_k[r["source"]], r["k"])
+    T = per_src_max_k["src0"] / weights["src0"]
+    emitted = Counter(r["source"] for r in rows if r["vt"] <= T)
+    for s, w in weights.items():
+        expect = T * w
+        assert abs(emitted[s] - expect) <= 1.0 + 1e-9, (s, emitted[s], expect)
