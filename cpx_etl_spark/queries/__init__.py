@@ -137,11 +137,16 @@ def load_registry() -> tuple[dict, dict]:
     keep every query's driver evidence fresh, the sweep order rotates
     AUTOMATICALLY: queries are sorted by the round of their most recent
     driver confirmation (read from the CORRECTNESS_r*.json artifacts),
-    least-recent first, with never-confirmed (new) queries at the very
-    front. Ties keep module registration order, so cheap families stay
-    early within each cohort. Each round the budget therefore lands on
-    the ~50 stalest queries, bounding evidence age at
-    ceil(n_queries / budget) rounds (~3 at the current registry size)."""
+    least-recent first. Never-confirmed (new) queries slot between the
+    stalest REAL evidence and everything fresher: a query whose last
+    driver confirmation is 3+ rounds old has aged evidence, while a
+    new query was oracle-verified in-suite this round — so genuinely
+    stale queries must not be crowded out of the budget by a large
+    batch of newcomers (this round added 50+ queries, which would
+    otherwise push the r3-stale TPC-H trio past the ~50-query gate
+    budget). Ties keep module registration order, so cheap families
+    stay early within each cohort; evidence age stays bounded at
+    ceil(n_queries / budget) rounds."""
     from cpx_etl_spark.queries import (  # noqa: F401
         similarity,
         streaming,
@@ -155,7 +160,10 @@ def load_registry() -> tuple[dict, dict]:
 
     latest = _last_driver_round()
     order = list(QUERIES)
-    order.sort(key=lambda name: latest.get(name, 0))  # stable: ties keep insertion order
+    gated = [latest[n] for n in order if n in latest]
+    # new queries rank just after the oldest real evidence (see docstring)
+    new_rank = (min(gated) + 0.5) if gated else 0.0
+    order.sort(key=lambda name: latest.get(name, new_rank))  # stable within cohorts
     ordered = {name: QUERIES[name] for name in order}
     QUERIES.clear()
     QUERIES.update(ordered)

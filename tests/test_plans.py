@@ -119,17 +119,22 @@ def test_resample_and_snapshot_plans_clean(spark, sf_dir):
 
 
 def test_registry_rotation_is_staleness_ordered():
-    """Sweep order = least-recently-driver-confirmed first, so the
-    driver's ~50-query budget always lands on the stalest evidence."""
+    """Sweep order = least-recently-driver-confirmed first, with
+    never-confirmed (new) queries ranked just AFTER the oldest real
+    evidence: a 3-round-stale confirmation must not be crowded out of
+    the gate budget by a large batch of newcomers (which were
+    oracle-verified in-suite this round)."""
     from cpx_etl_spark.queries import _last_driver_round
 
     q, _ = load_registry()
     latest = _last_driver_round()
-    rounds = [latest.get(name, 0) for name in q]
-    assert rounds == sorted(rounds)
-    # new/never-confirmed queries (if any) must lead the sweep
-    if 0 in rounds:
-        assert rounds[0] == 0
+    gated = [latest[n] for n in q if n in latest]
+    new_rank = (min(gated) + 0.5) if gated else 0.0
+    ranks = [latest.get(name, new_rank) for name in q]
+    assert ranks == sorted(ranks)
+    # the stalest REAL evidence leads the sweep
+    if gated:
+        assert ranks[0] == min(gated)
 
 
 def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):
