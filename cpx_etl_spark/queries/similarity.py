@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cpx_etl_spark.functions.vectors import as_double, norm, sql_cosine, sql_norm
+from cpx_etl_spark.functions.vectors import as_double, cosine, norm, sql_cosine, sql_norm
 from cpx_etl_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_weights,
@@ -325,4 +325,49 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sq8_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, rerank=3
+    )
+
+@register(
+    "q_embedding_outliers",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    cent AS (
+        SELECT label AS cl, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY label, i),
+    centv AS (
+        SELECT cl, list(m ORDER BY i) AS centroid FROM cent GROUP BY cl),
+    sc AS (
+        SELECT e.vec_id, e.label,
+               ROUND({sql_cosine('e.embedding', 'c.centroid', _DIM)} - 1e-9, 6) + 0
+                   AS centroid_cos
+        FROM embeddings e JOIN centv c ON c.cl = e.label)
+    SELECT vec_id, label, centroid_cos
+    FROM sc WHERE centroid_cos < 0
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data quality: vectors ANTI-ALIGNED with their
+    own cluster centroid (cos < 0) — the mislabeled/corrupt-embedding
+    detector (this corpus is unit-normalized, so norm checks carry no
+    signal; centroid alignment does). Centroids are the IVF family's
+    exact-decimal means (order-independent), the 25-row centroid frame
+    broadcasts, and the flag is one corpus scan — the same shape that
+    serves ann_ivf_topk's assignment step."""
+    from cpx_etl_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _assigned = ivf_build(emb, "vec_id", "embedding", "label")
+    cents = cents.select(F.col("cell").alias("label"), F.col("centroid"))
+    return (
+        emb.join(F.broadcast(cents), on="label")
+        .select(
+            "vec_id", "label",
+            F.round(
+                cosine(as_double("embedding"), F.col("centroid")) - 1e-9, 6
+            ).alias("centroid_cos"),
+        )
+        .filter(F.col("centroid_cos") < 0)
     )

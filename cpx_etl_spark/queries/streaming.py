@@ -9,6 +9,7 @@ on the same input via memory sinks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cpx_etl_spark.queries import register, sql_dsum
 from cpx_etl_spark.sources import load_table
@@ -165,4 +166,53 @@ def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+@register(
+    "q_session_metrics",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events),
+    f AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e),
+    g AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f),
+    s AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+                 MIN(ts) AS st, MAX(ts) AS en
+          FROM g GROUP BY user_id, session_id)
+    SELECT date_trunc('day', st) AS day,
+           COUNT(*) AS n_sessions,
+           COUNT(*) FILTER (WHERE n_events = 1) AS n_bounces,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*) - 1e-9, 4) + 0
+               AS avg_events,
+           CAST(SUM(epoch_us(en) - epoch_us(st)) // 1000000 AS BIGINT)
+               AS total_dwell_sec
+    FROM s GROUP BY 1
+    """,
+)
+def q_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup over the gap-sessionizer: per day (of
+    session start) the session count, bounce count (single-event
+    sessions), mean depth, and total dwell seconds (exact integer
+    microsecond sums — no float time arithmetic). One window pass
+    shared with stream_sessionize's construction, one day rollup."""
+    from cpx_etl_spark.streaming.events import sessionize_batch
+
+    s = sessionize_batch(load_table(spark, sf_dir, "events"))
+    return s.groupBy(F.date_trunc("day", "start_ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)) - 1e-9, 4
+        ).alias("avg_events"),
+        F.floor(
+            F.sum(F.unix_micros("end_ts") - F.unix_micros("start_ts")) / 1000000
+        ).cast("long").alias("total_dwell_sec"),
     )
