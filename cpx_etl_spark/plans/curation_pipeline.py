@@ -94,6 +94,25 @@ def _apply_step(df: DataFrame, step: dict) -> DataFrame:
             df, "doc_id", step.get("group_col", "lang"), step["target_rows"]
         ).select("doc_id")
         return df.join(kept, on="doc_id", how="left_semi")
+    if op == "quota_cap":
+        from pyspark.sql.window import Window
+
+        g = step.get("group_col", "source")
+        w = Window.partitionBy(g).orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        keep = (
+            df.select("doc_id", g)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= step["max_per_group"])
+            .select("doc_id")
+        )
+        return df.join(keep, on="doc_id", how="left_semi")
+    if op == "groupwise_split":
+        g = step.get("group_col", "source")
+        lo, hi = step["hash_range"]
+        b = F.substring(F.md5(F.col(g)), 1, 2)
+        return df.filter((b >= lo) & (b < hi))
     if op == "decontaminate":
         from cpx_etl_spark.operators.curation import decontaminate
 
@@ -172,6 +191,23 @@ def _sql_step(step: dict, prev: str, idx: int) -> tuple[str, str]:
             f") pr USING ({g}) "
             f"WHERE CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8)) "
             f"AS BIGINT) / 4294967296.0 < pr.p_keep"
+        )
+    elif op == "quota_cap":
+        g = step.get("group_col", "source")
+        body = (
+            f"SELECT p.* FROM {prev} p JOIN ("
+            f"SELECT doc_id FROM ("
+            f"SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY {g} "
+            f"ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            f"FROM {prev}) WHERE rn <= {step['max_per_group']}"
+            f") k USING (doc_id)"
+        )
+    elif op == "groupwise_split":
+        g = step.get("group_col", "source")
+        lo, hi = step["hash_range"]
+        body = (
+            f"SELECT * FROM {prev} WHERE substr(md5({g}), 1, 2) >= '{lo}' "
+            f"AND substr(md5({g}), 1, 2) < '{hi}'"
         )
     elif op == "decontaminate":
         n = step.get("n", 4)

@@ -267,10 +267,12 @@ _CURATION_SPEC = {
     "source": "documents",
     "steps": [
         {"op": "lang_filter", "keep": ["en", "de", "fr"]},
+        {"op": "groupwise_split", "group_col": "source", "hash_range": ["00", "e6"]},
         {"op": "quality_filter", "min_quality": 0.3},
         {"op": "repetition_filter", "max_dup_frac": 0.5, "n": 2},
         {"op": "decontaminate", "threshold": 0.2, "n": 4},
         {"op": "exact_dedup"},
+        {"op": "quota_cap", "group_col": "source", "max_per_group": 40},
         {"op": "sample", "rate": 0.8, "salt": "cur-r6"},
     ],
 }
@@ -286,10 +288,11 @@ def _spec_oracle() -> str:
 def q_curation_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-DRIVEN curation pipeline (the reference's declarative
     pipeline pattern over the curation family): language filter ->
-    quality filter -> Gopher repetition filter -> benchmark
-    decontamination -> exact dedup -> deterministic 80% sample compile
-    from one dict into ONE plan, and the SAME spec compiles the DuckDB
-    oracle — the gate verifies the COMPILER, not a hand-paired query
+    leakage-safe group split -> quality filter -> Gopher repetition
+    filter -> benchmark decontamination -> exact dedup -> per-source
+    quota cap -> deterministic 80% sample, compiled from one dict into
+    ONE plan, and the SAME spec compiles the DuckDB oracle — the gate
+    verifies the COMPILER, not a hand-paired query
     (plans/curation_pipeline.py)."""
     from cpx_etl_spark.plans.curation_pipeline import compile_curation_pipeline
 
