@@ -345,3 +345,46 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(trash, ignore_errors=True)
     return n_files
+
+
+def ingest_new_files(
+    spark, src_dir: str, manifest_path: str, out_path: str, schema: str | None = None
+):
+    """Batch incremental ingestion: process only files not yet in the
+    manifest (the batch twin of a streaming checkpoint — the pattern
+    for hourly/daily loads over a landing directory that keeps
+    growing). The manifest is a tiny parquet of processed file names;
+    new files = listing anti-join manifest; output appends; the
+    manifest appends the newly-processed names LAST, so a crash
+    between output-append and manifest-append re-processes (at-least-
+    once) rather than losing files — pair with a PK-upsert sink for
+    exactly-once effects.
+
+    Returns the list of newly processed file names (bounded: one
+    directory listing, never data-sized)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    listing = sorted(
+        f for f in os.listdir(src_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    done: set[str] = set()
+    if os.path.isdir(manifest_path):
+        done = {
+            r["file_name"]
+            for r in spark.read.parquet(manifest_path).collect()
+        }
+    fresh = [f for f in listing if f not in done]
+    if not fresh:
+        return []
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.parquet(*[os.path.join(src_dir, f) for f in fresh])
+    df.write.mode("append").parquet(out_path)
+    spark.createDataFrame(
+        [(f,) for f in fresh], "file_name string"
+    ).write.mode("append").parquet(manifest_path)
+    return fresh

@@ -245,3 +245,57 @@ def test_mixture_order_honors_weight_ratios(spark, sf_dir):
     for s, w in weights.items():
         expect = T * w
         assert abs(emitted[s] - expect) <= 1.0 + 1e-9, (s, emitted[s], expect)
+
+
+def test_incremental_file_ingestion_processes_each_file_once(spark, tmp_path):
+    """Manifest-tracked batch ingestion: run 1 processes the initial
+    files, run 2 only the new arrival, run 3 (nothing new) is a no-op;
+    the sink holds every row exactly once."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import ingest_new_files
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+
+    def land(name, ids):
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name))
+
+    man, out = str(tmp_path / "manifest"), str(tmp_path / "out")
+    land("a.parquet", [1, 2])
+    land("b.parquet", [3])
+    assert ingest_new_files(spark, src, man, out) == ["a.parquet", "b.parquet"]
+    land("c.parquet", [4, 5])
+    assert ingest_new_files(spark, src, man, out) == ["c.parquet"]
+    assert ingest_new_files(spark, src, man, out) == []
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Schema evolution both ways: mergeSchema reads old files (no
+    'extra' column) alongside new ones with nulls filled; and
+    unionByName(allowMissingColumns=True) aligns evolved frames."""
+    old_dir = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(old_dir)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, extra double"
+    ).write.mode("append").parquet(old_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(old_dir)
+    assert set(merged.columns) == {"id", "v", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+    a = spark.createDataFrame([(1, "a")], "id long, v string")
+    b = spark.createDataFrame([(2, 9.5)], "id long, extra double")
+    u = a.unionByName(b, allowMissingColumns=True)
+    assert set(u.columns) == {"id", "v", "extra"}
+    assert u.count() == 2
