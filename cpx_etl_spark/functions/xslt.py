@@ -176,6 +176,8 @@ def _split_path_marked(path: str) -> tuple[tuple[str, bool], ...]:
             parts.append(path[start:i])
             start = i + 1
     parts.append(path[start:])
+    if path == "/":  # document-root selection: zero steps, legal XSLT
+        return ()
     out: list[tuple[str, bool]] = []
     pending = False
     for j, seg in enumerate(parts):

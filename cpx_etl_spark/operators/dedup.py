@@ -460,7 +460,7 @@ def cross_corpus_minhash_pairs(
     df_new: DataFrame, df_ref: DataFrame, id_col: str, text_col: str,
     n: int = 2, k: int = 8, bands: int = 4, threshold: float = 0.5,
     min_band_collisions: int = 1, max_ref_band_df: int | None = None,
-    stats: dict | None = None,
+    stats: dict | None = None, hash_fn: str = "md5",
 ) -> DataFrame:
     """Asymmetric near-dup join: docs in ``df_new`` (a fresh crawl)
     whose near-duplicate already exists in ``df_ref`` (the standing
@@ -538,7 +538,7 @@ class SignatureIndex:
 
 
 def _index_frames(df: DataFrame, id_col: str, text_col: str,
-                  n: int, k: int, bands: int):
+                  n: int, k: int, bands: int, hash_fn: str = "md5"):
     rows = shingle_rows(df, id_col, text_col, n)
     sig = minhash_signatures(rows, id_col, k, hash_fn=hash_fn)
     banded = band_rows(sig, id_col, k, bands)

@@ -908,7 +908,7 @@ def cross_corpus_embedding_pairs_indexed(
 # SQ8 scalar quantization: compressed codes + approximate scan + rerank
 # ---------------------------------------------------------------------------
 
-def sq8_bounds(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
+def sq8_bounds(corpus: DataFrame, vec_col: str) -> DataFrame:
     """Per-dimension (min, range) of the corpus as ONE 1-row frame of
     two dim-length arrays — the trained quantizer. One explode +
     dim-keyed aggregate; the result broadcasts everywhere."""
@@ -963,7 +963,7 @@ def sq8_topk(
     candidates per query, then reranks exactly on the true vectors.
     Same plan family as brute force but the scan side reads 4x fewer
     bytes — the memory/IO trade every billion-vector deployment makes."""
-    bounds = sq8_bounds(corpus, vec_col, None)
+    bounds = sq8_bounds(corpus, vec_col)
     codes = sq8_encode(corpus, id_col, vec_col, bounds)
     recon = codes.crossJoin(F.broadcast(bounds)).select(
         "neighbor_id",

@@ -129,6 +129,17 @@ def _last_driver_round(root=None) -> dict[str, int]:
     return latest
 
 
+def sweep_order(names: list[str], latest: dict[str, int]) -> list[str]:
+    """Gate-sweep ordering rule: stalest REAL driver evidence first,
+    never-confirmed (new) queries immediately after the oldest real
+    cohort, fresher cohorts behind, insertion order within cohorts.
+    Pure function so the rule itself is unit-testable against fixture
+    evidence (not a re-derivation of this formula)."""
+    gated = [latest[n] for n in names if n in latest]
+    new_rank = (min(gated) + 0.5) if gated else 0.0
+    return sorted(names, key=lambda name: latest.get(name, new_rank))
+
+
 def load_registry() -> tuple[dict, dict]:
     """Import all query modules (side effect: registration) and return maps.
 
@@ -159,11 +170,7 @@ def load_registry() -> tuple[dict, dict]:
     )
 
     latest = _last_driver_round()
-    order = list(QUERIES)
-    gated = [latest[n] for n in order if n in latest]
-    # new queries rank just after the oldest real evidence (see docstring)
-    new_rank = (min(gated) + 0.5) if gated else 0.0
-    order.sort(key=lambda name: latest.get(name, new_rank))  # stable within cohorts
+    order = sweep_order(list(QUERIES), latest)
     ordered = {name: QUERIES[name] for name in order}
     QUERIES.clear()
     QUERIES.update(ordered)

@@ -527,7 +527,7 @@ def bloom_dedup_stream(
                 bloom_probe(bloom, keyed, "_k", k=k, m_bits=m_bits)
                 .filter(~F.col("maybe_present"))
                 .drop("maybe_present")
-            )
+            ).persist()  # two actions below — probe once, not twice
             fresh.drop("_k").write.mode("append").parquet(out_path)
             add = bloom_build(
                 fresh.select("_k"), "_k", k=k, m_bits=m_bits
@@ -540,6 +540,7 @@ def bloom_dedup_stream(
             # materialize BEFORE overwriting the dir being read
             rows = merged.collect()
             write_bloom(spark.createDataFrame(rows, merged.schema), bloom_path)
+            fresh.unpersist()
         else:
             batch.write.mode("append").parquet(out_path)
             write_bloom(

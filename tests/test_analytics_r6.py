@@ -12,9 +12,10 @@ QUERIES, _ = load_registry()
 
 
 def test_record_linkage_recovers_every_true_pair(spark, sf_dir):
-    """Blocking completeness: one substituted character always leaves
-    the prefix OR suffix block key intact, so EVERY corrupted row must
-    link back to its own clean row at distance exactly 1."""
+    """Blocking completeness: the substituted digit sits at exactly
+    one parity, so the OTHER interleaved-parity block key is intact —
+    EVERY corrupted row must link back to its own clean row at
+    distance exactly 1."""
     from cpx_etl_spark.sources import load_table
 
     res = QUERIES["q_record_linkage"](spark, sf_dir)

@@ -119,22 +119,26 @@ def test_resample_and_snapshot_plans_clean(spark, sf_dir):
 
 
 def test_registry_rotation_is_staleness_ordered():
-    """Sweep order = least-recently-driver-confirmed first, with
-    never-confirmed (new) queries ranked just AFTER the oldest real
-    evidence: a 3-round-stale confirmation must not be crowded out of
-    the gate budget by a large batch of newcomers (which were
-    oracle-verified in-suite this round)."""
-    from cpx_etl_spark.queries import _last_driver_round
+    """Pin the sweep-ordering RULE against fixture evidence (not a
+    re-derivation of the implementation's formula): stale real
+    evidence leads, a large batch of newcomers slots behind it but
+    ahead of fresher cohorts, and the real registry ordering agrees
+    with the rule."""
+    from cpx_etl_spark.queries import _last_driver_round, sweep_order
 
+    # fixture: 3 stale (r3), 4 new, 2 recent (r5) — newcomers must not
+    # crowd the stale trio out of a 5-slot budget
+    latest = {"s1": 3, "s2": 3, "s3": 3, "f1": 5, "f2": 5}
+    names = ["f1", "n1", "s1", "n2", "f2", "s2", "n3", "s3", "n4"]
+    order = sweep_order(names, latest)
+    assert order[:3] == ["s1", "s2", "s3"]          # stale trio leads
+    assert order[3:7] == ["n1", "n2", "n3", "n4"]   # newcomers next
+    assert order[7:] == ["f1", "f2"]                # fresh last
+    # no driver artifacts at all: insertion order preserved
+    assert sweep_order(["a", "b"], {}) == ["a", "b"]
+    # and the live registry is ordered by the same rule
     q, _ = load_registry()
-    latest = _last_driver_round()
-    gated = [latest[n] for n in q if n in latest]
-    new_rank = (min(gated) + 0.5) if gated else 0.0
-    ranks = [latest.get(name, new_rank) for name in q]
-    assert ranks == sorted(ranks)
-    # the stalest REAL evidence leads the sweep
-    if gated:
-        assert ranks[0] == min(gated)
+    assert list(q) == sweep_order(sorted(q, key=list(q).index), _last_driver_round())
 
 
 def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):

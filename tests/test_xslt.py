@@ -64,3 +64,16 @@ def test_descendant_axis_fail_fast_cases():
         _run_xsl(style("<v/>", match="root//b"), _DESC_XML)
     with pytest.raises(XsltUnsupported, match="malformed|trailing"):
         _run_xsl(style('<v><xsl:value-of select="a///b"/></v>'), _DESC_XML)
+
+
+def test_document_root_select_still_works():
+    """select="/" (the document node) is legal XSLT 1.0 and must not
+    trip the '//' malformed-path guard (code-review regression)."""
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="root">
+        <out n="{count(/)}"><xsl:copy-of select="/"/></out>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, "<root><a>1</a></root>")
+    assert 'n="1"' in out and "<a>1</a>" in out
