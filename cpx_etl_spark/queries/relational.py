@@ -2715,3 +2715,101 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = frame if out is None else out.unionByName(frame)
     return out
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    la AS (SELECT p.event_id, p.p_ts, MAX(c.ts) AS c_ts
+           FROM p JOIN events c
+             ON c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts <= p.p_ts AND c.ts > p.p_ts - INTERVAL 1 HOUR
+           GROUP BY p.event_id, p.p_ts),
+    lat AS (SELECT date_trunc('day', p_ts) AS day,
+                   (epoch_us(p_ts) - epoch_us(c_ts)) / 1000000.0 AS sec
+            FROM la)
+    SELECT day, COUNT(*) AS n_attributed,
+           ROUND(quantile_cont(sec, 0.5) - 1e-9, 3) + 0 AS p50_sec,
+           ROUND(quantile_cont(sec, 0.9) - 1e-9, 3) + 0 AS p90_sec
+    FROM lat GROUP BY day
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency percentiles per day — the funnel's
+    'how fast' companion to q_attribution_last_touch's 'how much':
+    same time-banded join + max-reduce picks the last touch, then
+    exact interpolated p50/p90 over the integer-microsecond latencies
+    (sort-based, cross-engine identical; float division by 1e6 is one
+    IEEE op per row)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    la = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("event_id", "p_ts")
+        .agg(F.max("c_ts").alias("c_ts"))
+    )
+    sec = (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1000000.0
+    return (
+        la.select(F.date_trunc("day", "p_ts").alias("day"), sec.alias("sec"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            fround(F.percentile(F.col("sec"), F.lit(0.5)), 3).alias("p50_sec"),
+            fround(F.percentile(F.col("sec"), F.lit(0.9)), 3).alias("p90_sec"),
+        )
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM v),
+    binned AS (
+        SELECT LEAST(19, GREATEST(0, CAST(floor((value - lo) / ((hi - lo) / 20))
+                                          AS INTEGER))) AS bin, lo, hi
+        FROM v, b)
+    SELECT bin,
+           ROUND(lo + bin * ((hi - lo) / 20) - 1e-9, 6) + 0 AS bin_lo,
+           COUNT(*) AS n
+    FROM binned GROUP BY bin, lo, hi
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of purchase values: 20 bins between the
+    observed min/max (1-row bounds frame broadcast back over one scan
+    — the two-pass histogram every profiler runs). Bin assignment is
+    floor of identical IEEE arithmetic in both engines; the top edge
+    clamps into the last bin."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = ev.select("value")
+    b = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20
+    bin_ = F.least(
+        F.lit(19),
+        F.greatest(
+            F.lit(0), F.floor((F.col("value") - F.col("lo")) / width).cast("int")
+        ),
+    )
+    return (
+        v.crossJoin(F.broadcast(b))  # 1-row bounds frame
+        .select(bin_.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 20 - 1e-9, 6).alias("bin_lo"),
+            "n",
+        )
+    )

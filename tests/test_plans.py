@@ -288,6 +288,8 @@ def test_r6_queries_stay_jvm_side(spark, sf_dir):
         "q_corpus_mixture_order",
         "q_session_metrics",
         "q_embedding_outliers",
+        "q_conversion_latency",
+        "q_value_histogram",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
