@@ -2777,8 +2777,10 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT value FROM events WHERE event_type = 'purchase'),
     b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM v),
     binned AS (
-        SELECT LEAST(19, GREATEST(0, CAST(floor((value - lo) / ((hi - lo) / 20))
-                                          AS INTEGER))) AS bin, lo, hi
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE LEAST(19, GREATEST(0,
+                         CAST(floor((value - lo) / ((hi - lo) / 20))
+                              AS INTEGER))) END AS bin, lo, hi
         FROM v, b)
     SELECT bin,
            ROUND(lo + bin * ((hi - lo) / 20) - 1e-9, 6) + 0 AS bin_lo,
@@ -2796,11 +2798,15 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.select("value")
     b = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / 20
-    bin_ = F.least(
-        F.lit(19),
-        F.greatest(
-            F.lit(0), F.floor((F.col("value") - F.col("lo")) / width).cast("int")
-        ),
+    # degenerate distribution (hi == lo) puts everything in bin 0
+    # instead of dividing by zero
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(19),
+            F.greatest(
+                F.lit(0), F.floor((F.col("value") - F.col("lo")) / width).cast("int")
+            ),
+        )
     )
     return (
         v.crossJoin(F.broadcast(b))  # 1-row bounds frame
