@@ -160,13 +160,19 @@ def main() -> None:
     if os.path.isdir(sf1_dir) and os.path.abspath(sf_dir) != sf1_dir:
         build_standing_index(spark, sf1_dir)
         build_ivf_standing_index(spark, sf1_dir)
+        # the sf1 section is single-pass by default (wall-clock); set
+        # SPARK_GRAFT_SF1_REPEATS>1 on quiet reruns to record min-of-N
+        # and tighten the rolling bests
+        sf1_reps = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPEATS", "1")))
         sf1_timings: dict[str, float] = {}
-        for name in HEADLINE:
-            if name in sf1_excluded:
-                continue
-            t0 = time.time()
-            queries[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sf1_timings[name] = round(time.time() - t0, 3)
+        for _pass in range(sf1_reps):
+            for name in HEADLINE:
+                if name in sf1_excluded:
+                    continue
+                t0 = time.time()
+                queries[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                sf1_timings[name] = min(sf1_timings.get(name, dt), dt)
         best_sf1 = best_all.setdefault("1", {})
         for name, dt in sf1_timings.items():
             best_sf1[name] = min(best_sf1.get(name, dt), dt)
