@@ -43,3 +43,37 @@ def path_col(path: str, root: Column | None = None) -> Column:
     if col is None:
         raise ValueError(f"applyPath: {path}: empty path")
     return col
+
+
+def path_lineage(path: str) -> tuple[str, str, bool]:
+    """Static mirror of :func:`path_col` for lineage: returns
+    ``(kind, normalized_path, scoped)`` without building a Column.
+    ``kind`` is 'path' or 'length'; ``normalized_path`` has '$' resets
+    applied and the '#' length marker stripped; ``scoped`` is False
+    when a '$' reset discarded the enclosing array scope. Raises the
+    same ValueErrors path_col would, so lineage rejects exactly what
+    the compiler rejects."""
+    parts = path.split(".")
+    kind = "path"
+    kept: list[str] = []
+    scoped = True
+    for i, part in enumerate(parts):
+        if part == "$":
+            kept = []
+            scoped = False
+            continue
+        if part.startswith("#"):
+            if i != len(parts) - 1:
+                raise ValueError(f"applyPath: {path}: '#' must be last element")
+            if part == "#":
+                raise ValueError(
+                    "applyPath: bare '#' (array index) is only valid inside an "
+                    "array mapping scope"
+                )
+            kind = "length"
+            kept.append(part[1:])
+            continue
+        kept.append(part)
+    if not kept:
+        raise ValueError(f"applyPath: {path}: empty path")
+    return kind, ".".join(kept), scoped

@@ -756,15 +756,23 @@ class MiniXslt:
                     # ET.iter() is preorder == XPath document order.
                     if isinstance(node, _Doc):
                         sub = list(node.root.iter())
+                        or_self = sub
                     else:
                         sub = [e for e in node.iter() if e is not node]
+                        # 'a//@id' / 'a//text()' expand to
+                        # descendant-OR-SELF::node()/attribute::id (or
+                        # child::text()), so the context element's own
+                        # attribute/text is included (ADVICE r6); only
+                        # element-name steps (child:: axis) keep the
+                        # strict-descendant set.
+                        or_self = list(node.iter())
                     if name == "*":
                         cand = sub
                     elif name == "text()":
-                        cand = [e.text for e in sub if e.text]
+                        cand = [e.text for e in or_self if e.text]
                     elif name.startswith("@"):
                         cand = [
-                            e.attrib[name[1:]] for e in sub if name[1:] in e.attrib
+                            e.attrib[name[1:]] for e in or_self if name[1:] in e.attrib
                         ]
                     else:
                         cand = [e for e in sub if _local(e.tag) == name]

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cpx_etl_spark.functions.paths import path_col
+from cpx_etl_spark.functions.paths import path_col, path_lineage
 
 
 def _compile_value(spec, root: Column | None) -> Column:
@@ -74,11 +74,13 @@ def mapping_lineage(spec: dict) -> list[tuple[str, str, str]]:
             if not v or not isinstance(v[0], str):
                 raise ValueError(f"mapping: syntax error: {v!r}")
             head, rest = v[0], v[1:]
-            src = f"{prefix}{head}"
-            if head.startswith("#"):
-                rows.append((out, "length", f"{prefix}{head[1:]}"))
-            else:
-                rows.append((out, "path", src))
+            # per-segment normalization mirrors path_col (ADVICE r6):
+            # '$' resets to the row root (dropping the array-scope
+            # prefix) and '#field' may appear mid-path-last, e.g.
+            # 'meta.#tokens' -> ('length', 'meta.tokens')
+            kind, norm, scoped = path_lineage(head)
+            src = f"{prefix}{norm}" if scoped else norm
+            rows.append((out, kind, src))
             if rest:
                 if len(rest) == 1 and isinstance(rest[0], dict):
                     for k2, v2 in rest[0].items():

@@ -130,14 +130,15 @@ def _last_driver_round(root=None) -> dict[str, int]:
 
 
 def sweep_order(names: list[str], latest: dict[str, int]) -> list[str]:
-    """Gate-sweep ordering rule: stalest REAL driver evidence first,
-    never-confirmed (new) queries immediately after the oldest real
-    cohort, fresher cohorts behind, insertion order within cohorts.
-    Pure function so the rule itself is unit-testable against fixture
-    evidence (not a re-derivation of this formula)."""
-    gated = [latest[n] for n in names if n in latest]
-    new_rank = (min(gated) + 0.5) if gated else 0.0
-    return sorted(names, key=lambda name: latest.get(name, new_rank))
+    """Gate-sweep ordering rule: queries with NO driver evidence at all
+    sort first (rank 0 — zero evidence is staler than any stale
+    evidence; VERDICT r6 showed the old min(gated)+0.5 rank buried
+    never-gated queries behind a ~50-query stale-but-confirmed cohort
+    for 2+ rounds), then confirmed queries stalest-first, insertion
+    order within cohorts. Pure function so the rule itself is
+    unit-testable against fixture evidence (not a re-derivation of
+    this formula)."""
+    return sorted(names, key=lambda name: latest.get(name, 0))
 
 
 def load_registry() -> tuple[dict, dict]:
@@ -148,15 +149,12 @@ def load_registry() -> tuple[dict, dict]:
     keep every query's driver evidence fresh, the sweep order rotates
     AUTOMATICALLY: queries are sorted by the round of their most recent
     driver confirmation (read from the CORRECTNESS_r*.json artifacts),
-    least-recent first. Never-confirmed (new) queries slot between the
-    stalest REAL evidence and everything fresher: a query whose last
-    driver confirmation is 3+ rounds old has aged evidence, while a
-    new query was oracle-verified in-suite this round — so genuinely
-    stale queries must not be crowded out of the budget by a large
-    batch of newcomers (this round added 50+ queries, which would
-    otherwise push the r3-stale TPC-H trio past the ~50-query gate
-    budget). Ties keep module registration order, so cheap families
-    stay early within each cohort; evidence age stays bounded at
+    least-recent first, with never-confirmed queries ranked FIRST
+    (rank 0): zero driver evidence is staler than any stale evidence,
+    so new registrations gate in their first eligible round instead of
+    waiting behind a large stale-but-confirmed cohort (VERDICT r6).
+    Ties keep module registration order, so cheap families stay early
+    within each cohort; evidence age stays bounded at
     ceil(n_queries / budget) rounds."""
     from cpx_etl_spark.queries import (  # noqa: F401
         similarity,

@@ -2815,7 +2815,10 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "bin",
-            F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 20 - 1e-9, 6).alias("bin_lo"),
+            # parenthesized ((hi-lo)/20) to match the oracle's IEEE
+            # association exactly (ADVICE r6): bin*((hi-lo)/20), not
+            # (bin*(hi-lo))/20
+            F.round(F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / 20) - 1e-9, 6).alias("bin_lo"),
             "n",
         )
     )

@@ -91,9 +91,12 @@ def read_xml_file(path: str) -> dict:
     return element_to_badgerfish(ET.parse(path).getroot())
 
 
-def xsl_transform(*_args, **_kwargs):
-    """XSLT pipeline (reference index.js:87-126) — not supported here."""
-    raise NotImplementedError(
-        "XSLT is not available in this environment; express the reshaping "
-        "with plans/mapping.py over the parsed badgerfish structure instead"
-    )
+def xsl_transform(xml: str, stylesheets) -> str:
+    """XSLT pipeline (reference index.js:87-126): apply the stylesheet
+    chain head-first over ``xml``. Delegates to functions/xslt.py —
+    lxml's libxslt when importable, the stdlib XSLT-1.0-subset
+    interpreter otherwise. ``stylesheets`` is an iterable of stylesheet
+    source strings."""
+    from cpx_etl_spark.functions.xslt import compile_stylesheet, xslt_pipeline
+
+    return xslt_pipeline(xml, [compile_stylesheet(s) for s in stylesheets])

@@ -210,6 +210,25 @@ def test_mapping_lineage_covers_compiler_surface():
     assert ("items[].v", "path", "rows[].x") in rows
     with pytest.raises(ValueError, match="syntax error"):
         mapping_lineage({"bad": [123]})
+    # per-segment normalization mirrors path_col (ADVICE r6): mid-path
+    # length refs strip the '#', and '$' inside an array scope resets
+    # to the row root, dropping the 'rows[].' prefix
+    rows2 = set(
+        mapping_lineage(
+            {
+                "meta_tok": ["meta.#tokens"],
+                "items": ["rows", {"abs": ["$.doc_id"], "rel": ["x"]}],
+            }
+        )
+    )
+    assert ("meta_tok", "length", "meta.tokens") in rows2
+    assert ("items[].abs", "path", "doc_id") in rows2
+    assert ("items[].rel", "path", "rows[].x") in rows2
+    # and lineage rejects exactly what path_col rejects
+    with pytest.raises(ValueError, match="must be last"):
+        mapping_lineage({"bad": ["#tokens.more"]})
+    with pytest.raises(ValueError, match="bare '#'"):
+        mapping_lineage({"bad": ["#"]})
 
 
 def test_groupwise_split_no_source_straddles(spark, sf_dir):

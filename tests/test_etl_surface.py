@@ -370,11 +370,21 @@ def test_multimodal_real_decoders_stubbed():
         decode_image()
 
 
-def test_xsl_transform_stubbed():
+def test_xsl_transform_delegates_to_interpreter():
+    """sources.xml_badgerfish.xsl_transform is the reference's
+    xslPipeline entry (index.js:87-126) and delegates to the real
+    interpreter in functions/xslt.py (was a stale stub until r7)."""
     from cpx_etl_spark.sources.xml_badgerfish import xsl_transform
 
-    with pytest.raises(NotImplementedError, match="XSLT"):
-        xsl_transform()
+    xsl = (
+        '<xsl:stylesheet version="1.0" '
+        'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:template match="root">'
+        '<out><xsl:value-of select="item"/></out>'
+        "</xsl:template></xsl:stylesheet>"
+    )
+    result = xsl_transform("<root><item>42</item></root>", [xsl])
+    assert "<out>42</out>" in result
 
 
 def test_xsl_chain_order_and_fusion(spark, tmp_path):

@@ -120,19 +120,20 @@ def test_resample_and_snapshot_plans_clean(spark, sf_dir):
 
 def test_registry_rotation_is_staleness_ordered():
     """Pin the sweep-ordering RULE against fixture evidence (not a
-    re-derivation of the implementation's formula): stale real
-    evidence leads, a large batch of newcomers slots behind it but
-    ahead of fresher cohorts, and the real registry ordering agrees
-    with the rule."""
+    re-derivation of the implementation's formula): queries with NO
+    driver evidence gate first (zero evidence is staler than any
+    stale evidence — VERDICT r6), then confirmed queries
+    stalest-first, and the real registry ordering agrees with the
+    rule."""
     from cpx_etl_spark.queries import _last_driver_round, sweep_order
 
-    # fixture: 3 stale (r3), 4 new, 2 recent (r5) — newcomers must not
-    # crowd the stale trio out of a 5-slot budget
+    # fixture: 3 stale (r3), 4 never-gated, 2 recent (r5) — the
+    # never-gated queries must lead even a stale confirmed cohort
     latest = {"s1": 3, "s2": 3, "s3": 3, "f1": 5, "f2": 5}
     names = ["f1", "n1", "s1", "n2", "f2", "s2", "n3", "s3", "n4"]
     order = sweep_order(names, latest)
-    assert order[:3] == ["s1", "s2", "s3"]          # stale trio leads
-    assert order[3:7] == ["n1", "n2", "n3", "n4"]   # newcomers next
+    assert order[:4] == ["n1", "n2", "n3", "n4"]    # never-gated lead
+    assert order[4:7] == ["s1", "s2", "s3"]         # stale trio next
     assert order[7:] == ["f1", "f2"]                # fresh last
     # no driver artifacts at all: insertion order preserved
     assert sweep_order(["a", "b"], {}) == ["a", "b"]

@@ -44,6 +44,26 @@ def test_descendant_axis_attributes_and_filter():
     assert 'n="1"' in out and 'f="1"' in out
 
 
+def test_descendant_axis_attribute_text_include_self():
+    """'a//@id' expands to a/descendant-or-self::node()/attribute::id,
+    which includes a's OWN attribute; same for 'a//text()' and a's own
+    text child. Element-name steps stay strict-descendant (child::
+    axis). Before r7 the or-self part was dropped (ADVICE r6)."""
+    xml = '<root><a id="0">t0<b id="1">t1</b><c id="2">t2</c></a></root>'
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="root">
+        <out ids="{count(a//@id)}" texts="{count(a//text())}"
+             elems="{count(a//a)}" first="{a//text()}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'ids="3"' in out          # 0, 1, 2 — a's own id included
+    assert 'texts="3"' in out        # t0, t1, t2
+    assert 'elems="0"' in out        # a//a excludes a itself (child::)
+    assert 'first="t0"' in out       # document order: a's own text first
+
+
 def test_descendant_axis_fail_fast_cases():
     """Positional predicates on descendant steps, descendant match
     patterns, and malformed '//' runs all raise XsltUnsupported — the
