@@ -107,6 +107,24 @@ def _string(item) -> str:
 import functools
 
 
+def _close_paren(s: str, start: int) -> int:
+    """Index of the ')' matching the '(' at ``start``, quote-aware."""
+    depth = 0
+    in_q = False
+    for i in range(start, len(s)):
+        ch = s[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+    raise XsltUnsupported(f"unbalanced parentheses in {s!r}")
+
+
 def _scan_brackets(s: str):
     """Yield (i, ch, depth, in_quote) with depth counted OUTSIDE quotes."""
     depth = 0
@@ -319,21 +337,34 @@ class MiniXslt:
         self._needs_pos = "position()" in src or "last()" in src
         if _local(root.tag) not in ("stylesheet", "transform"):
             raise XsltUnsupported(f"root element {root.tag!r}")
-        self.templates: list[tuple[str, ET.Element]] = []
+        self.templates: list[tuple[str, str | None, ET.Element]] = []
         self.named: dict[str, ET.Element] = {}
         self._globals: list[ET.Element] = []
+        # xsl:key declarations: name -> [(match_pattern, use_expr)];
+        # XSLT 1.0 allows several declarations per key name (union)
+        self._key_decls: dict[str, list[tuple[str, str]]] = {}
         for child in root:
             if _is_xsl(child, "template"):
                 match = child.get("match")
                 name = child.get("name")
+                mode = child.get("mode")
                 if name:
                     self.named[name] = child
                 if match:
                     if match.startswith("/") and match != "/":
                         raise XsltUnsupported(f"absolute match pattern {match!r}")
-                    self.templates.append((match, child))
+                    self.templates.append((match, mode, child))
                 elif not name:
                     raise XsltUnsupported("template without match or name")
+            elif _is_xsl(child, "key"):
+                kname = child.get("name")
+                kmatch = (child.get("match") or "").strip()
+                kuse = (child.get("use") or "").strip()
+                if not kname or not kmatch or not kuse:
+                    raise XsltUnsupported("xsl:key requires name, match and use")
+                if kmatch.startswith("/") and kmatch != "/":
+                    raise XsltUnsupported(f"absolute key match pattern {kmatch!r}")
+                self._key_decls.setdefault(kname, []).append((kmatch, kuse))
             elif _is_xsl(child, "variable") or _is_xsl(child, "param"):
                 # top-level params use their defaults (no external
                 # parameter API); evaluated at apply() against the doc
@@ -345,7 +376,11 @@ class MiniXslt:
         # ancestry is only consulted by multi-step match patterns (a/b);
         # skip the per-document parent-map pass when none exist
         self._needs_parents = any(
-            "/" in match and match != "/" for match, _ in self.templates
+            "/" in match and match != "/" for match, _, _ in self.templates
+        ) or any(
+            "/" in m
+            for decls in self._key_decls.values()
+            for m, _ in decls
         )
         self._parents: dict = {}
         # Compile-time annotation of the STYLESHEET tree (static across
@@ -355,8 +390,13 @@ class MiniXslt:
         # instead of re-classifying namespace strings for every node of
         # every document (measured +53% on q_xsl_execute without this).
         # match patterns stripped once; _split_path/_parse_step caches
-        # make the per-node match loop allocation-free
-        self._compiled = [(m.strip(), t) for m, t in self.templates]
+        # make the per-node match loop allocation-free. Templates are
+        # grouped by mode: apply-templates with mode="m" dispatches
+        # ONLY against mode-m templates (XSLT 1.0 §5.7), and the
+        # built-in rules carry the current mode through their descent.
+        self._compiled_by_mode: dict[str | None, list[tuple[str, ET.Element]]] = {}
+        for m, mode, t in self.templates:
+            self._compiled_by_mode.setdefault(mode, []).append((m.strip(), t))
         self._sty_root = root  # keep the tree alive: annotations key on id()
         self._kind: dict[int, str | None] = {}
         self._sorts: dict[int, tuple] = {}
@@ -390,6 +430,8 @@ class MiniXslt:
             self._parents = {c: p for p in src_root.iter() for c in p}
         self._tdepth = 0
         self._root = src_root
+        self._key_index: dict[str, dict[str, list]] = {}  # per-document
+        self._doc_order: dict[int, int] = {}
         doc = _Doc(src_root)
         self._scopes = [{}]
         self._ctx_pos: list[tuple[int, int]] = []
@@ -415,8 +457,8 @@ class MiniXslt:
     # fails fast.
     _MAX_TDEPTH = 256
 
-    def _apply_to(self, nodes) -> str:
-        return "".join(self._apply_one(n) for n in nodes)
+    def _apply_to(self, nodes, mode: str | None = None) -> str:
+        return "".join(self._apply_one(n, mode=mode) for n in nodes)
 
     def _enter_template(self):
         self._tdepth += 1
@@ -425,9 +467,12 @@ class MiniXslt:
                 f"template recursion deeper than {self._MAX_TDEPTH}"
             )
 
-    def _apply_one(self, node, params: dict | None = None) -> str:
+    def _apply_one(self, node, params: dict | None = None,
+                   mode: str | None = None) -> str:
         best = None
-        for idx, (pattern, telem) in enumerate(self._compiled):
+        for idx, (pattern, telem) in enumerate(
+            self._compiled_by_mode.get(mode, ())
+        ):
             score = self._match_score(pattern, node)
             if score is not None and (best is None or score + (idx,) >= best[0]):
                 best = (score + (idx,), telem)
@@ -437,12 +482,13 @@ class MiniXslt:
                 return self._run_children(best[1], node, params=params)
             finally:
                 self._tdepth -= 1
-        # built-in rules: recurse into children; copy text through
+        # built-in rules: recurse into children (carrying the current
+        # mode, per XSLT 1.0 §5.8); copy text through
         if isinstance(node, str):
             return escape(node)
         if isinstance(node, _Doc):
-            return self._apply_to([node.root])
-        return self._apply_to(self._node_children(node))
+            return self._apply_to([node.root], mode=mode)
+        return self._apply_to(self._node_children(node), mode=mode)
 
     def _match_score(self, pattern: str, node):
         # patterns are compile-time constants; the parse caches resolve
@@ -620,8 +666,9 @@ class MiniXslt:
                     nodes = []
                 nodes = self._sorted_nodes(nodes, elem, ctx)
                 params = self._gather_params(elem, ctx)
+                mode = elem.get("mode")
                 return self._iterate(
-                    nodes, lambda n: self._apply_one(n, params or None)
+                    nodes, lambda n: self._apply_one(n, params or None, mode)
                 )
             if name == "call-template":
                 tname = elem.get("name", "")
@@ -689,6 +736,63 @@ class MiniXslt:
                     out.append(_string(items[0]))
         return "".join(out)
 
+    # -- keys --------------------------------------------------------------
+
+    def _build_key(self, name: str) -> dict[str, list]:
+        """Lazily index the CURRENT document for one xsl:key: walk every
+        element once, test it against each declaration's match pattern,
+        and file it under the string-value(s) of the use expression
+        (one entry per node when use selects a node-set, per XSLT 1.0
+        §12.2). Built once per (document, key) — O(doc); every key()
+        call afterwards is a dict lookup, which is the whole point of
+        keys vs re-scanning predicates."""
+        decls = self._key_decls.get(name)
+        if decls is None:
+            raise XsltUnsupported(f"key() with undeclared key {name!r}")
+        index: dict[str, list] = {}
+        if not self._doc_order:
+            self._doc_order = {
+                id(e): i for i, e in enumerate(self._root.iter())
+            }
+        for elem in self._root.iter():
+            for kmatch, kuse in decls:
+                if self._match_score(kmatch, elem) is None:
+                    continue
+                for item in self._select(elem, kuse):
+                    index.setdefault(_string(item), []).append(elem)
+                break  # first matching declaration wins for this node
+        return index
+
+    def _key_lookup(self, inner: str, ctx) -> list:
+        args = _split_args(inner)
+        if len(args) != 2:
+            raise XsltUnsupported(f"key() takes 2 arguments, got {len(args)}")
+        kname = _literal(args[0].strip())
+        if not isinstance(kname, str):
+            raise XsltUnsupported("key() name must be a string literal")
+        if kname not in self._key_index:
+            self._key_index[kname] = self._build_key(kname)
+        index = self._key_index[kname]
+        arg = args[1].strip()
+        lit = _literal(arg)
+        if lit is not None:
+            if isinstance(lit, str):
+                values = [lit]
+            else:  # numeric literal: XPath number->string form
+                values = [str(int(lit)) if lit.is_integer() else str(lit)]
+        else:
+            values = [_string(it) for it in self._select(ctx, arg)]
+        hits: list = []
+        seen: set[int] = set()
+        for v in values:
+            for node in index.get(v, ()):
+                if id(node) not in seen:
+                    seen.add(id(node))
+                    hits.append(node)
+        # union in document order, as XPath node-sets require
+        hits.sort(key=lambda n: self._doc_order[id(n)])
+        return hits
+
     # -- path / test evaluation -------------------------------------------
 
     def _select(self, ctx, path: str) -> list:
@@ -705,6 +809,8 @@ class MiniXslt:
             inner = path[path.index("(") + 1 : -1]
             if fname == "count":
                 return [str(len(self._select(ctx, inner)))]
+            if fname == "key":
+                return self._key_lookup(inner, ctx)
             if fname == "concat":
                 return ["".join(self._arg_string(ctx, a)
                                 for a in _split_args(inner))]
@@ -739,8 +845,19 @@ class MiniXslt:
             if "/" in rest or "[" in rest:
                 raise XsltUnsupported(f"path into variable {path!r}")
             return [self._lookup_var(rest)]
-        if path.startswith("/"):
-            cur: list = [_Doc(self._root)]
+        if path.startswith("key("):
+            # key(...)/<steps>: the lookup's node-set is the path head
+            # (the whole-expression form key(...) is handled by the
+            # function dispatch above). _split_path can't see into the
+            # args (its scanner only tracks brackets), so find the
+            # matching close paren quote-aware here.
+            end = _close_paren(path, 3)
+            cur: list = self._key_lookup(path[4:end], ctx)
+            path = path[end + 1 :]
+            if path and not path.startswith("/"):
+                raise XsltUnsupported(f"syntax after key() in {path!r}")
+        elif path.startswith("/"):
+            cur = [_Doc(self._root)]
         else:
             cur = [ctx]
         for name, preds, desc in _path_steps(path):

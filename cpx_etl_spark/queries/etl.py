@@ -773,13 +773,37 @@ _XSL_STYLESHEET_2 = """<xsl:stylesheet version="1.0"
 """
 
 
+# Step 3 exercises xsl:key/key() and template modes (r7): out records
+# re-emit through a moded template, with pri/cents fetched via a keyed
+# SELF-lookup (key('by-id', key)/pri) instead of direct child access —
+# a broken key index or mode dispatch empties the fields and fails the
+# hash gate.
+_XSL_STYLESHEET_3 = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:key name="by-id" match="out" use="key"/>
+  <xsl:template match="/">
+    <outs><xsl:apply-templates mode="emit"/></outs>
+  </xsl:template>
+  <xsl:template match="out" mode="emit">
+    <out>
+      <key><xsl:value-of select="key"/></key>
+      <pri><xsl:value-of select="key('by-id', key)/pri"/></pri>
+      <cents><xsl:value-of select="key('by-id', key)/cents"/></cents>
+    </out>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+
 def _write_xsl_exec_control() -> str:
-    """Write two REAL .xsl stylesheets + an xi:include control chaining
-    them — the reference's own on-disk layout (index.js:108-126)."""
+    """Write three REAL .xsl stylesheets + an xi:include control
+    chaining them — the reference's own on-disk layout
+    (index.js:108-126)."""
     import os
 
     d = scratch_dir("cpx_etl_xsl_exec_")
-    for i, src in enumerate([_XSL_STYLESHEET_1, _XSL_STYLESHEET_2], start=1):
+    sheets = [_XSL_STYLESHEET_1, _XSL_STYLESHEET_2, _XSL_STYLESHEET_3]
+    for i, src in enumerate(sheets, start=1):
         with open(os.path.join(d, f"step{i}.xsl"), "w", encoding="utf-8") as fh:
             fh.write(src)
     control = os.path.join(d, "transform.xml")
@@ -788,6 +812,7 @@ def _write_xsl_exec_control() -> str:
             '<transform xmlns:xi="http://www.w3.org/2001/XInclude">\n'
             '  <xi:include href="step1.xsl"/>\n'
             '  <xi:include href="step2.xsl"/>\n'
+            '  <xi:include href="step3.xsl"/>\n'
             "</transform>\n"
         )
     return control
@@ -804,8 +829,9 @@ def _write_xsl_exec_control() -> str:
 def q_xsl_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL XSLT execution (reference index.js:87-126): each order row
     renders to an XML document JVM-side; an xi:include control chains
-    two actual .xsl stylesheets (template match / value-of / for-each /
-    xsl:if / attribute-value-templates), executed per row by the stdlib
+    three actual .xsl stylesheets (template match / value-of / for-each
+    / xsl:if / attribute-value-templates / named templates with params
+    / xsl:key + key() lookups / moded templates), executed per row by the stdlib
     MiniXslt subset interpreter (functions/xslt.py; lxml fast path when
     present) in one Arrow-batched pandas UDF; the transformed XML's
     fields come back out via Spark's built-in xpath_string — JVM-side

@@ -97,3 +97,121 @@ def test_document_root_select_still_works():
     </xsl:stylesheet>"""
     out = _run_xsl(xsl, "<root><a>1</a></root>")
     assert 'n="1"' in out and "<a>1</a>" in out
+
+
+# -- xsl:key / key() and template modes (r7) ---------------------------------
+
+_XSLNS = 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
+
+
+def test_key_lookup_joins_orders_to_customers():
+    """xsl:key declares an index; key() resolves cross-references in
+    O(1) per lookup — the canonical keyed-join stylesheet (reference
+    runs arbitrary stylesheets via index.js:87-126; before r7 key()
+    raised XsltUnsupported)."""
+    xml = """<db>
+      <cust id="c1"><name>Ada</name></cust>
+      <cust id="c2"><name>Grace</name></cust>
+      <order ref="c2" amt="5"/><order ref="c1" amt="3"/><order ref="c2" amt="7"/>
+    </db>"""
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:key name="by-id" match="cust" use="@id"/>
+      <xsl:template match="db">
+        <out>
+          <xsl:for-each select="order">
+            <o who="{{key('by-id', @ref)/name}}" amt="{{@amt}}"/>
+          </xsl:for-each>
+          <n both="{{count(key('by-id', 'c1') | key('by-id', 'c2'))}}"/>
+        </out>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    # the union expression isn't in the subset — use two counts instead
+    xsl = xsl.replace(
+        """<n both="{count(key('by-id', 'c1') | key('by-id', 'c2'))}"/>""",
+        """<n one="{count(key('by-id', 'c1'))}" miss="{count(key('by-id', 'zz'))}"/>""",
+    )
+    out = _run_xsl(xsl, xml)
+    assert '<o who="Grace" amt="5"/>' in out
+    assert '<o who="Ada" amt="3"/>' in out
+    assert out.count('who="Grace"') == 2
+    assert 'one="1"' in out and 'miss="0"' in out
+
+
+def test_key_nodeset_use_and_nodeset_arg():
+    """A key whose use expression selects a node-set files the node
+    once per value; a node-set second argument unions the lookups in
+    document order (XSLT 1.0 section 12.2)."""
+    xml = """<db>
+      <item><tag>a</tag><tag>b</tag><v>1</v></item>
+      <item><tag>b</tag><v>2</v></item>
+      <want><t>b</t><t>a</t></want>
+    </db>"""
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:key name="by-tag" match="item" use="tag"/>
+      <xsl:template match="db">
+        <out a="{{count(key('by-tag', 'a'))}}" b="{{count(key('by-tag', 'b'))}}"
+             u="{{count(key('by-tag', want/t))}}"
+             first="{{key('by-tag', want/t)/v}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'a="1"' in out and 'b="2"' in out
+    assert 'u="2"' in out              # union dedupes item1
+    assert 'first="1"' in out          # document order, not arg order
+
+
+def test_key_multiple_declarations_and_undeclared_fails():
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import XsltUnsupported
+
+    xml = "<db><a k='x'/><b k='x'/></db>".replace("'", '"')
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:key name="k" match="a" use="@k"/>
+      <xsl:key name="k" match="b" use="@k"/>
+      <xsl:template match="db"><out n="{{count(key('k', 'x'))}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    assert 'n="2"' in _run_xsl(xsl, xml)
+    bad = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="db"><out n="{{count(key('nope', 'x'))}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="undeclared key"):
+        _run_xsl(bad, xml)
+
+
+def test_template_modes_dispatch_and_builtin_descent():
+    """The same element renders differently per mode; apply-templates
+    without mode never hits a moded template; built-in rules carry the
+    current mode down through unmatched ancestors (XSLT 1.0 section 5.7,
+    5.8). Before r7 the mode attribute was silently ignored."""
+    xml = "<doc><sec><title>T</title></sec></doc>"
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="doc">
+        <toc><xsl:apply-templates mode="toc"/></toc>
+        <body><xsl:apply-templates/></body>
+      </xsl:template>
+      <xsl:template match="title" mode="toc"><entry><xsl:value-of select="."/></entry></xsl:template>
+      <xsl:template match="title"><h1><xsl:value-of select="."/></h1></xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    # toc pass: <sec> has no toc template -> built-in descent stays in
+    # toc mode and finds the moded title template
+    assert "<toc><entry>T</entry></toc>" in out
+    assert "<body><h1>T</h1></body>" in out
+
+
+def test_mode_with_params_and_sort():
+    xml = '<r><i n="2"/><i n="1"/></r>'
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="r">
+        <out><xsl:apply-templates select="i" mode="m">
+          <xsl:sort select="@n" data-type="number"/>
+          <xsl:with-param name="p" select="'v'"/>
+        </xsl:apply-templates></out>
+      </xsl:template>
+      <xsl:template match="i" mode="m">
+        <xsl:param name="p"/>
+        <x n="{{@n}}" p="{{$p}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    assert _run_xsl(xsl, xml) == '<out><x n="1" p="v"/><x n="2" p="v"/></out>'
