@@ -229,9 +229,21 @@ def bloom_probe(
 
 def write_bloom(bloom: DataFrame, path: str) -> None:
     """Persist the bitmap as a single-file parquet artifact (a few KB
-    to a few MB — the whole point vs shipping the raw key set)."""
-    bloom.coalesce(1).write.mode("overwrite").parquet(path)
+    to a few MB — the whole point vs shipping the raw key set) under
+    the versioned snapshot-commit protocol: the write is DISTRIBUTED
+    (executor-side, no driver round-trip — at production m_bits of
+    2^30+ the bitmap is ~130 MB, which must never transit the driver
+    per micro-batch), lands in a fresh version dir while readers (and
+    the merge plan itself) still scan the previous committed version,
+    and commits via an atomic manifest repoint."""
+    from cpx_etl_spark.sources.sinks import commit_versioned_parquet
+
+    commit_versioned_parquet(bloom.coalesce(1), path)
 
 
 def read_bloom(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Committed bitmap snapshot (manifest-resolved; a legacy flat
+    parquet dir without a manifest reads as-is)."""
+    from cpx_etl_spark.sources.sinks import read_upsert_table
+
+    return read_upsert_table(spark, path)

@@ -216,6 +216,47 @@ def upsert_parquet_table(
     os.replace(tmp_mf, os.path.join(path, _MANIFEST))
 
 
+def commit_versioned_parquet(
+    df: DataFrame, path: str, retain_versions: int = 2
+) -> str:
+    """Write ``df`` as a new immutable version directory under ``path``
+    and atomically repoint the ``_MANIFEST`` file — the upsert sink's
+    snapshot-commit protocol without the merge step, for artifacts that
+    are REPLACED whole (a Bloom bitmap, a trained index) rather than
+    merged row-wise. The write is fully distributed (executor-side);
+    nothing round-trips through the driver. Crucially the new version
+    dir is written while any reader — including the very plan producing
+    ``df`` — still scans the PREVIOUS committed version, so
+    read-then-replace cycles never overwrite the directory they are
+    reading. Crash at any point leaves the old version committed.
+    Returns the committed version name."""
+    import os
+    import shutil
+
+    if retain_versions < 2:
+        raise ValueError("retain_versions must be >= 2 (new version + its source)")
+    os.makedirs(path, exist_ok=True)
+    current = _read_manifest(path)
+    committed = sorted(
+        e
+        for e in os.listdir(path)
+        if e.startswith("v") and current is not None and e <= current
+    )
+    keep = set(committed[-(retain_versions - 1):])
+    for entry in os.listdir(path):
+        if entry.startswith("v") and entry not in keep:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    next_v = f"v{(int(current[1:]) + 1 if current else 1):08d}"
+    df.write.mode("overwrite").parquet(os.path.join(path, next_v))
+    tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
+    with open(tmp_mf, "w") as f:
+        f.write(next_v + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_mf, os.path.join(path, _MANIFEST))
+    return next_v
+
+
 def zorder_key(cols, bits: int = 16):
     """Morton (Z-order) key: interleave the low ``bits`` bits of each
     already-bucketed non-negative integer column — pure bit arithmetic,

@@ -506,9 +506,23 @@ def bloom_dedup_stream(
     contract for at-most-once keys over unbounded streams — the exact
     variant (dropDuplicates + watermark) holds per-key state forever
     within the watermark and is the right tool when memory allows.
-    The bitmap write reuses the atomic overwrite convention (tmp +
-    rename not needed: parquet overwrite is a fresh dir swap under one
-    writer — single-writer assumption identical to the upsert sink)."""
+    The bitmap commits via the versioned snapshot protocol
+    (sinks.commit_versioned_parquet): the merged bitmap is written
+    executor-side to a fresh version dir while the merge plan still
+    reads the previous committed version, then the manifest repoints
+    atomically — no driver round-trip of the bitmap (ADVICE r6; at
+    production m_bits the bitmap is 100+ MB per micro-batch).
+
+    Crash-window caveat (ADVICE r6): the sink append and the bitmap
+    commit are two non-atomic steps. A foreachBatch retry that crashes
+    AFTER the append but BEFORE the bitmap write re-appends that
+    batch's fresh rows on replay — the plain append sink is
+    at-least-once for the crashed batch, though the bitmap (union of
+    Blooms) stays correct. When the sink must hold exactly the
+    first-occurrence set across crashes, pair this dedup with the
+    PK-upsert sink (upsert_parquet_table on the key column), as
+    ingest_new_files does — the upsert absorbs the replayed rows.
+    Single-writer assumption throughout, identical to the upsert sink."""
     from cpx_etl_spark.operators.sketches import (
         bloom_build, bloom_probe, read_bloom, write_bloom,
     )
@@ -537,9 +551,10 @@ def bloom_dedup_stream(
                 .groupBy("word_idx")
                 .agg(F.bit_or("bits").alias("bits"))
             )
-            # materialize BEFORE overwriting the dir being read
-            rows = merged.collect()
-            write_bloom(spark.createDataFrame(rows, merged.schema), bloom_path)
+            # executor-side write into a NEW version dir: the plan
+            # keeps reading the previous committed version, so no
+            # materialize-then-overwrite driver round-trip is needed
+            write_bloom(merged, bloom_path)
             fresh.unpersist()
         else:
             batch.write.mode("append").parquet(out_path)

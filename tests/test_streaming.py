@@ -386,12 +386,16 @@ def test_bloom_dedup_stream_matches_batch_first_occurrence(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        # production-representative bitmap size (2^26 bits ≈ 1M words):
+        # proves the executor-side versioned commit handles a bitmap
+        # that must never transit the driver per micro-batch
         q = bloom_dedup_stream(
             sdf,
             out_path=str(tmp_path / "out"),
             bloom_path=str(tmp_path / "bloom"),
             checkpoint=str(tmp_path / ckpt_name),
             key_col="event_id",
+            m_bits=1 << 26,
         )
         q.awaitTermination()
 
@@ -406,6 +410,13 @@ def test_bloom_dedup_stream_matches_batch_first_occurrence(spark, tmp_path):
         r["event_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert again == [1, 2, 3, 4, 5]
+    # the bitmap state lives in versioned snapshot dirs, bounded count
+    import os as _os
+
+    bloom_dir = str(tmp_path / "bloom")
+    versions = [e for e in _os.listdir(bloom_dir) if e.startswith("v")]
+    assert 1 <= len(versions) <= 2, versions
+    assert "_MANIFEST" in _os.listdir(bloom_dir)
 
 
 def test_stream_outer_interval_join_emits_unmatched(spark, sf_dir, tmp_path):
