@@ -346,12 +346,35 @@ def test_survey_names_match_registry():
     assert not missing_from_survey, (
         f"registered queries not named in SURVEY.md: {missing_from_survey}"
     )
-    # deregistered r6 (documented) + its pre-r3 historical name
-    pytest_only = {"dedup_embedding_demo", "dedup_embedding"}
+    # names SURVEY may mention without a registry entry: deregistered
+    # r6 demo (+ its pre-r3 historical name), and streaming sinks whose
+    # evidence is the batch-twin pytest — the latter MUST be marked
+    # *pytest-only* on their SURVEY line (checked below, VERDICT r6)
+    pytest_only = {
+        "dedup_embedding_demo",
+        "dedup_embedding",
+        "click_attribution_outer_stream",
+        "bloom_dedup_stream",
+    }
     prefixes = ("q_", "dedup_", "ann_", "text_", "stream_", "mm_")
     query_shaped = {
         m for m in mentioned
-        if m.startswith(prefixes) and not m.endswith(("_batch", "_stream"))
+        if (m.startswith(prefixes) or m.endswith("_stream"))
+        and not m.endswith("_batch")
     }
     ghosts = sorted(query_shaped - set(q) - pytest_only)
     assert not ghosts, f"SURVEY names unregistered queries: {ghosts}"
+    # the checklist notation must agree with the registry: a mentioned
+    # name with no queries() entry carries the *pytest-only* marker on
+    # every SURVEY line naming it
+    for name in sorted((query_shaped & pytest_only) & mentioned):
+        # checklist bullets must carry the marker; prose mentions
+        # elsewhere (round summaries) are exempt
+        bullets = [
+            ln for ln in survey.splitlines()
+            if f"`{name}`" in ln and ln.lstrip().startswith("- [")
+        ]
+        assert all("pytest-only" in ln for ln in bullets), (
+            f"SURVEY checklist names unregistered `{name}` without a "
+            f"pytest-only marker"
+        )
