@@ -95,6 +95,8 @@ class _RTF:
 
 
 def _string(item) -> str:
+    if isinstance(item, bool):  # XPath boolean->string (before str: bool isn't)
+        return "true" if item else "false"
     if isinstance(item, str):
         return item
     if isinstance(item, _RTF):
@@ -160,9 +162,22 @@ def _parse_step(step: str) -> tuple[str, tuple[str, ...]]:
             raise XsltUnsupported(f"unbalanced predicate in step {step!r}")
         preds.insert(0, step[close_match + 1 : -1])
         step = step[:close_match]
-    if "(" in step and step != "text()":
+    if "(" in step and step not in ("text()", "node()"):
         raise XsltUnsupported(f"path function {step!r}")
     return step, tuple(preds)
+
+
+def _split_union(expr: str) -> tuple[str, ...]:
+    """Split on top-level '|' (pattern alternation), quote/bracket
+    aware."""
+    parts: list[str] = []
+    start = 0
+    for i, ch, depth, in_q in _scan_brackets(expr):
+        if ch == "|" and depth == 0 and not in_q:
+            parts.append(expr[start:i])
+            start = i + 1
+    parts.append(expr[start:])
+    return tuple(p.strip() for p in parts if p.strip())
 
 
 @functools.lru_cache(maxsize=4096)
@@ -327,6 +342,84 @@ def _literal(token: str):
         return None
 
 
+def _split_bool(expr: str, word: str) -> tuple[str, ...]:
+    """Split on the XPath boolean operator ``word`` (' and ' / ' or ')
+    at paren/bracket depth 0 outside quotes."""
+    parts: list[str] = []
+    depth = 0
+    in_q = False
+    start = 0
+    i = 0
+    token = f" {word} "
+    n = len(token)
+    while i < len(expr):
+        ch = expr[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and expr.startswith(token, i):
+                parts.append(expr[start:i])
+                i += n
+                start = i
+                continue
+        i += 1
+    parts.append(expr[start:])
+    return tuple(p for p in parts)
+
+
+def _format_number(value: float, pattern: str) -> str:
+    """XSLT 1.0 format-number() subset: the default decimal-format
+    symbols with '0' (required digit), '#' (optional digit), '.'
+    (decimal point), ',' (grouping, distance from the LAST separator to
+    the decimal point), and a trailing '%' (multiply by 100). Rounding
+    is half-even, as Java DecimalFormat specifies. No per-format
+    xsl:decimal-format, no negative sub-pattern (the '-' sign is
+    prefixed), no currency/permille — out-of-subset patterns fail fast."""
+    import decimal
+
+    if any(c not in "0#.,%" for c in pattern):
+        raise XsltUnsupported(f"format-number pattern {pattern!r}")
+    pct = pattern.endswith("%")
+    if pct:
+        pattern = pattern[:-1]
+        value = value * 100
+    if pattern.count(".") > 1 or not pattern:
+        raise XsltUnsupported(f"format-number pattern {pattern!r}")
+    int_pat, _, frac_pat = pattern.partition(".")
+    group = 0
+    if "," in int_pat:
+        group = len(int_pat) - int_pat.rindex(",") - 1
+        int_pat = int_pat.replace(",", "")
+    max_frac = len(frac_pat)
+    min_frac = len(frac_pat.rstrip("#"))
+    min_int = max(1, len(int_pat.lstrip("#"))) if int_pat else 1
+    d = decimal.Decimal(repr(value)).quantize(
+        decimal.Decimal(1).scaleb(-max_frac), rounding=decimal.ROUND_HALF_EVEN
+    )
+    neg = d < 0
+    d = abs(d)
+    int_part, _, frac_part = format(d, "f").partition(".")
+    frac_part = frac_part.rstrip("0")
+    while len(frac_part) < min_frac:
+        frac_part += "0"
+    int_part = int_part.lstrip("0") or ""
+    while len(int_part) < min_int:
+        int_part = "0" + int_part
+    if group:
+        rev = int_part[::-1]
+        int_part = ",".join(
+            rev[i : i + group] for i in range(0, len(rev), group)
+        )[::-1]
+    out = int_part + (f".{frac_part}" if frac_part else "")
+    if pct:
+        out += "%"
+    return ("-" + out) if neg else out
+
+
 class MiniXslt:
     """One compiled stylesheet; ``apply(xml) -> str`` runs it."""
 
@@ -396,7 +489,10 @@ class MiniXslt:
         # built-in rules carry the current mode through their descent.
         self._compiled_by_mode: dict[str | None, list[tuple[str, ET.Element]]] = {}
         for m, mode, t in self.templates:
-            self._compiled_by_mode.setdefault(mode, []).append((m.strip(), t))
+            # 'a|b' alternation: each alternative is its own rule with
+            # its own specificity, per XSLT 1.0 §5.3
+            for alt in _split_union(m):
+                self._compiled_by_mode.setdefault(mode, []).append((alt, t))
         self._sty_root = root  # keep the tree alive: annotations key on id()
         self._kind: dict[int, str | None] = {}
         self._sorts: dict[int, tuple] = {}
@@ -496,7 +592,9 @@ class MiniXslt:
         if pattern == "/":
             return (0, 0, 2) if isinstance(node, _Doc) else None
         if isinstance(node, (str, _Doc)):
-            return (0, 0, 0) if pattern == "text()" and isinstance(node, str) else None
+            if isinstance(node, str) and pattern in ("text()", "node()"):
+                return (0, 0, 0)
+            return None
         if any(d for _s, d in _split_path_marked(pattern)):
             raise XsltUnsupported(f"descendant axis in match pattern {pattern!r}")
         steps = _split_path(pattern)
@@ -510,13 +608,13 @@ class MiniXslt:
             name, preds = _parse_step(steps[i])
             if name == "text()":
                 return None  # element node can't match a text step
-            if name != "*" and _local(target.tag) != name:
+            if name not in ("*", "node()") and _local(target.tag) != name:
                 return None
             if preds and not all(self._test(target, p) for p in preds):
                 return None
             n_preds += len(preds)
         name0, _ = _parse_step(steps[-1])
-        return (len(steps) - 1, n_preds, 0 if name0 == "*" else 1)
+        return (len(steps) - 1, n_preds, 0 if name0 in ("*", "node()") else 1)
 
     def _node_children(self, elem: ET.Element) -> list:
         out: list = []
@@ -686,6 +784,16 @@ class MiniXslt:
             if name == "element":
                 tag = self._avt(elem.get("name", ""), ctx)
                 return self._element_markup(tag, elem, ctx, "")
+            if name == "copy":
+                # shallow copy of the context node (XSLT 1.0 §7.5):
+                # elements copy the tag but NOT attributes (xsl:attribute
+                # children of the body add them); text copies through;
+                # the document node just runs the body
+                if isinstance(ctx, str):
+                    return escape(ctx)
+                if isinstance(ctx, (_Doc, _RTF)):
+                    return self._run_children(elem, ctx)
+                return self._element_markup(_local(ctx.tag), elem, ctx, "")
             raise XsltUnsupported(f"xsl:{name}")
         # literal result element
         attrs = "".join(
@@ -823,6 +931,49 @@ class MiniXslt:
             if fname == "string":
                 return [self._arg_string(ctx, inner) if inner.strip()
                         else _string(ctx)]
+            if fname == "contains":
+                a, b = self._args_strings(ctx, inner, "contains", 2)
+                return [b in a]
+            if fname == "starts-with":
+                a, b = self._args_strings(ctx, inner, "starts-with", 2)
+                return [a.startswith(b)]
+            if fname == "substring-before":
+                a, b = self._args_strings(ctx, inner, "substring-before", 2)
+                return [a.split(b, 1)[0] if b and b in a else ""]
+            if fname == "substring-after":
+                a, b = self._args_strings(ctx, inner, "substring-after", 2)
+                return [a.split(b, 1)[1] if b and b in a else ""]
+            if fname == "translate":
+                a, b, c = self._args_strings(ctx, inner, "translate", 3)
+                table = {}
+                for i, ch in enumerate(b):
+                    if ch not in table:
+                        table[ch] = c[i] if i < len(c) else None
+                return ["".join(
+                    table.get(ch, ch) for ch in a if table.get(ch, ch) is not None
+                )]
+            if fname == "substring":
+                return self._substring(ctx, inner)
+            if fname == "format-number":
+                args = _split_args(inner)
+                if len(args) != 2:
+                    raise XsltUnsupported(
+                        "format-number() supports (value, pattern); named "
+                        "xsl:decimal-format third arguments are out of subset"
+                    )
+                try:
+                    v = float(self._arg_string(ctx, args[0]))
+                except ValueError:
+                    return ["NaN"]
+                return [_format_number(v, self._arg_string(ctx, args[1]))]
+            if fname == "true" and not inner.strip():
+                return [True]
+            if fname == "false" and not inner.strip():
+                return [False]
+            if fname == "not":
+                return [not self._test(ctx, inner)]
+            if fname == "boolean":
+                return [self._test(ctx, inner)]
             # text() falls through to step parsing; anything else is an
             # unsupported XPath function and fails fast there too
         # fast paths for the two step shapes that dominate row
@@ -919,6 +1070,14 @@ class MiniXslt:
                         if isinstance(node, ET.Element) and node.text
                         else []
                     )
+                elif name == "node()":
+                    # child::node(): elements AND text children, in
+                    # document order
+                    cand = (
+                        self._node_children(node)
+                        if isinstance(node, ET.Element)
+                        else children
+                    )
                 elif name == "*":
                     cand = children
                 else:
@@ -961,15 +1120,67 @@ class MiniXslt:
         items = self._select(ctx, tok)
         return _string(items[0]) if items else ""
 
+    def _args_strings(self, ctx, inner: str, fname: str, n: int) -> list[str]:
+        args = _split_args(inner)
+        if len(args) != n:
+            raise XsltUnsupported(
+                f"{fname}() takes {n} arguments, got {len(args)}"
+            )
+        return [self._arg_string(ctx, a) for a in args]
+
+    def _substring(self, ctx, inner: str) -> list:
+        """XPath 1.0 substring(): 1-based, both numeric arguments pass
+        through round() (floor(x+0.5)), chars kept at positions p with
+        round(start) <= p < round(start)+round(length)."""
+        import math
+
+        args = _split_args(inner)
+        if len(args) not in (2, 3):
+            raise XsltUnsupported("substring() takes 2 or 3 arguments")
+        s = self._arg_string(ctx, args[0])
+
+        def num(tok: str) -> float:
+            try:
+                return float(self._arg_string(ctx, tok))
+            except ValueError:
+                return float("nan")
+
+        start = num(args[1])
+        if math.isnan(start):
+            return [""]
+        rstart = math.floor(start + 0.5)
+        if len(args) == 2:
+            return [s[max(0, rstart - 1):]]
+        ln = num(args[2])
+        if math.isnan(ln) or math.isinf(ln) and ln < 0:
+            return [""]
+        rend = rstart + (len(s) + 1 if math.isinf(ln) else math.floor(ln + 0.5))
+        lo = max(1, rstart)
+        hi = max(lo, min(rend, len(s) + 1))
+        return [s[lo - 1 : hi - 1]]
+
     def _test(self, ctx, expr: str) -> bool:
         expr = expr.strip()
         if not expr:
             return False
+        # XPath boolean operators, lowest precedence first: or, and;
+        # a fully-parenthesized group unwraps and recurses
+        ors = _split_bool(expr, "or")
+        if len(ors) > 1:
+            return any(self._test(ctx, p) for p in ors)
+        ands = _split_bool(expr, "and")
+        if len(ands) > 1:
+            return all(self._test(ctx, p) for p in ands)
+        if expr.startswith("(") and _close_paren(expr, 0) == len(expr) - 1:
+            return self._test(ctx, expr[1:-1])
         if expr.startswith("not(") and expr.endswith(")"):
             return not self._test(ctx, expr[4:-1])
         cmp = _split_comparison(expr)
         if cmp is None:
-            return bool(self._select(ctx, expr))
+            items = self._select(ctx, expr)
+            if len(items) == 1 and isinstance(items[0], bool):
+                return items[0]  # boolean function result, not a node-set
+            return bool(items)
         lhs, op, rhs = cmp
 
         def operand_literal(tok: str):

@@ -810,7 +810,7 @@ def test_xslt_string_functions():
     from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
 
     bad = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
-      <xsl:template match="/"><x v="{{translate(., 'a', 'b')}}"/></xsl:template>
+      <xsl:template match="/"><x v="{{generate-id(.)}}"/></xsl:template>
     </xsl:stylesheet>"""
     with _pytest.raises(XsltUnsupported):
         MiniXslt(bad).apply("<doc/>")

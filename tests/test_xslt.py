@@ -251,3 +251,123 @@ def test_lxml_fast_path_agrees_with_stdlib_interpreter():
     # lxml serializes with an XML declaration; compare the body
     fast = fast.split("?>")[-1].strip()
     assert mini == fast
+
+
+# -- r7 subset expansion: string fns, booleans, format-number, copy ----------
+
+
+def test_xpath_string_functions():
+    xml = '<doc url="https://example.org/path?q=1"><name>  Spark SQL </name></doc>'
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="doc">
+        <out host="{{substring-before(substring-after(@url, '://'), '/')}}"
+             scheme="{{substring-before(@url, ':')}}"
+             sub="{{substring(name, 3, 5)}}"
+             tr="{{translate(name, 'abcdefghijklmnopqrstuvwxyz ', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')}}"
+             has="{{contains(@url, 'example')}}"
+             sw="{{starts-with(@url, 'https')}}"
+             miss="{{substring-before(@url, '#')}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'host="example.org"' in out
+    assert 'scheme="https"' in out
+    assert 'sub="Spark"' in out          # 1-based from whitespace text
+    assert 'tr="SPARKSQL"' in out        # space deleted (b longer than c)
+    assert 'has="true"' in out and 'sw="true"' in out
+    assert 'miss=""' in out
+
+
+def test_xpath_substring_rounding_edges():
+    """The classic XPath 1.0 substring() edge semantics: fractional
+    args round (floor(x+0.5)), start below 1 clips but still consumes
+    length."""
+    xml = "<d><s>12345</s></d>"
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <o a="{{substring(s, 1.5, 2.6)}}" b="{{substring(s, 0, 3)}}"
+           c="{{substring(s, 2)}}" d="{{substring(s, -1, 4)}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'a="234"' in out and 'b="12"' in out
+    assert 'c="2345"' in out and 'd="12"' in out
+
+
+def test_xpath_boolean_operators_and_functions():
+    xml = '<d kind="x"><n>5</n><tag/></d>'
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <o both="{{boolean(n &gt; 3 and @kind = 'x')}}"
+           either="{{boolean(n &gt; 9 or tag)}}"
+           neg="{{not(contains(@kind, 'y'))}}"
+           grp="{{boolean((n &gt; 9 or n &lt; 6) and tag)}}"
+           t="{{true()}}" f="{{false()}}"/>
+        <xsl:if test="n = 5 and @kind = 'x'"><hit/></xsl:if>
+        <xsl:if test="n = 4 or @kind = 'zzz' or tag"><hit2/></xsl:if>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'both="true"' in out and 'either="true"' in out
+    assert 'neg="true"' in out and 'grp="true"' in out
+    assert 't="true"' in out and 'f="false"' in out
+    assert "<hit/>" in out and "<hit2/>" in out
+
+
+def test_format_number_patterns():
+    xml = '<d><v>1234567.891</v><p>0.34567</p><neg>-42.5</neg></d>'
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <o grp="{{format-number(v, '#,##0.00')}}"
+           plain="{{format-number(v, '0')}}"
+           opt="{{format-number(p, '0.###')}}"
+           pct="{{format-number(p, '0%')}}"
+           neg="{{format-number(neg, '0.0')}}"
+           even="{{format-number(2.5, '0')}}"
+           nan="{{format-number('x', '0')}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'grp="1,234,567.89"' in out
+    assert 'plain="1234568"' in out
+    assert 'opt="0.346"' in out
+    assert 'pct="35%"' in out
+    assert 'neg="-42.5"' in out
+    assert 'even="2"' in out            # half-even, not half-up
+    assert 'nan="NaN"' in out
+
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import XsltUnsupported, _format_number
+
+    with pytest.raises(XsltUnsupported):
+        _format_number(1.0, "¤0.00")    # currency: out of subset
+
+
+def test_copy_and_pattern_alternation_node_step():
+    """xsl:copy + match alternation + node() — the shape of real
+    restructure-in-place stylesheets: rename/keep specific elements,
+    recurse structurally through everything else."""
+    xml = "<doc><keep a='1'>x<em>y</em>z</keep><drop>gone</drop></doc>".replace(
+        "'", '"'
+    )
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="doc|keep|em">
+        <xsl:copy><xsl:apply-templates select="node()"/></xsl:copy>
+      </xsl:template>
+      <xsl:template match="drop"/>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    # xsl:copy does NOT copy attributes (spec 7.5); text passes via
+    # the built-in text rule inside node()
+    assert out == "<doc><keep>x<em>y</em>z</keep></doc>"
+
+
+def test_node_pattern_matches_text():
+    xml = "<d>hi<b/></d>"
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d"><o><xsl:apply-templates select="node()"/></o></xsl:template>
+      <xsl:template match="node()"><n/></xsl:template>
+    </xsl:stylesheet>"""
+    # both the text child and <b/> hit the node() rule
+    assert _run_xsl(xsl, xml) == "<o><n/><n/></o>"
