@@ -2822,3 +2822,261 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'STANDARD%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 40
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted to this schema (no partsupp table: supplier
+    availability comes from shipped lineitems; negative-balance
+    suppliers stand in for the complaints NOT IN subquery): distinct
+    supplier counts per (brand, type, size) bucket over an anti-joined
+    exclusion list. Scale shape: the exclusion list is a tiny dim —
+    broadcast anti-join, no shuffle of the fact side for it; the
+    distinct-count aggregates partial per partition before the single
+    (brand,type,size) shuffle. Parity: the reference's applyView with
+    negated predicates (src/main/etl.js:472-491) only composes equality
+    includes — this is the relational surface it delegates to SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey")
+    )
+    sizes = [1, 4, 9, 14, 19, 24, 29, 34, 49]
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("STANDARD")
+        & F.col("p_size").isin(sizes)
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(40)
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH order_stats AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE
+               WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+               THEN l_suppkey END) AS n_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ) late
+    JOIN order_stats os ON os.l_orderkey = late.l_orderkey
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    WHERE os.n_supp > 1 AND os.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no l_receiptdate/l_commitdate in this
+    schema: 'late' is shipping >60 days after the order date):
+    suppliers who were the SOLE late supplier on a finished
+    multi-supplier order. The spec's correlated EXISTS / NOT EXISTS
+    pair is re-expressed as one order-level aggregate (distinct
+    suppliers, distinct late suppliers) joined back — each exists
+    probe would re-scan lineitem per row at 100 TB, while this
+    formulation is two shuffles total (order rollup + supplier count),
+    and the order_stats frame it joins is pre-aggregated
+    (order-cardinality, not line-cardinality)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supplier = _t(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("is_late"),
+    )
+    order_stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    return (
+        late.join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "q_session_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_no
+      FROM ordered
+    ),
+    ranked AS (
+      SELECT user_id, sess_no, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, sess_no ORDER BY ts, event_id
+             ) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sess_no,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id, sess_no
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: sessionize by 30-min gap (the same
+    lag/cumsum construction as stream_sessionize), take each session's
+    first 3 event types in time order, count sessions per path string.
+    The windows are all user-partitioned (no global ordering); the
+    path build is slice(sort_array(collect_list(struct))) — one
+    aggregate, no second window pass. Ties broken by event_id so the
+    selected triple is deterministic cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                    > 1800
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "q_props_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN k_val IS NULL THEN 1 END) AS n_null,
+           SUM(k_val) AS sum_k,
+           MIN(k_val) AS min_k, MAX(k_val) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction: the events.props JSON string
+    parses with a TYPED from_json schema (not get_json_object string
+    plucking — a typed parse is one pass and prunes to the referenced
+    field), then plain grouped stats over the extracted value. The
+    integer domain keeps SUM exact cross-engine without the decimal
+    dance. At scale the parse is JVM-side Jackson inside codegen;
+    schema-on-read with a declared schema is the production posture
+    for raw JSON columns (reference badgerfish/applySchema territory:
+    etl.js:191-322 coerces typed fields the same way)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k_val"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("k_val").isNull(), 1)).alias("n_null"),
+            F.sum("k_val").alias("sum_k"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -644,3 +644,111 @@ def q_corpus_mixture_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = timed.orderBy("vt", "source", "k").limit(100)
     w_glob = Window.orderBy("vt", "source", "k")
     return head.withColumn("mix_pos", F.row_number().over(w_glob).cast("long"))
+
+
+@register(
+    "q_token_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    kept AS (
+      SELECT t.doc_id, t.tok
+      FROM toks t
+      JOIN (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok) d
+        ON d.tok = t.tok
+      CROSS JOIN n_docs
+      WHERE d.df >= 5 AND d.df <= 0.95 * n_docs.n
+    ),
+    capped AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tok) AS rn
+            FROM kept)
+      WHERE rn <= 40
+    ),
+    pair_counts AS (
+      SELECT a.tok AS token_a, b.tok AS token_b, COUNT(*) AS c_xy
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+    SELECT token_a, token_b, c_xy,
+           da.df AS df_a, db.df AS df_b,
+           ROUND(n_docs.n * c_xy * 1.0 / (da.df * db.df) - 1e-9, 6) + 0
+             AS pmi_ratio
+    FROM pair_counts
+    JOIN df da ON da.tok = token_a
+    JOIN df db ON db.tok = token_b
+    CROSS JOIN n_docs
+    ORDER BY pmi_ratio DESC, token_a, token_b
+    LIMIT 25
+    """,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI (log-free rational form N*c_xy/
+    (c_x*c_y) — the log is monotone, so the RATIO ranks identically
+    and stays a single cross-engine-exact IEEE division of two exact
+    integers): top co-occurring token pairs over per-document distinct
+    token sets. Scale levers, each mirrored in the oracle: a
+    df-window filter drops stopword-like ubiquitous tokens and
+    hapaxes BEFORE pairing (the classic PMI denoiser), and a
+    deterministic per-doc cap (first 40 tokens in lexical order)
+    bounds the per-doc pair fan-out at O(cap^2) regardless of
+    document length — without the cap one pathological
+    million-distinct-token doc emits 10^12 pairs. The df frame is
+    vocabulary-sized and broadcasts; the only big shuffle is the
+    (token_a, token_b) pair count, which partial-aggregates
+    map-side."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        toks.join(F.broadcast(df_counts), "tok")
+        .crossJoin(F.broadcast(n_docs))  # 1-row frame
+        .filter((F.col("df") >= 5) & (F.col("df") <= 0.95 * F.col("n")))
+        .select("doc_id", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("tok")
+    capped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "tok")
+    )
+    a = capped.select("doc_id", F.col("tok").alias("token_a"))
+    b = capped.select("doc_id", F.col("tok").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(df_counts.select(F.col("tok").alias("token_a"), F.col("df").alias("df_a"))),
+            "token_a",
+        )
+        .join(
+            F.broadcast(df_counts.select(F.col("tok").alias("token_b"), F.col("df").alias("df_b"))),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a", "token_b", "c_xy", "df_a", "df_b",
+            F.round(
+                F.col("n") * F.col("c_xy") / (F.col("df_a") * F.col("df_b"))
+                - 1e-9,
+                6,
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "token_a", "token_b")
+        .limit(25)
+    )
