@@ -421,9 +421,19 @@ def _format_number(value: float, pattern: str) -> str:
 
 
 class MiniXslt:
-    """One compiled stylesheet; ``apply(xml) -> str`` runs it."""
+    """One compiled stylesheet; ``apply(xml) -> str`` runs it.
 
-    def __init__(self, src: str):
+    ``base_dir`` anchors relative ``document(uri)`` references (the
+    stylesheet's own directory in a file deployment). External
+    documents are parsed ONCE per compiled stylesheet and cached —
+    they are static configuration, so per-row apply() calls reuse the
+    tree (in a cluster deployment the referenced files must be
+    present on executors, e.g. via SparkContext.addFile)."""
+
+    def __init__(self, src: str, base_dir: str | None = None):
+        self.base_dir = base_dir
+        self._ext_docs: dict[str, _Doc] = {}
+        self._ext_parents: dict = {}
         root = ET.fromstring(src)
         # position()/last() cost a context push per iterated node; skip
         # the bookkeeping entirely for stylesheets that never use them
@@ -464,6 +474,16 @@ class MiniXslt:
                 self._globals.append(child)
             elif _is_xsl(child, "output"):
                 continue  # serialization is always unindented UTF-8 text
+            elif (
+                isinstance(child.tag, str)
+                and child.tag.startswith("{")
+                and not _is_xsl(child)
+            ):
+                # top-level data element in a non-XSL namespace: legal
+                # (XSLT 1.0 §2.2), reachable via document(''). An
+                # unknown XSL-namespace element (xsl:import, ...) still
+                # fails fast below.
+                continue
             elif isinstance(child.tag, str):
                 raise XsltUnsupported(f"top-level {child.tag!r}")
         # ancestry is only consulted by multi-step match patterns (a/b);
@@ -524,6 +544,7 @@ class MiniXslt:
         src_root = ET.fromstring(xml)
         if self._needs_parents:
             self._parents = {c: p for p in src_root.iter() for c in p}
+            self._parents.update(self._ext_parents)
         self._tdepth = 0
         self._root = src_root
         self._key_index: dict[str, dict[str, list]] = {}  # per-document
@@ -871,6 +892,36 @@ class MiniXslt:
                 break  # first matching declaration wins for this node
         return index
 
+    def _document(self, inner: str) -> "_Doc":
+        """document(uri): the external XML document at ``uri`` resolved
+        against base_dir; document('') is the stylesheet itself (XSLT
+        1.0 §12.1 — the embedded-lookup-table idiom). Only string
+        literals are in the subset; parsed once, cached."""
+        args = _split_args(inner)
+        if len(args) != 1:
+            raise XsltUnsupported("document() supports a single URI argument")
+        uri = _literal(args[0].strip())
+        if not isinstance(uri, str):
+            raise XsltUnsupported("document() URI must be a string literal")
+        if uri == "":
+            return _Doc(self._sty_root)
+        if uri in self._ext_docs:
+            return self._ext_docs[uri]
+        if self.base_dir is None:
+            raise XsltUnsupported(
+                f"document({uri!r}): stylesheet compiled without a base_dir"
+            )
+        import os
+
+        root = ET.parse(os.path.join(self.base_dir, uri)).getroot()
+        doc = _Doc(root)
+        self._ext_docs[uri] = doc
+        if self._needs_parents:
+            ext = {c: p for p in root.iter() for c in p}
+            self._ext_parents.update(ext)
+            self._parents.update(ext)
+        return doc
+
     def _key_lookup(self, inner: str, ctx) -> list:
         args = _split_args(inner)
         if len(args) != 2:
@@ -919,6 +970,8 @@ class MiniXslt:
                 return [str(len(self._select(ctx, inner)))]
             if fname == "key":
                 return self._key_lookup(inner, ctx)
+            if fname == "document":
+                return [self._document(inner)]
             if fname == "concat":
                 return ["".join(self._arg_string(ctx, a)
                                 for a in _split_args(inner))]
@@ -996,17 +1049,22 @@ class MiniXslt:
             if "/" in rest or "[" in rest:
                 raise XsltUnsupported(f"path into variable {path!r}")
             return [self._lookup_var(rest)]
-        if path.startswith("key("):
-            # key(...)/<steps>: the lookup's node-set is the path head
-            # (the whole-expression form key(...) is handled by the
-            # function dispatch above). _split_path can't see into the
-            # args (its scanner only tracks brackets), so find the
-            # matching close paren quote-aware here.
-            end = _close_paren(path, 3)
-            cur: list = self._key_lookup(path[4:end], ctx)
+        if path.startswith(("key(", "document(")):
+            # key(...)/<steps> or document(...)/<steps>: the node-set
+            # result is the path head (the whole-expression forms are
+            # handled by the function dispatch above). _split_path
+            # can't see into the args (its scanner only tracks
+            # brackets), so find the matching close paren quote-aware.
+            open_at = path.index("(")
+            end = _close_paren(path, open_at)
+            inner = path[open_at + 1 : end]
+            if path.startswith("key("):
+                cur: list = self._key_lookup(inner, ctx)
+            else:
+                cur = [self._document(inner)]
             path = path[end + 1 :]
             if path and not path.startswith("/"):
-                raise XsltUnsupported(f"syntax after key() in {path!r}")
+                raise XsltUnsupported(f"syntax after node-set function in {path!r}")
         elif path.startswith("/"):
             cur = [_Doc(self._root)]
         else:
@@ -1222,17 +1280,20 @@ class MiniXslt:
         )
 
 
-def compile_stylesheet(src: str):
+def compile_stylesheet(src: str, base_dir: str | None = None):
     """``src`` -> callable(xml_string) -> transformed string. lxml's
     real libxslt is the fast path when present; the MiniXslt subset
-    interpreter otherwise (tests assert the two agree when both run)."""
+    interpreter otherwise (tests assert the two agree when both run).
+    ``base_dir`` anchors relative document() references; for the lxml
+    path it becomes the parse base via a dummy base URL."""
     try:
         from lxml import etree as LX  # pragma: no cover - absent in container
 
-        xslt = LX.XSLT(LX.fromstring(src.encode()))
+        base = f"{base_dir}/stylesheet.xsl" if base_dir else None
+        xslt = LX.XSLT(LX.fromstring(src.encode(), base_url=base))
         return lambda xml: str(xslt(LX.fromstring(xml.encode())))
     except ImportError:
-        return MiniXslt(src).apply
+        return MiniXslt(src, base_dir=base_dir).apply
 
 
 def xslt_pipeline(xml: str, transforms) -> str:

@@ -371,3 +371,46 @@ def test_node_pattern_matches_text():
     </xsl:stylesheet>"""
     # both the text child and <b/> hit the node() rule
     assert _run_xsl(xsl, xml) == "<o><n/><n/></o>"
+
+
+def test_document_function_external_and_stylesheet_embedded(tmp_path):
+    """document(uri) loads an external lookup table (resolved against
+    base_dir, parsed once and cached across per-row applies);
+    document('') is the stylesheet itself — the classic embedded
+    lookup-table idiom (XSLT 1.0 section 12.1)."""
+    from cpx_etl_spark.functions.xslt import MiniXslt
+
+    (tmp_path / "lookup.xml").write_text(
+        "<map><e k='1-URGENT' v='U'/><e k='5-LOW' v='L'/></map>".replace("'", '"')
+    )
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <lk:table xmlns:lk="urn:l"><row k="F" label="final"/></lk:table>
+      <xsl:template match="order">
+        <o code="{{document('lookup.xml')/map/e[@k = '1-URGENT']/@v}}"
+           status="{{document('')//row[@k = 'F']/@label}}"
+           n="{{count(document('lookup.xml')//e)}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    run = MiniXslt(xsl, base_dir=str(tmp_path)).apply
+    out = run("<order/>")
+    assert 'code="U"' in out and 'status="final"' in out and 'n="2"' in out
+    # cached tree: a second apply must not re-read the file
+    (tmp_path / "lookup.xml").unlink()
+    assert 'code="U"' in run("<order/>")
+
+
+def test_document_function_fail_fast_without_base():
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d"><o v="{{document('x.xml')/a}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="base_dir"):
+        MiniXslt(xsl).apply("<d/>")
+    bad = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d"><o v="{{document(src)/a}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="string literal"):
+        MiniXslt(bad, base_dir="/tmp").apply("<d><src>x.xml</src></d>")
