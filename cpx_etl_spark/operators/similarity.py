@@ -1006,3 +1006,153 @@ def sq8_topk(
         )
     )
     return _ranked(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — r7
+# ---------------------------------------------------------------------------
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str,
+                   m: int, dim: int) -> DataFrame:
+    """(vid, j, sv): vectors split into m contiguous subvectors of
+    dim/m components each — a projection + explode, no shuffle."""
+    sub = dim // m
+    v = as_double(vec_col)
+    return df.select(F.col(id_col).alias("vid"), v.alias("_v")).select(
+        "vid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice("_v", j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("_s"),
+    ).select("vid", F.col("_s.j").alias("j"), F.col("_s.sv").alias("sv"))
+
+
+def pq_train(corpus: DataFrame, id_col: str, vec_col: str,
+             m: int = 8, k_codes: int = 16, dim: int = 64) -> DataFrame:
+    """Train per-subspace PQ codebooks: (j, code, cent) with k_codes
+    centroids per subspace. One seeded Lloyd step, the IVF family's
+    construction: seed group = vid % k_codes (deterministic,
+    cross-engine trivial), centroid = exact-decimal component mean of
+    the group's subvectors — order-independent, so the DuckDB oracle
+    reproduces the codebook bit-for-bit. The codebook is m*k_codes
+    rows and broadcasts everywhere."""
+    svs = _pq_subvectors(corpus, id_col, vec_col, m, dim)
+    comp = svs.select(
+        "j",
+        (F.col("vid") % k_codes).alias("seed"),
+        F.posexplode("sv").alias("i", "x"),
+    )
+    return (
+        comp.groupBy("j", "seed", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mval")
+        )
+        .groupBy("j", "seed")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mval"))),
+                lambda s: s["mval"],
+            ).alias("cent")
+        )
+        .select("j", F.col("seed").alias("code"), "cent")
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              codebook: DataFrame, m: int = 8, dim: int = 64) -> DataFrame:
+    """Encode every vector as m code ids — nearest (L2, rounded with
+    code tiebreak) codebook centroid per subspace via min_by
+    aggregation, the same no-window-sort shape as IVF assignment.
+    The encoded table is the PQ index: m small ints per vector
+    (byte-packable: m bytes vs 4*dim float32 — 32x at m=8, dim=64)."""
+    svs = _pq_subvectors(corpus, id_col, vec_col, m, dim)
+    return (
+        svs.join(F.broadcast(codebook), "j")
+        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cent")) - 1e-9, 6))
+        .groupBy("vid", "j")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("d2"), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 3,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC): each query
+    precomputes an m x k_codes lookup table of partial dot products
+    against the codebook (tiny, broadcast), the approximate score of a
+    corpus vector is the SUM of m LUT entries selected by its codes —
+    the scan touches only the m-byte codes, never the float vectors —
+    and the top rerank*k candidates per query rerank exactly. Partial
+    dots round to 6dp then sum as DECIMAL, so the approximate score is
+    order-independent and the oracle replays even the approximation
+    error. This is the memory layout every billion-vector serving
+    system uses (FAISS IVFPQ's PQ half)."""
+    cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
+    codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
+    )
+    qsv = _pq_subvectors(queries, id_col, vec_col, m, dim).select(
+        F.col("vid").alias("query_id"), "j", F.col("sv").alias("qv")
+    )
+    lut = qsv.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        "code",
+        F.round(dot(F.col("qv"), F.col("cent")) - 1e-9, 6).alias("pdot"),
+    )
+    ap = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum(F.col("pdot").cast("decimal(20,6)")).alias("approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vid")
+    )
+    cand = (
+        ap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank * k)
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
+    )
+    pairs = (
+        cand.join(c_vec, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
+        )
+    )
+    return _ranked(pairs, k)
