@@ -752,3 +752,125 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(F.col("doc_id"), F.col("_w")).alias("keep_doc_id"),
         F.min_by(F.col("source"), F.col("_w")).alias("keep_source"),
     )
+
+
+def _sql_minhash_accuracy(k: int) -> str:
+    from cpx_etl_spark.operators.dedup import KM_PRIME, km_coefficients
+
+    sig_cols = ", ".join(
+        f"MIN(({a} * h1 + {b} * h2) % {KM_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(km_coefficients(k))
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    WITH {{index}},
+    hs AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % {KM_PRIME} AS h1,
+                  CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % {KM_PRIME} AS h2
+           FROM tok),
+    sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
+    cand AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
+             FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
+    shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+               FROM cand c
+               JOIN tok t1 ON t1.doc_id = c.doc_a
+               JOIN tok t2 ON t2.doc_id = c.doc_b AND t2.sh = t1.sh
+               GROUP BY c.doc_a, c.doc_b),
+    pairs AS (SELECT s.doc_a, s.doc_b, s.shared,
+                     ca.n + cb.n - s.shared AS un
+              FROM shared s
+              JOIN cnt ca ON ca.doc_id = s.doc_a
+              JOIN cnt cb ON cb.doc_id = s.doc_b),
+    m AS (SELECT p.shared, p.un, ({match_sum}) AS n_match
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.doc_a
+          JOIN sig sb ON sb.doc_id = p.doc_b),
+    per AS (SELECT LEAST(9, CAST(FLOOR(shared * 10.0 / un) AS INT)) AS j_bucket,
+                   ROUND(ABS(n_match / {k}.0 - shared * 1.0 / un) - 1e-9, 6) + 0 AS err
+            FROM m)
+    SELECT j_bucket, COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(CAST(err AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) - 1e-9, 6) + 0
+             AS mean_abs_err,
+           MAX(err) AS max_abs_err
+    FROM per GROUP BY j_bucket ORDER BY j_bucket
+    """
+
+
+@register(
+    "q_minhash_accuracy",
+    oracle=_sql_minhash_accuracy(_MH_K).format(index=_SQL_INDEX),
+)
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: MinHash-estimated Jaccard (matching
+    signature components / k) against EXACT Jaccard for every
+    shingle-sharing pair, error stats per exact-Jaccard decile — the
+    measurement that justifies (k, bands) choices before trusting the
+    sketch at corpus scale (expected |err| ~ sqrt(J(1-J)/k)). The pair
+    set is the bounded shingle-index join (identical to
+    dedup_clusters' candidate stage, never all-pairs); per-pair error
+    is one IEEE expression rounded to 6dp, and the decile means sum
+    those rounded values as DECIMAL — order-independent, so even the
+    estimator's ERROR DISTRIBUTION is hash-verified cross-engine."""
+    from cpx_etl_spark.operators.dedup import minhash_signatures, shingle_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    index, counts = shingle_index(docs, "doc_id", "text", n=_NGRAM)
+    sigs = minhash_signatures(index, "doc_id", k=_MH_K)
+    a = index.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = index.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        a.join(b, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = (
+        shared.join(
+            F.broadcast(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
+            on="doc_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
+            on="doc_b",
+        )
+        .select("doc_a", "doc_b", "shared", (F.col("n_a") + F.col("n_b") - F.col("shared")).alias("un"))
+    )
+    sig_arr = sigs.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(_MH_K)]).alias("sig")
+    )
+    m = (
+        pairs.join(sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), on="doc_a")
+        .join(sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), on="doc_b")
+        .select(
+            "shared",
+            "un",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("n_match"),
+        )
+    )
+    per = m.select(
+        F.least(F.lit(9), F.floor(F.col("shared") * 10.0 / F.col("un")).cast("int")).alias("j_bucket"),
+        F.round(
+            F.abs(F.col("n_match") / float(_MH_K) - F.col("shared") * 1.0 / F.col("un")) - 1e-9,
+            6,
+        ).alias("err"),
+    )
+    return (
+        per.groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("err").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1))
+                - 1e-9,
+                6,
+            ).alias("mean_abs_err"),
+            F.max("err").alias("max_abs_err"),
+        )
+        .orderBy("j_bucket")
+    )
