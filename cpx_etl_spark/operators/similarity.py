@@ -1117,6 +1117,30 @@ def pq_topk(
     system uses (FAISS IVFPQ's PQ half)."""
     cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
     codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
+    )
+    return _pq_serve(
+        queries, cb, codes, vectors, id_col, vec_col, m=m, dim=dim,
+        k=k, rerank=rerank,
+    )
+
+
+def _pq_serve(
+    queries: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """ADC serving half over (possibly persisted) PQ artifacts: ``cb``
+    (j, code, cent), ``codes`` (vid, j, code), ``vectors``
+    (neighbor_id, v_c) for the exact rerank."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
     )
@@ -1143,11 +1167,8 @@ def pq_topk(
         .filter(F.col("_rn") <= rerank * k)
         .select("query_id", F.col("vid").alias("neighbor_id"))
     )
-    c_vec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
-    )
     pairs = (
-        cand.join(c_vec, on="neighbor_id")
+        cand.join(vectors, on="neighbor_id")
         .join(F.broadcast(q), on="query_id")
         .select(
             "query_id",
@@ -1156,3 +1177,89 @@ def pq_topk(
         )
     )
     return _ranked(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index — train/encode once, serve many (the PQ member of
+# the persisted-index family: MinHash signatures, IVF, embedding LSH)
+# ---------------------------------------------------------------------------
+
+_PQ_META = "_PQ_META.json"
+
+
+class PqIndex:
+    """Handle over a persisted PQ index: tiny codebook + packed codes
+    (m small ints per vector — the ADC scan payload) + the full
+    vectors for exact rerank."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        import os
+
+        self.meta = meta
+        self.codebook_df = spark.read.parquet(os.path.join(path, "codebook"))
+        self.codes_df = spark.read.parquet(os.path.join(path, "codes"))
+        self.vectors_df = spark.read.parquet(os.path.join(path, "vectors"))
+
+
+def write_pq_index(
+    corpus: DataFrame, path: str, id_col: str, vec_col: str,
+    m: int = 8, k_codes: int = 16, dim: int = 64,
+) -> None:
+    """Train and persist the PQ index: codebook/ (m*k_codes rows, one
+    small file), codes/ (vid, codes[m] packed), vectors/ (neighbor_id,
+    v) for rerank. Training and encoding run ONCE at build; serving
+    never re-derives them."""
+    import json
+    import os
+
+    cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
+    codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
+    packed = codes.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    )
+    os.makedirs(path, exist_ok=True)
+    cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    packed.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    vectors.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    meta = {"id_col": id_col, "vec_col": vec_col, "m": m,
+            "k_codes": k_codes, "dim": dim}
+    tmp = os.path.join(path, f"{_PQ_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _PQ_META))
+
+
+def read_pq_index(spark, path: str) -> PqIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, _PQ_META)) as f:
+        meta = json.load(f)
+    return PqIndex(spark, path, meta)
+
+
+def pq_topk_indexed(
+    queries: DataFrame, index: PqIndex, id_col: str, vec_col: str,
+    k: int = 10, rerank: int = 3,
+) -> DataFrame:
+    """ANN serving against the persisted PQ index: the ADC scan reads
+    only the packed codes table (m small ints per vector); the
+    codebook broadcasts; the full vectors are touched only for the
+    rerank*k candidates per query."""
+    m, dim = index.meta["m"], index.meta["dim"]
+    codes = index.codes_df.select(
+        "vid", F.posexplode("codes").alias("j", "code")
+    )
+    vectors = index.vectors_df.select(
+        "neighbor_id", F.col("v").alias("v_c")
+    )
+    return _pq_serve(
+        queries, index.codebook_df, codes, vectors, id_col, vec_col,
+        m=m, dim=dim, k=k, rerank=rerank,
+    )

@@ -373,9 +373,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_pq_topk",
-    oracle=f"""
+_PQ_ORACLE = f"""
     WITH comp AS (
       SELECT vec_id, g.j AS j, gs.i AS i,
              CAST(embedding[g.j * 8 + gs.i] AS DOUBLE) AS x
@@ -424,8 +422,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ORDER BY approx DESC, neighbor_id) <= 30
     ),
     {_SQL_RANKED}
-    """,
-)
+"""
+
+
+@register("ann_pq_topk", oracle=_PQ_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the PQ half of FAISS IVFPQ): 8
     subspaces x 16 codes trained by a seeded exact-decimal Lloyd step,
@@ -441,4 +441,57 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
         m=8, k_codes=16, dim=64, k=10, rerank=3,
+    )
+
+
+def _pq_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted PQ index (same size+mtime
+    invalidation convention as the IVF / signature indexes)."""
+    import hashlib
+    import os
+    import tempfile
+
+    parts = [os.path.abspath(sf_dir), "pq-m8-k16", f"dim{_DIM}", "v1"]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(os.path.join(src, e) for e in os.listdir(src))
+        if os.path.isdir(src) else [src]
+    )
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"cpx_pqindex_{digest}")
+
+
+def build_pq_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted PQ index exists for sf_dir; returns its
+    path. Trains/encodes once per (corpus, params)."""
+    import os
+
+    from cpx_etl_spark.operators.similarity import _PQ_META, write_pq_index
+
+    path = _pq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, _PQ_META)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_pq_index(emb, path, "vec_id", "embedding",
+                       m=8, k_codes=16, dim=_DIM)
+    return path
+
+
+@register("ann_pq_topk_indexed", oracle=_PQ_ORACLE)
+def ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against the PERSISTED PQ index (train/encode once,
+    serve many): the ADC scan reads only the packed 8-int codes table,
+    the codebook broadcasts, and the full vectors are touched only for
+    the 30 rerank candidates per query. Same oracle as ann_pq_topk —
+    the stored index is the identical derivation, so the round trip
+    through parquet is itself hash-verified."""
+    from cpx_etl_spark.operators.similarity import pq_topk_indexed, read_pq_index
+
+    idx = read_pq_index(spark, build_pq_standing_index(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_indexed(
+        emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
+        k=10, rerank=3,
     )
