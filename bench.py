@@ -78,6 +78,12 @@ HEADLINE = [
     "q_rolling_distinct_users",
     "q_copurchase_pairs",
     "q_record_linkage",
+    # r7 additions
+    "ann_pq_topk_indexed",
+    "q_token_pmi",
+    "q_minhash_accuracy",
+    "q21_waiting_suppliers",
+    "q_session_paths",
 ]
 
 
@@ -97,10 +103,14 @@ def main() -> None:
     # the index is written once at ingestion, not per crawl) — keeps
     # the dedup_cross_corpus_indexed timing honest about what repeats.
     from cpx_etl_spark.queries.dedup import build_standing_index
-    from cpx_etl_spark.queries.similarity import build_ivf_standing_index
+    from cpx_etl_spark.queries.similarity import (
+        build_ivf_standing_index,
+        build_pq_standing_index,
+    )
 
     build_standing_index(spark, sf_dir)
     build_ivf_standing_index(spark, sf_dir)
+    build_pq_standing_index(spark, sf_dir)
 
     # Warm the JVM + per-plan codegen caches with one pass at the
     # smallest sf so the timed run measures steady-state execution.
@@ -160,6 +170,7 @@ def main() -> None:
     if os.path.isdir(sf1_dir) and os.path.abspath(sf_dir) != sf1_dir:
         build_standing_index(spark, sf1_dir)
         build_ivf_standing_index(spark, sf1_dir)
+        build_pq_standing_index(spark, sf1_dir)
         # the sf1 section is single-pass by default (wall-clock); set
         # SPARK_GRAFT_SF1_REPEATS>1 on quiet reruns to record min-of-N
         # and tighten the rolling bests

@@ -874,3 +874,44 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j_bucket")
     )
+
+
+@register(
+    "q_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+           ROUND((COUNT(*) - COUNT(DISTINCT md5(text))) * 1.0 / COUNT(*) - 1e-9, 6) + 0
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report — the crawl-health dashboard
+    number that decides which domains get the dedup budget (a source
+    with dup_rate 0.6 is a mirror/boilerplate farm; one at 0.01 is
+    fine). One scan, one (source)-keyed aggregate with map-side
+    partials; the distinct is over content HASHES, never the text
+    bytes, so shuffle width stays 32 bytes/row at any document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("h"))
+                * 1.0
+                / F.count(F.lit(1))
+                - 1e-9,
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -495,3 +495,72 @@ def ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
         k=10, rerank=3,
     )
+
+
+@register(
+    "q_embedding_covariance",
+    oracle=f"""
+    WITH comp AS (
+        SELECT vec_id, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    mu AS (
+        SELECT i, CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY i),
+    pairs AS (
+        SELECT a.vec_id, a.i AS i, b.i AS j,
+               (a.x - ma.m) * (b.x - mb.m) AS p
+        FROM comp a
+        JOIN comp b ON b.vec_id = a.vec_id AND b.i >= a.i AND b.i <= a.i + 3
+        JOIN mu ma ON ma.i = a.i
+        JOIN mu mb ON mb.i = b.i)
+    SELECT i, j,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(30,12))) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM embeddings) - 1e-9, 8) + 0 AS cov
+    FROM pairs
+    GROUP BY i, j
+    ORDER BY i, j
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded empirical covariance of the embedding components (lag
+    0..3 band of the 64x64 matrix — the diagnostic that catches dead
+    dimensions, scale drift between encoder versions, and component
+    correlation before/after whitening). Means and cross-products
+    accumulate as exact DECIMAL, so the population covariance is
+    order-independent and hash-verified. The full d^2 matrix is one
+    more explode away; the band keeps the demo result compact while
+    exercising the same two-aggregate shape (means pass, centered
+    cross-product pass) a full PCA preprocessing job runs at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    mu = comp.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    a = comp.select("vec_id", F.col("i"), F.col("x").alias("xa"))
+    b = comp.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, on="vec_id")
+        .filter((F.col("j") >= F.col("i")) & (F.col("j") <= F.col("i") + 3))
+        .join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("ma"))), on="i")
+        .join(F.broadcast(mu.select(F.col("i").alias("j"), F.col("m").alias("mb"))), on="j")
+        .select(
+            "i", "j",
+            ((F.col("xa") - F.col("ma")) * (F.col("xb") - F.col("mb"))).alias("p"),
+        )
+    )
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(30,12)")).alias("sp"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i", "j",
+            F.round(F.col("sp").cast("double") / F.col("n") - 1e-9, 8).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
