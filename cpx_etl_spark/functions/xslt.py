@@ -524,6 +524,17 @@ class MiniXslt:
                 self._kind[id(elem)] = "#comment"
                 continue
             kind = _local(elem.tag) if _is_xsl(elem) else None
+            if (
+                kind == "copy-of"
+                and (elem.get("select") or "").strip() == "@*"
+            ):
+                # <xsl:copy-of select="@*"/> directly inside an element
+                # constructor copies the context node's attributes onto
+                # the element being built — the identity-transform
+                # idiom. Annotated as its own kind so _run_children
+                # skips it (it is consumed by _element_markup) and a
+                # stray use outside an element start fails fast.
+                kind = "#attr-copy"
             self._kind[id(elem)] = kind
             self._sorts[id(elem)] = tuple(c for c in elem if _is_xsl(c, "sort"))
             self._wparams[id(elem)] = tuple(
@@ -692,6 +703,14 @@ class MiniXslt:
                         self._scopes[-1][pname] = self._eval_binding(child, ctx)
                 elif kind in ("sort", "with-param", "attribute", "#comment"):
                     pass  # consumed by the enclosing instruction/element
+                elif kind == "#attr-copy":
+                    # consumed by _element_markup when the container is
+                    # an element constructor; anywhere else there is no
+                    # element to attach attributes to — fail fast
+                    if self._kind.get(id(container)) not in (None, "element", "copy"):
+                        raise XsltUnsupported(
+                            'copy-of select="@*" outside an element constructor'
+                        )
                 else:
                     frags.append(self._run_node(child, ctx, kind))
                 if child.tail and child.tail.strip():
@@ -841,14 +860,35 @@ class MiniXslt:
                         static_attrs: str) -> str:
         """Render an element (literal or xsl:element): direct
         xsl:attribute children contribute dynamic attributes (AVT name,
-        body string-value); the body renders with those skipped."""
-        dyn = "".join(
-            f" {self._avt(a.get('name', ''), ctx)}="
-            + quoteattr(_RTF(self._run_children(a, ctx)).text())
-            for a in self._dynattrs.get(id(elem), ())
+        body string-value), a direct copy-of select="@*" child copies
+        the context node's attributes (identity-transform idiom); the
+        body renders with those skipped. Later additions replace
+        earlier ones per XSLT 1.0 §7.1.3: literal attrs, then copied,
+        then xsl:attribute."""
+        has_copy = any(
+            self._kind.get(id(c)) == "#attr-copy" for c in elem
         )
+        if has_copy:
+            merged: dict[str, str] = {}
+            if self._kind.get(id(elem)) is None:  # literal result element
+                for k, v in elem.attrib.items():
+                    merged[_local(k)] = self._avt(v, ctx)
+            if isinstance(ctx, ET.Element):
+                for k, v in ctx.attrib.items():
+                    merged[_local(k)] = v
+            for a in self._dynattrs.get(id(elem), ()):
+                merged[self._avt(a.get("name", ""), ctx)] = _RTF(
+                    self._run_children(a, ctx)
+                ).text()
+            attrs = "".join(f" {k}={quoteattr(v)}" for k, v in merged.items())
+        else:
+            dyn = "".join(
+                f" {self._avt(a.get('name', ''), ctx)}="
+                + quoteattr(_RTF(self._run_children(a, ctx)).text())
+                for a in self._dynattrs.get(id(elem), ())
+            )
+            attrs = static_attrs + dyn
         inner = self._run_children(elem, ctx)
-        attrs = static_attrs + dyn
         return f"<{tag}{attrs}>{inner}</{tag}>" if inner else f"<{tag}{attrs}/>"
 
     def _avt(self, value: str, ctx) -> str:

@@ -414,3 +414,56 @@ def test_document_function_fail_fast_without_base():
     </xsl:stylesheet>"""
     with pytest.raises(XsltUnsupported, match="string literal"):
         MiniXslt(bad, base_dir="/tmp").apply("<d><src>x.xml</src></d>")
+
+
+def test_identity_transform_with_overrides():
+    """THE arbitrary-stylesheet litmus: identity transform (xsl:copy +
+    copy-of select="@*" + recurse over node()) with a rename override
+    and a drop override — the customize-in-place pattern nearly every
+    real stylesheet uses."""
+    xml = ('<cfg env="prod"><db host="h1" port="5432"><user>u</user></db>'
+           "<secret>x</secret><note>keep</note></cfg>")
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="node()">
+        <xsl:copy>
+          <xsl:copy-of select="@*"/>
+          <xsl:apply-templates select="node()"/>
+        </xsl:copy>
+      </xsl:template>
+      <xsl:template match="secret"/>
+      <xsl:template match="note">
+        <remark important="yes"><xsl:value-of select="."/></remark>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert out == ('<cfg env="prod"><db host="h1" port="5432"><user>u</user></db>'
+                   '<remark important="yes">keep</remark></cfg>')
+
+
+def test_attr_copy_precedence_and_fail_fast():
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import XsltUnsupported
+
+    # literal attr, then copied @*, then xsl:attribute — later replaces
+    xml = '<d a="ctx_a" b="ctx_b"/>'
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <o a="lit_a" z="lit_z">
+          <xsl:copy-of select="@*"/>
+          <xsl:attribute name="b">dyn_b</xsl:attribute>
+        </o>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'a="ctx_a"' in out      # copied replaces literal
+    assert 'b="dyn_b"' in out      # xsl:attribute replaces copied
+    assert 'z="lit_z"' in out      # untouched literal survives
+    # @* with no open element fails fast instead of vanishing
+    bad = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <xsl:if test="@a"><xsl:copy-of select="@*"/></xsl:if>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="element constructor"):
+        _run_xsl(bad, xml)
