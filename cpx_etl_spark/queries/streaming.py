@@ -216,3 +216,25 @@ def q_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.unix_micros("end_ts") - F.unix_micros("start_ts")) / 1000000
         ).cast("long").alias("total_dwell_sec"),
     )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 900000000 - gs.k) * 900000000)
+             AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events, generate_series(0, 3) gs(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h window / 15 min slide — the
+    third window type next to tumbling and session): every event lands
+    in exactly 4 overlapping windows. Batch twin of
+    sliding_agg_stream; the oracle replays the window expansion with a
+    4-row generate_series instead of Spark's window() expand. Stream
+    equivalence proven in tests/test_streaming.py."""
+    from cpx_etl_spark.streaming.events import sliding_agg_batch
+
+    return sliding_agg_batch(load_table(spark, sf_dir, "events"))

@@ -91,6 +91,37 @@ def tumbling_agg_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_agg_batch(df: DataFrame) -> DataFrame:
+    """Sliding hourly window every 15 min (each event lands in exactly
+    4 windows). F.window works identically in batch and streaming, so
+    the twins share the definition verbatim."""
+    from cpx_etl_spark.queries import dsum
+
+    return (
+        df.groupBy(F.window("ts", "1 hour", "15 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def sliding_agg_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin: watermark bounds state to (watermark + window)
+    per key; with a 15-min slide each arriving event updates 4 open
+    windows — the standard overlapping-window state trade."""
+    from cpx_etl_spark.queries import dsum
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
 # --- sessionization (gap-based) ----------------------------------------------
 
 def sessionize_batch(df: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:

@@ -41,6 +41,19 @@ def test_tumbling_agg_stream_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(_canon(batch), _canon(stream), check_dtype=False)
 
 
+def test_sliding_agg_stream_equals_batch(spark, sf_dir):
+    """Sliding 1h/15min windows: the stream (complete mode drain) must
+    equal the batch twin exactly — each event in 4 overlapping
+    windows, decimal-exact sums."""
+    from cpx_etl_spark.streaming.events import sliding_agg_batch, sliding_agg_stream
+
+    batch = sliding_agg_batch(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _drain(
+        sliding_agg_stream(events_stream(spark, sf_dir)), "t_slide", spark, "complete"
+    ).toPandas()
+    pd.testing.assert_frame_equal(_canon(batch), _canon(stream), check_dtype=False)
+
+
 def test_dedup_first_stream_matches_batch_keys(spark, sf_dir):
     batch = dedup_first_batch(load_table(spark, sf_dir, "events")).toPandas()
     stream = _drain(
