@@ -3080,3 +3080,46 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_props_variant",
+    oracle="""
+    SELECT k // 10 AS k_decade,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (
+      SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    WHERE k IS NOT NULL
+    GROUP BY k // 10
+    ORDER BY k_decade
+    """,
+)
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    parse_json keeps the document in Spark's binary variant encoding
+    (no up-front schema — the open-schema posture for heterogeneous
+    JSON at scale, where from_json's declared schema would silently
+    null unexpected shapes), try_variant_get extracts typed paths
+    lazily. Same aggregate as a typed extraction would produce, so the
+    DuckDB oracle (json_extract) doubles as an agreement proof between
+    the VARIANT and schema'd ingestion modes."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "user_id",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).cast("long").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_decade")
+    )
