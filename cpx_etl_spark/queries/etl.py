@@ -1314,3 +1314,58 @@ def q_quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("seg").isNull(), 1)).alias("n_bad"),
         F.min("c_custkey").alias("first_key"),
     )
+
+
+@register(
+    "q_incremental_join_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN (the delta algebra:
+    d(A >< B) = dA><B + A><dB + dA><dB): both inputs split into a base
+    snapshot and a late-arriving delta batch, the materialized join
+    maintains through the three delta terms plus the base join, and
+    the result must equal a full recompute — which is exactly what the
+    oracle runs, so the gate proves the delta algebra covers every
+    pair once and none twice. At scale the three delta joins touch
+    only delta-sized inputs against (broadcastable or partition-pruned)
+    standing sides; a full nightly re-join of a 100 TB fact table is
+    the thing this pattern exists to avoid."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1996-01-01"
+    o_base = orders.filter(F.col("o_orderdate") < cutoff)
+    o_delta = orders.filter(F.col("o_orderdate") >= cutoff)
+    li_base = li.filter(F.col("l_linenumber") % 3 != 0)
+    li_delta = li.filter(F.col("l_linenumber") % 3 == 0)
+
+    def j(o, l):
+        return o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+
+    maintained = (
+        j(o_base, li_base)
+        .unionByName(j(o_delta, li_base))
+        .unionByName(j(o_base, li_delta))
+        .unionByName(j(o_delta, li_delta))
+    )
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("rev").cast("decimal(20,4)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
