@@ -11,6 +11,7 @@ endianness, wrong row padding) breaks the hash match.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cpx_etl_spark.operators.multimodal import (
     attach_media_payload,
@@ -137,3 +138,51 @@ def mm_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_mp4_meta(attach_mp4_payload(docs), id_col="doc_id")
+
+
+# Frame-sampling contract (operators/multimodal.py sample_frames over
+# the synthesized MP4): container = 60 + b0 + 4*b1 bytes, step =
+# container // 4, each of the 4 sampled "frames" is the step-sized byte
+# slice at offset j*step (trailing remainder dropped by design).
+_FRAME_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id, {_hexbyte(0)} AS b0, {_hexbyte(1)} AS b1
+        FROM documents),
+    c AS (
+        SELECT doc_id, 60 + b0 + 4 * b1 AS total,
+               (60 + b0 + 4 * b1) // 4 AS step
+        FROM b)
+    SELECT doc_id, CAST(gs.j AS INTEGER) AS frame_idx,
+           CAST(step AS BIGINT) AS frame_len,
+           CAST(total AS BIGINT) AS container_bytes
+    FROM c, generate_series(0, 3) gs(j)
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video-container payload: the
+    row-expanding mapInPandas stage a real frame decoder plugs into
+    (one input row -> n_frames output rows with a frame_idx and a
+    bytes payload; here the deterministic fake kernel slices the
+    container). The gate hash-verifies the EXPANSION SHAPE and sizing
+    arithmetic closed-form — frame_len must equal container//4 for
+    every (doc, frame) — while the frame BYTES stay exercised by
+    tests/test_dedup_similarity.py's kernel test. Real pixel decode
+    remains import-gated (PIL absent by design)."""
+    from cpx_etl_spark.operators.multimodal import (
+        attach_mp4_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_mp4_payload(docs)
+    sizes = payloads.select(
+        "doc_id", F.length("payload").cast("bigint").alias("container_bytes")
+    )
+    frames = sample_frames(payloads, id_col="doc_id", n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("bigint").alias("frame_len"),
+    ).join(sizes, on="doc_id")
