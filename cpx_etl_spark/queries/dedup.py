@@ -915,3 +915,139 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _sql_lsh_quality(k: int, bands: int, minc: int, tau: float) -> str:
+    from cpx_etl_spark.operators.dedup import KM_PRIME, km_coefficients
+
+    r = k // bands
+    sig_cols = ", ".join(
+        f"MIN(({a} * h1 + {b} * h2) % {KM_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(km_coefficients(k))
+    )
+    band_union = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_key FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {{index}},
+    hs AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % {KM_PRIME} AS h1,
+                  CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % {KM_PRIME} AS h2
+           FROM tok),
+    sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
+    banded AS ({band_union}),
+    cand AS (SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+             FROM banded b1
+             JOIN banded b2 ON b1.band_idx = b2.band_idx
+                           AND b1.band_key = b2.band_key
+                           AND b1.doc_id < b2.doc_id
+             WHERE b1.band_key IS NOT NULL
+             GROUP BY b1.doc_id, b2.doc_id
+             HAVING COUNT(*) >= {minc}),
+    allp AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
+             FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
+    truth AS (
+        SELECT p.doc_a, p.doc_b
+        FROM (SELECT a.doc_a, a.doc_b, count(*) AS shared
+              FROM allp a
+              JOIN tok t1 ON t1.doc_id = a.doc_a
+              JOIN tok t2 ON t2.doc_id = a.doc_b AND t2.sh = t1.sh
+              GROUP BY a.doc_a, a.doc_b) p
+        JOIN cnt ca ON ca.doc_id = p.doc_a
+        JOIN cnt cb ON cb.doc_id = p.doc_b
+        WHERE ROUND(p.shared * 1.0 / (ca.n + cb.n - p.shared) - 1e-9, 6) >= {tau}),
+    hit AS (SELECT c.doc_a, c.doc_b FROM cand c JOIN truth t
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           (SELECT COUNT(*) FROM hit) AS n_hit,
+           ROUND((SELECT COUNT(*) FROM hit) * 1.0
+                 / GREATEST((SELECT COUNT(*) FROM cand), 1) - 1e-9, 6) + 0 AS precision,
+           ROUND((SELECT COUNT(*) FROM hit) * 1.0
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1) - 1e-9, 6) + 0 AS recall
+    """
+
+
+@register(
+    "q_lsh_candidate_quality",
+    oracle=_sql_lsh_quality(_MH_K, _MH_BANDS, _MH_MINC, 0.5).format(index=_SQL_INDEX),
+)
+def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator quality audit: precision/recall of the LSH
+    band stage (>= 2 band collisions at k=64/16 bands) against the
+    ground truth of ALL shingle-sharing pairs with exact Jaccard >=
+    0.5 — the measurement that certifies the production (k, bands,
+    min_collisions) operating point. Every count is exact; the two
+    ratios are single IEEE divisions. Recall < 1 here would mean the
+    banding drops true near-dups BEFORE verification (the silent
+    failure mode of every LSH deployment); this gate pins it."""
+    from cpx_etl_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+        shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index, counts = shingle_index(docs, "doc_id", "text", n=_NGRAM)
+    sigs = minhash_signatures(index, "doc_id", k=_MH_K)
+    banded = band_rows(sigs, "doc_id", k=_MH_K, bands=_MH_BANDS)
+    b1 = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cand = (
+        b1.join(b2, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= _MH_MINC)
+        .select("doc_a", "doc_b")
+    )
+    a = index.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = index.select(F.col("doc_id").alias("doc_b"), "sh")
+    truth = (
+        a.join(b, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(
+            F.broadcast(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
+            on="doc_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
+            on="doc_b",
+        )
+        .filter(
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+                - 1e-9,
+                6,
+            )
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    hit = cand.join(truth, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)  # three 1-row frames
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.col("n_hit") * 1.0 / F.greatest(F.col("n_cand"), F.lit(1)) - 1e-9, 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit") * 1.0 / F.greatest(F.col("n_true"), F.lit(1)) - 1e-9, 6
+            ).alias("recall"),
+        )
+    )

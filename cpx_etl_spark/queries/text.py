@@ -752,3 +752,45 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio").desc(), "token_a", "token_b")
         .limit(25)
     )
+
+
+@register(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS declared_lang, {sql_lang_id(_TOKENS_SQL)} AS lang_pred
+        FROM documents)
+    SELECT declared_lang, lang_pred, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY declared_lang) - 1e-9, 6) + 0
+             AS row_frac
+    FROM pred
+    GROUP BY declared_lang, lang_pred
+    ORDER BY declared_lang, lang_pred
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation readout: the language-ID confusion matrix
+    (declared x predicted, counts + row-normalized fractions) — the
+    quality gate every heuristic classifier in a curation pipeline
+    needs before its output drives filtering decisions. One grouped
+    aggregate over the same prediction expression text_lang_id
+    registers; the row fraction is one IEEE division of exact counts,
+    windowed over the declared-language margin."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("declared_lang"),
+        lang_id(tokens(F.col("text"))).alias("lang_pred"),
+    )
+    counts = pred.groupBy("declared_lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("declared_lang")
+    return counts.select(
+        "declared_lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w) - 1e-9, 6).alias("row_frac"),
+    ).orderBy("declared_lang", "lang_pred")
