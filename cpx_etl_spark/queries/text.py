@@ -794,3 +794,64 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w) - 1e-9, 6).alias("row_frac"),
     ).orderBy("declared_lang", "lang_pred")
+
+
+@register(
+    "q_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w),
+    pairs AS (
+        SELECT substr(word, gs.i, 1) AS sym_a,
+               substr(word, gs.i + 1, 1) AS sym_b,
+               SUM(freq) AS pair_count
+        FROM words, generate_series(1, 63) gs(i)
+        WHERE gs.i <= len(word) - 1
+        GROUP BY 1, 2)
+    SELECT sym_a, sym_b, pair_count
+    FROM pairs
+    ORDER BY pair_count DESC, sym_a, sym_b
+    LIMIT 20
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration's pair statistics: corpus word
+    frequencies (the standard word-level pre-aggregation — pair
+    counting then runs over the VOCABULARY, thousands of rows, not the
+    corpus), adjacent symbol-pair counts weighted by word frequency,
+    top candidates for the first merge. This is the inner loop of
+    byte-pair-encoding tokenizer training; at scale the word-frequency
+    rollup is the only corpus-sized shuffle, and each subsequent merge
+    iteration reuses it. Pure codegen (sequence + substr), no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                # 63-pair cap per word mirrors the oracle's fixed
+                # generate_series bound (DuckDB forbids lateral column
+                # bounds); also the hot-word guard a real tokenizer
+                # trainer applies to pathological unbroken tokens
+                F.sequence(F.lit(1), F.least(F.length("word") - 1, F.lit(63))),
+                lambda i: F.struct(
+                    F.substring(F.col("word"), 1, 0x7FFFFFFF).substr(i, F.lit(1)).alias("sym_a"),
+                    F.substring(F.col("word"), 1, 0x7FFFFFFF).substr(i + 1, F.lit(1)).alias("sym_b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("freq", F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
+        .limit(20)
+    )
