@@ -1369,3 +1369,79 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_schema_evolution_read",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_price,
+           COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_pri,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END
+                         AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_price
+    FROM orders
+    """,
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution round trip as gate evidence (was pytest-only):
+    two parquet batches with DIFFERENT schemas — an old writer without
+    o_orderpriority (even keys) and a new writer without o_totalprice
+    (odd keys) — land in one directory; mergeSchema reads the union
+    schema with nulls where a file lacks a column. The oracle replays
+    the null pattern from the key parity, so a mergeSchema regression
+    (dropped column, wrong null fill) breaks the hash. This is the
+    additive-evolution posture a year-spanning 100 TB table needs —
+    old files are never rewritten."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("cpx_etl_schevo_") + "/orders"
+    even = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    even.write.mode("overwrite").parquet(out + "/batch=old")
+    odd.write.mode("overwrite").parquet(out + "/batch=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_pri"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"), 2
+        ).alias("sum_price"),
+    )
+
+
+@register(
+    "q_compaction_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), 2)
+             AS sum_price
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as gate evidence (was pytest-only): a
+    deliberately fragmented write (32 files for a few thousand rows)
+    compacts to target-size files via the atomic dir swap, and the
+    compacted table must aggregate identically to the source — the
+    oracle never sees the staging dir, so any row loss/duplication in
+    the rewrite breaks the hash. File-count and swap-atomicity
+    assertions live in tests/test_scale_utils.py."""
+    from cpx_etl_spark.sources.sinks import compact_parquet_dir
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    out = scratch_dir("cpx_etl_compact_") + "/li"
+    li.repartition(32).write.mode("overwrite").parquet(out)
+    compact_parquet_dir(spark, out, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double"), 2
+        ).alias("sum_price"),
+    )
