@@ -1295,7 +1295,19 @@ class MiniXslt:
             lhs, rhs = rhs, lhs  # literal-first spelling: 'x' = path
             rhs_lit = operand_literal(rhs)
             if rhs_lit is None:
-                raise XsltUnsupported(f"path-to-path comparison {expr!r}")
+                # node-set vs node-set (XPath 1.0 §3.4): '=' is true
+                # iff ANY (a, b) pair matches; '!=' iff any pair
+                # differs. Ordered node-set comparisons stay out of
+                # the subset.
+                if op not in ("=", "!="):
+                    raise XsltUnsupported(
+                        f"ordered path-to-path comparison {expr!r}"
+                    )
+                lvals = {_string(v) for v in self._select(ctx, lhs)}
+                rvals = {_string(v) for v in self._select(ctx, rhs)}
+                if op == "=":
+                    return bool(lvals & rvals)
+                return bool(lvals and rvals and len(lvals | rvals) > 1)
         values = [_string(v) for v in self._select(ctx, lhs)]
         if isinstance(rhs_lit, float):
             nums = []

@@ -11,11 +11,12 @@ paths here:
 - ``read_xml_file`` + ``resolve_xincludes``: driver-side parse of
   small config/control documents, as in the reference.
 
-Literal XSLT (index.js:87-126) is NOT re-implemented (no libxslt); its
-observable behavior — an xi:include-driven ORDERED CHAIN of declarative
-XML reshapes — lives in plans/xsl_chain.py (mapping specs composed in
-document order, fused by Catalyst). The literal-stylesheet entry point
-below remains a gated stub raising NotImplementedError.
+Literal XSLT (index.js:87-126) IS executed since r5: the
+``xsl_transform`` entry point below delegates to the stdlib
+XSLT-1.0-subset interpreter in functions/xslt.py (lxml's libxslt when
+importable). The declarative-chain analogue — an xi:include-driven
+ORDERED CHAIN of mapping-spec reshapes fused by Catalyst — lives in
+plans/xsl_chain.py.
 """
 
 from __future__ import annotations

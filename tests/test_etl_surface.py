@@ -814,3 +814,29 @@ def test_xslt_string_functions():
     </xsl:stylesheet>"""
     with _pytest.raises(XsltUnsupported):
         MiniXslt(bad).apply("<doc/>")
+
+
+def test_xslt_chain_document_lookup(spark, tmp_path):
+    """document(uri) works through the DISTRIBUTED chain path:
+    xslt_transform_column ships base_dir in the closure, each task
+    resolves the lookup file once and caches the tree."""
+    (tmp_path / "codes.xml").write_text(
+        '<map><e k="A" v="alpha"/><e k="B" v="beta"/></map>'
+    )
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="r">
+        <xsl:variable name="kk" select="c"/>
+        <out v="{document('codes.xml')/map/e[@k = $kk]/@v}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.plans.xsl_chain import xslt_transform_column
+
+    df = spark.createDataFrame([("A",), ("B",), ("A",)], "c string").select(
+        F.concat(F.lit("<r><c>"), "c", F.lit("</c></r>")).alias("doc")
+    )
+    out = xslt_transform_column(df, "doc", "xml", [xsl], base_dir=str(tmp_path))
+    got = sorted(r["xml"] for r in out.collect())
+    assert got == ['<out v="alpha"/>', '<out v="alpha"/>', '<out v="beta"/>']

@@ -467,3 +467,35 @@ def test_attr_copy_precedence_and_fail_fast():
     </xsl:stylesheet>"""
     with pytest.raises(XsltUnsupported, match="element constructor"):
         _run_xsl(bad, xml)
+
+
+def test_nodeset_to_nodeset_comparison():
+    """XPath 1.0 existential node-set comparison: '=' true iff ANY
+    pair matches, '!=' iff any pair differs; ordered path-to-path
+    stays fail-fast. Before r7 every path-to-path comparison raised."""
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import XsltUnsupported
+
+    xml = ("<d><want><t>b</t><t>c</t></want>"
+           "<have><t>c</t></have><none><t>z</t></none></d>")
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <o hit="{{boolean(want/t = have/t)}}"
+           miss="{{boolean(want/t = none/t)}}"
+           ne="{{boolean(have/t != have/t)}}"
+           ne2="{{boolean(want/t != have/t)}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'hit="true"' in out       # c in both
+    assert 'miss="false"' in out
+    assert 'ne="false"' in out       # single equal pair: no differing pair
+    assert 'ne2="true"' in out       # (b, c) differs
+    bad = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <xsl:if test="want/t &lt; have/t"><x/></xsl:if>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="ordered path-to-path"):
+        _run_xsl(bad, xml)
