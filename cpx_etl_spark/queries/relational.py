@@ -3123,3 +3123,81 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_decade")
     )
+
+
+@register(
+    "q_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(TRUNC(value) AS BIGINT) * 60000000 AS e
+      FROM events),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           SUM(ie - is_) // 1000000 AS covered_seconds
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union via the islands construction (the sweep-line
+    'total covered time' primitive behind ad-exposure, machine-uptime
+    and on-call coverage metrics): each event opens a [ts, ts +
+    trunc(value) minutes] interval; overlapping-or-touching intervals
+    merge into islands (an interval starts a new island iff it begins
+    after the running max end of everything before it), union length =
+    sum of island extents. All windows are user-partitioned; the
+    arithmetic is integer microseconds end-to-end, so the result is
+    exact in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.expr("CAST(value AS BIGINT)") * 60_000_000
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    runmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        (runmax.isNull() | (F.col("s") > runmax)).cast("int"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w2))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.floor(F.sum(F.col("ie") - F.col("is_")) / 1_000_000).alias(
+                "covered_seconds"
+            ),
+        )
+        .orderBy("user_id")
+    )
