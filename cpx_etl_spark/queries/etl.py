@@ -1445,3 +1445,38 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double"), 2
         ).alias("sum_price"),
     )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round trip: orders write to ORC (Spark's
+    second first-class columnar format — zlib by default, same
+    predicate-pushdown/column-pruning machinery as parquet) and read
+    back; the aggregate must equal computing on the parquet source,
+    which is what the oracle does — any type mangling or row loss in
+    the format conversion breaks the hash. Timestamps survive via the
+    session's UTC pinning."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("cpx_etl_orc_") + "/orders"
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,4)")).cast("double"), 2
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -3201,3 +3201,62 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 200) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= 200) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles,
+           (SELECT COUNT(DISTINCT x) FROM (SELECT x FROM tri UNION ALL
+                                           SELECT y FROM tri UNION ALL
+                                           SELECT z FROM tri) t(x)) AS n_tri_nodes
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (edges = part pairs
+    sharing >= 2 orders, bounded to a 200-part projection so the demo
+    graph is dense enough to close triangles): the oriented-edge
+    formulation — every edge stored once as u < v, a triangle is
+    e1=(x,y), e2=(y,z), e3=(x,z) — counts each triangle exactly once
+    with two joins, the standard distributed formulation (vs the
+    naive symmetric join that counts 6x and doubles the shuffle).
+    Completes the graph family next to connected components
+    (dedup_clusters) and PageRank (q_pagerank_trade)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("u", "v")
+    )
+    e1 = pairs.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = pairs.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = pairs.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    nodes = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .agg(F.countDistinct("n").alias("n_tri_nodes"))
+    )
+    return n_edges.crossJoin(n_tri).crossJoin(nodes)  # three 1-row frames
