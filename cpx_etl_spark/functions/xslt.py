@@ -927,9 +927,12 @@ class MiniXslt:
             for kmatch, kuse in decls:
                 if self._match_score(kmatch, elem) is None:
                     continue
+                # EVERY matching declaration files the node (XSLT 1.0
+                # §12.2 unions declarations; no first-match-wins here)
                 for item in self._select(elem, kuse):
-                    index.setdefault(_string(item), []).append(elem)
-                break  # first matching declaration wins for this node
+                    vals = index.setdefault(_string(item), [])
+                    if not vals or vals[-1] is not elem:
+                        vals.append(elem)
         return index
 
     def _document(self, inner: str) -> "_Doc":

@@ -826,13 +826,16 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # counts is CORPUS-sized (one row per doc) — no broadcast hint;
+    # AQE may still choose one at small scale, but pinning it would
+    # hard-fail at 10^9 docs (same discipline as the dedup operators)
     pairs = (
         shared.join(
-            F.broadcast(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
             on="doc_a",
         )
         .join(
-            F.broadcast(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
             on="doc_b",
         )
         .select("doc_a", "doc_b", "shared", (F.col("n_a") + F.col("n_b") - F.col("shared")).alias("un"))
@@ -1015,11 +1018,11 @@ def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .join(
-            F.broadcast(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
             on="doc_a",
         )
         .join(
-            F.broadcast(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
             on="doc_b",
         )
         .filter(

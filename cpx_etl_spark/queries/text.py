@@ -700,9 +700,10 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the per-doc pair fan-out at O(cap^2) regardless of
     document length — without the cap one pathological
     million-distinct-token doc emits 10^12 pairs. The df frame is
-    vocabulary-sized and broadcasts; the only big shuffle is the
-    (token_a, token_b) pair count, which partial-aggregates
-    map-side."""
+    vocabulary-sized (10^8+ rows on a web corpus) so its joins carry
+    NO broadcast pin — AQE picks one when it actually fits; the only
+    big shuffle is the (token_a, token_b) pair count, which
+    partial-aggregates map-side."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -711,8 +712,10 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # df_counts is VOCABULARY-sized — small here, but a web corpus
+    # holds 10^8+ distinct tokens, so no broadcast pin (AQE decides)
     kept = (
-        toks.join(F.broadcast(df_counts), "tok")
+        toks.join(df_counts, "tok")
         .crossJoin(F.broadcast(n_docs))  # 1-row frame
         .filter((F.col("df") >= 5) & (F.col("df") <= 0.95 * F.col("n")))
         .select("doc_id", "tok")
@@ -733,11 +736,11 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(df_counts.select(F.col("tok").alias("token_a"), F.col("df").alias("df_a"))),
+            df_counts.select(F.col("tok").alias("token_a"), F.col("df").alias("df_a")),
             "token_a",
         )
         .join(
-            F.broadcast(df_counts.select(F.col("tok").alias("token_b"), F.col("df").alias("df_b"))),
+            df_counts.select(F.col("tok").alias("token_b"), F.col("df").alias("df_b")),
             "token_b",
         )
         .crossJoin(F.broadcast(n_docs))

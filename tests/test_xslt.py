@@ -499,3 +499,19 @@ def test_nodeset_to_nodeset_comparison():
     </xsl:stylesheet>"""
     with pytest.raises(XsltUnsupported, match="ordered path-to-path"):
         _run_xsl(bad, xml)
+
+
+def test_key_unions_all_matching_declarations():
+    """A node matching several declarations of the same key is filed
+    under EVERY declaration's use value (XSLT 1.0 section 12.2 unions
+    declarations — not first-match-wins)."""
+    xml = '<db><a id="x" alt="y"/></db>'
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:key name="k" match="a" use="@id"/>
+      <xsl:key name="k" match="a" use="@alt"/>
+      <xsl:template match="db">
+        <o byid="{{count(key('k', 'x'))}}" byalt="{{count(key('k', 'y'))}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'byid="1"' in out and 'byalt="1"' in out
