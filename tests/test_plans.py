@@ -153,7 +153,9 @@ def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):
     from cpx_etl_spark.queries.dedup import dedup_embedding_demo
 
     for name in ("dedup_embedding_strict", "dedup_minhash_lsh",
-                 "dedup_ngram_jaccard", "dedup_cross_corpus_indexed"):
+                 "dedup_ngram_jaccard", "dedup_cross_corpus_indexed",
+                 "q_minhash_accuracy", "q_lsh_candidate_quality",
+                 "q_token_pmi"):
         df = q[name](spark, sf_dir)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         assert "broadcast" not in logical.lower(), f"{name} still hints a broadcast"
