@@ -160,12 +160,12 @@ def test_no_corpus_sized_broadcast_in_dedup_paths(spark, sf_dir):
         assert "broadcast" not in logical.lower(), f"{name} still hints a broadcast"
     # q_token_pmi's only sanctioned hints are its two 1-row n_docs
     # frames; the vocab/corpus joins must stay unhinted
-    import re as _re
-
     logical = q["q_token_pmi"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
-    assert len(_re.findall(r"(?i)broadcast", logical)) <= 2, (
-        "q_token_pmi hints more than the 1-row frames"
-    )
+    for line in logical.splitlines():
+        if "strategy=broadcast" in line:
+            assert "Join Cross" in line, (
+                f"q_token_pmi hints a non-1-row broadcast: {line.strip()[:120]}"
+            )
     # the pytest-only demo config keeps the same no-forced-broadcast bar
     df = dedup_embedding_demo(spark, sf_dir)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
