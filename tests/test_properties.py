@@ -125,3 +125,62 @@ def test_xlsx_roundtrip_property(tmp_path_factory, rows):
         assert gs == s or (s == "" and gs is None)  # empty inline str
         assert gi == i
         assert gf == f or (gf is not None and float(gf) == f)
+
+
+_path_segment = st.one_of(
+    st.sampled_from(["$", "#", ""]),
+    st.from_regex(r"#?[a-c]{1,3}", fullmatch=True),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_path_segment, min_size=1, max_size=4).map(".".join))
+def test_path_lineage_mirrors_path_col_accept_reject(spark, path):
+    """Drift guard for the static lineage mirror (ADVICE r6): for ANY
+    generated applyPath string, path_lineage accepts iff path_col
+    accepts — the impact-analysis view can never diverge from the
+    compiler on what is a legal path. (Column construction is lazy, so
+    path_col's acceptance is exactly its parse-time validation; the
+    spark fixture provides the JVM that Column expressions bind to.)"""
+    from cpx_etl_spark.functions.paths import path_col, path_lineage
+
+    try:
+        path_col(path)
+        compiled = True
+    except ValueError:
+        compiled = False
+    try:
+        kind, _norm, _scoped = path_lineage(path)
+        analyzed = True
+        assert kind in ("path", "length")
+    except ValueError:
+        analyzed = False
+    assert compiled == analyzed, (
+        f"path_col and path_lineage disagree on {path!r}"
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+    st.sampled_from(["0", "0.00", "#,##0.00", "0.###", "#,##0", "0.0%"]),
+)
+def test_format_number_invariants(value, pattern):
+    """format-number() subset invariants: output round-trips to within
+    the pattern's quantum, grouping separators sit every 3 digits, and
+    the sign is preserved."""
+    from cpx_etl_spark.functions.xslt import _format_number
+
+    out = _format_number(value, pattern)
+    pct = pattern.endswith("%")
+    body = out[:-1] if pct else out
+    scaled = value * 100 if pct else value
+    parsed = float(body.replace(",", ""))
+    frac = pattern[:-1] if pct else pattern
+    frac_digits = len(frac.partition(".")[2])
+    assert abs(parsed - scaled) <= 0.5 * 10 ** -frac_digits + 1e-6 * abs(scaled)
+    assert (parsed < 0) == (scaled < -0.5 * 10 ** -frac_digits)
+    if "," in pattern:
+        int_part = body.lstrip("-").partition(".")[0]
+        for group in int_part.split(",")[1:]:
+            assert len(group) == 3
