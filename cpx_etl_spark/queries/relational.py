@@ -3260,3 +3260,100 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("n").alias("n_tri_nodes"))
     )
     return n_edges.crossJoin(n_tri).crossJoin(nodes)  # three 1-row frames
+
+
+@register(
+    "q_approx_quantile_hist",
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(255, CAST(FLOOR(o_totalprice / 2500.0) AS INTEGER)) AS bin,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM b),
+    cum AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn
+      FROM b),
+    est AS (
+      SELECT q.p,
+             MIN(bin) AS qbin
+      FROM cum, tot, (VALUES (0.5), (0.9), (0.99)) q(p)
+      WHERE cn >= p * total
+      GROUP BY q.p)
+    SELECT p AS quantile,
+           CAST(qbin AS BIGINT) AS bin,
+           ROUND(qbin * 2500.0 + 1250.0, 2) AS estimate
+    FROM est
+    ORDER BY p
+    """,
+)
+def q_approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile estimation via a fixed-boundary histogram
+    (256 bins of 2,500 over the known price domain): bin counts are
+    additive across partitions/days/retries — the property exact
+    sort-based percentiles lack and the reason production percentile
+    serving pre-aggregates histograms. The estimate (bin midpoint at
+    the cumulative-count crossing) is a pure function of the counts,
+    so both engines produce bit-identical estimates — the
+    approximation itself is hash-verified, like SQ8/PQ. Exact
+    percentiles for the same table live in q_percentile_stats; this is
+    the at-scale twin. The cumulative window runs over the 256-row
+    bins frame, not the corpus."""
+    orders = _t(spark, sf_dir, "orders")
+    bins = (
+        orders.select(
+            F.least(
+                F.lit(255), F.floor(F.col("o_totalprice") / 2500.0).cast("int")
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cn", F.sum("n").over(w))
+    tot = bins.agg(F.sum("n").alias("total"))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    est = (
+        cum.crossJoin(F.broadcast(tot))  # 256-row frame x 1-row total
+        .join(F.broadcast(qs), F.col("cn") >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return est.select(
+        F.col("p").alias("quantile"),
+        F.col("qbin").cast("bigint").alias("bin"),
+        F.round(F.col("qbin") * 2500.0 + 1250.0, 2).alias("estimate"),
+    ).orderBy("quantile")
+
+
+@register(
+    "q_fixed_size_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 100
+    ORDER BY doc_id
+    """,
+)
+def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample (exactly k=100 rows): global top-k by
+    md5 rank — the single-pass bounded-memory construction that
+    replaces reservoir sampling in a distributed engine (each
+    partition keeps its local top-k, the merge keeps the global; Spark
+    plans exactly that via TakeOrderedAndProject, no full sort, no
+    second pass to fix a rate-based sample's size). Deterministic and
+    hash-verified; the rate-based twins are q_deterministic_sample /
+    q_stratified_sample."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "source",
+            F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(100)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
