@@ -184,3 +184,71 @@ def test_format_number_invariants(value, pattern):
         int_part = body.lstrip("-").partition(".")[0]
         for group in int_part.split(",")[1:]:
             assert len(group) == 3
+
+
+_xml_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs", "Cc"), exclude_characters="\r"
+    ),
+    min_size=1,
+    max_size=8,
+)
+_xml_tag = st.sampled_from(["a", "b", "c-d", "e_f"])
+_xml_attrs = st.dictionaries(
+    st.sampled_from(["k", "id", "v"]), _xml_text, max_size=2
+)
+
+
+def _mk_tree(draw, depth):
+    import xml.etree.ElementTree as ET
+
+    elem = ET.Element(draw(_xml_tag), dict(draw(_xml_attrs)))
+    if draw(st.booleans()):
+        elem.text = draw(_xml_text)
+    if depth < 2:
+        for _ in range(draw(st.integers(0, 2))):
+            child = _mk_tree(draw, depth + 1)
+            elem.append(child)
+            if draw(st.booleans()):
+                child.tail = draw(_xml_text)
+    return elem
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_identity_transform_roundtrips_arbitrary_trees(data):
+    """Fuzz the interpreter end-to-end: the identity transform
+    (xsl:copy + copy-of @* + node() recursion) over ARBITRARY small
+    trees — attribute values and text with XML-special and non-ASCII
+    characters — must re-parse to an equivalent tree (tags, attrs,
+    text, tails). This pins the serializer's escaping/quoting and the
+    attr-copy path against the whole input space, not just the
+    hand-picked cases."""
+    import xml.etree.ElementTree as ET
+
+    from cpx_etl_spark.functions.xslt import MiniXslt
+
+    root = _mk_tree(data.draw, 0)
+    src = ET.tostring(root, encoding="unicode")
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="node()">
+        <xsl:copy>
+          <xsl:copy-of select="@*"/>
+          <xsl:apply-templates select="node()"/>
+        </xsl:copy>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXslt(xsl).apply(src)
+    got = ET.fromstring(out)
+
+    def eq(a, b):
+        assert a.tag == b.tag
+        assert dict(a.attrib) == dict(b.attrib)
+        assert (a.text or "") == (b.text or "")
+        assert (a.tail or "") == (b.tail or "")
+        assert len(a) == len(b)
+        for ca, cb in zip(a, b):
+            eq(ca, cb)
+
+    eq(root, got)
