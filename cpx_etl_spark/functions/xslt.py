@@ -925,7 +925,13 @@ class MiniXslt:
             }
         for elem in self._root.iter():
             for kmatch, kuse in decls:
-                if self._match_score(kmatch, elem) is None:
+                # 'a|b' alternation in key match patterns, same as
+                # template rules (code-review r7: the un-split pattern
+                # silently matched nothing)
+                if all(
+                    self._match_score(alt, elem) is None
+                    for alt in _split_union(kmatch)
+                ):
                     continue
                 # EVERY matching declaration files the node (XSLT 1.0
                 # §12.2 unions declarations; no first-match-wins here)
@@ -1139,6 +1145,25 @@ class MiniXslt:
                         cand = sub
                     elif name == "text()":
                         cand = [e.text for e in or_self if e.text]
+                    elif name == "node()":
+                        # a//node(): every descendant node (elements
+                        # AND text, tails included) in true document
+                        # order via the interleaved child walk
+                        # (code-review r7: fell through to a literal
+                        # tag compare and silently selected nothing)
+                        cand = []
+
+                        def _walk(e, _out=cand):
+                            for c in self._node_children(e):
+                                _out.append(c)
+                                if isinstance(c, ET.Element):
+                                    _walk(c)
+
+                        if isinstance(node, _Doc):
+                            cand.append(node.root)
+                            _walk(node.root)
+                        else:
+                            _walk(node)
                     elif name.startswith("@"):
                         cand = [
                             e.attrib[name[1:]] for e in or_self if name[1:] in e.attrib
@@ -1295,7 +1320,11 @@ class MiniXslt:
 
         rhs_lit = operand_literal(rhs)
         if rhs_lit is None:
-            lhs, rhs = rhs, lhs  # literal-first spelling: 'x' = path
+            # literal-first spelling ('3 < n'): swap operands AND
+            # mirror the ordered operator — '3 < n' means 'n > 3',
+            # not 'n < 3' (code-review r7)
+            lhs, rhs = rhs, lhs
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
             rhs_lit = operand_literal(rhs)
             if rhs_lit is None:
                 # node-set vs node-set (XPath 1.0 §3.4): '=' is true

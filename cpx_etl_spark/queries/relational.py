@@ -2996,9 +2996,12 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_sess",
             (
                 F.col("prev_ts").isNull()
+                # integer MICROSECONDS, not seconds-truncated casts —
+                # a gap in (1800s, 1801s) would otherwise split in the
+                # oracle but not here (code-review r7)
                 | (
-                    F.col("ts").cast("long") - F.col("prev_ts").cast("long")
-                    > 1800
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > 1_800_000_000
                 )
             ).cast("int"),
         )
@@ -3134,7 +3137,7 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(ts) + CAST(TRUNC(value) AS BIGINT) * 60000000 AS e
       FROM events),
     marked AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        IS NULL
@@ -3144,7 +3147,7 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM iv),
     islands AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM marked),
     merged AS (
@@ -3184,7 +3187,7 @@ def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_island",
         (runmax.isNull() | (F.col("s") > runmax)).cast("int"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+    w2 = Window.partitionBy("user_id").orderBy("s", "e", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     islands = marked.withColumn("island", F.sum("new_island").over(w2))

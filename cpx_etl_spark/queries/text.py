@@ -836,7 +836,10 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    pairs = words.select(
+    # single-char words carry no pairs; without this guard
+    # sequence(1, 0) runs DESCENDING ([1, 0]) and emits spurious pairs
+    # the oracle never generates (code-review r7)
+    pairs = words.filter(F.length("word") >= 2).select(
         "freq",
         F.explode(
             F.transform(
@@ -846,8 +849,8 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # trainer applies to pathological unbroken tokens
                 F.sequence(F.lit(1), F.least(F.length("word") - 1, F.lit(63))),
                 lambda i: F.struct(
-                    F.substring(F.col("word"), 1, 0x7FFFFFFF).substr(i, F.lit(1)).alias("sym_a"),
-                    F.substring(F.col("word"), 1, 0x7FFFFFFF).substr(i + 1, F.lit(1)).alias("sym_b"),
+                    F.col("word").substr(i, F.lit(1)).alias("sym_a"),
+                    F.col("word").substr(i + 1, F.lit(1)).alias("sym_b"),
                 ),
             )
         ).alias("p"),

@@ -515,3 +515,27 @@ def test_key_unions_all_matching_declarations():
     </xsl:stylesheet>"""
     out = _run_xsl(xsl, xml)
     assert 'byid="1"' in out and 'byalt="1"' in out
+
+
+def test_code_review_r7_regressions():
+    """Pins the three code-review r7 findings: literal-first ordered
+    comparisons mirror the operator on swap; key match patterns
+    support a|b alternation; a//node() selects all descendant nodes
+    in document order."""
+    xml = '<db n="5"><a id="1"/><b id="2"/><c>t<d/>u</c></db>'
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:key name="k" match="a|b" use="@id"/>
+      <xsl:template match="db">
+        <o lt="{{boolean(3 &lt; @n)}}" gt="{{boolean(9 &gt; @n)}}"
+           le="{{boolean(5 &lt;= @n)}}" bad="{{boolean(7 &lt; @n)}}"
+           k1="{{count(key('k', '1'))}}" k2="{{count(key('k', '2'))}}"
+           dn="{{count(c//node())}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'lt="true"' in out        # 3 < 5
+    assert 'gt="true"' in out        # 9 > 5
+    assert 'le="true"' in out        # 5 <= 5
+    assert 'bad="false"' in out      # 7 < 5 is false
+    assert 'k1="1"' in out and 'k2="1"' in out  # both alternatives indexed
+    assert 'dn="3"' in out           # 't', <d/>, 'u'
