@@ -186,3 +186,69 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.length("frame").cast("bigint").alias("frame_len"),
     ).join(sizes, on="doc_id")
+
+
+@register(
+    "mm_binaryfile_ingest",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               {_hexbyte(0)} AS b0, {_hexbyte(1)} AS b1, {_hexbyte(2)} AS b2
+        FROM documents WHERE doc_id < 64)
+    SELECT CASE WHEN b2 % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+           COUNT(*) AS n_files,
+           SUM(CASE WHEN b2 % 2 = 0
+               THEN 54 + (1 + b1 % 64) * (((1 + b0 % 64) * 3 + 3) // 4 * 4)
+               ELSE 68 + (1 + b1 % 64) * (1 + 3 * (1 + b0 % 64))
+               END) AS total_bytes,
+           SUM(1 + b0 % 64) AS sum_width
+    FROM b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL file-ingestion path for image/audio corpora: media
+    files land on disk (here: 64 synthesized BMP/PNG files, content
+    the closed-form function of each doc's md5), Spark's binaryFile
+    source reads whole files as (path, length, content) rows — the
+    production pattern for a 100 TB image crawl, where the scan
+    parallelizes per file and maxPartitionBytes groups small files per
+    task — and the existing Arrow-batched header decoder runs over the
+    content column. The oracle re-derives format/size/width
+    arithmetically from the md5 digits, so a wrong byte anywhere in
+    write -> scan -> decode breaks the hash."""
+    import os
+
+    from cpx_etl_spark.operators.multimodal import synth_media_bytes
+    from cpx_etl_spark.scratch import scratch_dir
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    d = scratch_dir("cpx_etl_binfiles_")
+    # driver-side write of the small fixture set (the test corpus);
+    # at scale the files pre-exist — this stage is not the operator
+    for r in docs.select("doc_id", "text").collect():
+        with open(os.path.join(d, f"{r['doc_id']:06d}.bin"), "wb") as fh:
+            fh.write(synth_media_bytes(r["text"]))
+    files = spark.read.format("binaryFile").load(d)
+    from cpx_etl_spark.operators.multimodal import decode_media_meta
+
+    decoded = decode_media_meta(
+        files.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        ),
+        id_col="doc_id",
+    )
+    return (
+        decoded.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("width").alias("sum_width"),
+        )
+        .orderBy("fmt")
+    )
