@@ -1054,3 +1054,95 @@ def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "dedup_semantic",
+    oracle="""
+    WITH comp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) gs(i)),
+    cent AS (
+        SELECT label AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY label, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    ascore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+                     / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64),
+                              i -> c.centroid[i] * c.centroid[i]))))
+                     - 1e-9, 6) + 0 AS c_cos
+        FROM embeddings e CROSS JOIN centv c),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+                    - 1e-9, 6) >= 0.45)
+    SELECT a.cell, COUNT(*) AS n_vectors,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup inside embedding
+    clusters: vectors assign to their nearest exact-decimal centroid
+    (the IVF construction), pairwise cosine runs ONLY within a
+    cluster, and every vector preceded (by id) by a >= tau neighbor in
+    its cluster is dropped — the deterministic keep-first variant of
+    the paper's keep-one rule. The whole point at 100 TB scale is the
+    candidate bound: pair volume is sum over cells of n_c^2 instead of
+    N^2, and k (number of clusters) tunes it; here cells come from the
+    corpus's 25 labels. tau = 0.45 sits at this corpus's planted-dup
+    similarity so the drop set is non-trivial."""
+    from cpx_etl_spark.functions.vectors import as_double, cosine
+    from cpx_etl_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _cents, assigned = ivf_build(emb, "vec_id", "embedding", "label")
+    a = assigned.select(
+        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("is_dropped", F.lit(1)),
+            assigned.neighbor_id == dropped.vec_id,
+            "left",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
