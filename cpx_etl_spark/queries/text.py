@@ -861,3 +861,70 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
         .limit(20)
     )
+
+
+@register(
+    "q_token_rarity_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(CAST(d.df AS DECIMAL(20,4))) AS DOUBLE)
+                     / COUNT(*) - 1e-9, 4) + 0 AS mean_df
+        FROM toks t JOIN df d ON d.tok = t.tok
+        GROUP BY t.doc_id),
+    cut AS (
+        SELECT MAX(mean_df) AS lo FROM (
+          SELECT mean_df FROM scored
+          ORDER BY mean_df, doc_id
+          LIMIT (SELECT CAST(COUNT(*) * 0.1 AS BIGINT) FROM scored)))
+    SELECT s.doc_id, s.n_tokens, s.mean_df,
+           s.mean_df <= cut.lo AS flag_rare
+    FROM scored s CROSS JOIN cut
+    ORDER BY s.doc_id
+    """,
+)
+def q_token_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal — the log-free stand-in for a
+    perplexity filter: a document whose tokens have unusually LOW mean
+    document frequency is statistically unlike the corpus (gibberish,
+    wrong language, encoding damage). Per-doc mean token df
+    (decimal-exact), bottom-decile cutoff from a 1-row bounds frame.
+    The df table is vocabulary-sized and joins unhinted; the heavy
+    lifting is two token-keyed aggregates with map-side partials —
+    exactly the KenLM-filter shape minus the external model."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    df_t = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        toks.join(df_t, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("df").cast("decimal(20,4)")).cast("double")
+                / F.count(F.lit(1))
+                - 1e-9,
+                4,
+            ).alias("mean_df"),
+        )
+    )
+    n_low = scored.agg(
+        (F.count(F.lit(1)) * 0.1).cast("bigint").alias("k")
+    ).collect()[0]["k"]  # 1-row planning lookup (decile size)
+    low = scored.orderBy("mean_df", "doc_id").limit(int(n_low))
+    cut = low.agg(F.max("mean_df").alias("lo"))
+    return (
+        scored.crossJoin(F.broadcast(cut))  # 1-row bounds frame
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_df",
+            (F.col("mean_df") <= F.col("lo")).alias("flag_rare"),
+        )
+        .orderBy("doc_id")
+    )
