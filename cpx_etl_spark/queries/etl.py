@@ -1480,3 +1480,55 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_backfill_partition_overwrite",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03'
+                    THEN CAST(value * 2 AS DECIMAL(20,4))
+                    ELSE CAST(value AS DECIMAL(20,4)) END) AS DOUBLE), 2)
+             AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-06'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill via DYNAMIC partition overwrite (the lakehouse
+    correction pattern): a day-partitioned table lands once; a
+    corrected batch for ONE day (values doubled) overwrites ONLY that
+    day's partition — partitionOverwriteMode=dynamic replaces exactly
+    the partitions present in the incoming batch, never truncating the
+    table the way static overwrite would. The oracle computes the
+    post-backfill state from the source directly, so a dropped or
+    over-written partition breaks the hash. The decimal sum is exact,
+    hence order-independent across the rewrite."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-06"
+    ).withColumn("day", F.col("ts").cast("date"))
+    out = scratch_dir("cpx_etl_backfill_") + "/events"
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    corrected = ev.filter(F.col("day") == "2024-01-03").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
