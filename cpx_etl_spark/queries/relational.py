@@ -3360,3 +3360,71 @@ def q_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_event_pattern_cep",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    pv AS (
+      SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+             MAX(v.ts) AS v_ts
+      FROM p JOIN v ON v.user_id = p.user_id
+       AND v.ts <= p.ts
+       AND v.ts >= p.ts - INTERVAL 1 HOUR
+      GROUP BY p.user_id, p.event_id, p.ts),
+    clean AS (
+      SELECT pv.user_id, pv.purchase_id
+      FROM pv
+      WHERE NOT EXISTS (
+        SELECT 1 FROM err e
+        WHERE e.user_id = pv.user_id
+          AND e.ts > pv.v_ts AND e.ts < pv.p_ts))
+    SELECT user_id, COUNT(*) AS n_patterns
+    FROM clean GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE gap:
+    'view, then purchase within 1 h, with NO error between them'):
+    the A-step binds to the LATEST qualifying view per purchase (one
+    banded join + max, the as-of construction), the no-C condition is
+    a time-banded anti-join against the error stream — three
+    user-keyed joins, no per-row state machine, which is how CEP
+    compiles onto a relational engine at scale (the row-at-a-time
+    NFA formulation would serialize per user)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("e_ts")
+    )
+    pv = (
+        p.join(
+            v,
+            (F.col("vu") == F.col("user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id", "purchase_id", "p_ts")
+        .agg(F.max("v_ts").alias("v_ts"))
+    )
+    clean = pv.join(
+        err,
+        (F.col("eu") == F.col("user_id"))
+        & (F.col("e_ts") > F.col("v_ts"))
+        & (F.col("e_ts") < F.col("p_ts")),
+        "left_anti",
+    )
+    return (
+        clean.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_patterns"))
+        .orderBy("user_id")
+    )
