@@ -3428,3 +3428,43 @@ def q_event_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_patterns"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_window_functions_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w - 1e-9, 6) + 0 AS pr,
+           ROUND(CUME_DIST() OVER w - 1e-9, 6) + 0 AS cd,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_ok,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_ok
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window functions in one frame:
+    percent_rank / cume_dist (rank statistics), first_value /
+    nth_value (default running frame), and last_value over the
+    explicit UNBOUNDED FOLLOWING frame — the classic last_value trap:
+    with the default frame it returns the CURRENT row, so the frame
+    must be widened in both engines identically. Unique (date, key)
+    ordering keeps every rank statistic deterministic."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w) - 1e-9, 6).alias("pr"),
+        F.round(F.cume_dist().over(w) - 1e-9, 6).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+    ).orderBy("o_custkey", "o_orderkey")
