@@ -3468,3 +3468,59 @@ def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
         F.last("o_orderkey").over(w_full).alias("last_ok"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "q_gini_revenue",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+      FROM per_cust),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(rev) AS DOUBLE) AS total,
+             CAST(SUM(CAST(i AS DECIMAL(20,0)) * rev) AS DOUBLE) AS weighted
+      FROM ranked)
+    SELECT n,
+           ROUND(2.0 * weighted / (n * total) - (n + 1.0) / n - 1e-9, 6) + 0
+             AS gini
+    FROM agg
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (the
+    inequality metric behind 'top 1% of customers drive X%' heat-map
+    dashboards): G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-sorted revenues. The global rank runs over the
+    PER-CUSTOMER aggregate (customer-cardinality, not order
+    cardinality); revenues and the rank-weighted sum accumulate as
+    exact DECIMAL, so the only IEEE ops are the final two divisions —
+    identical in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("rev")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("total"),
+        F.sum(F.col("i").cast("decimal(20,0)") * F.col("rev"))
+        .cast("double")
+        .alias("weighted"),
+    )
+    return agg.select(
+        "n",
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n")
+            - 1e-9,
+            6,
+        ).alias("gini"),
+    )

@@ -928,3 +928,71 @@ def q_token_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT source, lang, COUNT(*) AS o
+      FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, SUM(o) AS r FROM obs GROUP BY source),
+    ct AS (SELECT lang, SUM(o) AS c FROM obs GROUP BY lang),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT r.source, c.lang,
+             COALESCE(o.o, 0) AS o,
+             r.r * c.c * 1.0 / n.n AS e
+      FROM rt r CROSS JOIN ct c CROSS JOIN n
+      LEFT JOIN obs o ON o.source = r.source AND o.lang = c.lang),
+    terms AS (
+      SELECT ROUND((o - e) * (o - e) / e - 1e-9, 6) + 0 AS t
+      FROM cells)
+    SELECT ROUND(CAST(SUM(CAST(t AS DECIMAL(20,6))) AS DOUBLE) - 1e-9, 4) + 0
+             AS chi2,
+           (SELECT (COUNT(*) - 1) FROM rt)
+             * (SELECT (COUNT(*) - 1) FROM ct) AS dof
+    FROM terms
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test for the (source x lang)
+    contingency table — 'does language depend on crawl source?', the
+    statistical sibling of q_ab_test's Welch t. Expected counts are
+    single IEEE expressions of exact margins; per-cell terms round to
+    6dp and sum as DECIMAL, so the statistic is order-independent and
+    hash-verified. The dense cell grid (rows x cols) comes from the
+    margin frames, zero-filled with a left join — absent cells MUST
+    contribute (o-e)^2/e, the classic chi2 implementation bug."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("source").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))  # margins: sources x langs grid
+        .crossJoin(F.broadcast(n))  # 1-row total
+        .join(F.broadcast(obs), ["source", "lang"], "left")
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("r") * F.col("c") * 1.0 / F.col("n")).alias("e"),
+        )
+    )
+    terms = cells.select(
+        F.round(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+            - 1e-9,
+            6,
+        ).alias("t")
+    )
+    chi2 = terms.agg(
+        F.round(
+            F.sum(F.col("t").cast("decimal(20,6)")).cast("double") - 1e-9, 4
+        ).alias("chi2")
+    )
+    dof = (
+        rt.agg((F.count(F.lit(1)) - 1).alias("dr"))
+        .crossJoin(ct.agg((F.count(F.lit(1)) - 1).alias("dc")))
+        .select((F.col("dr") * F.col("dc")).alias("dof"))
+    )
+    return chi2.crossJoin(dof)  # two 1-row frames
