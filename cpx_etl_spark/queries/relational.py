@@ -3524,3 +3524,67 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_ewma_daily_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT d.event_type, d.day,
+             l.n AS n_l,
+             DATEDIFF('day', l.day, d.day) AS lag
+      FROM daily d
+      JOIN daily l ON l.event_type = d.event_type
+       AND l.day <= d.day AND l.day >= d.day - 7)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(SUM(n_l * POW(0.5, lag)) / SUM(POW(0.5, lag)) - 1e-9, 6) + 0
+             AS ewma
+    FROM lagged
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def q_ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event counts
+    (half-life 1 day, trailing 8-day support) — the smoothing behind
+    every anomaly-detection baseline. alpha = 1/2 is chosen so every
+    weight 2^-lag is EXACTLY representable and every product
+    n * 2^-lag is an exact dyadic double: the sums carry no rounding
+    error in ANY order, so the statistic is bit-identical cross-engine
+    without the decimal dance — the one alpha where IEEE float EWMA is
+    exact. The lag join fans out 8x on the (type, day)-cardinality
+    aggregate, never the event table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    d = daily.select("event_type", "day")
+    l = daily.select(
+        F.col("event_type").alias("et"), F.col("day").alias("lday"), F.col("n")
+    )
+    lagged = d.join(
+        l,
+        (F.col("et") == F.col("event_type"))
+        & (F.col("lday") <= F.col("day"))
+        & (F.col("lday") >= F.date_sub(F.col("day"), 7)),
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        F.datediff(F.col("day"), F.col("lday")).alias("lag"),
+    )
+    return (
+        lagged.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("n") * F.pow(F.lit(0.5), F.col("lag")))
+                / F.sum(F.pow(F.lit(0.5), F.col("lag")))
+                - 1e-9,
+                6,
+            ).alias("ewma")
+        )
+        .orderBy("event_type", "day")
+    )
