@@ -3588,3 +3588,68 @@ def q_ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_dau_wau_mau",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+      FROM (SELECT user_id, d + to_days(CAST(gs.i AS INTEGER)) AS day
+            FROM ud, generate_series(0, 6) gs(i)) c
+      JOIN days USING (day) GROUP BY c.day),
+    mau AS (
+      SELECT c.day, COUNT(DISTINCT c.user_id) AS mau
+      FROM (SELECT user_id, d + to_days(CAST(gs.i AS INTEGER)) AS day
+            FROM ud, generate_series(0, 27) gs(i)) c
+      JOIN days USING (day) GROUP BY c.day)
+    SELECT d.day, d.dau, w.wau, m.mau,
+           ROUND(d.dau * 1.0 / m.mau - 1e-9, 6) + 0 AS stickiness
+    FROM dau d JOIN wau w USING (day) JOIN mau m USING (day)
+    ORDER BY d.day
+    """,
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: DAU / exact trailing-7-day WAU /
+    exact trailing-28-day MAU / DAU-over-MAU stickiness per day. Both
+    rolling distincts use the contribution-explode construction
+    (q_rolling_distinct_users): fan-out is 7x + 28x the DISTINCT
+    (user, day) frame — never the event table — and each day's count
+    is one distinct aggregate over uniform day keys."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+
+    def rolling(window_days: int, out: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.col("d") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+        return (
+            contrib.join(days, on="day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(out))
+        )
+
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    out = (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(28, "mau"), "day")
+        .select(
+            "day", "dau", "wau", "mau",
+            F.round(F.col("dau") * 1.0 / F.col("mau") - 1e-9, 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+    return out
