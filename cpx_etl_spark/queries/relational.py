@@ -3653,3 +3653,117 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
     return out
+
+
+@register(
+    "q_recommend_also_bought",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                WHERE l_partkey <= 300),
+    pairs AS (
+      SELECT a.l_partkey AS p, b.l_partkey AS q, COUNT(*) AS together
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2)
+    SELECT p AS part, q AS also_bought, together, rn AS rec_rank
+    FROM (SELECT p, q, together,
+                 ROW_NUMBER() OVER (PARTITION BY p
+                                    ORDER BY together DESC, q) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    ORDER BY part, rec_rank
+    """,
+)
+def q_recommend_also_bought(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'customers also bought' serving view: top-3 co-purchased
+    parts per part by support (deterministic tiebreak) — the
+    materialization a recommender serves from, derived from the same
+    bounded basket self-join as q_copurchase_pairs but kept
+    DIRECTIONAL (every part gets its own ranked list; the symmetric
+    pair form can't be indexed by lookup key). The per-part window
+    runs over the pair frame, support-filtered first."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 300)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("p"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("q"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    w = Window.partitionBy("p").orderBy(F.col("together").desc(), "q")
+    return (
+        pairs.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= 3)
+        .select(
+            F.col("p").alias("part"),
+            F.col("q").alias("also_bought"),
+            "together",
+            F.col("rec_rank").cast("long").alias("rec_rank"),
+        )
+        .orderBy("part", "rec_rank")
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey)
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           COUNT(CASE WHEN date_trunc('month', f.first_dt)
+                        = date_trunc('month', o.o_orderdate) THEN 1 END) AS n_new,
+           COUNT(CASE WHEN date_trunc('month', f.first_dt)
+                        < date_trunc('month', o.o_orderdate) THEN 1 END) AS n_returning,
+           ROUND(CAST(SUM(CASE WHEN date_trunc('month', f.first_dt)
+                                 = date_trunc('month', o.o_orderdate)
+                               THEN CAST(o.o_totalprice AS DECIMAL(20,4))
+                               ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE), 2)
+             AS rev_new,
+           ROUND(CAST(SUM(CASE WHEN date_trunc('month', f.first_dt)
+                                 < date_trunc('month', o.o_orderdate)
+                               THEN CAST(o.o_totalprice AS DECIMAL(20,4))
+                               ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE), 2)
+             AS rev_returning
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per month (the BI staple next to
+    cohort retention): an order counts as 'new' iff it lands in the
+    customer's first active month. The firsts frame is
+    customer-cardinality and joins on the customer key; decimal-exact
+    conditional sums keep both engines identical."""
+    orders = _t(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    j = orders.join(firsts, "o_custkey").select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        (
+            F.date_trunc("month", "first_dt")
+            == F.date_trunc("month", "o_orderdate")
+        ).alias("is_new"),
+        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+    )
+    zero = F.lit(0).cast("decimal(20,4)")
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count(F.when(F.col("is_new"), 1)).alias("n_new"),
+            F.count(F.when(~F.col("is_new"), 1)).alias("n_returning"),
+            F.round(
+                F.sum(F.when(F.col("is_new"), F.col("price")).otherwise(zero)).cast("double"), 2
+            ).alias("rev_new"),
+            F.round(
+                F.sum(F.when(~F.col("is_new"), F.col("price")).otherwise(zero)).cast("double"), 2
+            ).alias("rev_returning"),
+        )
+        .orderBy("month")
+    )
