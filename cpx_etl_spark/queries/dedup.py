@@ -1110,9 +1110,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the paper's keep-one rule. The whole point at 100 TB scale is the
     candidate bound: pair volume is sum over cells of n_c^2 instead of
     N^2, and k (number of clusters) tunes it; here cells come from the
-    corpus's 25 labels. tau = 0.45 sits at this corpus's planted-dup
+    corpus's 10 labels. tau = 0.45 sits at this corpus's planted-dup
     similarity so the drop set is non-trivial."""
-    from cpx_etl_spark.functions.vectors import as_double, cosine
+    from cpx_etl_spark.functions.vectors import cosine
     from cpx_etl_spark.operators.similarity import ivf_build
 
     emb = load_table(spark, sf_dir, "embeddings")

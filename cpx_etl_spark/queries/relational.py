@@ -2035,6 +2035,33 @@ def q_approx_distinct_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         (16 * F.countDistinct(sampled_user)).alias("n_est"),
     )
 
+def _rolling_distinct_users(ev: DataFrame, window_days: int, out: str) -> DataFrame:
+    """Shared contribution-explode rolling-distinct construction (used
+    by q_rolling_distinct_users and q_dau_wau_mau — code-review r7:
+    two verbatim copies had drifted apart by 1,600 lines): each
+    distinct (user, day) fans out to the <= window_days window-end
+    days it can serve, then one groupBy counts distincts per day.
+    Linear (window_days x the distinct-pair frame, never
+    |events| x window), uniform day keys, no per-user state."""
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.join(days, on="day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias(out))
+    )
+
+
 @register(
     "q_rolling_distinct_users",
     oracle="""
@@ -2050,27 +2077,12 @@ def q_approx_distinct_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 7-day rolling distinct users — the sliding-window distinct
     that a RANGE window cannot express (COUNT(DISTINCT) is unsupported
-    in window frames in both engines). Contribution-explode formulation:
-    each distinct (user, day) fans out to the <=7 window-end days it can
-    serve, then one groupBy counts distincts per day. Linear (7x the
-    distinct-pair frame, never |events| x window), uniform day keys, no
-    per-user state — the shape that survives a 100x corpus, unlike the
-    naive per-day self-join which rescans the event table once per day."""
-    ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
-    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
-    contrib = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY")
-            )
-        ).alias("day"),
-    )
-    return (
-        contrib.join(days, on="day")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("users_7d"))
+    in window frames in both engines). Contribution-explode formulation
+    (_rolling_distinct_users) — the shape that survives a 100x corpus,
+    unlike the naive per-day self-join which rescans the event table
+    once per day."""
+    return _rolling_distinct_users(
+        _t(spark, sf_dir, "events"), 7, "users_7d"
     )
 
 
@@ -3621,31 +3633,12 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one distinct aggregate over uniform day keys."""
     ev = _t(spark, sf_dir, "events")
     ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
-    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
-
-    def rolling(window_days: int, out: str) -> DataFrame:
-        contrib = ud.select(
-            "user_id",
-            F.explode(
-                F.sequence(
-                    F.col("d"),
-                    F.col("d") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
-                    F.expr("INTERVAL 1 DAY"),
-                )
-            ).alias("day"),
-        )
-        return (
-            contrib.join(days, on="day")
-            .groupBy("day")
-            .agg(F.countDistinct("user_id").alias(out))
-        )
-
     dau = ud.groupBy(F.col("d").alias("day")).agg(
         F.countDistinct("user_id").alias("dau")
     )
     out = (
-        dau.join(rolling(7, "wau"), "day")
-        .join(rolling(28, "mau"), "day")
+        dau.join(_rolling_distinct_users(ev, 7, "wau"), "day")
+        .join(_rolling_distinct_users(ev, 28, "mau"), "day")
         .select(
             "day", "dau", "wau", "mau",
             F.round(F.col("dau") * 1.0 / F.col("mau") - 1e-9, 6).alias("stickiness"),

@@ -881,7 +881,7 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT MAX(mean_df) AS lo FROM (
           SELECT mean_df FROM scored
           ORDER BY mean_df, doc_id
-          LIMIT (SELECT CAST(COUNT(*) * 0.1 AS BIGINT) FROM scored)))
+          LIMIT (SELECT CAST(FLOOR(COUNT(*) * 0.1) AS BIGINT) FROM scored)))
     SELECT s.doc_id, s.n_tokens, s.mean_df,
            s.mean_df <= cut.lo AS flag_rare
     FROM scored s CROSS JOIN cut
@@ -913,10 +913,13 @@ def q_token_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_df"),
         )
     )
-    n_low = scored.agg(
-        (F.count(F.lit(1)) * 0.1).cast("bigint").alias("k")
-    ).collect()[0]["k"]  # 1-row planning lookup (decile size)
-    low = scored.orderBy("mean_df", "doc_id").limit(int(n_low))
+    # decile size: FLOOR on BOTH sides (DuckDB's CAST rounds to
+    # nearest — a 157-doc corpus would split 15 vs 16, code-review r7);
+    # scored-cardinality == doc-cardinality (every doc has >= 1 token),
+    # so the cheap source count avoids executing the heavy
+    # explode+join pipeline a third time
+    n_low = int(docs.count() * 0.1)
+    low = scored.orderBy("mean_df", "doc_id").limit(n_low)
     cut = low.agg(F.max("mean_df").alias("lo"))
     return (
         scored.crossJoin(F.broadcast(cut))  # 1-row bounds frame
