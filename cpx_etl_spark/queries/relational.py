@@ -3474,8 +3474,8 @@ def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.percent_rank().over(w) - 1e-9, 6).alias("pr"),
-        F.round(F.cume_dist().over(w) - 1e-9, 6).alias("cd"),
+        fround(F.percent_rank().over(w), 6).alias("pr"),
+        fround(F.cume_dist().over(w), 6).alias("cd"),
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
         F.last("o_orderkey").over(w_full).alias("last_ok"),
@@ -3529,10 +3529,9 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n",
-        F.round(
+        fround(
             2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
-            - (F.col("n") + 1.0) / F.col("n")
-            - 1e-9,
+            - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),
     )
@@ -3591,10 +3590,9 @@ def q_ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lagged.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
-            F.round(
+            fround(
                 F.sum(F.col("n") * F.pow(F.lit(0.5), F.col("lag")))
-                / F.sum(F.pow(F.lit(0.5), F.col("lag")))
-                - 1e-9,
+                / F.sum(F.pow(F.lit(0.5), F.col("lag"))),
                 6,
             ).alias("ewma")
         )
@@ -3641,7 +3639,7 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_rolling_distinct_users(ev, 28, "mau"), "day")
         .select(
             "day", "dau", "wau", "mau",
-            F.round(F.col("dau") * 1.0 / F.col("mau") - 1e-9, 6).alias("stickiness"),
+            fround(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
         )
         .orderBy("day")
     )

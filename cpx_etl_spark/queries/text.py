@@ -21,7 +21,7 @@ from cpx_etl_spark.functions.text import (
     tokens,
     STOPWORDS,
 )
-from cpx_etl_spark.queries import register
+from cpx_etl_spark.queries import fround, register
 from cpx_etl_spark.sources import load_table
 
 _TOKENS_SQL = "string_split(text, ' ')"
@@ -905,10 +905,9 @@ def q_token_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
+            fround(
                 F.sum(F.col("df").cast("decimal(20,4)")).cast("double")
-                / F.count(F.lit(1))
-                - 1e-9,
+                / F.count(F.lit(1)),
                 4,
             ).alias("mean_df"),
         )
@@ -982,15 +981,14 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     terms = cells.select(
-        F.round(
-            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
-            - 1e-9,
+        fround(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
             6,
         ).alias("t")
     )
     chi2 = terms.agg(
-        F.round(
-            F.sum(F.col("t").cast("decimal(20,6)")).cast("double") - 1e-9, 4
+        fround(
+            F.sum(F.col("t").cast("decimal(20,6)")).cast("double"), 4
         ).alias("chi2")
     )
     dof = (
