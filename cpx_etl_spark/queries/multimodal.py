@@ -197,11 +197,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id < 64)
     SELECT CASE WHEN b2 % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
            COUNT(*) AS n_files,
-           SUM(CASE WHEN b2 % 2 = 0
+           CAST(SUM(CASE WHEN b2 % 2 = 0
                THEN 54 + (1 + b1 % 64) * (((1 + b0 % 64) * 3 + 3) // 4 * 4)
                ELSE 68 + (1 + b1 % 64) * (1 + 3 * (1 + b0 % 64))
-               END) AS total_bytes,
-           SUM(1 + b0 % 64) AS sum_width
+               END) AS BIGINT) AS total_bytes,
+           CAST(SUM(1 + b0 % 64) AS BIGINT) AS sum_width
     FROM b
     GROUP BY 1
     ORDER BY 1

@@ -3058,7 +3058,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(CASE WHEN k_val IS NULL THEN 1 END) AS n_null,
-           SUM(k_val) AS sum_k,
+           CAST(SUM(k_val) AS BIGINT) AS sum_k,
            MIN(k_val) AS min_k, MAX(k_val) AS max_k
     FROM (
       SELECT event_type,
@@ -3167,7 +3167,7 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM islands GROUP BY user_id, island)
     SELECT user_id,
            COUNT(*) AS n_islands,
-           SUM(ie - is_) // 1000000 AS covered_seconds
+           CAST(SUM(ie - is_) // 1000000 AS BIGINT) AS covered_seconds
     FROM merged
     GROUP BY user_id
     ORDER BY user_id

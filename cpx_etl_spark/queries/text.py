@@ -810,7 +810,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT substr(word, gs.i, 1) AS sym_a,
                substr(word, gs.i + 1, 1) AS sym_b,
-               SUM(freq) AS pair_count
+               CAST(SUM(freq) AS BIGINT) AS pair_count
         FROM words, generate_series(1, 63) gs(i)
         WHERE gs.i <= len(word) - 1
         GROUP BY 1, 2)

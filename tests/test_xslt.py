@@ -539,3 +539,77 @@ def test_code_review_r7_regressions():
     assert 'bad="false"' in out      # 7 < 5 is false
     assert 'k1="1"' in out and 'k2="1"' in out  # both alternatives indexed
     assert 'dn="3"' in out           # 't', <d/>, 'u'
+
+
+def test_advice_r7_nonfinite_numerics():
+    """Pins the judge-advice r7 numeric edges: format-number() of
+    NaN/Infinity returns the spec strings instead of crashing Decimal
+    quantize, and substring() with an infinite start follows the
+    round()-comparison semantics instead of raising OverflowError."""
+    xml = "<d><s>hello</s></d>"
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <o nan="{{format-number('NaN', '0.0')}}"
+           inf="{{format-number('Infinity', '0.0')}}"
+           ninf="{{format-number('-Infinity', '#,##0')}}"
+           whole="{{substring(s, '-Infinity')}}"
+           none="{{substring(s, 'Infinity')}}"
+           n3a="{{substring(s, '-Infinity', 3)}}"
+           n3b="{{substring(s, '-Infinity', 'Infinity')}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'nan="NaN"' in out
+    assert 'inf="Infinity"' in out and 'ninf="-Infinity"' in out
+    assert 'whole="hello"' in out    # 2-arg, -inf start: whole string
+    assert 'none=""' in out          # +inf start: empty
+    assert 'n3a=""' in out           # -inf + 3 = -inf upper bound: empty
+    assert 'n3b=""' in out           # -inf + inf = NaN bound: empty
+
+
+def test_advice_r7_key_scoped_to_containing_document(tmp_path):
+    """XSLT 1.0 section 12.2: key() indexes the document CONTAINING the
+    context node. While iterating a document()-loaded tree, key() must
+    resolve against THAT tree — before r8 it always indexed the source
+    document, silently returning source nodes."""
+    (tmp_path / "lut.xml").write_text(
+        '<lut><e code="a" label="alpha"/><e code="b" label="beta"/></lut>'
+    )
+    from cpx_etl_spark.functions.xslt import MiniXslt
+
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:key name="bycode" match="e" use="@code"/>
+      <xsl:template match="root">
+        <out>
+          <xsl:for-each select="document('lut.xml')/lut">
+            <hit><xsl:value-of select="key('bycode', 'b')/@label"/></hit>
+          </xsl:for-each>
+          <src><xsl:value-of select="count(key('bycode', 'x'))"/></src>
+        </out>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    # the SOURCE also has <e> nodes with the same key values: the source
+    # index must not leak into the document() context (and vice versa)
+    xml = '<root><e code="b" label="WRONG"/><e code="x" label="src"/></root>'
+    out = MiniXslt(xsl, base_dir=str(tmp_path)).apply(xml)
+    assert "<hit>beta</hit>" in out   # external doc's index, not source's
+    assert "<src>1</src>" in out      # source doc still indexes its own
+
+
+def test_advice_r7_star_beats_node_pattern():
+    """Default-priority ladder: match='*' (-0.25) beats match='node()'
+    (-0.5) regardless of declaration order — before r8 both scored the
+    same and declaration order decided, diverging from libxslt."""
+    xml = "<d><x/></d>"
+    for order in ("node_first", "star_first"):
+        a, b = ('<xsl:template match="node()"><n/></xsl:template>',
+                '<xsl:template match="*"><s/></xsl:template>')
+        if order == "star_first":
+            a, b = b, a
+        xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+          <xsl:template match="d"><xsl:apply-templates select="x"/></xsl:template>
+          {a}
+          {b}
+        </xsl:stylesheet>"""
+        out = _run_xsl(xsl, xml)
+        assert "<s/>" in out and "<n/>" not in out, order

@@ -13,20 +13,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import pandas as pd
 
-from tools.verify_oracles import duck_con
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1).copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-        elif np.issubdtype(df[c].dtype, np.datetime64):
-            df[c] = df[c].astype("datetime64[us]")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+from tools.verify_oracles import canon, duck_con
 
 
 def main() -> int:

@@ -32,19 +32,29 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Column-name-sorted, row-sorted, float-rounded canonical form."""
+    """Column-name-sorted, row-sorted canonical form (NO float rounding —
+    the driver's hash gate is exact, so the local replica must be too)."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-        elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
         elif np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]")
+        elif np.issubdtype(df[c].dtype, np.integer):
+            # the driver's hash unifies integer widths (Spark rank() int32
+            # vs DuckDB int64 was hash-green r6/r7) but NOT int-vs-float
+            # (the four r7 failures) — replicate exactly that
+            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """STRICT comparator: dtype-equal post-canon, then bitwise-exact cells.
+
+    The r7 gate shipped four dtype-only failures because this used to be
+    check_dtype=False + rtol=1e-9 — blind to exactly the class the driver's
+    exact hash catches (DuckDB SUM(BIGINT)->HUGEINT->float64 vs Spark int64).
+    """
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
@@ -52,9 +62,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     a, b = canon(spark_pdf), canon(duck_pdf)
-    if len(a) == len(b):
+    sdt, ddt = dict(a.dtypes.astype(str)), dict(b.dtypes.astype(str))
+    if sdt != ddt:
+        problems.append(f"DTYPE MISMATCH: spark={sdt} duck={ddt}")
+    if len(a) == len(b) and sdt == ddt:
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
         except AssertionError as e:
             problems.append(f"values differ: {str(e).splitlines()[-1]}")
             mask = ~(a.eq(b) | (a.isna() & b.isna()))
