@@ -138,6 +138,51 @@ def read_upsert_table(
     return spark.read.parquet(os.path.join(path, v))
 
 
+def _gc_and_next_version(path: str, retain_versions: int) -> tuple[str | None, str]:
+    """Shared head of the snapshot-commit protocol: validate retention,
+    ensure the table dir, GC dead version directories, and name the next
+    version. Two classes of dead directory:
+    - version dirs NEWER than the manifest pointer: a crashed run's
+      partial/unpublished write (possibly truncated — promoting one
+      would silently corrupt the table). Always deleted.
+    - committed snapshots OLDER than the newest retain_versions-1:
+      past their time-travel retention. Deleted; newer superseded
+      snapshots are kept so readers can still time-travel to them.
+    Returns (current committed version or None, next version name)."""
+    import os
+    import shutil
+
+    if retain_versions < 2:
+        raise ValueError("retain_versions must be >= 2 (new version + its source)")
+    os.makedirs(path, exist_ok=True)
+    current = _read_manifest(path)
+    committed = sorted(
+        e
+        for e in os.listdir(path)
+        if e.startswith("v") and current is not None and e <= current
+    )
+    keep = set(committed[-(retain_versions - 1):])
+    for entry in os.listdir(path):
+        if entry.startswith("v") and entry not in keep:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    next_v = f"v{(int(current[1:]) + 1 if current else 1):08d}"
+    return current, next_v
+
+
+def _commit_manifest(path: str, version: str) -> None:
+    """Atomic commit: write-tmp + fsync + os.replace of the pointer file —
+    readers observe either the old or the new version name, never a torn
+    file."""
+    import os
+
+    tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
+    with open(tmp_mf, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_mf, os.path.join(path, _MANIFEST))
+
+
 def upsert_parquet_table(
     df: DataFrame, path: str, keys: list[str], retain_versions: int = 2
 ) -> None:
@@ -168,31 +213,11 @@ def upsert_parquet_table(
     Iceberg/Delta MERGE commit; layout and failure story are identical.
     """
     import os
-    import shutil
 
     from cpx_etl_spark.operators.relational import merge_upsert
 
-    if retain_versions < 2:
-        raise ValueError("retain_versions must be >= 2 (new version + its source)")
     spark = df.sparkSession
-    os.makedirs(path, exist_ok=True)
-    current = _read_manifest(path)
-    # GC before writing. Two classes of dead directory:
-    # - version dirs NEWER than the manifest pointer: a crashed run's
-    #   partial/unpublished write (possibly truncated — promoting one
-    #   would silently corrupt the table). Always deleted.
-    # - committed snapshots OLDER than the newest retain_versions-1:
-    #   past their time-travel retention. Deleted; newer superseded
-    #   snapshots are kept so readers can still time-travel to them.
-    committed = sorted(
-        e
-        for e in os.listdir(path)
-        if e.startswith("v") and current is not None and e <= current
-    )
-    keep = set(committed[-(retain_versions - 1):])
-    for entry in os.listdir(path):
-        if entry.startswith("v") and entry not in keep:
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    current, next_v = _gc_and_next_version(path, retain_versions)
     if current is not None:
         existing = spark.read.parquet(os.path.join(path, current)).select(*df.columns)
         merged = merge_upsert(existing, df, keys=keys)
@@ -204,16 +229,8 @@ def upsert_parquet_table(
         merged = merge_upsert(existing, df, keys=keys)
     else:
         merged = df
-    next_v = f"v{(int(current[1:]) + 1 if current else 1):08d}"
     merged.write.mode("overwrite").parquet(os.path.join(path, next_v))
-    # Atomic commit: the pointer swap is a single os.replace; readers
-    # observe either the old or the new version name, never a torn file.
-    tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
-    with open(tmp_mf, "w") as f:
-        f.write(next_v + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp_mf, os.path.join(path, _MANIFEST))
+    _commit_manifest(path, next_v)
 
 
 def commit_versioned_parquet(
@@ -231,29 +248,10 @@ def commit_versioned_parquet(
     reading. Crash at any point leaves the old version committed.
     Returns the committed version name."""
     import os
-    import shutil
 
-    if retain_versions < 2:
-        raise ValueError("retain_versions must be >= 2 (new version + its source)")
-    os.makedirs(path, exist_ok=True)
-    current = _read_manifest(path)
-    committed = sorted(
-        e
-        for e in os.listdir(path)
-        if e.startswith("v") and current is not None and e <= current
-    )
-    keep = set(committed[-(retain_versions - 1):])
-    for entry in os.listdir(path):
-        if entry.startswith("v") and entry not in keep:
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
-    next_v = f"v{(int(current[1:]) + 1 if current else 1):08d}"
+    _, next_v = _gc_and_next_version(path, retain_versions)
     df.write.mode("overwrite").parquet(os.path.join(path, next_v))
-    tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
-    with open(tmp_mf, "w") as f:
-        f.write(next_v + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp_mf, os.path.join(path, _MANIFEST))
+    _commit_manifest(path, next_v)
     return next_v
 
 
