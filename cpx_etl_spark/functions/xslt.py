@@ -420,6 +420,53 @@ def _format_number(value: float, pattern: str) -> str:
     return ("-" + out) if neg else out
 
 
+def _roman(n: int) -> str:
+    out = []
+    for v, sym in ((1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),
+                   (100, "c"), (90, "xc"), (50, "l"), (40, "xl"),
+                   (10, "x"), (9, "ix"), (5, "v"), (4, "iv"), (1, "i")):
+        while n >= v:
+            out.append(sym)
+            n -= v
+    return "".join(out)
+
+
+def _alpha(n: int) -> str:
+    """Bijective base-26: 1->a .. 26->z, 27->aa."""
+    out = []
+    while n > 0:
+        n, r = divmod(n - 1, 26)
+        out.append(chr(ord("a") + r))
+    return "".join(reversed(out))
+
+
+def _format_xsl_number(n: int, fmt: str) -> str:
+    """xsl:number format strings: leading/trailing separators kept, the
+    FIRST alphanumeric token formats the (single) number. Tokens: '1'
+    (decimal), '0…01' (zero-padded), 'a'/'A' (bijective base-26),
+    'i'/'I' (roman). Non-positive numbers fall back to plain decimal
+    for the letter/roman alphabets (they have no zero)."""
+    import re
+
+    lead = re.match(r"^[^0-9A-Za-z]*", fmt).group(0)
+    trail = re.search(r"[^0-9A-Za-z]*$", fmt).group(0)
+    tokens = re.findall(r"[0-9A-Za-z]+", fmt)
+    tok = tokens[0] if tokens else "1"
+    if re.fullmatch(r"0*1", tok):
+        body = str(n).zfill(len(tok)) if n >= 0 else str(n)
+    elif tok in ("a", "A"):
+        body = str(n) if n < 1 else (
+            _alpha(n).upper() if tok == "A" else _alpha(n)
+        )
+    elif tok in ("i", "I"):
+        body = str(n) if n < 1 else (
+            _roman(n).upper() if tok == "I" else _roman(n)
+        )
+    else:
+        raise XsltUnsupported(f"xsl:number format token {tok!r}")
+    return lead + body + trail
+
+
 class MiniXslt:
     """One compiled stylesheet; ``apply(xml) -> str`` runs it.
 
@@ -437,17 +484,80 @@ class MiniXslt:
         root = ET.fromstring(src)
         # position()/last() cost a context push per iterated node; skip
         # the bookkeeping entirely for stylesheets that never use them
+        # (re-checked against every imported/included sheet's source)
         self._needs_pos = "position()" in src or "last()" in src
         if _local(root.tag) not in ("stylesheet", "transform"):
             raise XsltUnsupported(f"root element {root.tag!r}")
-        self.templates: list[tuple[str, str | None, ET.Element]] = []
+        # (match, mode, telem, import_precedence): higher precedence =
+        # importing sheet; per XSLT 1.0 §2.6.2 precedence eliminates
+        # candidates BEFORE priority/specificity is consulted
+        self.templates: list[tuple[str, str | None, ET.Element, int]] = []
         self.named: dict[str, ET.Element] = {}
         self._globals: list[ET.Element] = []
         # xsl:key declarations: name -> [(match_pattern, use_expr)];
         # XSLT 1.0 allows several declarations per key name (union)
         self._key_decls: dict[str, list[tuple[str, str]]] = {}
+        self._sheet_roots: list[ET.Element] = []
+        self._loaded_paths: list[str] = []  # import/include cycle guard
+        self._prec_counter = 0
+        self._load_sheet(root)
+        self._finish_compile()
+
+    def _resolve_sheet(self, elem: ET.Element, what: str) -> ET.Element:
+        """Parse the stylesheet referenced by an xsl:import/xsl:include
+        href, resolved against base_dir, with cycle detection."""
+        import os
+
+        href = elem.get("href")
+        if not href:
+            raise XsltUnsupported(f"xsl:{what} requires an href")
+        if self.base_dir is None:
+            raise XsltUnsupported(
+                f"xsl:{what} href={href!r}: stylesheet compiled without a base_dir"
+            )
+        full = os.path.normpath(os.path.join(self.base_dir, href))
+        if full in self._loaded_paths:
+            raise XsltUnsupported(f"xsl:{what} cycle through {href!r}")
+        self._loaded_paths.append(full)
+        sub = ET.parse(full).getroot()
+        if _local(sub.tag) not in ("stylesheet", "transform"):
+            raise XsltUnsupported(f"xsl:{what} target root {sub.tag!r}")
+        src_text = open(full).read()
+        self._needs_pos = (
+            self._needs_pos or "position()" in src_text or "last()" in src_text
+        )
+        return sub
+
+    def _load_sheet(self, root: ET.Element, prec: int | None = None) -> None:
+        """Collect one stylesheet's top-level declarations.
+
+        xsl:import children (which XSLT 1.0 §2.6.2 requires first) are
+        loaded RECURSIVELY BEFORE this sheet's own declarations with
+        strictly lower import precedence (earlier imports lower than
+        later ones); xsl:include splices at the includer's precedence.
+        Because imported sheets load first, 'later wins' dict writes for
+        named templates and global variables implement the precedence
+        override for free."""
+        own_prec = prec
         for child in root:
-            if _is_xsl(child, "template"):
+            if _is_xsl(child, "import"):
+                if prec is not None:
+                    # an include splices at the includer's precedence,
+                    # which is already assigned — an import inside it
+                    # cannot get a lower one anymore
+                    raise XsltUnsupported("xsl:import inside an included stylesheet")
+                if own_prec is not None:
+                    raise XsltUnsupported("xsl:import after other declarations")
+                self._load_sheet(self._resolve_sheet(child, "import"))
+            elif _is_xsl(child, "include"):
+                if own_prec is None:
+                    own_prec = self._prec_counter
+                    self._prec_counter += 1
+                self._load_sheet(self._resolve_sheet(child, "include"), own_prec)
+            elif _is_xsl(child, "template"):
+                if own_prec is None:
+                    own_prec = self._prec_counter
+                    self._prec_counter += 1
                 match = child.get("match")
                 name = child.get("name")
                 mode = child.get("mode")
@@ -456,7 +566,7 @@ class MiniXslt:
                 if match:
                     if match.startswith("/") and match != "/":
                         raise XsltUnsupported(f"absolute match pattern {match!r}")
-                    self.templates.append((match, mode, child))
+                    self.templates.append((match, mode, child, own_prec))
                 elif not name:
                     raise XsltUnsupported("template without match or name")
             elif _is_xsl(child, "key"):
@@ -481,22 +591,32 @@ class MiniXslt:
             ):
                 # top-level data element in a non-XSL namespace: legal
                 # (XSLT 1.0 §2.2), reachable via document(''). An
-                # unknown XSL-namespace element (xsl:import, ...) still
-                # fails fast below.
+                # unknown XSL-namespace element still fails fast below.
                 continue
             elif isinstance(child.tag, str):
                 raise XsltUnsupported(f"top-level {child.tag!r}")
-        # ancestry is only consulted by multi-step match patterns (a/b);
-        # skip the per-document parent-map pass when none exist
+        self._sheet_roots.append(root)
+
+    def _finish_compile(self) -> None:
+        """Whole-stylesheet compile pass, run once after every imported/
+        included sheet has loaded."""
+        # ancestry is consulted by multi-step match patterns (a/b) and
+        # by xsl:number level='single'; skip the per-document parent-map
+        # pass when neither exists
         self._needs_parents = any(
-            "/" in match and match != "/" for match, _, _ in self.templates
+            "/" in match and match != "/" for match, _, _, _ in self.templates
         ) or any(
             "/" in m
             for decls in self._key_decls.values()
             for m, _ in decls
+        ) or any(
+            _is_xsl(e, "number")
+            for r in self._sheet_roots
+            for e in r.iter()
+            if isinstance(e.tag, str)
         )
         self._parents: dict = {}
-        # Compile-time annotation of the STYLESHEET tree (static across
+        # Compile-time annotation of the STYLESHEET trees (static across
         # rows, while apply() runs per row): per-element xsl kind,
         # xsl:sort / xsl:with-param child lists, and whether a body
         # declares bindings — so the per-row executor does dict lookups
@@ -507,19 +627,23 @@ class MiniXslt:
         # grouped by mode: apply-templates with mode="m" dispatches
         # ONLY against mode-m templates (XSLT 1.0 §5.7), and the
         # built-in rules carry the current mode through their descent.
-        self._compiled_by_mode: dict[str | None, list[tuple[str, ET.Element]]] = {}
-        for m, mode, t in self.templates:
+        # Each rule carries its import precedence, compared FIRST.
+        self._compiled_by_mode: dict[
+            str | None, list[tuple[str, int, ET.Element]]
+        ] = {}
+        for m, mode, t, prec in self.templates:
             # 'a|b' alternation: each alternative is its own rule with
             # its own specificity, per XSLT 1.0 §5.3
             for alt in _split_union(m):
-                self._compiled_by_mode.setdefault(mode, []).append((alt, t))
-        self._sty_root = root  # keep the tree alive: annotations key on id()
+                self._compiled_by_mode.setdefault(mode, []).append((alt, prec, t))
+        # the MAIN sheet (loaded last) anchors document('')
+        self._sty_root = self._sheet_roots[-1]
         self._kind: dict[int, str | None] = {}
         self._sorts: dict[int, tuple] = {}
         self._wparams: dict[int, tuple] = {}
         self._hasbind: dict[int, bool] = {}
         self._dynattrs: dict[int, tuple] = {}
-        for elem in root.iter():
+        for elem in (e for r in self._sheet_roots for e in r.iter()):
             if not isinstance(elem.tag, str):
                 self._kind[id(elem)] = "#comment"
                 continue
@@ -557,12 +681,16 @@ class MiniXslt:
             self._parents = {c: p for p in src_root.iter() for c in p}
             self._parents.update(self._ext_parents)
         self._tdepth = 0
+        # (import precedence, mode, node) of the currently-executing
+        # matched template — consumed by xsl:apply-imports
+        self._tframes: list[tuple[int, str | None, object]] = []
         self._root = src_root
         # keyed by (id(doc_root), key name): §12.2 scopes key() to the
         # context node's document, so each document gets its own index
         self._key_index: dict[tuple[int, str], dict[str, list]] = {}
         self._doc_orders: dict[int, dict[int, int]] = {}
         self._doc_members: dict[int, set[int]] = {}
+        self._doc_seqs: dict[int, int] = {}  # generate-id doc numbering
         doc = _Doc(src_root)
         self._scopes = [{}]
         self._ctx_pos: list[tuple[int, int]] = []
@@ -599,19 +727,30 @@ class MiniXslt:
             )
 
     def _apply_one(self, node, params: dict | None = None,
-                   mode: str | None = None) -> str:
+                   mode: str | None = None, max_prec: int | None = None) -> str:
+        """Match-and-run the best template for ``node``. ``max_prec``
+        (exclusive) restricts candidates to templates of LOWER import
+        precedence — the xsl:apply-imports dispatch (XSLT 1.0 §5.6).
+        Import precedence eliminates candidates before specificity
+        (§2.6.2): the comparison key leads with prec."""
         best = None
-        for idx, (pattern, telem) in enumerate(
+        for idx, (pattern, prec, telem) in enumerate(
             self._compiled_by_mode.get(mode, ())
         ):
+            if max_prec is not None and prec >= max_prec:
+                continue
             score = self._match_score(pattern, node)
-            if score is not None and (best is None or score + (idx,) >= best[0]):
-                best = (score + (idx,), telem)
+            if score is not None and (
+                best is None or (prec,) + score + (idx,) >= best[0]
+            ):
+                best = ((prec,) + score + (idx,), prec, telem)
         if best is not None:
             self._enter_template()
+            self._tframes.append((best[1], mode, node))
             try:
-                return self._run_children(best[1], node, params=params)
+                return self._run_children(best[2], node, params=params)
             finally:
+                self._tframes.pop()
                 self._tdepth -= 1
         # built-in rules: recurse into children (carrying the current
         # mode, per XSLT 1.0 §5.8); copy text through
@@ -827,6 +966,15 @@ class MiniXslt:
                     return self._run_children(telem, ctx, params=params or None)
                 finally:
                     self._tdepth -= 1
+            if name == "apply-imports":
+                if not self._tframes:
+                    raise XsltUnsupported(
+                        "xsl:apply-imports outside a matched template"
+                    )
+                cur_prec, cur_mode, _ = self._tframes[-1]
+                return self._apply_one(ctx, mode=cur_mode, max_prec=cur_prec)
+            if name == "number":
+                return self._xsl_number(elem, ctx)
             if name == "text":
                 return escape(elem.text or "")
             if name == "element":
@@ -1053,6 +1201,13 @@ class MiniXslt:
                 return [str(len(self._select(ctx, inner)))]
             if fname == "key":
                 return self._key_lookup(inner, ctx)
+            if fname == "generate-id":
+                if inner.strip():
+                    items = self._select(ctx, inner)
+                    if not items:
+                        return [""]
+                    return [self._generate_id(items[0])]
+                return [self._generate_id(ctx)]
             if fname == "document":
                 return [self._document(inner)]
             if fname == "concat":
@@ -1332,6 +1487,94 @@ class MiniXslt:
         lo = max(1, rstart)
         hi = max(lo, min(rend, len(s) + 1))
         return [s[lo - 1 : hi - 1]]
+
+    def _xsl_number(self, elem: ET.Element, ctx) -> str:
+        """xsl:number subset (XSLT 1.0 §7.7): explicit ``value``, or
+        level='single' (nearest ancestor-or-self matching ``count``,
+        numbered among its preceding siblings) and level='any' (matching
+        nodes at-or-before the context in document order). ``from`` and
+        level='multiple' fail fast; ``format`` supports the '1'/'01'/
+        'a'/'A'/'i'/'I' token alphabet with separators."""
+        import math
+
+        fmt = self._avt(elem.get("format", "1"), ctx)
+        value = elem.get("value")
+        if value is not None:
+            try:
+                v = float(self._arg_string(ctx, value))
+            except ValueError:
+                return "NaN"
+            if math.isnan(v) or math.isinf(v):
+                return "NaN" if math.isnan(v) else (
+                    "-Infinity" if v < 0 else "Infinity"
+                )
+            return _format_xsl_number(int(math.floor(v + 0.5)), fmt)
+        if elem.get("from") is not None:
+            raise XsltUnsupported("xsl:number from= is out of subset")
+        level = elem.get("level", "single")
+        if level == "multiple":
+            raise XsltUnsupported("xsl:number level='multiple' is out of subset")
+        if level not in ("single", "any"):
+            raise XsltUnsupported(f"xsl:number level={level!r}")
+        if not isinstance(ctx, ET.Element):
+            raise XsltUnsupported("xsl:number on a non-element context")
+        count = elem.get("count")
+        count_alts = _split_union(count) if count else [_local(ctx.tag)]
+
+        def matches(n) -> bool:
+            return isinstance(n, ET.Element) and any(
+                self._match_score(a, n) is not None for a in count_alts
+            )
+
+        if level == "any":
+            root = self._containing_root(ctx)
+            n = 0
+            for e in root.iter():
+                if matches(e):
+                    n += 1
+                if e is ctx:
+                    break
+            return _format_xsl_number(n, fmt) if n else ""
+        # level='single'
+        target = ctx
+        while target is not None and not matches(target):
+            target = self._parents.get(target)
+        if target is None:
+            return ""
+        parent = self._parents.get(target)
+        n = 1
+        if parent is not None:
+            for sib in parent:
+                if sib is target:
+                    break
+                if matches(sib):
+                    n += 1
+        return _format_xsl_number(n, fmt)
+
+    def _generate_id(self, node) -> str:
+        """generate-id(): unique, stable-within-a-transform id per node
+        — document sequence number + document-order index (both lazily
+        built, shared with the key() machinery)."""
+        if isinstance(node, _Doc):
+            return f"d{self._doc_seq(node.root)}"
+        if not isinstance(node, ET.Element):
+            raise XsltUnsupported(
+                "generate-id() requires an element or document node "
+                "(text/attribute values have no node identity here)"
+            )
+        root = self._containing_root(node)
+        if id(root) not in self._doc_orders:
+            self._doc_orders[id(root)] = {
+                id(e): i for i, e in enumerate(root.iter())
+            }
+        return f"d{self._doc_seq(root)}e{self._doc_orders[id(root)][id(node)]}"
+
+    def _doc_seq(self, root: ET.Element) -> int:
+        seq = self._doc_seqs.get(id(root))
+        if seq is None:
+            seq = len(self._doc_seqs)
+            self._doc_seqs[id(root)] = seq
+        return seq
 
     def _test(self, ctx, expr: str) -> bool:
         expr = expr.strip()

@@ -527,9 +527,18 @@ def test_xslt_subset_features_and_guards():
     # out-of-subset constructs raise instead of silently mis-transforming
     import pytest as _pytest
 
+    # r8: xsl:apply-imports is now IN subset — with nothing imported it
+    # falls through to the built-in rule (XSLT 1.0 section 5.6), which
+    # for an empty doc produces empty output rather than raising
+    ai = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/"><r><xsl:apply-imports/></r></xsl:template>
+    </xsl:stylesheet>"""
+    assert MiniXslt(ai).apply("<doc>t</doc>") == "<r>t</r>"
+    # a still-unsupported construct keeps the fail-fast contract
     bad = """<xsl:stylesheet version="1.0"
         xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
-      <xsl:template match="/"><xsl:apply-imports/></xsl:template>
+      <xsl:template match="/"><xsl:number level="multiple"/></xsl:template>
     </xsl:stylesheet>"""
     with _pytest.raises(XsltUnsupported):
         MiniXslt(bad).apply("<doc/>")
@@ -809,8 +818,15 @@ def test_xslt_string_functions():
 
     from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
 
-    bad = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+    # r8: generate-id() is now IN subset; a genuinely unknown function
+    # keeps failing fast
+    gid = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
       <xsl:template match="/"><x v="{{generate-id(.)}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    out_gid = MiniXslt(gid).apply("<doc/>")
+    assert 'v="d' in out_gid
+    bad = f"""<xsl:stylesheet version="1.0" {_XSL_NS}>
+      <xsl:template match="/"><x v="{{system-property('xsl:version')}}"/></xsl:template>
     </xsl:stylesheet>"""
     with _pytest.raises(XsltUnsupported):
         MiniXslt(bad).apply("<doc/>")

@@ -613,3 +613,128 @@ def test_advice_r7_star_beats_node_pattern():
         </xsl:stylesheet>"""
         out = _run_xsl(xsl, xml)
         assert "<s/>" in out and "<n/>" not in out, order
+
+
+def test_xsl_number_levels_and_formats():
+    """xsl:number subset: level='single' numbers among preceding
+    siblings matching count; level='any' counts document-order
+    predecessors; value= formats directly; 'a'/'i'/'01' alphabets."""
+    xml = ("<book><chap><sec/><sec/></chap>"
+           "<chap><sec/><sec/><sec/></chap></book>")
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="book"><o><xsl:apply-templates/></o></xsl:template>
+      <xsl:template match="chap">
+        <c n="{{'skip'}}"><xsl:number format="I. "/><xsl:apply-templates/></c>
+      </xsl:template>
+      <xsl:template match="sec">
+        <s><xsl:number level="single" format="(a)"/>:<xsl:number
+            level="any" count="sec" format="01"/></s>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert "I. " in out and "II. " in out
+    # second chapter's third section: sibling-number (c), global 05
+    assert "<s>(a):01</s>" in out and "<s>(b):02</s>" in out
+    assert "<s>(c):05</s>" in out
+
+
+def test_xsl_number_value_and_fail_fasts():
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    xml = "<d><v>6.7</v></d>"
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d">
+        <o a="{{'x'}}"><xsl:number value="v" format="i"/>-<xsl:number
+           value="42" format="A"/></o>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert ">vii-AP<" in out  # round(6.7)=7->vii; 42 -> AP (bijective)
+    bad = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="d"><xsl:number level="multiple"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported):
+        MiniXslt(bad).apply(xml)
+
+
+def test_generate_id_stable_unique_and_cross_document(tmp_path):
+    (tmp_path / "aux.xml").write_text("<aux><z/></aux>")
+    from cpx_etl_spark.functions.xslt import MiniXslt
+
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="root">
+        <o a="{{generate-id(a)}}" a2="{{generate-id(a)}}"
+           b="{{generate-id(b)}}" self="{{generate-id()}}"
+           ext="{{generate-id(document('aux.xml')/aux/z)}}"
+           none="{{generate-id(zzz)}}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXslt(xsl, base_dir=str(tmp_path)).apply("<root><a/><b/></root>")
+    import re
+
+    ids = dict(re.findall(r'(\w+)="([^"]*)"', out))
+    assert ids["a"] == ids["a2"]                      # stable
+    distinct = {ids["a"], ids["b"], ids["self"], ids["ext"]}
+    assert len(distinct) == 4                         # unique across nodes+docs
+    assert all(v[0].isalpha() for v in distinct)      # NCName-ish
+    assert ids["none"] == ""                          # empty node-set
+
+
+def test_import_precedence_and_apply_imports(tmp_path):
+    """Importing sheet's template wins regardless of specificity;
+    xsl:apply-imports runs the shadowed lower-precedence template;
+    xsl:include splices at the includer's precedence."""
+    (tmp_path / "base.xsl").write_text(f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="item[@k='x']"><base-special/></xsl:template>
+      <xsl:template match="item"><base><xsl:value-of select="."/></base></xsl:template>
+    </xsl:stylesheet>""")
+    (tmp_path / "inc.xsl").write_text(f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="extra"><inc-hit/></xsl:template>
+    </xsl:stylesheet>""")
+    from cpx_etl_spark.functions.xslt import MiniXslt
+
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:import href="base.xsl"/>
+      <xsl:include href="inc.xsl"/>
+      <xsl:template match="root"><o><xsl:apply-templates/></o></xsl:template>
+      <xsl:template match="item">
+        <main><xsl:apply-imports/></main>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    t = MiniXslt(xsl, base_dir=str(tmp_path))
+    # plain item: importer's match='item' beats BOTH base templates —
+    # even the more specific item[@k='x'] (precedence before priority);
+    # apply-imports inside re-dispatches to base, where the predicate
+    # template wins for k='x'
+    out = t.apply("<root><item>v</item><item k='x'>w</item><extra/></root>")
+    assert "<main><base>v</base></main>" in out
+    assert "<main><base-special/></main>" in out
+    assert "<inc-hit/>" in out                # included sheet's template ran
+
+
+def test_import_fail_fasts(tmp_path):
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    # cycle
+    (tmp_path / "a.xsl").write_text(
+        f'<xsl:stylesheet version="1.0" {_XSLNS}><xsl:import href="b.xsl"/></xsl:stylesheet>')
+    (tmp_path / "b.xsl").write_text(
+        f'<xsl:stylesheet version="1.0" {_XSLNS}><xsl:import href="a.xsl"/></xsl:stylesheet>')
+    with pytest.raises(XsltUnsupported, match="cycle"):
+        MiniXslt(f'<xsl:stylesheet version="1.0" {_XSLNS}>'
+                 '<xsl:import href="a.xsl"/></xsl:stylesheet>',
+                 base_dir=str(tmp_path))
+    # import after declarations
+    with pytest.raises(XsltUnsupported, match="after other"):
+        MiniXslt(f'<xsl:stylesheet version="1.0" {_XSLNS}>'
+                 '<xsl:template match="d"><x/></xsl:template>'
+                 '<xsl:import href="a.xsl"/></xsl:stylesheet>',
+                 base_dir=str(tmp_path))
+    # no base_dir
+    with pytest.raises(XsltUnsupported, match="base_dir"):
+        MiniXslt(f'<xsl:stylesheet version="1.0" {_XSLNS}>'
+                 '<xsl:import href="a.xsl"/></xsl:stylesheet>')
