@@ -3758,3 +3758,325 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --- r8: the remaining TPC-H shapes (no partsupp table in the testdata;
+# --- each query keeps the ORIGINAL plan shape on the tables we have) ---------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+        SELECT l_partkey, l_suppkey, unit_price,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_price, l_suppkey) AS rn
+        FROM offers)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_price
+    FROM best
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE rn = 1 AND p_size < 25 AND p_type = 'STANDARD' AND r_name = 'ASIA'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adaptation (minimum-cost supplier): the correlated
+    MIN-subquery becomes a per-(part, supplier) offer rollup plus a
+    part-partitioned ROW_NUMBER pick — one shuffle keyed by part for
+    both, never a re-scan per part. The dimension chain
+    (supplier->nation->region) broadcasts; the region filter prunes
+    BEFORE the big ORDER BY. Unit price is one IEEE division per
+    group, identical in both engines; suppkey breaks cost ties so the
+    picked row SET is deterministic. (Reference parity: applyView's
+    nested findOne-per-parent, etl.js:28-33, at relational scale.)"""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 25) & (F.col("p_type") == "STANDARD")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_price")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS value_dec
+        FROM lineitem GROUP BY l_partkey),
+    total AS (SELECT SUM(value_dec) AS tv FROM per_part)
+    SELECT l_partkey,
+           CAST(value_dec AS DOUBLE) AS part_value
+    FROM per_part, total
+    WHERE value_dec > tv * CAST(0.0006 AS DECIMAL(8,6))
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adaptation (important stock): group-by part value with
+    a HAVING threshold against a GLOBAL scalar — the scalar is a 1-row
+    aggregate cross-joined (broadcast) into the per-part frame, so the
+    plan is two map-side-combinable aggregations and no second scan.
+    The threshold comparison stays in the exact DECIMAL domain (sums
+    and the 0.0006 fraction are both exact), so the qualifying row SET
+    is bit-deterministic; the double cast happens only at output."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("tv") * F.lit(0.0006).cast("decimal(8,6)"))
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q20_promotion_parts",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(20,4))
+                        ELSE CAST(0 AS DECIMAL(20,4)) END) AS qty96,
+               SUM(CAST(l_quantity AS DECIMAL(20,4))) AS qty_all
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+        GROUP BY l_suppkey, l_partkey)
+    SELECT s_name, s_acctbal,
+           COUNT(*) AS n_qualifying_parts
+    FROM sp
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty96 > qty_all * CAST(0.3 AS DECIMAL(4,2))
+    GROUP BY s_name, s_acctbal
+    ORDER BY s_name
+    """,
+)
+def q20_promotion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (potential part promotion): the nested
+    IN-subqueries become ONE conditional aggregation per
+    (supplier, part) — the recent-year quantity and the all-time
+    quantity come out of the same shuffle, and the availqty-style
+    ratio test compares the two exact decimals. The part-type filter
+    broadcasts into the scan side so pruning happens before the
+    group-by; the supplier dimension broadcasts at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    zero = F.lit(0).cast("decimal(20,4)")
+    in96 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(in96, F.col("l_quantity").cast("decimal(20,4)")).otherwise(zero)
+            ).alias("qty96"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("qty_all"),
+        )
+        .filter(F.col("qty96") > F.col("qty_all") * F.lit(0.3).cast("decimal(4,2)"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sp.join(F.broadcast(sup), sp.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name", "s_acctbal")
+        .agg(F.count(F.lit(1)).alias("n_qualifying_parts"))
+        .orderBy("s_name")
+    )
+
+
+_KMV_K = 32
+_KMV_H_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " AS DOUBLE) / 1152921504606846976.0"
+)
+
+
+@register(
+    "q_kmv_distinct_sketch",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+        SELECT event_type, {_KMV_H_SQL} AS h FROM du),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed),
+    per_type AS (
+        SELECT event_type, n_exact,
+               CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) / h END AS kmv_estimate
+        FROM ranked WHERE rn = LEAST(n_exact, {_KMV_K})),
+    merged_src AS (
+        SELECT DISTINCT h FROM ranked WHERE rn <= {_KMV_K}),
+    merged_ranked AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged_src),
+    all_row AS (
+        SELECT 'ALL' AS event_type,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+               ({_KMV_K} - 1) / h AS kmv_estimate
+        FROM merged_ranked WHERE rn = {_KMV_K})
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           ROUND(kmv_estimate - 1e-9, 4) + 0 AS kmv_estimate,
+           ROUND(ABS(kmv_estimate - n_exact) / n_exact - 1e-9, 4) + 0 AS rel_err
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM all_row)
+    ORDER BY event_type
+    """,
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct sketch per event_type PLUS the merged
+    global sketch — the mergeable, deterministic, cross-engine-replayable
+    alternative to HLL (q_approx_distinct_users stays rows-only because
+    HLL registers are engine-specific; KMV over md5 hashes replays
+    bit-exactly in ANY engine). Estimate = (k-1)/h_k over uniform
+    md5-derived hashes; a group with fewer than k distinct keys stores
+    them all and reports the exact count. The 'ALL' row demonstrates
+    the sketch's mergeability: union the per-group bottom-k sets,
+    re-take the bottom k — the same union-then-truncate a 1000-executor
+    tree aggregation performs, with k rows per partition on the wire
+    instead of every distinct key. Scale: the sketch shuffle is
+    k×groups rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k = _KMV_K
+    du = ev.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("double")
+            / F.lit(1152921504606846976.0)
+        ).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_exact"),
+    )
+    per_type = ranked.filter(
+        F.col("rn") == F.least(F.col("n_exact"), F.lit(k))
+    ).select(
+        "event_type",
+        "n_exact",
+        F.when(F.col("n_exact") < k, F.col("n_exact").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("h"))
+        .alias("kmv_estimate"),
+    )
+    merged = (
+        ranked.filter(F.col("rn") <= k)
+        .select("h")
+        .distinct()
+        .select("h", F.row_number().over(Window.orderBy("h")).alias("rn"))
+        .filter(F.col("rn") == k)
+    )
+    n_all = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    all_row = merged.crossJoin(F.broadcast(n_all)).select(
+        F.lit("ALL").alias("event_type"),
+        "n_exact",
+        (F.lit(float(k - 1)) / F.col("h")).alias("kmv_estimate"),
+    )
+    return (
+        per_type.unionByName(all_row)
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            fround(F.col("kmv_estimate"), 4).alias("kmv_estimate"),
+            fround(
+                F.abs(F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_zscore_normalize",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               COUNT(*) AS n,
+               SUM(n_chars) AS s1,
+               SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY source),
+    params AS (
+        SELECT source, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               SQRT(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n AS sigma
+        FROM stats)
+    SELECT doc_id, d.source AS source,
+           (n_chars - mu) / sigma AS zscore
+    FROM documents d JOIN params p ON d.source = p.source
+    WHERE ABS((n_chars - mu) / sigma) > 1.5
+    ORDER BY d.source, doc_id
+    """,
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (the feature-scaling primitive
+    before model training) with BIT-EXACT cross-engine floats and no
+    rounding: n_chars is integral, so Σx and Σx² are exact BIGINTs,
+    the population variance (Σx²·n − (Σx)²)/n² is an exact-integer
+    ratio, and IEEE sqrt/div are correctly rounded in both engines —
+    every z-score is bit-identical with zero decimal scaffolding. Plan:
+    one map-side-combinable agg over the group key, broadcast of the
+    group-cardinality params frame back onto the scan; flagged
+    outliers (|z| > 1.5) come out of the same pass."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    params = stats.select(
+        "source",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        (
+            F.sqrt((F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("n")
+        ).alias("sigma"),
+    )
+    z = (F.col("n_chars") - F.col("mu")) / F.col("sigma")
+    return (
+        docs.join(F.broadcast(params), "source")
+        .select("doc_id", "source", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 1.5)
+        .orderBy("source", "doc_id")
+    )
