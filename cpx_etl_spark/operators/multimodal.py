@@ -403,3 +403,47 @@ def decode_mp4_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+def dhash_56(df: DataFrame, id_col: str = "doc_id",
+             perturb_col: str | None = None) -> DataFrame:
+    """Perceptual difference-hash (dHash) of a 7x9 grayscale thumbnail
+    carried as a 112-byte binary payload: row r = bytes [16r, 16r+9) of
+    the payload (nine pixels), bit (r, c) set iff pixel[r][c] >
+    pixel[r][c+1] — 7x8 = 56 bits packed little-endian into a BIGINT.
+    The real pipeline would decode+resize the image to the thumbnail
+    first (decode_image stub); here the thumbnail IS the payload, and
+    the hash step — the part that survives any decoder — runs as the
+    same Arrow-batched mapInPandas a production dHash would.
+    ``perturb_col`` (small int) is added mod 256 to pixel[0][0], the
+    hook tests use to plant bounded-hamming near-duplicates."""
+
+    cols = [id_col, "payload"] + ([perturb_col] if perturb_col else [])
+    schema = f"{id_col} bigint, phash bigint"
+
+    def one(b: bytes, delta: int) -> int:
+        h = 0
+        for r in range(7):
+            row = b[16 * r : 16 * r + 9]
+            px = list(row)
+            if r == 0 and delta:
+                px[0] = (px[0] + delta) % 256
+            for c in range(8):
+                if px[c] > px[c + 1]:
+                    h |= 1 << (r * 8 + c)
+        return h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            deltas = pdf[perturb_col] if perturb_col else [0] * len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [
+                        one(b, int(d))
+                        for b, d in zip(pdf["payload"], deltas)
+                    ],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(batches, schema=schema)

@@ -252,3 +252,119 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+_PH_HEX = "'0123456789abcdef'"
+
+
+def _ph_byte(h: str, cpos: str) -> str:
+    """SQL: byte value at (0-based, possibly expression) position
+    ``cpos`` of the md5 hex string ``h``."""
+    return (
+        f"((strpos({_PH_HEX}, substr({h}, 2 * ({cpos}) + 1, 1)) - 1) * 16"
+        f" + strpos({_PH_HEX}, substr({h}, 2 * ({cpos}) + 2, 1)) - 1)"
+    )
+
+
+@register(
+    "mm_image_phash",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS seed,
+               CAST(doc_id % 5 AS INTEGER) AS delta
+        FROM documents),
+    md AS (
+        SELECT doc_id, delta, r.i AS r,
+               md5(seed || ':' || CAST(r.i AS VARCHAR)) AS h
+        FROM d, generate_series(0, 6) r(i)),
+    pix AS (
+        SELECT doc_id, r, c.i AS c,
+               CASE WHEN r = 0 AND c.i = 0
+                    THEN ({_ph_byte('h', 'c.i')} + delta) % 256
+                    ELSE {_ph_byte('h', 'c.i')} END AS p
+        FROM md, generate_series(0, 8) c(i)),
+    bits AS (
+        SELECT a.doc_id, a.r, a.c,
+               CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+        FROM pix a
+        JOIN pix b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        WHERE a.c <= 7),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(bit AS BIGINT) << (r * 8 + c)) AS BIGINT) AS phash
+        FROM bits GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, phash, b.i AS band,
+               (phash >> (b.i * 14)) & 16383 AS bv
+        FROM hashes, generate_series(0, 3) b(i)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.phash AS pa, b.phash AS pb
+        FROM bands a
+        JOIN bands b ON b.band = a.band AND b.bv = a.bv
+                    AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= 4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over image payloads: a
+    112-byte grayscale thumbnail per document (synthesized JVM-side
+    from md5 — docs sharing doc_id%97 are the same 'photo', doc_id%5
+    perturbs one pixel, modeling a re-encode/burst group), dHash-56
+    via the Arrow-batched mapInPandas decoder (operators/multimodal.py
+    dhash_56), then banded LSH pairing: 4 bands x 14 bits, candidates
+    agree in >=1 band, verified at hamming <= 4 via one bit_count(xor)
+    — never an all-pairs scan. The oracle derives every pixel, bit,
+    band and hamming distance arithmetically from the md5 hex in pure
+    SQL, so a byte-order or bit-packing bug in the Python decoder
+    breaks the hash match. Scale: band join fan-out is bounded by
+    burst-group size, exactly like the simhash/minhash families."""
+    from cpx_etl_spark.operators.multimodal import dhash_56
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed = (F.col("doc_id") % 97).cast("string")
+    payload = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(seed, F.lit(f":{r}"))))
+            for r in range(7)
+        ]
+    )
+    base = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        (F.col("doc_id") % 5).cast("int").alias("delta"),
+    )
+    hashes = dhash_56(base, perturb_col="delta")
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn("bv", F.expr("shiftright(phash, band * 14) & 16383"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(pa ^ pb)")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -238,3 +238,60 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpx_etl_spark.streaming.events import sliding_agg_batch
 
     return sliding_agg_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_late_data_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT ts, event_type,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS max_seen
+        FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN ts < max_seen - INTERVAL 10 MINUTE THEN 1 END)
+               AS n_dropped_late,
+           COUNT(CASE WHEN ts < max_seen AND ts >= max_seen - INTERVAL 10 MINUTE
+                      THEN 1 END) AS n_late_in_watermark
+    FROM arr
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark accounting, the batch twin: replay events in ARRIVAL
+    order (event_id — the ingestion sequence) and classify each against
+    the running max event-time, exactly the way a Structured Streaming
+    10-minute watermark would: `n_dropped_late` rows arrive after the
+    watermark passed their window (a streaming agg silently drops
+    them), `n_late_in_watermark` are out-of-order but inside the
+    grace window (state hot, result corrected). Sizing this split per
+    (hour, type) window is how you pick a real watermark for the
+    stream — too short drops data, too long holds state. The running
+    max is ONE global-order scan — fine here because the audit is a
+    diagnostic run once per ingest shard; the production path shards
+    the same window by ingestion partition (each Kafka partition has
+    its own arrival order, so per-partition running max is the true
+    semantics, and the plan parallelizes for free)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arr = ev.select(
+        "ts", "event_type", F.max("ts").over(w).alias("max_seen")
+    )
+    wm = F.col("max_seen") - F.expr("INTERVAL 10 MINUTES")
+    return (
+        arr.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("ts") < wm, 1)).alias("n_dropped_late"),
+            F.count(
+                F.when((F.col("ts") < F.col("max_seen")) & (F.col("ts") >= wm), 1)
+            ).alias("n_late_in_watermark"),
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -997,3 +997,216 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("dr") * F.col("dc")).alias("dof"))
     )
     return chi2.crossJoin(dof)  # two 1-row frames
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH freqs AS (
+        SELECT source, tok, COUNT(*) AS freq
+        FROM (SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents)
+        GROUP BY source, tok),
+    ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, tok) AS rank
+        FROM freqs),
+    pts AS (
+        SELECT source,
+               ROUND(LN(rank) - 1e-9, 6) + 0 AS x,
+               ROUND(LN(freq) - 1e-9, 6) + 0 AS y
+        FROM ranked WHERE rank <= 200),
+    moms AS (
+        SELECT source, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(20,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(20,4))) AS DOUBLE) AS sxx
+        FROM pts GROUP BY source)
+    SELECT source, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) - 1e-9, 4) + 0
+               AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n - 1e-9, 4) + 0
+               AS zipf_intercept
+    FROM moms
+    ORDER BY source
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(freq) ~ ln(rank) over
+    each source's top-200 tokens — the corpus-health diagnostic (natural
+    text sits near slope -1; a synthetic or boilerplate-heavy source
+    drifts shallow). Log terms are tie-rounded to 6dp BEFORE the
+    decimal moment sums (the chi2 house pattern: a 1-ulp libm
+    difference cannot survive 6dp rounding), so the normal equations
+    are order-independent and cross-engine exact. Plan: one token agg,
+    a 200-row-per-source window top-k, and a group-cardinality moment
+    agg — nothing scales with corpus size past the first shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("tok"))
+    pts = (
+        freqs.select("source", "freq", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 200)
+        .select(
+            "source",
+            fround(F.log(F.col("rank").cast("double")), 6).alias("x"),
+            fround(F.log(F.col("freq").cast("double")), 6).alias("y"),
+        )
+    )
+    moms = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(20,4)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,4)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(20,4)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(20,4)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return moms.select(
+        "source",
+        "n",
+        fround(slope, 4).alias("zipf_slope"),
+        fround((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+    ).orderBy("source")
+
+
+@register(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        FROM t),
+    pairs AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS pair_count
+        FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS ctx_count
+            FROM pairs GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab
+          FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents))
+    SELECT w1, w2, pair_count, ctx_count,
+           (pair_count + 1) / CAST(ctx_count + vocab AS DOUBLE) AS smoothed_p
+    FROM pairs JOIN ctx USING (w1), v
+    ORDER BY pair_count DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram language model head: corpus bigram
+    counts, per-context totals, and P(w2|w1) = (c+1)/(ctx+V) — the
+    classic n-gram LM estimate, integer-exact until one IEEE division
+    so both engines agree bitwise. The context totals come from
+    re-aggregating the (already distinct-cardinality) pair frame, not
+    a second corpus scan; vocabulary size is a 1-row broadcast. Top-50
+    with full tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    bg = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                F.expr("slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0))"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    ctx = pairs.groupBy("w1").agg(F.sum("pair_count").alias("ctx_count"))
+    vocab = (
+        docs.select(F.explode(tk).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    return (
+        pairs.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "ctx_count",
+            (
+                (F.col("pair_count") + 1)
+                / (F.col("ctx_count") + F.col("vocab")).cast("double")
+            ).alias("smoothed_p"),
+        )
+        .orderBy(F.desc("pair_count"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 2),
+                                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        FROM t),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+           COUNT(CASE WHEN first_doc = doc_id THEN 1 END)
+               / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty in ingestion (doc_id) order: the
+    share of a doc's distinct trigrams whose FIRST corpus occurrence
+    is this doc — the cheap 'how much new text does this crawl batch
+    add' curation signal (novelty ~0 flags near-copies of earlier
+    documents without any pairwise comparison). Plan: shuffle-free
+    shingling (zipped array slices), one distinct, one gram-keyed
+    min-agg, one join back — all linear in corpus tokens; the gram
+    key shuffle is the only wide stage. Counting DISTINCT grams per
+    doc keeps both engines' denominators identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n3 = F.greatest(F.size(tk) - 2, F.lit(0))
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(tk, 1, n3),
+                    F.expr("slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0))"),
+                    F.expr("slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0))"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("z.0"), F.col("z.1"), F.col("z.2")).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams").cast("double")).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
