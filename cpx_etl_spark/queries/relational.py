@@ -4080,3 +4080,240 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 1.5)
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "q_session_cap_split",
+    oracle="""
+    WITH RECURSIVE
+    e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    isl AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM e),
+    bounds(user_id, island, s) AS (
+        SELECT user_id, island, MIN(ts) FROM isl GROUP BY 1, 2
+        UNION ALL
+        SELECT b.user_id, b.island,
+               (SELECT MIN(i.ts) FROM isl i
+                WHERE i.user_id = b.user_id AND i.island = b.island
+                  AND i.ts >= b.s + INTERVAL 12 HOUR)
+        FROM bounds b
+        WHERE EXISTS (SELECT 1 FROM isl i
+                      WHERE i.user_id = b.user_id AND i.island = b.island
+                        AND i.ts >= b.s + INTERVAL 12 HOUR)),
+    starts AS (
+        SELECT user_id, island, MIN(s) AS island_start FROM bounds GROUP BY 1, 2),
+    asg AS (
+        SELECT i.user_id, i.ts, st.island_start,
+               (SELECT MAX(b.s) FROM bounds b
+                WHERE b.user_id = i.user_id AND b.island = i.island
+                  AND b.s <= i.ts) AS session_start
+        FROM isl i JOIN starts st
+          ON st.user_id = i.user_id AND st.island = i.island)
+    SELECT user_id, session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           session_start > island_start AS is_cap_continuation
+    FROM asg
+    GROUP BY user_id, session_start, island_start
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_cap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-duration-capped sessionization: 24h-gap islands (pure window
+    algebra) are then split GREEDILY at the first event >= 12h after the
+    running session start — the rule every analytics warehouse wants
+    ('a session lasts at most N hours') that NO window frame can
+    express, because each split point depends on the previous one.
+    This is the applyInPandas showcase: the iterative splitter runs as
+    an Arrow-batched grouped-map over (user, island) — thousands of
+    small independent groups, embarrassingly parallel, state bounded
+    by one island — while the oracle proves the same semantics with a
+    recursive CTE. Cap comparisons are integer-microsecond exact in
+    both engines."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 24 HOURS")),
+            1,
+        ).otherwise(0)
+    )
+    isl = ev.select(
+        "user_id", "ts", "event_id", brk.alias("brk")
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    cap = pd.Timedelta(hours=12)
+
+    def split(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        start = None
+        starts = []
+        for ts in pdf["ts"]:
+            if start is None or ts >= start + cap:
+                start = ts
+            starts.append(start)
+        pdf = pdf.assign(session_start=starts)
+        island_start = pdf["ts"].iloc[0]
+        out = (
+            pdf.groupby("session_start", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+            )
+        )
+        out["is_cap_continuation"] = out["session_start"] > island_start
+        return out[
+            ["user_id", "session_start", "session_end", "n_events",
+             "is_cap_continuation"]
+        ]
+
+    schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, is_cap_continuation boolean"
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .applyInPandas(split, schema=schema)
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    WITH g0 AS (
+        SELECT n_nationkey, n_name, n_regionkey, c_mktsegment,
+               COUNT(*) AS n
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY 1, 2, 3, 4),
+    ok0 AS (
+        SELECT 'nation' AS level, n_name AS geo, c_mktsegment, n
+        FROM g0 WHERE n >= 5),
+    g1 AS (
+        SELECT r_name, c_mktsegment, CAST(SUM(n) AS BIGINT) AS n
+        FROM g0 JOIN region ON r_regionkey = n_regionkey
+        WHERE g0.n < 5
+        GROUP BY 1, 2),
+    ok1 AS (
+        SELECT 'region' AS level, r_name AS geo, c_mktsegment, n
+        FROM g1 WHERE n >= 5),
+    supp AS (
+        SELECT 'suppressed' AS level, '*' AS geo, c_mktsegment, n
+        FROM g1 WHERE n < 5)
+    SELECT level, geo, c_mktsegment, n
+    FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+          UNION ALL SELECT * FROM supp)
+    ORDER BY level, geo, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder (k=5) over the
+    (nation, segment) quasi-identifier: groups meeting k publish at
+    nation level; violating groups generalize UP the taxonomy to
+    (region, segment) — re-aggregated from the level-0 frame, not a
+    rescan — and whatever still violates is suppressed. The
+    privacy-compliance audit shape (quasi-identifier risk + taxonomy
+    rollup) as three aggregations over one scan; every frame is
+    group-cardinality, dims broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    g0 = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_nationkey", "n_name", "n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ok0 = g0.filter(F.col("n") >= 5).select(
+        F.lit("nation").alias("level"),
+        F.col("n_name").alias("geo"),
+        "c_mktsegment",
+        "n",
+    )
+    g1 = (
+        g0.filter(F.col("n") < 5)
+        .join(F.broadcast(reg), g0.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.sum("n").alias("n"))
+    )
+    ok1 = g1.filter(F.col("n") >= 5).select(
+        F.lit("region").alias("level"),
+        F.col("r_name").alias("geo"),
+        "c_mktsegment",
+        "n",
+    )
+    supp = g1.filter(F.col("n") < 5).select(
+        F.lit("suppressed").alias("level"),
+        F.lit("*").alias("geo"),
+        "c_mktsegment",
+        "n",
+    )
+    return ok0.unionByName(ok1).unionByName(supp).orderBy(
+        "level", "geo", "c_mktsegment"
+    )
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+    u AS (
+        SELECT event_type, n_true,
+               CAST(CAST(concat('0x', substr(md5(event_type || ':dp'), 1, 13))
+                    AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS unif
+        FROM c)
+    SELECT event_type, n_true,
+           {sql_fround("-20.0 * CASE WHEN unif < 0.5 THEN -1.0 ELSE 1.0 END"
+                       " * LN(1.0 - 2.0 * ABS(unif - 0.5))", 6)} AS noise,
+           {sql_fround("n_true + (-20.0 * CASE WHEN unif < 0.5 THEN -1.0 ELSE 1.0 END"
+                       " * LN(1.0 - 2.0 * ABS(unif - 0.5)))", 2)} AS n_released
+    FROM u
+    ORDER BY event_type
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1, b=20 => epsilon=0.05): noise drawn by inverse-CDF
+    from an md5-seeded uniform — the per-release seeded-noise pattern a
+    reproducible DP pipeline uses (same release key => same noise, so
+    re-runs don't leak fresh samples; that IS the production rule, not
+    a test convenience). ln() terms tie-rounded per the house pattern;
+    everything else is one group-by." """
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("event_type"), F.lit(":dp"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    noise = (
+        F.lit(-20.0)
+        * F.when(unif < 0.5, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(unif - 0.5))
+    )
+    return c.select(
+        "event_type",
+        "n_true",
+        fround(noise, 6).alias("noise"),
+        fround(F.col("n_true") + noise, 2).alias("n_released"),
+    ).orderBy("event_type")
