@@ -4317,3 +4317,234 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(noise, 6).alias("noise"),
         fround(F.col("n_true") + noise, 2).alias("n_released"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_kmv_intersection",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (SELECT event_type, user_id, {_KMV_H_SQL} AS h FROM du),
+    sk AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed),
+    sketch AS (SELECT event_type, h FROM sk WHERE rn <= {_KMV_K}),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type),
+    theta AS (
+        SELECT type_a, type_b, h AS th
+        FROM (SELECT type_a, type_b, h,
+                     ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                        ORDER BY h) AS rn
+              FROM (SELECT DISTINCT p.type_a, p.type_b, s.h
+                    FROM pairs p JOIN sketch s
+                      ON s.event_type IN (p.type_a, p.type_b)))
+        WHERE rn = {_KMV_K}),
+    matched AS (
+        SELECT p.type_a, p.type_b, COUNT(*) AS m
+        FROM pairs p
+        JOIN sketch sa ON sa.event_type = p.type_a
+        JOIN sketch sb ON sb.event_type = p.type_b AND sb.h = sa.h
+        JOIN theta t ON t.type_a = p.type_a AND t.type_b = p.type_b
+        WHERE sa.h < t.th
+        GROUP BY 1, 2),
+    exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_exact
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT e.type_a, e.type_b, e.n_exact,
+           ROUND(COALESCE(m.m, 0) / t.th - 1e-9, 4) + 0 AS est_intersection
+    FROM exact e
+    JOIN theta t ON t.type_a = e.type_a AND t.type_b = e.type_b
+    LEFT JOIN matched m ON m.type_a = e.type_a AND m.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b
+    """,
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET INTERSECTION from KMV sketches, for every
+    pair of event types: theta = k-th smallest hash of the UNION of the
+    two bottom-k sketches, estimate = |{h in both sketches, h < theta}|
+    / theta — distinct-user overlap ('did view AND purchase') without
+    ever joining the raw key sets. All sketch frames are k-rows-per-
+    group; the only corpus-sized work is the same distinct the plain
+    KMV build pays. The exact intersection (for the error column) comes
+    from the distinct frame self-join — affordable at gate scale,
+    replaced by the estimate alone at 100 TB (that being the point)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k = _KMV_K
+    du = ev.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type",
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("double")
+            / F.lit(1152921504606846976.0)
+        ).alias("h"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        hashed.select("event_type", "h", F.row_number().over(wt).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .crossJoin(types.alias("b"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    uni = (
+        pairs.join(
+            sketch.alias("s"),
+            (F.col("s.event_type") == F.col("type_a"))
+            | (F.col("s.event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    theta = (
+        uni.select("type_a", "type_b", "h", F.row_number().over(wp).alias("rn"))
+        .filter(F.col("rn") == k)
+        .select("type_a", "type_b", F.col("h").alias("th"))
+    )
+    sa = sketch.alias("sa")
+    sb = sketch.alias("sb")
+    matched = (
+        pairs.join(sa, F.col("sa.event_type") == F.col("type_a"))
+        .join(
+            sb,
+            (F.col("sb.event_type") == F.col("type_b"))
+            & (F.col("sb.h") == F.col("sa.h")),
+        )
+        .join(theta, ["type_a", "type_b"])
+        .filter(F.col("sa.h") < F.col("th"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    dua = du.alias("da")
+    dub = du.alias("db")
+    exact = (
+        dua.join(
+            dub,
+            (F.col("db.user_id") == F.col("da.user_id"))
+            & (F.col("da.event_type") < F.col("db.event_type")),
+        )
+        .groupBy(
+            F.col("da.event_type").alias("type_a"),
+            F.col("db.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.join(theta, ["type_a", "type_b"])
+        .join(matched, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_exact",
+            fround(
+                F.coalesce(F.col("m"), F.lit(0)) / F.col("th"), 4
+            ).alias("est_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    WITH ref AS (
+        SELECT n_chars AS v,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM documents),
+    pr AS (
+        SELECT doc_id, source, n_chars,
+               PERCENT_RANK() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS p,
+               (SELECT MAX(n) FROM ref) AS n
+        FROM documents),
+    pos AS (
+        SELECT doc_id, source, n_chars, p,
+               CAST(FLOOR(p * (n - 1)) AS BIGINT) + 1 AS lo,
+               p * (n - 1) - FLOOR(p * (n - 1)) AS frac
+        FROM pr)
+    SELECT pos.doc_id, source, n_chars,
+           ROUND(a.v + frac * (COALESCE(b.v, a.v) - a.v) - 1e-9, 4) + 0
+               AS qnorm
+    FROM pos
+    JOIN ref a ON a.rn = pos.lo
+    LEFT JOIN ref b ON b.rn = pos.lo + 1
+    ORDER BY pos.doc_id
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-source feature onto the GLOBAL
+    reference distribution (the bioinformatics/feature-prep transform:
+    each source's ranks are mapped through the corpus-wide order
+    statistics, removing per-source scale and shape): within-source
+    percent_rank -> fractional position in the global sorted vector ->
+    linear interpolation between the two bracketing order statistics.
+    percent_rank is an exact rational in both engines; interpolation is
+    IEEE arithmetic; one tie-round at output. The reference vector is
+    built here with a global row_number — at 100 TB the reference is a
+    fixed-size quantile sketch (e.g. 10k evenly-spaced order stats)
+    broadcast to executors, which this plan models: ref joins are
+    broadcast-sized, the per-doc side never sorts globally."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.select(
+        F.col("n_chars").alias("v"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rn"),
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(ws).alias("p"),
+    ).crossJoin(F.broadcast(n_total))
+    pos = pr.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "p",
+        (F.floor(F.col("p") * (F.col("n") - 1)) + 1).alias("lo"),
+        (
+            F.col("p") * (F.col("n") - 1) - F.floor(F.col("p") * (F.col("n") - 1))
+        ).alias("frac"),
+    )
+    a = ref.alias("a")
+    b = ref.alias("b")
+    return (
+        pos.join(F.broadcast(a), F.col("a.rn") == F.col("lo"))
+        .join(F.broadcast(b), F.col("b.rn") == F.col("lo") + 1, "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            fround(
+                F.col("a.v")
+                + F.col("frac")
+                * (F.coalesce(F.col("b.v"), F.col("a.v")) - F.col("a.v")),
+                4,
+            ).alias("qnorm"),
+        )
+        .orderBy("doc_id")
+    )

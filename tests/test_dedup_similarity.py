@@ -835,3 +835,38 @@ def test_signature_index_append_rejects_duplicate_ids(spark, tmp_path):
         "doc_id long, text string",
     )
     append_to_signature_index(fresh, path, validate_unique=True)  # ok
+
+
+def test_dhash_56_bit_packing_and_perturbation(spark):
+    """dhash_56 packs bit (r, c) = p[r][c] > p[r][c+1] at position
+    r*8+c; perturbing pixel[0][0] flips at most bit 0."""
+    import hashlib
+
+    def payload_bytes(seed: str) -> bytes:
+        return b"".join(
+            hashlib.md5(f"{seed}:{r}".encode()).digest() for r in range(7)
+        )
+
+    def ref_hash(b: bytes, delta: int) -> int:
+        h = 0
+        for r in range(7):
+            px = list(b[16 * r : 16 * r + 9])
+            if r == 0 and delta:
+                px[0] = (px[0] + delta) % 256
+            for c in range(8):
+                if px[c] > px[c + 1]:
+                    h |= 1 << (r * 8 + c)
+        return h
+
+    from cpx_etl_spark.operators.multimodal import dhash_56
+
+    rows = [(0, payload_bytes("a"), 0), (1, payload_bytes("a"), 3),
+            (2, payload_bytes("b"), 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary, delta int")
+    got = {r.doc_id: r.phash for r in dhash_56(df, perturb_col="delta").collect()}
+    assert got[0] == ref_hash(payload_bytes("a"), 0)
+    assert got[1] == ref_hash(payload_bytes("a"), 3)
+    assert got[2] == ref_hash(payload_bytes("b"), 0)
+    assert 0 <= got[0] < (1 << 56)
+    # same base image, perturbed pixel (0,0): only bit 0 can differ
+    assert (got[0] ^ got[1]) in (0, 1)

@@ -195,3 +195,76 @@ def test_apply_cdc_composes_with_later_wins(spark):
         assert sorted(map(tuple, seq.collect())) == sorted(map(tuple, one.collect()))
 
     run()
+
+
+def test_session_cap_split_edges(spark):
+    """Greedy 12h-cap splitter edges: an event EXACTLY at start+12h
+    opens a new session (>= boundary); single-event islands are one
+    uncapped session; ordering ties break on event_id."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # island A: events at +0h, +11h59m59s, +12h (exact cap), +13h
+        (1, base, 1),
+        (1, base + dt.timedelta(hours=11, minutes=59, seconds=59), 2),
+        (1, base + dt.timedelta(hours=12), 3),
+        (1, base + dt.timedelta(hours=13), 4),
+        # island B for the same user (25h gap from +13h)
+        (1, base + dt.timedelta(hours=39), 5),
+        # user 2: single event
+        (2, base, 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint")
+    import pandas as pd
+
+    cap = pd.Timedelta(hours=12)
+
+    # reuse the registered query's splitter semantics on a controlled frame
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 24 HOURS")),
+        1,
+    ).otherwise(0)
+    isl = df.select("user_id", "ts", "event_id", brk.alias("brk")).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+    def split(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        start, starts = None, []
+        for ts in pdf["ts"]:
+            if start is None or ts >= start + cap:
+                start = ts
+            starts.append(start)
+        pdf = pdf.assign(session_start=starts)
+        island_start = pdf["ts"].iloc[0]
+        out = pdf.groupby("session_start", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        out["is_cap_continuation"] = out["session_start"] > island_start
+        return out[["user_id", "session_start", "session_end", "n_events",
+                    "is_cap_continuation"]]
+
+    schema = ("user_id bigint, session_start timestamp, session_end timestamp, "
+              "n_events bigint, is_cap_continuation boolean")
+    got = (
+        isl.groupBy("user_id", "island").applyInPandas(split, schema=schema)
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    # user 1 island A: [0h, 11:59:59] then cap at exactly +12h -> [12h, 13h]
+    u1 = [r for r in got if r.user_id == 1]
+    assert len(u1) == 3
+    assert u1[0].n_events == 2 and not u1[0].is_cap_continuation
+    assert u1[1].n_events == 2 and u1[1].is_cap_continuation
+    assert u1[1].session_start == base + dt.timedelta(hours=12)
+    assert u1[2].n_events == 1 and not u1[2].is_cap_continuation
+    u2 = [r for r in got if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].n_events == 1 and not u2[0].is_cap_continuation
