@@ -84,6 +84,12 @@ HEADLINE = [
     "q_minhash_accuracy",
     "q21_waiting_suppliers",
     "q_session_paths",
+    # r8 additions: the Arrow grouped-map shape (capped sessionization),
+    # the banded perceptual-hash pair join, and the trigram-keyed
+    # novelty shuffle — the round's three new physical shapes
+    "q_session_cap_split",
+    "mm_image_phash",
+    "q_ngram_novelty",
 ]
 
 

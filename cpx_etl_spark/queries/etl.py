@@ -1532,3 +1532,107 @@ def q_backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+_XSL_TOC_BASE = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:template match="sec"><s t="{.}"/></xsl:template>
+  <xsl:template match="doc"><wrong/></xsl:template>
+</xsl:stylesheet>
+"""
+
+_XSL_TOC_MAIN = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:import href="toc_base.xsl"/>
+  <xsl:template match="doc">
+    <toc did="{@id}"><xsl:apply-templates select="sec"/></toc>
+  </xsl:template>
+  <xsl:template match="sec">
+    <e id="{generate-id()}"><num><xsl:number format="i"/></num><xsl:apply-imports/></e>
+  </xsl:template>
+</xsl:stylesheet>
+"""
+
+
+def _write_xsl_toc_sheets() -> str:
+    import os
+
+    d = scratch_dir("cpx_etl_xsl_toc_")
+    with open(os.path.join(d, "toc_base.xsl"), "w", encoding="utf-8") as fh:
+        fh.write(_XSL_TOC_BASE)
+    with open(os.path.join(d, "toc_main.xsl"), "w", encoding="utf-8") as fh:
+        fh.write(_XSL_TOC_MAIN)
+    return d
+
+
+@register(
+    "q_xsl_toc",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               2 + doc_id % 2 AS nsec
+        FROM documents)
+    SELECT doc_id AS did,
+           CASE WHEN nsec = 3 THEN 'd0e1,d0e2,d0e3'
+                ELSE 'd0e1,d0e2' END AS sec_ids,
+           CASE WHEN nsec = 3 THEN 'i,ii,iii' ELSE 'i,ii' END AS sec_nums,
+           CASE WHEN nsec = 3 THEN tk[1] || ',' || tk[2] || ',' || tk[3]
+                ELSE tk[1] || ',' || tk[2] END AS sec_tokens
+    FROM t
+    ORDER BY did
+    """,
+)
+def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate evidence for the r8 XSLT constructs (xsl:number,
+    generate-id(), xsl:import + precedence, xsl:apply-imports): each
+    document renders a small sectioned XML; the MAIN stylesheet
+    IMPORTS a base sheet, overrides its doc template (import
+    precedence — if precedence broke, the base's <wrong/> wins and
+    every row's extraction collapses), numbers each section with
+    xsl:number format='i' and ids it with generate-id(); apply-imports
+    then falls through to the base's sec template for the token body.
+    The oracle predicts the interpreter's EXACT output arithmetically
+    (roman numbering, d0eN document-order ids, token passthrough) —
+    a numbering/ordering/precedence bug breaks the hash match.
+    (Reference parity: the XSLT extract pipeline, index.js:87-126.)"""
+    from cpx_etl_spark.plans.xsl_chain import xslt_transform_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    nsec = 2 + F.col("doc_id") % 2
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.lit("<sec>"), F.element_at(tk, 1), F.lit("</sec>"),
+        F.lit("<sec>"), F.element_at(tk, 2), F.lit("</sec>"),
+        F.when(
+            nsec == 3,
+            F.concat(F.lit("<sec>"), F.element_at(tk, 3), F.lit("</sec>")),
+        ).otherwise(F.lit("")),
+        F.lit("</doc>"),
+    )
+    d = _write_xsl_toc_sheets()
+    import os
+
+    with open(os.path.join(d, "toc_main.xsl"), encoding="utf-8") as fh:
+        main_src = fh.read()
+    transformed = xslt_transform_column(
+        docs.select("doc_id", xml.alias("doc_xml")),
+        "doc_xml",
+        "out_xml",
+        [main_src],
+        base_dir=d,
+    )
+    return transformed.select(
+        F.col("doc_id").alias("did"),
+        F.array_join(
+            F.expr("regexp_extract_all(out_xml, '<e id=\"([^\"]*)\"', 1)"), ","
+        ).alias("sec_ids"),
+        F.array_join(
+            F.expr("regexp_extract_all(out_xml, '<num>([^<]*)</num>', 1)"), ","
+        ).alias("sec_nums"),
+        F.array_join(
+            F.expr("regexp_extract_all(out_xml, '<s t=\"([^\"]*)\"', 1)"), ","
+        ).alias("sec_tokens"),
+    ).orderBy("did")
