@@ -270,7 +270,7 @@ def _ph_byte(h: str, cpos: str) -> str:
     "mm_image_phash",
     oracle=f"""
     WITH d AS (
-        SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS seed,
+        SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS seed,
                CAST(doc_id % 5 AS INTEGER) AS delta
         FROM documents),
     md AS (
@@ -313,8 +313,10 @@ def _ph_byte(h: str, cpos: str) -> str:
 def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate detection over image payloads: a
     112-byte grayscale thumbnail per document (synthesized JVM-side
-    from md5 — docs sharing doc_id%97 are the same 'photo', doc_id%5
-    perturbs one pixel, modeling a re-encode/burst group), dHash-56
+    from md5 — each run of five consecutive doc_ids is the same 'photo'
+    burst, doc_id%5 perturbs one pixel, modeling re-encodes; FIXED
+    burst size, so candidate volume stays LINEAR in corpus size at
+    every scale), dHash-56
     via the Arrow-batched mapInPandas decoder (operators/multimodal.py
     dhash_56), then banded LSH pairing: 4 bands x 14 bits, candidates
     agree in >=1 band, verified at hamming <= 4 via one bit_count(xor)
@@ -322,11 +324,12 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band and hamming distance arithmetically from the md5 hex in pure
     SQL, so a byte-order or bit-packing bug in the Python decoder
     breaks the hash match. Scale: band join fan-out is bounded by
-    burst-group size, exactly like the simhash/minhash families."""
+    the constant burst size, exactly like the simhash/minhash
+    families' capped buckets."""
     from cpx_etl_spark.operators.multimodal import dhash_56
 
     docs = load_table(spark, sf_dir, "documents")
-    seed = (F.col("doc_id") % 97).cast("string")
+    seed = F.expr("doc_id div 5").cast("string")
     payload = F.concat(
         *[
             F.unhex(F.md5(F.concat(seed, F.lit(f":{r}"))))
