@@ -4572,3 +4572,208 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_daily
+        FROM daily GROUP BY 1),
+    cs AS (
+        SELECT d.event_type, d.day, d.n, m.mean_daily,
+               SUM(d.n - m.mean_daily)
+                   OVER (PARTITION BY d.event_type ORDER BY d.day
+                         ROWS UNBOUNDED PRECEDING) AS cusum
+        FROM daily d JOIN m ON m.event_type = d.event_type),
+    best AS (
+        SELECT event_type, day, cusum, mean_daily,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(cusum) DESC, day) AS rn
+        FROM cs)
+    SELECT event_type, day AS changepoint_day,
+           {sql_fround('cusum', 4)} AS max_cusum,
+           {sql_fround('mean_daily', 4)} AS mean_daily
+    FROM best WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation from the series mean peaks — the standard
+    mean-shift detector for ops/quality monitoring. The running sum is
+    an ORDERED window (both engines accumulate the same sequence of
+    IEEE adds, so the cusum is bit-identical without decimal
+    scaffolding); the argmax takes a day tiebreak. Daily pre-
+    aggregation keeps every frame days x types-sized regardless of
+    event volume."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_daily")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = daily.join(F.broadcast(m), "event_type").withColumn(
+        "cusum", F.sum(F.col("n") - F.col("mean_daily")).over(wc)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            fround(F.col("cusum"), 4).alias("max_cusum"),
+            fround(F.col("mean_daily"), 4).alias("mean_daily"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    tr AS (
+        SELECT event_type, day, n,
+               CAST(SUM(n) OVER w7 AS DOUBLE) / 7 AS trend,
+               COUNT(*) OVER w7 AS wn,
+               dayofweek(day) AS dow
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    full_w AS (
+        SELECT event_type, day, dow, n, trend, n - trend AS resid
+        FROM tr WHERE wn = 7),
+    seas AS (
+        SELECT event_type, dow,
+               CAST(SUM(CAST(resid AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*)
+                   AS seasonal_raw
+        FROM full_w GROUP BY 1, 2)
+    SELECT f.event_type, f.day, f.n,
+           {sql_fround('f.trend', 4)} AS trend,
+           {sql_fround('s.seasonal_raw', 4)} AS seasonal,
+           {sql_fround('f.resid - s.seasonal_raw', 4)} AS remainder
+    FROM full_w f
+    JOIN seas s ON s.event_type = f.event_type AND s.dow = f.dow
+    ORDER BY f.event_type, f.day
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) of the daily count
+    series per event type: trend = centered 7-day moving average (full
+    windows only — edge days trim, as in the textbook formulation),
+    day-of-week seasonal = mean residual per weekday (decimal-summed:
+    the only order-dependent aggregate), remainder = residual −
+    seasonal. 7 consecutive integer counts divide exactly; residuals
+    are IEEE-exact; one tie-round per output column. Everything after
+    the daily rollup is days x types-sized."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "day",
+        "n",
+        (F.sum("n").over(w7).cast("double") / 7).alias("trend"),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+        F.dayofweek("day").alias("dow"),
+    )
+    full_w = tr.filter(F.col("wn") == 7).withColumn(
+        "resid", F.col("n") - F.col("trend")
+    )
+    seas = full_w.groupBy("event_type", "dow").agg(
+        (
+            F.sum(F.col("resid").cast("decimal(20,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal_raw")
+    )
+    return (
+        full_w.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "n",
+            fround(F.col("trend"), 4).alias("trend"),
+            fround(F.col("seasonal_raw"), 4).alias("seasonal"),
+            fround(F.col("resid") - F.col("seasonal_raw"), 4).alias("remainder"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q_decayed_popularity",
+    oracle="""
+    WITH mx AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+    daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    aged AS (
+        SELECT event_type, n,
+               date_diff('day', day, max_day) AS age
+        FROM daily, mx),
+    sc AS (
+        SELECT event_type,
+               CAST(SUM(n * (CAST(1 AS BIGINT) << (40 - age))) AS BIGINT)
+                   AS scaled,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM aged GROUP BY 1)
+    SELECT event_type, n_total,
+           CAST(scaled AS DOUBLE) / CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE)
+               AS decayed_score
+    FROM sc
+    ORDER BY decayed_score DESC, event_type
+    """,
+)
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed popularity (half-life 1 day): score =
+    sum(count_d * 2^-age_d) — the recency-weighted ranking signal
+    behind trending/recommendation serving. Instead of POWER(0.5, age)
+    floats, each term scales to an INTEGER (n << (40 - age)) so the sum
+    is exact BIGINT arithmetic and the single final division by 2^40 is
+    an exact dyadic scale — zero floating-point accumulation, bit-equal
+    in any engine, and mergeable across partitions/batches (it is one
+    integer sum). The 1-row max-day frame broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.date_trunc("day", "ts")).alias("max_day"))
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    aged = daily.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n",
+        F.datediff(F.col("max_day"), F.col("day")).alias("age"),
+    )
+    sc = aged.groupBy("event_type").agg(
+        F.sum(F.expr("n * shiftleft(CAST(1 AS BIGINT), 40 - age)")).alias("scaled"),
+        F.sum("n").alias("n_total"),
+    )
+    return sc.select(
+        "event_type",
+        "n_total",
+        (
+            F.col("scaled").cast("double")
+            / F.lit(float(1 << 40))
+        ).alias("decayed_score"),
+    ).orderBy(F.desc("decayed_score"), "event_type")
