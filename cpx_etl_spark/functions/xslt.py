@@ -498,14 +498,19 @@ class MiniXslt:
         # XSLT 1.0 allows several declarations per key name (union)
         self._key_decls: dict[str, list[tuple[str, str]]] = {}
         self._sheet_roots: list[ET.Element] = []
-        self._loaded_paths: list[str] = []  # import/include cycle guard
+        self._load_stack: list[str] = []  # ACTIVE import/include chain (cycle guard)
         self._prec_counter = 0
         self._load_sheet(root)
         self._finish_compile()
 
-    def _resolve_sheet(self, elem: ET.Element, what: str) -> ET.Element:
-        """Parse the stylesheet referenced by an xsl:import/xsl:include
-        href, resolved against base_dir, with cycle detection."""
+    def _load_ref(self, elem: ET.Element, what: str,
+                  prec: int | None) -> None:
+        """Load the stylesheet referenced by an xsl:import/xsl:include
+        href, resolved against base_dir. Cycle detection follows the
+        ACTIVE load chain only — a diamond (two imports sharing a base
+        sheet) is legal XSLT 1.0 and loads the shared sheet once per
+        reference, each at its own precedence; only a sheet reachable
+        from itself is an error."""
         import os
 
         href = elem.get("href")
@@ -516,17 +521,21 @@ class MiniXslt:
                 f"xsl:{what} href={href!r}: stylesheet compiled without a base_dir"
             )
         full = os.path.normpath(os.path.join(self.base_dir, href))
-        if full in self._loaded_paths:
+        if full in self._load_stack:
             raise XsltUnsupported(f"xsl:{what} cycle through {href!r}")
-        self._loaded_paths.append(full)
-        sub = ET.parse(full).getroot()
+        with open(full, encoding="utf-8") as fh:
+            src_text = fh.read()
+        sub = ET.fromstring(src_text)
         if _local(sub.tag) not in ("stylesheet", "transform"):
             raise XsltUnsupported(f"xsl:{what} target root {sub.tag!r}")
-        src_text = open(full).read()
         self._needs_pos = (
             self._needs_pos or "position()" in src_text or "last()" in src_text
         )
-        return sub
+        self._load_stack.append(full)
+        try:
+            self._load_sheet(sub, prec)
+        finally:
+            self._load_stack.pop()
 
     def _load_sheet(self, root: ET.Element, prec: int | None = None) -> None:
         """Collect one stylesheet's top-level declarations.
@@ -539,6 +548,7 @@ class MiniXslt:
         named templates and global variables implement the precedence
         override for free."""
         own_prec = prec
+        seen_decl = False  # any non-import declaration gates later imports
         for child in root:
             if _is_xsl(child, "import"):
                 if prec is not None:
@@ -546,14 +556,18 @@ class MiniXslt:
                     # which is already assigned — an import inside it
                     # cannot get a lower one anymore
                     raise XsltUnsupported("xsl:import inside an included stylesheet")
-                if own_prec is not None:
+                if own_prec is not None or seen_decl:
+                    # §2.6.2 requires imports to precede EVERY other
+                    # declaration; allowing a later import would hand
+                    # the imported sheet's globals later-wins priority,
+                    # inverting precedence (code-review r8)
                     raise XsltUnsupported("xsl:import after other declarations")
-                self._load_sheet(self._resolve_sheet(child, "import"))
+                self._load_ref(child, "import", None)
             elif _is_xsl(child, "include"):
                 if own_prec is None:
                     own_prec = self._prec_counter
                     self._prec_counter += 1
-                self._load_sheet(self._resolve_sheet(child, "include"), own_prec)
+                self._load_ref(child, "include", own_prec)
             elif _is_xsl(child, "template"):
                 if own_prec is None:
                     own_prec = self._prec_counter
@@ -570,6 +584,7 @@ class MiniXslt:
                 elif not name:
                     raise XsltUnsupported("template without match or name")
             elif _is_xsl(child, "key"):
+                seen_decl = True
                 kname = child.get("name")
                 kmatch = (child.get("match") or "").strip()
                 kuse = (child.get("use") or "").strip()
@@ -581,6 +596,7 @@ class MiniXslt:
             elif _is_xsl(child, "variable") or _is_xsl(child, "param"):
                 # top-level params use their defaults (no external
                 # parameter API); evaluated at apply() against the doc
+                seen_decl = True
                 self._globals.append(child)
             elif _is_xsl(child, "output"):
                 continue  # serialization is always unindented UTF-8 text
@@ -1655,20 +1671,27 @@ class MiniXslt:
         )
 
 
-def compile_stylesheet(src: str, base_dir: str | None = None):
+def compile_stylesheet(src: str, base_dir: str | None = None,
+                       prefer_lxml: bool = True):
     """``src`` -> callable(xml_string) -> transformed string. lxml's
     real libxslt is the fast path when present; the MiniXslt subset
     interpreter otherwise (tests assert the two agree when both run).
     ``base_dir`` anchors relative document() references; for the lxml
-    path it becomes the parse base via a dummy base URL."""
-    try:
-        from lxml import etree as LX  # pragma: no cover - absent in container
+    path it becomes the parse base via a dummy base URL.
+    ``prefer_lxml=False`` pins the subset interpreter — required when
+    the caller depends on implementation-DEFINED behavior the spec
+    leaves open (generate-id() value shape: libxslt emits 'idm...'
+    strings, the subset emits document-order 'dNeM' ids)."""
+    if prefer_lxml:
+        try:
+            from lxml import etree as LX  # pragma: no cover - absent in container
 
-        base = f"{base_dir}/stylesheet.xsl" if base_dir else None
-        xslt = LX.XSLT(LX.fromstring(src.encode(), base_url=base))
-        return lambda xml: str(xslt(LX.fromstring(xml.encode())))
-    except ImportError:
-        return MiniXslt(src, base_dir=base_dir).apply
+            base = f"{base_dir}/stylesheet.xsl" if base_dir else None
+            xslt = LX.XSLT(LX.fromstring(src.encode(), base_url=base))
+            return lambda xml: str(xslt(LX.fromstring(xml.encode())))
+        except ImportError:
+            pass
+    return MiniXslt(src, base_dir=base_dir).apply
 
 
 def xslt_pipeline(xml: str, transforms) -> str:

@@ -1555,13 +1555,14 @@ _XSL_TOC_MAIN = """<xsl:stylesheet version="1.0"
 
 
 def _write_xsl_toc_sheets() -> str:
+    """Only the IMPORTED sheet needs to exist on disk (the import href
+    resolves against base_dir); the main sheet ships as a source
+    string."""
     import os
 
     d = scratch_dir("cpx_etl_xsl_toc_")
     with open(os.path.join(d, "toc_base.xsl"), "w", encoding="utf-8") as fh:
         fh.write(_XSL_TOC_BASE)
-    with open(os.path.join(d, "toc_main.xsl"), "w", encoding="utf-8") as fh:
-        fh.write(_XSL_TOC_MAIN)
     return d
 
 
@@ -1569,7 +1570,8 @@ def _write_xsl_toc_sheets() -> str:
     "q_xsl_toc",
     oracle="""
     WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS tk,
+        SELECT doc_id,
+               string_split(regexp_replace(text, '[&<>"'']', '', 'g'), ' ') AS tk,
                2 + doc_id % 2 AS nsec
         FROM documents)
     SELECT doc_id AS did,
@@ -1598,7 +1600,11 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpx_etl_spark.plans.xsl_chain import xslt_transform_column
 
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split("text", " ")
+    # strip XML-special characters BEFORE building markup (mirrored in
+    # the oracle): raw tokens would otherwise need escape-then-unescape
+    # through the transform; the corpus is currently clean but the
+    # query must not depend on that (code-review r8)
+    tk = F.split(F.regexp_replace("text", '[&<>"\']', ""), " ")
     nsec = 2 + F.col("doc_id") % 2
     xml = F.concat(
         F.lit('<doc id="'),
@@ -1613,16 +1619,16 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</doc>"),
     )
     d = _write_xsl_toc_sheets()
-    import os
-
-    with open(os.path.join(d, "toc_main.xsl"), encoding="utf-8") as fh:
-        main_src = fh.read()
+    # prefer_lxml=False pins the subset interpreter: generate-id() is
+    # implementation-DEFINED, and this oracle predicts the subset's
+    # dNeM scheme — libxslt's 'idm...' ids can never match it
     transformed = xslt_transform_column(
         docs.select("doc_id", xml.alias("doc_xml")),
         "doc_xml",
         "out_xml",
-        [main_src],
+        [_XSL_TOC_MAIN],
         base_dir=d,
+        prefer_lxml=False,
     )
     return transformed.select(
         F.col("doc_id").alias("did"),

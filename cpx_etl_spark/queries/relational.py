@@ -3925,6 +3925,18 @@ _KMV_H_SQL = (
 )
 
 
+def _kmv_h_col() -> "Column":
+    """Spark twin of _KMV_H_SQL: md5(user_id) -> uniform double in
+    [0, 1). ONE definition on each side — the 15-hex-digit width and
+    the 2^60 scale must never drift between the sketch builders."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+
+
 @register(
     "q_kmv_distinct_sketch",
     oracle=f"""
@@ -3976,15 +3988,7 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = _KMV_K
     du = ev.select("event_type", "user_id").distinct()
-    hashed = du.select(
-        "event_type",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-            ).cast("double")
-            / F.lit(1152921504606846976.0)
-        ).alias("h"),
-    )
+    hashed = du.select("event_type", _kmv_h_col().alias("h"))
     w = Window.partitionBy("event_type").orderBy("h")
     ranked = hashed.select(
         "event_type",
@@ -4034,8 +4038,8 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
         SELECT source,
                COUNT(*) AS n,
-               SUM(n_chars) AS s1,
-               SUM(n_chars * n_chars) AS s2
+               SUM(CAST(n_chars AS DECIMAL(38,0))) AS s1,
+               SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS s2
         FROM documents GROUP BY source),
     params AS (
         SELECT source, n,
@@ -4052,9 +4056,10 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score normalization (the feature-scaling primitive
     before model training) with BIT-EXACT cross-engine floats and no
-    rounding: n_chars is integral, so Σx and Σx² are exact BIGINTs,
-    the population variance (Σx²·n − (Σx)²)/n² is an exact-integer
-    ratio, and IEEE sqrt/div are correctly rounded in both engines —
+    rounding: n_chars is integral, so Σx and Σx² accumulate exactly in
+    DECIMAL(38,0) (no int64 wraparound at any group size), the
+    population variance (Σx²·n − (Σx)²)/n² is an exact-integer ratio,
+    and IEEE sqrt/div are correctly rounded in both engines —
     every z-score is bit-identical with zero decimal scaffolding. Plan:
     one map-side-combinable agg over the group key, broadcast of the
     group-cardinality params frame back onto the scan; flagged
@@ -4062,8 +4067,11 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     stats = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("n_chars").alias("s1"),
-        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        # DECIMAL(38,0) moments: int64 would silently wrap on s2*n at
+        # multi-billion-doc groups while DuckDB's HUGEINT stayed exact
+        # (code-review r8); decimal is exact in BOTH engines
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).alias("s2"),
     )
     params = stats.select(
         "source",
@@ -4404,16 +4412,7 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = _KMV_K
     du = ev.select("event_type", "user_id").distinct()
-    hashed = du.select(
-        "event_type",
-        "user_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-            ).cast("double")
-            / F.lit(1152921504606846976.0)
-        ).alias("h"),
-    )
+    hashed = du.select("event_type", "user_id", _kmv_h_col().alias("h"))
     wt = Window.partitionBy("event_type").orderBy("h")
     sketch = (
         hashed.select("event_type", "h", F.row_number().over(wt).alias("rn"))
@@ -4731,11 +4730,12 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2),
     aged AS (
         SELECT event_type, n,
-               date_diff('day', day, max_day) AS age
+               LEAST(date_diff('day', day, max_day), 40) AS age
         FROM daily, mx),
     sc AS (
         SELECT event_type,
-               CAST(SUM(n * (CAST(1 AS BIGINT) << (40 - age))) AS BIGINT)
+               SUM(CAST(n AS DECIMAL(38,0))
+                   * CAST(CAST(1 AS BIGINT) << (40 - age) AS DECIMAL(38,0)))
                    AS scaled,
                CAST(SUM(n) AS BIGINT) AS n_total
         FROM aged GROUP BY 1)
@@ -4750,11 +4750,12 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed popularity (half-life 1 day): score =
     sum(count_d * 2^-age_d) — the recency-weighted ranking signal
     behind trending/recommendation serving. Instead of POWER(0.5, age)
-    floats, each term scales to an INTEGER (n << (40 - age)) so the sum
-    is exact BIGINT arithmetic and the single final division by 2^40 is
-    an exact dyadic scale — zero floating-point accumulation, bit-equal
-    in any engine, and mergeable across partitions/batches (it is one
-    integer sum). The 1-row max-day frame broadcasts."""
+    floats, each term scales to an exact integer (n << (40 - age), ages
+    clamped to 40 so stale partitions saturate at the smallest weight
+    instead of shifting negative) accumulated in DECIMAL(38,0) — exact
+    far past int64, zero floating-point accumulation, mergeable across
+    partitions/batches (one exact sum); the single final division by
+    2^40 is an exact dyadic scale. The 1-row max-day frame broadcasts."""
     ev = _t(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.date_trunc("day", "ts")).alias("max_day"))
     daily = ev.groupBy(
@@ -4763,10 +4764,19 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aged = daily.crossJoin(F.broadcast(mx)).select(
         "event_type",
         "n",
-        F.datediff(F.col("max_day"), F.col("day")).alias("age"),
+        # clamp: ages past 40 days saturate at the smallest dyadic
+        # weight instead of shifting negative (Spark would wrap the
+        # shift amount mod 64 while DuckDB errors — code-review r8);
+        # decimal terms keep the sum exact past int64 at any volume
+        F.least(F.datediff(F.col("max_day"), F.col("day")), F.lit(40)).alias("age"),
     )
     sc = aged.groupBy("event_type").agg(
-        F.sum(F.expr("n * shiftleft(CAST(1 AS BIGINT), 40 - age)")).alias("scaled"),
+        F.sum(
+            F.expr(
+                "CAST(n AS DECIMAL(38,0))"
+                " * CAST(shiftleft(CAST(1 AS BIGINT), 40 - age) AS DECIMAL(38,0))"
+            )
+        ).alias("scaled"),
         F.sum("n").alias("n_total"),
     )
     return sc.select(

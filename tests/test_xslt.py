@@ -738,3 +738,38 @@ def test_import_fail_fasts(tmp_path):
     with pytest.raises(XsltUnsupported, match="base_dir"):
         MiniXslt(f'<xsl:stylesheet version="1.0" {_XSLNS}>'
                  '<xsl:import href="a.xsl"/></xsl:stylesheet>')
+
+
+def test_import_diamond_and_after_declaration_guard(tmp_path):
+    """Code-review r8: a diamond (two imports sharing a base sheet) is
+    legal and loads the shared sheet per reference; an xsl:import after
+    ANY declaration (including a variable) fails fast, since later-wins
+    globals would otherwise invert import precedence."""
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    (tmp_path / "d.xsl").write_text(f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="x"><d-hit/></xsl:template>
+    </xsl:stylesheet>""")
+    (tmp_path / "b.xsl").write_text(f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:import href="d.xsl"/>
+      <xsl:template match="y"><b-hit/></xsl:template>
+    </xsl:stylesheet>""")
+    (tmp_path / "c.xsl").write_text(f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:import href="d.xsl"/>
+      <xsl:template match="z"><c-hit/></xsl:template>
+    </xsl:stylesheet>""")
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:import href="b.xsl"/>
+      <xsl:import href="c.xsl"/>
+      <xsl:template match="root"><o><xsl:apply-templates/></o></xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXslt(xsl, base_dir=str(tmp_path)).apply("<root><x/><y/><z/></root>")
+    assert "<d-hit/>" in out and "<b-hit/>" in out and "<c-hit/>" in out
+
+    with pytest.raises(XsltUnsupported, match="after other"):
+        MiniXslt(f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+          <xsl:variable name="v" select="'MAIN'"/>
+          <xsl:import href="b.xsl"/>
+        </xsl:stylesheet>""", base_dir=str(tmp_path))
