@@ -4787,3 +4787,146 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(1 << 40))
         ).alias("decayed_score"),
     ).orderBy(F.desc("decayed_score"), "event_type")
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(b.n - a.n AS DOUBLE)
+                   / date_diff('day', a.day, b.day) AS slope
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.day > a.day),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM pairs)
+    SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN rn IN ((m + 1) // 2, (m + 2) // 2)
+                         THEN slope END) AS DOUBLE)
+               / (1 + CAST(m % 2 = 0 AS INTEGER)) AS theil_sen_slope
+    FROM ranked
+    GROUP BY event_type, m
+    ORDER BY event_type
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per series: the MEDIAN of all
+    pairwise slopes of the daily counts — outlier-immune where OLS
+    (q_trend_regression) is not, the standard robust monitor for noisy
+    operational series. Pair volume is (days choose 2) per series —
+    quadratic in DAYS, not events, so ~400 pairs per series at any
+    corpus size (the daily rollup is the only event-scale stage). The
+    exact median interpolates the two middle order statistics on even
+    counts; every slope is one IEEE division of integers, identical in
+    both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("event_type", "m")
+        .agg(
+            F.sum("slope").alias("mid_sum"),
+            F.count(F.lit(1)).alias("n_mid"),
+        )
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("n_pairs"),
+            (F.col("mid_sum") / F.col("n_mid")).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_interarrival_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+    moms AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(gap AS DECIMAL(38,0))) AS s1,
+               SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS s2
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(*) >= 10)
+    SELECT user_id, n AS n_gaps,
+           CAST(s1 AS DOUBLE) / n / 1000000 AS mean_gap_s,
+           SQRT(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n
+               / (CAST(s1 AS DOUBLE) / n) AS burstiness_cv
+    FROM moms
+    ORDER BY user_id
+    """,
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: coefficient of variation of
+    the event gap distribution (CV≈1 Poisson, >1 bursty, <1 regular) —
+    the traffic-shape fingerprint behind bot detection and capacity
+    planning. Gaps are integer microseconds, so the moment sums are
+    exact in DECIMAL(38,0) (µs² crosses int64 fast) and the variance
+    is an exact-integer ratio; one IEEE sqrt + two divisions — fully
+    bit-exact cross-engine, zero rounding scaffolding, one window +
+    one agg over user-partitioned data."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    moms = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("gap").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("s2"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    std = (
+        F.sqrt((F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")).cast("double"))
+        / F.col("n")
+    )
+    return moms.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        (mean / 1000000).alias("mean_gap_s"),
+        (std / mean).alias("burstiness_cv"),
+    ).orderBy("user_id")

@@ -1210,3 +1210,51 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT lang,
+               len({_TOKENS_SQL}) AS ws,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe
+        FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(bpe) AS DOUBLE) / SUM(ws) AS fertility,
+           COUNT(CASE WHEN bpe > 2 * ws THEN 1 END) AS n_high_fertility
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word — the compression-efficiency metric that decides tokenizer
+    coverage for a multilingual corpus (high fertility = the tokenizer
+    fragments that language, inflating training cost per content
+    word). Integer token counts sum exactly; one IEEE division; the
+    high-fertility flag counts docs whose BPE count more than doubles
+    the word count. One scan, one group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
+            F.count(F.when(F.col("bpe") > 2 * F.col("ws"), 1)).alias(
+                "n_high_fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
