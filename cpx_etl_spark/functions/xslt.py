@@ -440,31 +440,47 @@ def _alpha(n: int) -> str:
     return "".join(reversed(out))
 
 
-def _format_xsl_number(n: int, fmt: str) -> str:
-    """xsl:number format strings: leading/trailing separators kept, the
-    FIRST alphanumeric token formats the (single) number. Tokens: '1'
-    (decimal), '0…01' (zero-padded), 'a'/'A' (bijective base-26),
-    'i'/'I' (roman). Non-positive numbers fall back to plain decimal
-    for the letter/roman alphabets (they have no zero)."""
+def _format_one_token(n: int, tok: str) -> str:
     import re
 
-    lead = re.match(r"^[^0-9A-Za-z]*", fmt).group(0)
-    trail = re.search(r"[^0-9A-Za-z]*$", fmt).group(0)
-    tokens = re.findall(r"[0-9A-Za-z]+", fmt)
-    tok = tokens[0] if tokens else "1"
     if re.fullmatch(r"0*1", tok):
-        body = str(n).zfill(len(tok)) if n >= 0 else str(n)
-    elif tok in ("a", "A"):
-        body = str(n) if n < 1 else (
+        return str(n).zfill(len(tok)) if n >= 0 else str(n)
+    if tok in ("a", "A"):
+        return str(n) if n < 1 else (
             _alpha(n).upper() if tok == "A" else _alpha(n)
         )
-    elif tok in ("i", "I"):
-        body = str(n) if n < 1 else (
+    if tok in ("i", "I"):
+        return str(n) if n < 1 else (
             _roman(n).upper() if tok == "I" else _roman(n)
         )
-    else:
-        raise XsltUnsupported(f"xsl:number format token {tok!r}")
-    return lead + body + trail
+    raise XsltUnsupported(f"xsl:number format token {tok!r}")
+
+
+def _format_xsl_number(nums, fmt: str) -> str:
+    """xsl:number format strings (XSLT 1.0 §7.7.1): alternating
+    separators and format tokens; the n-th number uses the n-th token,
+    extra numbers reuse the LAST token with the last separator ('.'
+    when the format has no interior separator). Tokens: '1' (decimal),
+    '0…01' (zero-padded), 'a'/'A' (bijective base-26), 'i'/'I'
+    (roman). Non-positive numbers fall back to plain decimal for the
+    letter/roman alphabets (they have no zero). ``nums`` is one int
+    (level single/any/value) or a list (level multiple)."""
+    import re
+
+    if isinstance(nums, int):
+        nums = [nums]
+    lead = re.match(r"^[^0-9A-Za-z]*", fmt).group(0)
+    trail = re.search(r"[^0-9A-Za-z]*$", fmt).group(0)
+    core = fmt[len(lead):len(fmt) - len(trail)] if trail else fmt[len(lead):]
+    tokens = re.findall(r"[0-9A-Za-z]+", core) or ["1"]
+    seps = [s for s in re.split(r"[0-9A-Za-z]+", core) if s][: len(tokens) - 1]
+    out = [lead]
+    for i, n in enumerate(nums):
+        if i > 0:
+            out.append(seps[i - 1] if i - 1 < len(seps)
+                       else (seps[-1] if seps else "."))
+        out.append(_format_one_token(n, tokens[min(i, len(tokens) - 1)]))
+    return "".join(out) + trail
 
 
 class MiniXslt:
@@ -1507,10 +1523,12 @@ class MiniXslt:
     def _xsl_number(self, elem: ET.Element, ctx) -> str:
         """xsl:number subset (XSLT 1.0 §7.7): explicit ``value``, or
         level='single' (nearest ancestor-or-self matching ``count``,
-        numbered among its preceding siblings) and level='any' (matching
-        nodes at-or-before the context in document order). ``from`` and
-        level='multiple' fail fast; ``format`` supports the '1'/'01'/
-        'a'/'A'/'i'/'I' token alphabet with separators."""
+        numbered among its preceding siblings) level='any' (matching
+        nodes at-or-before the context in document order) and
+        level='multiple' (hierarchical ancestor-or-self numbering with
+        per-position format tokens). ``from`` fails fast; ``format``
+        supports the '1'/'01'/'a'/'A'/'i'/'I' token alphabet with
+        separators."""
         import math
 
         fmt = self._avt(elem.get("format", "1"), ctx)
@@ -1528,9 +1546,7 @@ class MiniXslt:
         if elem.get("from") is not None:
             raise XsltUnsupported("xsl:number from= is out of subset")
         level = elem.get("level", "single")
-        if level == "multiple":
-            raise XsltUnsupported("xsl:number level='multiple' is out of subset")
-        if level not in ("single", "any"):
+        if level not in ("single", "any", "multiple"):
             raise XsltUnsupported(f"xsl:number level={level!r}")
         if not isinstance(ctx, ET.Element):
             raise XsltUnsupported("xsl:number on a non-element context")
@@ -1542,6 +1558,31 @@ class MiniXslt:
                 self._match_score(a, n) is not None for a in count_alts
             )
 
+        def sibling_pos(target) -> int:
+            parent = self._parents.get(target)
+            n = 1
+            if parent is not None:
+                for sib in parent:
+                    if sib is target:
+                        break
+                    if matches(sib):
+                        n += 1
+            return n
+
+        if level == "multiple":
+            # hierarchical numbering (1.2.3): every matching
+            # ancestor-or-self, outermost first, each numbered among
+            # its preceding siblings (XSLT 1.0 §7.7)
+            chain = []
+            t = ctx
+            while t is not None:
+                if matches(t):
+                    chain.append(t)
+                t = self._parents.get(t)
+            if not chain:
+                return ""
+            chain.reverse()
+            return _format_xsl_number([sibling_pos(t) for t in chain], fmt)
         if level == "any":
             root = self._containing_root(ctx)
             n = 0
@@ -1557,15 +1598,7 @@ class MiniXslt:
             target = self._parents.get(target)
         if target is None:
             return ""
-        parent = self._parents.get(target)
-        n = 1
-        if parent is not None:
-            for sib in parent:
-                if sib is target:
-                    break
-                if matches(sib):
-                    n += 1
-        return _format_xsl_number(n, fmt)
+        return _format_xsl_number(sibling_pos(target), fmt)
 
     def _generate_id(self, node) -> str:
         """generate-id(): unique, stable-within-a-transform id per node

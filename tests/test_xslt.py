@@ -653,7 +653,7 @@ def test_xsl_number_value_and_fail_fasts():
     out = _run_xsl(xsl, xml)
     assert ">vii-AP<" in out  # round(6.7)=7->vii; 42 -> AP (bijective)
     bad = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
-      <xsl:template match="d"><xsl:number level="multiple"/></xsl:template>
+      <xsl:template match="d"><xsl:number from="d" level="any"/></xsl:template>
     </xsl:stylesheet>"""
     with pytest.raises(XsltUnsupported):
         MiniXslt(bad).apply(xml)
@@ -773,3 +773,25 @@ def test_import_diamond_and_after_declaration_guard(tmp_path):
           <xsl:variable name="v" select="'MAIN'"/>
           <xsl:import href="b.xsl"/>
         </xsl:stylesheet>""", base_dir=str(tmp_path))
+
+
+def test_xsl_number_level_multiple():
+    """level='multiple': hierarchical numbering of every matching
+    ancestor-or-self, per-position format tokens, last token + last
+    separator reused for deeper levels ('.' when none)."""
+    xml = ("<book><chap><sec><it/><it/></sec></chap>"
+           "<chap><sec/><sec><it/></sec></chap></book>")
+    xsl = f"""<xsl:stylesheet version="1.0" {_XSLNS}>
+      <xsl:template match="book"><o><xsl:apply-templates select=".//it"/></o></xsl:template>
+      <xsl:template match="it">
+        <n><xsl:number level="multiple" count="chap|sec|it"
+             format="1.a.i"/></n>
+        <m><xsl:number level="multiple" count="chap|sec|it" format="1"/></m>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    # chap1/sec1/it2 -> 1.a.ii ; chap2/sec2/it1 -> 2.b.i
+    assert "<n>1.a.i</n>" in out and "<n>1.a.ii</n>" in out
+    assert "<n>2.b.i</n>" in out
+    # single-token format: extra levels reuse it with '.' separators
+    assert "<m>1.1.2</m>" in out and "<m>2.2.1</m>" in out
