@@ -564,3 +564,158 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+_PCA_ITERS = 5
+
+
+def _pca_oracle() -> str:
+    """Generate the DuckDB twin of the power iteration: the same
+    round-to-12dp-per-iteration contract the Spark side uses, one CTE
+    pair (matvec + normalize) per iteration."""
+    prev = "v0"
+    ctes = [
+        f"comp AS (SELECT vec_id, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x"
+        f" FROM embeddings, generate_series(1, {_DIM}) gs(i))",
+        f"mu AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)"
+        f" / COUNT(*) AS m FROM comp GROUP BY i)",
+        "cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,"
+        " CAST(SUM(CAST((a.x - ma.m) * (b.x - mb.m) AS DECIMAL(30,12))) AS DOUBLE)"
+        " / (SELECT COUNT(*) FROM embeddings) AS c"
+        " FROM comp a JOIN comp b ON b.vec_id = a.vec_id"
+        " JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i"
+        " GROUP BY a.i, b.i)",
+        f"v0 AS (SELECT gs.i AS i, 1.0 / SQRT({_DIM}) AS v"
+        f" FROM generate_series(1, {_DIM}) gs(i))",
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"w{t} AS (SELECT cov.j AS i,"
+            f" CAST(SUM(CAST(ROUND(cov.c * p.v - 1e-15, 12) AS DECIMAL(30,12)))"
+            f" AS DOUBLE) AS w"
+            f" FROM cov JOIN {prev} p ON p.i = cov.i GROUP BY cov.j)"
+        )
+        ctes.append(
+            f"v{t} AS (SELECT i, ROUND(w / SQRT((SELECT"
+            f" CAST(SUM(CAST(w * w AS DECIMAL(30,12))) AS DOUBLE) FROM w{t}))"
+            f" - 1e-15, 12) + 0 AS v FROM w{t})"
+        )
+        prev = f"v{t}"
+    lam = (
+        f"lam AS (SELECT CAST(SUM(CAST(ROUND(cov.c * a.v - 1e-15, 12)"
+        f" * b.v AS DECIMAL(30,12))) AS DOUBLE) AS l"
+        f" FROM cov JOIN {prev} a ON a.i = cov.i"
+        f" JOIN {prev} b ON b.i = cov.j)"
+    )
+    ctes.append(lam)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT v.i AS dim, ROUND(v.v - 1e-9, 8) + 0 AS loading,
+           ROUND(lam.l - 1e-9, 8) + 0 AS eigenvalue
+    FROM {prev} v, lam
+    ORDER BY dim
+    """
+    )
+
+
+@register("q_embedding_pca_power", oracle=_pca_oracle())
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by POWER
+    ITERATION — the PCA/whitening building block as pure DataFrame
+    algebra (the iterative-linear-algebra pattern beside PageRank):
+    full 64x64 covariance from the two-pass decimal formulation, then
+    5 matvec+normalize rounds. Each iteration's products are
+    tie-rounded to 12dp before the exact decimal sum, so the iterate
+    is identical in both engines and rounding cannot compound
+    divergently. Scale: the only N-proportional stage is the covariance
+    outer-product aggregation (one shuffle keyed by (i, j), map-side
+    combinable); every iteration operates on d- and d^2-row frames —
+    driver-free, executor-resident, d=64."""
+    from cpx_etl_spark.queries import fround
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    mu = comp.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    n1 = emb.agg(F.count(F.lit(1)).alias("nrows"))
+    a = comp.alias("a").join(F.broadcast(mu).alias("ma"), F.col("ma.i") == F.col("a.i"))
+    b = comp.alias("b").join(F.broadcast(mu).alias("mb"), F.col("mb.i") == F.col("b.i"))
+    cov = (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            ((F.col("a.x") - F.col("ma.m")) * (F.col("b.x") - F.col("mb.m"))).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(30,12)")).cast("double").alias("c0"))
+        .crossJoin(F.broadcast(n1))
+        .select("i", "j", (F.col("c0") / F.col("nrows")).alias("c"))
+        # materialize ONCE: five matvec iterations would otherwise each
+        # re-derive the N-scale covariance join from lineage (the same
+        # checkpoint-the-edges rule as connected components; 61s -> ~8s
+        # at sf0.01)
+        .localCheckpoint(eager=True)
+    )
+    spark_df = cov.sparkSession.range(1, _DIM + 1).select(
+        (F.col("id")).cast("int").alias("i"),
+        F.lit(1.0 / float(_DIM) ** 0.5).alias("v"),
+    )
+    v = spark_df
+    tie = F.lit(1e-15)
+    for _t in range(_PCA_ITERS):
+        w = (
+            cov.join(v.select(F.col("i"), F.col("v")), "i")
+            .select(
+                F.col("j").alias("wi"),
+                F.round(F.col("c") * F.col("v") - tie, 12).alias("t"),
+            )
+            .groupBy("wi")
+            .agg(F.sum(F.col("t").cast("decimal(30,12)")).cast("double").alias("w"))
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(30,12)")).cast("double")
+            ).alias("nm")
+        )
+        # 64-row iterate: checkpoint keeps the 5-deep iteration from
+        # accreting a re-planned join tree per round
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                F.col("wi").alias("i"),
+                (F.round(F.col("w") / F.col("nm") - tie, 12) + 0).alias("v"),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    va = v.select(F.col("i").alias("ai"), F.col("v").alias("av"))
+    vb = v.select(F.col("i").alias("bi"), F.col("v").alias("bv"))
+    lam = (
+        cov.join(va, F.col("ai") == F.col("i"))
+        .join(vb, F.col("bi") == F.col("j"))
+        .agg(
+            F.sum(
+                (F.round(F.col("c") * F.col("av") - tie, 12) * F.col("bv"))
+                .cast("decimal(30,12)")
+            )
+            .cast("double")
+            .alias("l")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").alias("dim"),
+            fround(F.col("v"), 8).alias("loading"),
+            fround(F.col("l"), 8).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
