@@ -408,3 +408,41 @@ def test_pq_broadcasts_are_query_sized_only(spark, sf_dir):
     # a scan-side join, and the final plan carries no cartesian product
     phys = _plan(spark, sf_dir, "ann_pq_topk")
     assert "CartesianProduct" not in phys
+
+
+def test_r8_dim_joins_broadcast(spark, sf_dir):
+    """r8 queries with dimension/param frames must broadcast them —
+    no sort-merge exchange of the big side against a tiny frame."""
+    for name in ("q11_important_stock", "q_k_anonymity", "q_zscore_normalize",
+                 "q2_min_cost_supplier"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: expected a broadcast join"
+        )
+
+
+def test_r8_jvm_side_paths(spark, sf_dir):
+    """r8 queries built from relational algebra only must not carry a
+    Python UDF node; the two deliberate Arrow stages (capped sessions,
+    perceptual hash) must be ArrowEvalPython/FlatMapGroupsInPandas, not
+    row-at-a-time BatchEvalPython."""
+    for name in ("q11_important_stock", "q20_promotion_parts",
+                 "q_kmv_distinct_sketch", "q_zipf_fit", "q_bigram_lm",
+                 "q_ngram_novelty", "q_decayed_popularity", "q_theil_sen",
+                 "q_interarrival_burstiness", "stream_late_data_audit"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has a Python UDF node in its plan"
+        )
+    for name, node in (("q_session_cap_split", "FlatMapGroupsInPandas"),
+                       ("mm_image_phash", "MapInPandas")):
+        plan = _plan(spark, sf_dir, name)
+        assert node in plan, f"{name}: expected {node}"
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
+
+
+def test_r8_pushdown_reaches_scan(spark, sf_dir):
+    """q20's part-type filter must reach the parquet scan."""
+    plan = _plan(spark, sf_dir, "q20_promotion_parts")
+    assert "PushedFilters: [" in plan
+    assert "p_type" in plan
