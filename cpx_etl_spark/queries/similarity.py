@@ -719,3 +719,128 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_MMR_K = 5
+_MMR_POOL = 30
+_MMR_LAMBDA = 0.5
+
+
+def _mmr_oracle() -> str:
+    """DuckDB twin of the greedy MMR loop, one CTE pair per round."""
+    ctes = [
+        f"""q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT c.vec_id AS id,
+               ROUND({sql_cosine('q.embedding', 'c.embedding', _DIM)} - 1e-9, 6) + 0 AS rel
+        FROM embeddings c, q WHERE c.vec_id <> 0
+        ORDER BY rel DESC, id LIMIT {_MMR_POOL}),
+    sims AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib,
+               ROUND({sql_cosine('ea.embedding', 'eb.embedding', _DIM)} - 1e-9, 6) + 0 AS s
+        FROM cand a JOIN cand b ON b.id <> a.id
+        JOIN embeddings ea ON ea.vec_id = a.id
+        JOIN embeddings eb ON eb.vec_id = b.id),
+    sel1 AS (SELECT id, rel, rel AS score, 1 AS rank
+             FROM cand ORDER BY rel DESC, id LIMIT 1)"""
+    ]
+    union = "SELECT id FROM sel1"
+    for t in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""sel{t} AS (
+        SELECT c.id, c.rel,
+               c.rel - {_MMR_LAMBDA} * MAX(s.s) AS score, {t} AS rank
+        FROM cand c
+        JOIN sims s ON s.ia = c.id AND s.ib IN ({union})
+        WHERE c.id NOT IN ({union})
+        GROUP BY c.id, c.rel
+        ORDER BY score DESC, c.id LIMIT 1)"""
+        )
+        union += f" UNION ALL SELECT id FROM sel{t}"
+    parts = " UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT rank, id AS vec_id, rel, ROUND(score - 1e-9, 6) + 0 AS mmr_score
+    FROM ({parts})
+    ORDER BY rank
+    """
+    )
+
+
+@register("q_mmr_rerank", oracle=_mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) of the top-30 cosine pool for query vector 0: greedily pick
+    argmax(rel − λ·max-sim-to-selected), λ=0.5, k=5 — the diversity
+    re-rank every retrieval/serving stack runs AFTER the ANN
+    candidate generators this module already provides. Inherently
+    sequential (each pick changes the next objective), so the greedy
+    loop runs as k=5 rounds of DataFrame algebra over the 30-row pool
+    (executor-resident, checkpoint-bounded plans, NO driver collect);
+    relevances and pair-sims are the house 6dp tie-rounded cosines, so
+    every objective value — and therefore every pick — is
+    cross-engine identical. Scale: pool size is fixed by the serving
+    contract; the only corpus-scale stage is the candidate scan."""
+    from cpx_etl_spark.queries import fround
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            fround(cosine(as_double("embedding"), F.col("qv")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "id")
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    ca = cand.select(F.col("id").alias("ia"))
+    cb = cand.select(F.col("id").alias("ib"))
+    ea = emb.select(F.col("vec_id").alias("ia"), as_double("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("ib"), as_double("embedding").alias("vb"))
+    sims = (
+        ca.join(cb, F.col("ib") != F.col("ia"))
+        .join(ea, "ia")
+        .join(eb, "ib")
+        .select("ia", "ib", fround(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), "id")
+        .limit(1)
+        .select("id", "rel", F.col("rel").alias("score"), F.lit(1).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, _MMR_K + 1):
+        chosen = sel.select(F.col("id").alias("ib"))
+        maxsim = (
+            sims.join(chosen, "ib")
+            .groupBy("ia")
+            .agg(F.max("s").alias("ms"))
+        )
+        pick = (
+            cand.join(sel.select("id"), "id", "left_anti")
+            .join(maxsim, cand.id == maxsim.ia)
+            .select(
+                "id",
+                "rel",
+                (F.col("rel") - F.lit(_MMR_LAMBDA) * F.col("ms")).alias("score"),
+                F.lit(t).alias("rank"),
+            )
+            .orderBy(F.desc("score"), "id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        "rel",
+        fround(F.col("score"), 6).alias("mmr_score"),
+    ).orderBy("rank")
