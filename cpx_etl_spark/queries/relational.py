@@ -4886,9 +4886,9 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         HAVING COUNT(*) >= 10)
     SELECT user_id, n AS n_gaps,
-           CAST(s1 AS DOUBLE) / n / 1000000 AS mean_gap_s,
-           SQRT(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n
-               / (CAST(s1 AS DOUBLE) / n) AS burstiness_cv
+           ROUND(CAST(s1 AS DOUBLE) / n / 1000000 - 1e-9, 6) + 0 AS mean_gap_s,
+           ROUND(SQRT(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n
+               / (CAST(s1 AS DOUBLE) / n) - 1e-9, 6) + 0 AS burstiness_cv
     FROM moms
     ORDER BY user_id
     """,
@@ -4899,9 +4899,10 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the traffic-shape fingerprint behind bot detection and capacity
     planning. Gaps are integer microseconds, so the moment sums are
     exact in DECIMAL(38,0) (µs² crosses int64 fast) and the variance
-    is an exact-integer ratio; one IEEE sqrt + two divisions — fully
-    bit-exact cross-engine, zero rounding scaffolding, one window +
-    one agg over user-partitioned data."""
+    is an exact-integer ratio; one IEEE sqrt + two divisions. The
+    int128->double cast is NOT correctly rounded in DuckDB above 2^64
+    (code-review r8), so the two outputs take the house 6dp tie-round;
+    one window + one agg over user-partitioned data."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -4927,6 +4928,6 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moms.select(
         "user_id",
         F.col("n").alias("n_gaps"),
-        (mean / 1000000).alias("mean_gap_s"),
-        (std / mean).alias("burstiness_cv"),
+        fround(mean / 1000000, 6).alias("mean_gap_s"),
+        fround(std / mean, 6).alias("burstiness_cv"),
     ).orderBy("user_id")

@@ -664,11 +664,10 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at sf0.01)
         .localCheckpoint(eager=True)
     )
-    spark_df = cov.sparkSession.range(1, _DIM + 1).select(
+    v = cov.sparkSession.range(1, _DIM + 1).select(
         (F.col("id")).cast("int").alias("i"),
         F.lit(1.0 / float(_DIM) ** 0.5).alias("v"),
     )
-    v = spark_df
     tie = F.lit(1e-15)
     for _t in range(_PCA_ITERS):
         w = (
