@@ -4931,3 +4931,76 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(mean / 1000000, 6).alias("mean_gap_s"),
         fround(std / mean, 6).alias("burstiness_cv"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_string_agg_report",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def q_string_agg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg — the report
+    surface every BI export hits): Spark has no ordered string_agg, so
+    the deterministic twin is sort_array(collect_list(...)) joined
+    with the separator — collect_list order is partition-dependent,
+    the sort is what makes the result stable and cross-engine equal.
+    Group frames are dimension-sized; at scale the same shape runs on
+    any grouped key with bounded group cardinality (collect_list is
+    memory-bounded by the group, the usual LISTAGG contract)."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q_log_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS log2_bin,
+           CAST(POWER(2, FLOOR(LOG2(n_chars))) AS BIGINT) AS bin_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned size histogram (the doc-length distribution view
+    every curation dashboard starts with — linear bins are useless
+    over 5 orders of magnitude). floor(log2(x)) of a positive integer
+    is exact in both engines (log2 is correctly rounded at powers of
+    two, so the floor cannot straddle a boundary); one group-by with
+    map-side partials, bin count bounded at 64."""
+    docs = _t(spark, sf_dir, "documents")
+    lb = F.floor(F.log2("n_chars"))
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(
+            lb.cast("long").alias("log2_bin"),
+            F.pow(F.lit(2.0), lb).cast("long").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("log2_bin")
+    )
