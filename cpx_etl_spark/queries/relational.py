@@ -5007,3 +5007,54 @@ def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bin")
     )
+
+
+@register(
+    "q_join_cardinality_estimate",
+    oracle="""
+    WITH ha AS (SELECT o_custkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+    hb AS (SELECT c_custkey AS k, COUNT(*) AS cb FROM customer GROUP BY 1),
+    est AS (
+        SELECT CAST(SUM(ca * cb) AS BIGINT) AS est_rows,
+               COUNT(*) AS n_matching_keys
+        FROM ha JOIN hb USING (k)),
+    act AS (
+        SELECT COUNT(*) AS actual_rows
+        FROM orders JOIN customer ON c_custkey = o_custkey)
+    SELECT est_rows, n_matching_keys, actual_rows,
+           CAST(est_rows - actual_rows AS BIGINT) AS estimate_error
+    FROM est, act
+    """,
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size pre-flight from per-key frequency histograms: the
+    planner primitive — |A join B| = sum over matching keys of
+    count_a*count_b — computed exactly from two group-bys whose output
+    is KEY-cardinality, then validated against the actual join count
+    (estimate_error = 0 for exact histograms; production uses top-k
+    heavy-hitter histograms + a tail uniformity assumption, same
+    plan). This is the measurement you run BEFORE choosing plain /
+    broadcast / salted for a 100 TB join — the two histogram aggs cost
+    one map-side-combinable pass each, versus materializing a
+    potentially exploding join to find out the hard way."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ha = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    hb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    est = ha.join(hb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("est_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )
+    act = orders.join(cust, orders.o_custkey == cust.c_custkey).agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "est_rows",
+        "n_matching_keys",
+        "actual_rows",
+        (F.col("est_rows") - F.col("actual_rows")).alias("estimate_error"),
+    )

@@ -843,3 +843,73 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         fround(F.col("score"), 6).alias("mmr_score"),
     ).orderBy("rank")
+
+
+@register(
+    "q_label_noise_audit",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS id, q.label AS lbl, c.label AS nlbl,
+               ROUND({sql_cosine('q.embedding', 'c.embedding', _DIM)} - 1e-9, 6) + 0 AS cos,
+               c.vec_id AS nid
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 200),
+    ranked AS (
+        SELECT id, lbl, nlbl,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rk
+        FROM pairs)
+    SELECT id AS vec_id, lbl AS label,
+           COUNT(CASE WHEN nlbl <> lbl THEN 1 END) AS n_disagree,
+           COUNT(CASE WHEN nlbl <> lbl THEN 1 END) / 5.0 AS noise_score
+    FROM ranked WHERE rk <= 5
+    GROUP BY id, lbl
+    HAVING COUNT(CASE WHEN nlbl <> lbl THEN 1 END) >= 3
+    ORDER BY noise_score DESC, vec_id
+    """,
+)
+def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (confident-learning-lite): flag vectors whose
+    5 nearest neighbors MOSTLY carry a different label — the standard
+    mislabel/contamination detector run before training on labeled
+    embeddings. Brute-force scoring over the vec_id<200 audit slice at
+    gate scale; at 100 TB the identical rank+vote tail runs on the
+    module's ANN candidate generators (IVF/LSH/PQ) instead of the
+    cross join — the audit contract (top-5 vote, >=3 disagreement)
+    does not change. 6dp tie-rounded cosines keep the neighbor SET
+    cross-engine identical."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("lbl"),
+        as_double("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlbl"),
+        as_double("embedding").alias("cv"),
+    )
+    from cpx_etl_spark.queries import fround
+
+    pairs = q.join(c, F.col("nid") != F.col("id")).select(
+        "id",
+        "lbl",
+        "nlbl",
+        "nid",
+        fround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), "nid")
+    top5 = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    return (
+        top5.groupBy(F.col("id").alias("vec_id"), F.col("lbl").alias("label"))
+        .agg(F.count(F.when(F.col("nlbl") != F.col("lbl"), 1)).alias("n_disagree"))
+        .filter(F.col("n_disagree") >= 3)
+        .select(
+            "vec_id",
+            "label",
+            "n_disagree",
+            (F.col("n_disagree") / 5.0).alias("noise_score"),
+        )
+        .orderBy(F.desc("noise_score"), "vec_id")
+    )
