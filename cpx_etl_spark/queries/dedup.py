@@ -1180,3 +1180,61 @@ def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_collapsed"
         ),
     )
+
+
+@register(
+    "dedup_bow_reorder",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        FROM documents WHERE doc_id < 25),
+    sig AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                   AS bow_sig
+        FROM corpus),
+    grp AS (
+        SELECT bow_sig, COUNT(*) AS n_docs, MIN(doc_id) AS survivor
+        FROM sig GROUP BY bow_sig)
+    SELECT s.doc_id, g.survivor, g.n_docs
+    FROM sig s JOIN grp g USING (bow_sig)
+    WHERE g.n_docs > 1
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_bow_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words exact dedup: documents with the SAME token multiset
+    in any order collapse to one survivor — catches
+    paragraph-shuffled / sentence-reordered copies that raw-text exact
+    dedup misses and MinHash only scores approximately (a full
+    reversal keeps ZERO shingles intact). Signature = md5 of the
+    sorted token list (sort_array is the multiset canonicalization):
+    one narrow projection + one signature-keyed aggregation, identical
+    shuffle shape to dedup_exact. The corpus has no natural reordered
+    copies, so the gate PLANTS token-reversed twins of doc_id < 25
+    (the record-linkage corrupt-then-recover pattern) — the operator
+    must recover exactly those 25 pairs and nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    sig = corpus.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.sort_array(F.split("text", " ")), " ")
+        ).alias("bow_sig"),
+    )
+    grp = sig.groupBy("bow_sig").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("survivor")
+    )
+    return (
+        sig.join(grp, "bow_sig")
+        .filter(F.col("n_docs") > 1)
+        .select("doc_id", "survivor", "n_docs")
+        .orderBy("doc_id")
+    )

@@ -5058,3 +5058,57 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_rows",
         (F.col("est_rows") - F.col("actual_rows")).alias("estimate_error"),
     )
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+               AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT digit, n,
+           {sql_fround('n / CAST(t AS DOUBLE)', 6)} AS observed_freq,
+           {sql_fround('LOG10(1.0 + 1.0 / digit)', 6)} AS benford_freq,
+           {sql_fround('(n / CAST(t AS DOUBLE) - LOG10(1.0 + 1.0 / digit))'
+                       ' * (n / CAST(t AS DOUBLE) - LOG10(1.0 + 1.0 / digit))'
+                       ' / LOG10(1.0 + 1.0 / digit) * t', 4)} AS chi2_term
+    FROM obs, tot
+    ORDER BY digit
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud/synthetic-
+    data screen: observed leading-digit frequencies vs the log10(1+1/d)
+    law, with per-digit chi-square contributions (flag digits whose
+    term dominates). The leading digit comes from integer-cents string
+    arithmetic (no float log tricks on the data path); only the
+    law itself uses LOG10, tie-rounded per the house pattern. One
+    9-row group-by with map-side partials."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    freq = F.col("n") / F.col("t").cast("double")
+    law = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            fround(freq, 6).alias("observed_freq"),
+            fround(law, 6).alias("benford_freq"),
+            fround((freq - law) * (freq - law) / law * F.col("t"), 4).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )

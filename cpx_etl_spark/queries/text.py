@@ -1258,3 +1258,61 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_STEM_SQL = (
+    "regexp_replace(tok, '(sses|ies|ing|ed|es|s)$', '')"
+)
+
+
+@register(
+    "q_stem_vocab",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    stemmed AS (
+        SELECT source, tok,
+               CASE WHEN len(tok) > 3 THEN {_STEM_SQL} ELSE tok END AS stem
+        FROM toks WHERE tok <> '')
+    SELECT source,
+           COUNT(DISTINCT tok) AS vocab_raw,
+           COUNT(DISTINCT stem) AS vocab_stemmed,
+           COUNT(DISTINCT tok) - COUNT(DISTINCT stem) AS n_collapsed,
+           (COUNT(DISTINCT tok) - COUNT(DISTINCT stem))
+               / CAST(COUNT(DISTINCT tok) AS DOUBLE) AS collapse_ratio
+    FROM stemmed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-stripping vocabulary collapse per source (Porter step-1
+    lite: sses/ies/ing/ed/es/s, guarded to tokens longer than 3 chars)
+    — the normalization-yield measurement that decides whether
+    stemming is worth a pipeline stage for a corpus. Two COUNT
+    DISTINCTs per group in one pass over the token stream; integer
+    exact until one IEEE ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    stemmed = toks.withColumn(
+        "stem",
+        F.when(
+            F.length("tok") > 3,
+            F.regexp_replace("tok", "(sses|ies|ing|ed|es|s)$", ""),
+        ).otherwise(F.col("tok")),
+    )
+    return (
+        stemmed.groupBy("source")
+        .agg(
+            F.countDistinct("tok").alias("vocab_raw"),
+            F.countDistinct("stem").alias("vocab_stemmed"),
+            (F.countDistinct("tok") - F.countDistinct("stem")).alias("n_collapsed"),
+            (
+                (F.countDistinct("tok") - F.countDistinct("stem"))
+                / F.countDistinct("tok").cast("double")
+            ).alias("collapse_ratio"),
+        )
+        .orderBy("source")
+    )
