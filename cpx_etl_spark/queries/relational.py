@@ -4034,7 +4034,7 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_zscore_normalize",
-    oracle="""
+    oracle=f"""
     WITH stats AS (
         SELECT source,
                COUNT(*) AS n,
@@ -4046,23 +4046,25 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(s1 AS DOUBLE) / n AS mu,
                SQRT(CAST(s2 * n - s1 * s1 AS DOUBLE)) / n AS sigma
         FROM stats)
-    SELECT doc_id, d.source AS source,
-           ROUND((n_chars - mu) / sigma - 1e-9, 6) + 0 AS zscore
-    FROM documents d JOIN params p ON d.source = p.source
-    WHERE ABS((n_chars - mu) / sigma) > 1.5
-    ORDER BY d.source, doc_id
+    SELECT doc_id, source, zscore
+    FROM (
+      SELECT doc_id, d.source AS source,
+             {sql_fround('(n_chars - mu) / sigma', 6)} AS zscore
+      FROM documents d JOIN params p ON d.source = p.source)
+    WHERE ABS(zscore) > 1.5
+    ORDER BY source, doc_id
     """,
 )
 def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score normalization (the feature-scaling primitive
-    before model training) with BIT-EXACT cross-engine floats and no
-    rounding: n_chars is integral, so Σx and Σx² accumulate exactly in
+    before model training): n_chars is integral, so Σx and Σx² accumulate exactly in
     DECIMAL(38,0) (no int64 wraparound at any group size), the
     population variance (Σx²·n − (Σx)²)/n² is an exact-integer ratio,
-    and IEEE sqrt/div are correctly rounded in both engines (outputs
-    take the house 6dp tie-round: DuckDB's int128->double cast is not
-    correctly rounded above 2^64) —
-    every z-score is bit-identical with zero decimal scaffolding. Plan:
+    and IEEE sqrt/div are correctly rounded in both engines. The one
+    non-portable step is DuckDB's int128->double cast (not correctly
+    rounded above 2^64), so z-scores take the house 6dp tie-round and
+    the outlier filter compares the ROUNDED value — row membership
+    cannot depend on a 1-ulp sigma. Plan:
     one map-side-combinable agg over the group key, broadcast of the
     group-cardinality params frame back onto the scan; flagged
     outliers (|z| > 1.5) come out of the same pass."""
@@ -4086,9 +4088,12 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n_chars") - F.col("mu")) / F.col("sigma")
     return (
         docs.join(F.broadcast(params), "source")
-        .select("doc_id", "source", z.alias("z_raw"))
-        .filter(F.abs(F.col("z_raw")) > 1.5)
-        .select("doc_id", "source", fround(F.col("z_raw"), 6).alias("zscore"))
+        .select("doc_id", "source", fround(z, 6).alias("zscore"))
+        # filter AFTER the tie-round: comparing raw z against 1.5 on
+        # each side would make row MEMBERSHIP depend on the 1-ulp
+        # int128-cast divergence the rounding exists to absorb
+        # (code-review r8, third pass)
+        .filter(F.abs(F.col("zscore")) > 1.5)
         .orderBy("source", "doc_id")
     )
 
@@ -5064,7 +5069,7 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_benford_audit",
     oracle=f"""
     WITH d AS (
-        SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
                AS BIGINT) AS digit
         FROM orders WHERE o_totalprice > 0),
     obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
@@ -5083,13 +5088,15 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — the fraud/synthetic-
     data screen: observed leading-digit frequencies vs the log10(1+1/d)
     law, with per-digit chi-square contributions (flag digits whose
-    term dominates). The leading digit comes from integer-cents string
-    arithmetic (no float log tricks on the data path); only the
-    law itself uses LOG10, tie-rounded per the house pattern. One
+    term dominates). The leading digit comes from FLOOR(total*100)
+    cents — floor spelled explicitly on BOTH sides because Spark's
+    double->long cast truncates while DuckDB's rounds to nearest
+    (~4.7% of raw cents differ; code-review r8); only the law itself
+    uses LOG10, tie-rounded per the house pattern. One
     9-row group-by with map-side partials."""
     orders = _t(spark, sf_dir, "orders")
     digit = F.substring(
-        (F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
     ).cast("long")
     obs = (
         orders.filter(F.col("o_totalprice") > 0)

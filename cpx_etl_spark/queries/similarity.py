@@ -8,7 +8,7 @@ replayable in SQL (operators/similarity.py module docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cpx_etl_spark.functions.vectors import as_double, cosine, norm, sql_cosine, sql_norm
@@ -19,7 +19,7 @@ from cpx_etl_spark.operators.similarity import (
     lsh_topk,
     sql_lsh_buckets_cte,
 )
-from cpx_etl_spark.queries import register
+from cpx_etl_spark.queries import fround, register, sql_fround
 from cpx_etl_spark.sources import load_table
 
 _DIM = 64
@@ -632,8 +632,6 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer-product aggregation (one shuffle keyed by (i, j), map-side
     combinable); every iteration operates on d- and d^2-row frames —
     driver-free, executor-resident, d=64."""
-    from cpx_etl_spark.queries import fround
-
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         "vec_id", F.posexplode(as_double("embedding")).alias("i0", "x")
@@ -783,8 +781,6 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     every objective value — and therefore every pick — is
     cross-engine identical. Scale: pool size is fixed by the serving
     contract; the only corpus-scale stage is the candidate scan."""
-    from cpx_etl_spark.queries import fround
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         as_double("embedding").alias("qv")
@@ -850,7 +846,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pairs AS (
         SELECT q.vec_id AS id, q.label AS lbl, c.label AS nlbl,
-               ROUND({sql_cosine('q.embedding', 'c.embedding', _DIM)} - 1e-9, 6) + 0 AS cos,
+               {sql_fround(sql_cosine('q.embedding', 'c.embedding', _DIM), 6)} AS cos,
                c.vec_id AS nid
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 200),
@@ -877,8 +873,6 @@ def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join — the audit contract (top-5 vote, >=3 disagreement)
     does not change. 6dp tie-rounded cosines keep the neighbor SET
     cross-engine identical."""
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("id"),
@@ -890,8 +884,6 @@ def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("nlbl"),
         as_double("embedding").alias("cv"),
     )
-    from cpx_etl_spark.queries import fround
-
     pairs = q.join(c, F.col("nid") != F.col("id")).select(
         "id",
         "lbl",

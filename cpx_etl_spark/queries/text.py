@@ -1260,16 +1260,20 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STEM_SQL = (
-    "regexp_replace(tok, '(sses|ies|ing|ed|es|s)$', '')"
-)
+_STEM_RE = "(sses|ies|ing|ed|es|s)$"
+_STEM_SQL = f"regexp_replace(tok, '{_STEM_RE}', '')"
 
 
 @register(
     "q_stem_vocab",
     oracle=f"""
-    WITH toks AS (
-        SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT source, regexp_replace(text, '([^ ]+)', '\\1ing', 'g')
+        FROM documents WHERE doc_id < 50),
+    toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM corpus),
     stemmed AS (
         SELECT source, tok,
                CASE WHEN len(tok) > 3 THEN {_STEM_SQL} ELSE tok END AS stem
@@ -1289,18 +1293,27 @@ def q_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-stripping vocabulary collapse per source (Porter step-1
     lite: sses/ies/ing/ed/es/s, guarded to tokens longer than 3 chars)
     — the normalization-yield measurement that decides whether
-    stemming is worth a pipeline stage for a corpus. Two COUNT
+    stemming is worth a pipeline stage for a corpus. The gate corpus
+    has NO naturally suffixed tokens (the rule would be dead code the
+    hash cannot see — code-review r8, third pass), so 'ing'-suffixed
+    twins of doc_id < 50 are PLANTED on both sides and the stem must
+    collapse exactly them back onto the base vocabulary. Two COUNT
     DISTINCTs per group in one pass over the token stream; integer
     exact until one IEEE ratio."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        "source",
+        F.regexp_replace("text", "([^ ]+)", "$1ing").alias("text"),
+    )
+    corpus = docs.select("source", "text").unionByName(planted)
+    toks = corpus.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     stemmed = toks.withColumn(
         "stem",
         F.when(
             F.length("tok") > 3,
-            F.regexp_replace("tok", "(sses|ies|ing|ed|es|s)$", ""),
+            F.regexp_replace("tok", _STEM_RE, ""),
         ).otherwise(F.col("tok")),
     )
     return (
