@@ -1329,3 +1329,60 @@ def q_stem_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    freq AS (
+        SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),
+    vocab AS (
+        SELECT tok FROM freq ORDER BY c DESC, tok LIMIT 20)
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+           COUNT(CASE WHEN v.tok IS NULL THEN 1 END) / CAST(COUNT(*) AS DOUBLE)
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    WHERE t.tok <> ''
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a fixed top-20
+    frequency vocabulary — the tokenizer-coverage companion to
+    fertility: a source whose OOV share spikes will fragment under a
+    frozen tokenizer and deserves vocab expansion or exclusion. The
+    vocabulary is corpus-derived here (top-k by frequency, full
+    tiebreak); in production it is the tokenizer's shipped vocab —
+    either way it is a broadcast-sized frame against the token stream,
+    one LEFT JOIN + one group-by. Integer counts, one IEEE ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(20)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_tokens").cast("double")).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
