@@ -103,15 +103,20 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> tupl
     return index, counts
 
 
-def prune_hot_shingles(index: DataFrame, max_df: int) -> DataFrame:
+def prune_hot_shingles(
+    index: DataFrame, max_df: int, *, with_hot: bool = False
+):
     """Drop shingles appearing in more than max_df docs — candidate
     GENERATION only (verification always counts the full sets), the
     standard guard against quadratic buckets at corpus scale. Plain
     join, not broadcast-hinted: the hot list is tiny on healthy corpora
     (AQE broadcasts it at runtime) but unbounded on adversarial ones —
-    same rationale as prune_hot_buckets."""
+    same rationale as prune_hot_buckets. With ``with_hot`` also returns
+    the pruned-shingle frame so callers can REPORT the truncation (the
+    no-silent-caps rule) without re-deriving the df aggregate."""
     hot = index.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
-    return index.join(hot, on="sh", how="left_anti")
+    pruned = index.join(hot, on="sh", how="left_anti")
+    return (pruned, hot) if with_hot else pruned
 
 
 def _verify_jaccard_two(pairs: DataFrame,

@@ -31,6 +31,24 @@ _SQL_INDEX = f"""
     cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
 """
 
+# Audit queries bound their exact-Jaccard pair generation with the same
+# df-cap the production candidate generators use: a shingle seen in more
+# than _AUDIT_MAX_DF docs proposes no pairs (verification still counts
+# FULL shingle sets).  Pair volume is then <= sum_sh df(sh)^2
+# <= max_df * sum_sh df(sh) = max_df * |shingle instances| — LINEAR in
+# corpus size, instead of quadratic in the hottest shingle's df.  The
+# truncation is reported (n_pruned_shingles output column), never silent.
+_AUDIT_MAX_DF = 64
+
+_SQL_INDEX_AUDIT = (
+    _SQL_INDEX
+    + f""",
+    hot AS (SELECT sh FROM tok GROUP BY sh HAVING COUNT(*) > {_AUDIT_MAX_DF}),
+    tokc AS (SELECT doc_id, sh FROM tok
+             WHERE sh NOT IN (SELECT sh FROM hot))
+"""
+)
+
 _SQL_VERIFY = """
     shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
                FROM cand c
@@ -772,7 +790,7 @@ def _sql_minhash_accuracy(k: int) -> str:
            FROM tok),
     sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
     cand AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
-             FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
+             FROM tokc t1 JOIN tokc t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
     shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
                FROM cand c
                JOIN tok t1 ON t1.doc_id = c.doc_a
@@ -793,36 +811,59 @@ def _sql_minhash_accuracy(k: int) -> str:
     SELECT j_bucket, COUNT(*) AS n_pairs,
            ROUND(CAST(SUM(CAST(err AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) - 1e-9, 6) + 0
              AS mean_abs_err,
-           MAX(err) AS max_abs_err
+           MAX(err) AS max_abs_err,
+           (SELECT COUNT(*) FROM hot) AS n_pruned_shingles
     FROM per GROUP BY j_bucket ORDER BY j_bucket
     """
 
 
 @register(
     "q_minhash_accuracy",
-    oracle=_sql_minhash_accuracy(_MH_K).format(index=_SQL_INDEX),
+    oracle=_sql_minhash_accuracy(_MH_K).format(index=_SQL_INDEX_AUDIT),
 )
 def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy audit: MinHash-estimated Jaccard (matching
-    signature components / k) against EXACT Jaccard for every
-    shingle-sharing pair, error stats per exact-Jaccard decile — the
-    measurement that justifies (k, bands) choices before trusting the
-    sketch at corpus scale (expected |err| ~ sqrt(J(1-J)/k)). The pair
-    set is the bounded shingle-index join (identical to
-    dedup_clusters' candidate stage, never all-pairs); per-pair error
-    is one IEEE expression rounded to 6dp, and the decile means sum
-    those rounded values as DECIMAL — order-independent, so even the
-    estimator's ERROR DISTRIBUTION is hash-verified cross-engine."""
-    from cpx_etl_spark.operators.dedup import minhash_signatures, shingle_index
+    signature components / k) against EXACT Jaccard per shingle-sharing
+    pair, error stats per exact-Jaccard decile — the measurement that
+    justifies (k, bands) choices before trusting the sketch at corpus
+    scale (expected |err| ~ sqrt(J(1-J)/k)). The pair GENERATOR is the
+    shingle-index self-join through the same df-cap the production
+    candidate generators use (prune_hot_shingles, df <= _AUDIT_MAX_DF):
+    a per-shingle self-join is quadratic in the hottest shingle's df,
+    so uncapped it is a latent scale-killer on boilerplate-heavy
+    corpora; capped, pair volume <= max_df x |shingle instances| —
+    linear. The cap is REPORTED in the n_pruned_shingles column (0 on
+    this corpus — no hot shingles — so the audit is also exhaustive
+    here), and pair VERIFICATION still counts full shingle sets.
+    Per-pair error is one IEEE expression rounded to 6dp, and the
+    decile means sum those rounded values as DECIMAL —
+    order-independent, so even the estimator's ERROR DISTRIBUTION is
+    hash-verified cross-engine."""
+    from cpx_etl_spark.operators.dedup import (
+        minhash_signatures,
+        prune_hot_shingles,
+        shingle_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     index, counts = shingle_index(docs, "doc_id", "text", n=_NGRAM)
     sigs = minhash_signatures(index, "doc_id", k=_MH_K)
-    a = index.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = index.select(F.col("doc_id").alias("doc_b"), "sh")
-    shared = (
-        a.join(b, on="sh")
+    capped, hot = prune_hot_shingles(index, _AUDIT_MAX_DF, with_hot=True)
+    ca_ = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    cb_ = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        ca_.join(cb_, on="sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verification counts FULL shingle sets for the surviving pairs —
+    # the cap bounds who gets compared, never the comparison itself
+    t1 = index.select(F.col("doc_id").alias("doc_a"), "sh")
+    t2 = index.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        cand.join(t1, on="doc_a")
+        .join(t2, on=["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -863,6 +904,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("err"),
     )
+    n_pruned = hot.agg(F.count(F.lit(1)).alias("n_pruned_shingles"))
     return (
         per.groupBy("j_bucket")
         .agg(
@@ -875,6 +917,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_err"),
             F.max("err").alias("max_abs_err"),
         )
+        .crossJoin(n_pruned)  # 1-row truncation report — no silent caps
         .orderBy("j_bucket")
     )
 
@@ -954,7 +997,7 @@ def _sql_lsh_quality(k: int, bands: int, minc: int, tau: float) -> str:
              GROUP BY b1.doc_id, b2.doc_id
              HAVING COUNT(*) >= {minc}),
     allp AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
-             FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
+             FROM tokc t1 JOIN tokc t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
     truth AS (
         SELECT p.doc_a, p.doc_b
         FROM (SELECT a.doc_a, a.doc_b, count(*) AS shared
@@ -973,26 +1016,36 @@ def _sql_lsh_quality(k: int, bands: int, minc: int, tau: float) -> str:
            ROUND((SELECT COUNT(*) FROM hit) * 1.0
                  / GREATEST((SELECT COUNT(*) FROM cand), 1) - 1e-9, 6) + 0 AS precision,
            ROUND((SELECT COUNT(*) FROM hit) * 1.0
-                 / GREATEST((SELECT COUNT(*) FROM truth), 1) - 1e-9, 6) + 0 AS recall
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1) - 1e-9, 6) + 0 AS recall,
+           (SELECT COUNT(*) FROM hot) AS n_pruned_shingles
     """
 
 
 @register(
     "q_lsh_candidate_quality",
-    oracle=_sql_lsh_quality(_MH_K, _MH_BANDS, _MH_MINC, 0.5).format(index=_SQL_INDEX),
+    oracle=_sql_lsh_quality(_MH_K, _MH_BANDS, _MH_MINC, 0.5).format(
+        index=_SQL_INDEX_AUDIT
+    ),
 )
 def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generator quality audit: precision/recall of the LSH
     band stage (>= 2 band collisions at k=64/16 bands) against the
-    ground truth of ALL shingle-sharing pairs with exact Jaccard >=
-    0.5 — the measurement that certifies the production (k, bands,
-    min_collisions) operating point. Every count is exact; the two
-    ratios are single IEEE divisions. Recall < 1 here would mean the
-    banding drops true near-dups BEFORE verification (the silent
-    failure mode of every LSH deployment); this gate pins it."""
+    ground truth of df-capped shingle-sharing pairs with exact Jaccard
+    >= 0.5 — the measurement that certifies the production (k, bands,
+    min_collisions) operating point. The truth-side pair generator
+    runs through the SAME df-cap as the production candidate stage
+    (prune_hot_shingles, df <= _AUDIT_MAX_DF; uncapped it is quadratic
+    in the hottest shingle's df — a latent scale-killer); the cap is
+    reported in n_pruned_shingles (0 on this corpus, so ground truth
+    is also exhaustive here), and Jaccard verification still counts
+    full shingle sets. Every count is exact; the two ratios are single
+    IEEE divisions. Recall < 1 here would mean the banding drops true
+    near-dups BEFORE verification (the silent failure mode of every
+    LSH deployment); this gate pins it."""
     from cpx_etl_spark.operators.dedup import (
         band_rows,
         minhash_signatures,
+        prune_hot_shingles,
         shingle_index,
     )
 
@@ -1010,11 +1063,22 @@ def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nb") >= _MH_MINC)
         .select("doc_a", "doc_b")
     )
-    a = index.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = index.select(F.col("doc_id").alias("doc_b"), "sh")
-    truth = (
-        a.join(b, on="sh")
+    capped, hot = prune_hot_shingles(index, _AUDIT_MAX_DF, with_hot=True)
+    ca_ = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    cb_ = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    allp = (
+        ca_.join(cb_, on="sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # Jaccard verification recounts against the FULL index for the
+    # surviving pairs — the cap bounds generation, not measurement
+    t1 = index.select(F.col("doc_id").alias("doc_a"), "sh")
+    t2 = index.select(F.col("doc_id").alias("doc_b"), "sh")
+    truth = (
+        allp.join(t1, on="doc_a")
+        .join(t2, on=["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .join(
@@ -1039,9 +1103,11 @@ def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    n_pruned = hot.agg(F.count(F.lit(1)).alias("n_pruned_shingles"))
     return (
         n_true.crossJoin(n_cand)
-        .crossJoin(n_hit)  # three 1-row frames
+        .crossJoin(n_hit)
+        .crossJoin(n_pruned)  # four 1-row frames
         .select(
             "n_true",
             "n_cand",
@@ -1052,6 +1118,7 @@ def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_hit") * 1.0 / F.greatest(F.col("n_true"), F.lit(1)) - 1e-9, 6
             ).alias("recall"),
+            "n_pruned_shingles",
         )
     )
 

@@ -446,3 +446,19 @@ def test_r8_pushdown_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q20_promotion_parts")
     assert "PushedFilters: [" in plan
     assert "p_type" in plan
+
+
+def test_audit_pair_generators_are_df_capped(spark, sf_dir):
+    """The sketch-quality audits (q_minhash_accuracy /
+    q_lsh_candidate_quality) must generate their exact-Jaccard pair
+    sets through the hot-shingle df-cap: the physical plan carries the
+    LeftAnti join that removes df > _AUDIT_MAX_DF shingles before the
+    per-shingle self-join (uncapped, one boilerplate shingle in 10^6
+    docs is 5*10^11 pairs), and the truncation is REPORTED in the
+    n_pruned_shingles output column — no silent caps."""
+    q, _ = load_registry()
+    for name in ("q_minhash_accuracy", "q_lsh_candidate_quality"):
+        df = q[name](spark, sf_dir)
+        assert "n_pruned_shingles" in df.columns, f"{name}: cap not reported"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan, f"{name}: pair generator not df-capped"
