@@ -90,6 +90,9 @@ HEADLINE = [
     "q_session_cap_split",
     "mm_image_phash",
     "q_ngram_novelty",
+    # late-r8: trained-k SemDeDup — the within-cell pairwise-cosine
+    # shape whose pair volume k deliberately bounds (~N^2/2k)
+    "dedup_semantic_trained",
 ]
 
 

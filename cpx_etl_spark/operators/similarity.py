@@ -620,6 +620,27 @@ def sql_sketch_cte(
 # IVF
 # ---------------------------------------------------------------------------
 
+def trained_cells(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """k-cell IVF training with deterministic md5 seeding — the
+    label-free construction SemDeDup needs at scale, where k must grow
+    with the corpus (k ~ N / target-cell-size) instead of being pinned
+    to however many values some metadata column happens to have.
+    Seed partition = md5(id) % k (balanced, deterministic, mirrored
+    1:1 in the DuckDB oracle), then one Lloyd step: exact-decimal
+    centroid per seed cell, every vector re-assigned to its nearest
+    centroid. Same shuffle shape as ivf_build — one partial-aggregated
+    pass for centroids, one broadcast-centroid scan for assignment."""
+    seeded = corpus.withColumn(
+        "_seed_cell",
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % k,
+    )
+    return ivf_build(seeded, id_col, vec_col, "_seed_cell")
+
+
 def ivf_build(
     corpus: DataFrame,
     id_col: str,

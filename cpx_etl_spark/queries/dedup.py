@@ -1215,6 +1215,118 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup's pair bound is sum over cells of n_c^2 — k (cell count) is
+# the knob that keeps it linear, so k must GROW with the corpus.  The
+# trained variant sizes k = ceil(N / _SEM_TARGET_CELL) from the data.
+_SEM_TARGET_CELL = 64
+
+_SQL_SEM_COS = """ROUND(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(generate_series(1, 64),
+                             i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))))
+                    - 1e-9, 6)"""
+
+
+@register(
+    "dedup_semantic_trained",
+    oracle=f"""
+    WITH kk AS (
+        SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET_CELL}.0) AS BIGINT)) AS k
+        FROM embeddings),
+    seeded AS (
+        SELECT vec_id, embedding,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % (SELECT k FROM kk) AS scell
+        FROM embeddings),
+    comp AS (
+        SELECT scell, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM seeded, generate_series(1, 64) gs(i)),
+    cent AS (
+        SELECT scell AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY scell, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    ascore AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+                     / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64),
+                              i -> c.centroid[i] * c.centroid[i]))))
+                     - 1e-9, 6) + 0 AS c_cos
+        FROM embeddings e CROSS JOIN centv c),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_SQL_SEM_COS.format(a="a", b="b")} >= 0.45)
+    SELECT a.cell, COUNT(*) AS n_vectors,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept,
+           (SELECT k FROM kk) AS k_cells
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """,
+)
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TRAINED, corpus-sized cells (the r7 VERDICT scale
+    item): k = ceil(N / 64) md5-seeded cells, one Lloyd step to
+    exact-decimal centroids, nearest-centroid assignment, pairwise
+    cosine ONLY within a cell, keep-first drop rule at tau = 0.45 —
+    identical semantics to dedup_semantic but with the pair bound
+    sum n_c^2 ~ N * target_cell_size controlled by k growing with N
+    (production SemDeDup trains k ~ N / target-cell-size clusters;
+    the 10-label variant's bound is N^2/10, fine as an oracle gate,
+    wrong as the scale posture). k is reported in the k_cells column;
+    the N-count behind it is a 1-row planning lookup. Reference has
+    no dedup surface — this family is the mandated LLM-pipeline
+    extension (SemDeDup: Abbas et al. 2023, arXiv:2303.09540)."""
+    from cpx_etl_spark.functions.vectors import cosine
+    from cpx_etl_spark.operators.similarity import trained_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # 1-row planning lookup: k must be known at plan time
+    k = max(2, -(-n // _SEM_TARGET_CELL))
+    _cents, assigned = trained_cells(emb, "vec_id", "embedding", k)
+    a = assigned.select(
+        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("is_dropped", F.lit(1)),
+            assigned.neighbor_id == dropped.vec_id,
+            "left",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+        .withColumn("k_cells", F.lit(int(k)).cast("long"))
+        .orderBy("cell")
+    )
+
+
 @register(
     "dedup_canonical_exact",
     oracle="""

