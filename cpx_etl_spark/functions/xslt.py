@@ -342,9 +342,12 @@ def _literal(token: str):
         return None
 
 
+@functools.lru_cache(maxsize=4096)
 def _split_bool(expr: str, word: str) -> tuple[str, ...]:
     """Split on the XPath boolean operator ``word`` (' and ' / ' or ')
-    at paren/bracket depth 0 outside quotes."""
+    at paren/bracket depth 0 outside quotes. Cached like _path_steps:
+    the expression set is stylesheet-static but _test runs per node
+    per row."""
     parts: list[str] = []
     depth = 0
     in_q = False
