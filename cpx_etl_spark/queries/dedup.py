@@ -1417,3 +1417,60 @@ def dedup_bow_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "survivor", "n_docs")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               substr(lower(text), 1, 16) AS blk,
+               substr(lower(text), 1, 64) AS head
+        FROM documents),
+    hot AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) > 64),
+    capped AS (SELECT doc_id, blk, head FROM b
+               WHERE blk NOT IN (SELECT blk FROM hot))
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           levenshtein(a.head, c.head) AS edit_distance,
+           (SELECT COUNT(*) FROM hot) AS n_pruned_blocks
+    FROM capped a JOIN capped c
+      ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.head, c.head) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the typo/OCR-noise detector that
+    token-set methods miss (one character flip preserves Jaccard
+    almost exactly but is what Levenshtein measures): docs block on
+    their lowercased 16-char prefix, candidate pairs within a block
+    verify levenshtein <= 3 over the 64-char head. Both engines run
+    the identical integer DP, so the pair set hash-verifies. Scale
+    discipline matches the shingle family: blocking is equi-key (one
+    hash shuffle, never all-pairs), per-pair work is O(64^2) constant,
+    and blocks larger than 64 docs (boilerplate openers — the
+    quadratic hazard) are EXCLUDED from candidate generation with the
+    truncation reported in n_pruned_blocks (0 on this corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 16).alias("blk"),
+        F.substring(F.lower("text"), 1, 64).alias("head"),
+    )
+    hot = b.groupBy("blk").count().filter(F.col("count") > 64).select("blk")
+    capped = b.join(hot, on="blk", how="left_anti")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "blk", F.col("head").alias("ha"))
+    c = capped.select(F.col("doc_id").alias("doc_b"), "blk", F.col("head").alias("hb"))
+    n_pruned = hot.agg(F.count(F.lit(1)).alias("n_pruned_blocks"))
+    return (
+        a.join(c, on="blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ha", "hb").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 3)
+        .crossJoin(n_pruned)  # 1-row truncation report
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1642,3 +1642,110 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(out_xml, '<s t=\"([^\"]*)\"', 1)"), ","
         ).alias("sec_tokens"),
     ).orderBy("did")
+
+
+_DRIFT_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+def _drift_oracle() -> str:
+    per_col = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS col,
+           COUNT(CASE WHEN cohort = 'early' THEN 1 END) AS early_rows,
+           COUNT(CASE WHEN cohort = 'early' AND {c} IS NULL THEN 1 END)
+             AS early_nulls,
+           COUNT(DISTINCT CASE WHEN cohort = 'early' THEN {c} END)
+             AS early_distinct,
+           COUNT(CASE WHEN cohort = 'late' THEN 1 END) AS late_rows,
+           COUNT(CASE WHEN cohort = 'late' AND {c} IS NULL THEN 1 END)
+             AS late_nulls,
+           COUNT(DISTINCT CASE WHEN cohort = 'late' THEN {c} END)
+             AS late_distinct,
+           ROUND(COUNT(DISTINCT CASE WHEN cohort = 'late' THEN {c} END) * 1.0
+                 / GREATEST(COUNT(DISTINCT CASE WHEN cohort = 'early' THEN {c} END),
+                            1) - 1e-9, 6) + 0 AS distinct_ratio
+    FROM e"""
+        for c in _DRIFT_COLS
+    )
+    return f"""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS mind,
+                      MAX(CAST(ts AS DATE)) AS maxd
+               FROM events),
+    e AS (SELECT *,
+                 CASE WHEN date_diff('day', (SELECT mind FROM b),
+                                     CAST(ts AS DATE)) * 2
+                           <= date_diff('day', (SELECT mind FROM b),
+                                        (SELECT maxd FROM b))
+                      THEN 'early' ELSE 'late' END AS cohort
+          FROM events)
+    {per_col}
+    ORDER BY col
+    """
+
+
+@register("q_schema_drift", oracle=_drift_oracle())
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/distribution drift report — the data-quality monitor
+    that catches silent upstream changes (a field going null-heavy, an
+    enum growing values, an id column collapsing): events split into
+    early/late halves at the date midpoint (integer day arithmetic
+    against a 1-row min/max bounds frame — engine-exact), then per
+    column and cohort: row count, null count, exact distinct count,
+    and the late/early distinct ratio. ONE scan like q_table_profile:
+    every (column x cohort) aggregate computes in a single
+    partial-aggregated pass, then unpivots via explode — the oracle's
+    5-scan UNION is the clarity mirror, not the execution shape."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("mind"), F.max(F.to_date("ts")).alias("maxd")
+    )
+    e = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "cohort",
+        F.when(
+            F.datediff(F.to_date("ts"), F.col("mind")) * 2
+            <= F.datediff(F.col("maxd"), F.col("mind")),
+            "early",
+        ).otherwise("late"),
+    )
+    early, late = F.col("cohort") == "early", F.col("cohort") == "late"
+    aggs = []
+    for c in _DRIFT_COLS:
+        aggs += [
+            F.sum(F.when(early, 1).otherwise(0)).alias(f"_er_{c}"),
+            F.sum(F.when(early & F.col(c).isNull(), 1).otherwise(0)).alias(f"_en_{c}"),
+            F.countDistinct(F.when(early, F.col(c))).alias(f"_ed_{c}"),
+            F.sum(F.when(late, 1).otherwise(0)).alias(f"_lr_{c}"),
+            F.sum(F.when(late & F.col(c).isNull(), 1).otherwise(0)).alias(f"_ln_{c}"),
+            F.countDistinct(F.when(late, F.col(c))).alias(f"_ld_{c}"),
+        ]
+    wide = e.agg(*aggs)
+    stacked = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"_er_{c}").cast("long").alias("early_rows"),
+            F.col(f"_en_{c}").cast("long").alias("early_nulls"),
+            F.col(f"_ed_{c}").cast("long").alias("early_distinct"),
+            F.col(f"_lr_{c}").cast("long").alias("late_rows"),
+            F.col(f"_ln_{c}").cast("long").alias("late_nulls"),
+            F.col(f"_ld_{c}").cast("long").alias("late_distinct"),
+        )
+        for c in _DRIFT_COLS
+    ])
+    return (
+        wide.select(F.explode(stacked).alias("p"))
+        .select(
+            "p.col",
+            "p.early_rows",
+            "p.early_nulls",
+            "p.early_distinct",
+            "p.late_rows",
+            "p.late_nulls",
+            "p.late_distinct",
+            F.round(
+                F.col("p.late_distinct") * 1.0
+                / F.greatest(F.col("p.early_distinct"), F.lit(1))
+                - 1e-9,
+                6,
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("col")
+    )

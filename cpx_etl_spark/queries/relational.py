@@ -5119,3 +5119,288 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), (SELECT maxd FROM mx))
+                 AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT recency_days, frequency, monetary,
+               CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT)
+                 AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+                 AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+                 AS m_score
+        FROM per_cust)
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+                     THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'new'
+                ELSE 'regular' END AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(monetary) AS DOUBLE) - 1e-9, 2) + 0 AS total_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: per
+    customer recency (days since last order, vs the corpus max date —
+    a 1-row broadcast), frequency (order count) and monetary (exact
+    DECIMAL spend), each quintiled by NTILE(5) over the aggregated
+    CUSTOMER frame (customer-cardinality window, the same acceptance
+    as q_user_value_deciles: a corpus-scale frame would
+    range-partition first), with deterministic custkey tiebreakers so
+    the SQL-standard remainder distribution is engine-identical.
+    Scores roll up to the classic champion / at-risk / new / regular
+    segment grid with per-cell counts and exact monetary totals."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))  # 1-row max-date frame
+        .withColumn("recency_days", F.datediff(F.col("maxd"), F.col("last_order")))
+    )
+    scored = per_cust.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            fround(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
+        )
+        .withColumn("segment", seg)
+        .select(
+            "r_score", "f_score", "m_score", "segment", "n_customers",
+            "total_monetary",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q_pareto_coverage",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev
+        FROM orders GROUP BY o_custkey),
+    tot AS (SELECT SUM(rev) AS total FROM per_cust),
+    ranked AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM per_cust),
+    th AS (SELECT * FROM (VALUES (50), (80), (90)) t(pct))
+    SELECT th.pct,
+           MIN(r.rnk) AS n_customers,
+           ROUND(CAST(MIN_BY(r.cum, r.rnk) AS DOUBLE)
+                 / CAST((SELECT total FROM tot) AS DOUBLE) - 1e-9, 6) + 0
+             AS covered_share
+    FROM th JOIN ranked r
+      ON r.cum * 100 >= (SELECT total FROM tot) * th.pct
+    GROUP BY th.pct
+    ORDER BY th.pct
+    """,
+)
+def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration readout: the smallest number of
+    customers covering >= 50/80/90% of total revenue. Exact DECIMAL
+    end-to-end: per-customer revenue sums, a running cumulative sum
+    over the customer-cardinality frame (global window with custkey
+    tiebreak — same class as q_gini_revenue), and the threshold test
+    cum*100 >= total*pct kept in the decimal domain so no float
+    comparison decides a boundary customer. The 3-row threshold frame
+    joins against the ranked frame (AQE broadcasts it); min_by pulls
+    the covering rank's cumulative share."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev")
+    )
+    tot = per_cust.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(80), F.lit(90))).alias("pct")
+    )
+    return (
+        th.join(
+            ranked.crossJoin(F.broadcast(tot)),  # 1-row total frame
+            F.col("cum") * 100 >= F.col("total") * F.col("pct"),
+        )
+        .groupBy("pct")
+        .agg(
+            F.min("rnk").alias("n_customers"),
+            fround(
+                F.min_by("cum", "rnk").cast("double")
+                / F.first("total").cast("double"),
+                6,
+            ).alias("covered_share"),
+        )
+        .orderBy("pct")
+    )
+
+
+@register(
+    "q_equidepth_bands",
+    oracle="""
+    WITH q AS (
+        SELECT ROUND(quantile_cont(o_totalprice, 0.25) - 1e-9, 6) + 0 AS q1,
+               ROUND(quantile_cont(o_totalprice, 0.50) - 1e-9, 6) + 0 AS q2,
+               ROUND(quantile_cont(o_totalprice, 0.75) - 1e-9, 6) + 0 AS q3
+        FROM orders),
+    banded AS (
+        SELECT CASE WHEN o_totalprice <= q.q1 THEN 1
+                    WHEN o_totalprice <= q.q2 THEN 2
+                    WHEN o_totalprice <= q.q3 THEN 3
+                    ELSE 4 END AS band,
+               o_totalprice
+        FROM orders CROSS JOIN q)
+    SELECT band, COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice) - 1e-9, 2) + 0 AS band_min,
+           ROUND(MAX(o_totalprice) - 1e-9, 2) + 0 AS band_max,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                 - 1e-9, 2) + 0 AS band_revenue
+    FROM banded
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_equidepth_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH quartile banding — the complement of
+    q_value_histogram's equi-width bins: exact interpolated Q1/Q2/Q3
+    boundaries (sort-based percentiles, cross-engine identical —
+    q_percentile_stats' proven arithmetic) computed ONCE as a 1-row
+    frame and broadcast against the fact scan, each order classified
+    by decimal-value comparison against the rounded boundaries, then
+    per-band counts / extrema / exact-decimal revenue. The scale
+    shape: a full-data percentile is one sort-based aggregate, the
+    banding pass is a broadcast-join projection — no global sort of
+    the fact table, no NTILE over a corpus-sized window."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    q = o.agg(
+        fround(F.percentile(price, F.lit(0.25)), 6).alias("q1"),
+        fround(F.percentile(price, F.lit(0.50)), 6).alias("q2"),
+        fround(F.percentile(price, F.lit(0.75)), 6).alias("q3"),
+    )
+    band = (
+        F.when(price <= F.col("q1"), 1)
+        .when(price <= F.col("q2"), 2)
+        .when(price <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        o.crossJoin(F.broadcast(q))  # 1-row boundary frame
+        .select(band.alias("band"), price)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fround(F.min(price), 2).alias("band_min"),
+            fround(F.max(price), 2).alias("band_max"),
+            dsum(price).alias("band_revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "q_bloom_join_filter",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered join — explicit sideways information passing
+    (the runtime-filter pattern Spark applies automatically when
+    spark.sql.optimizer.runtimeFilter.bloomFilter.enabled is on,
+    built here from the repo's own deterministic sketch so the
+    mechanism is inspectable and available to any plan): the selective
+    dim side (BUILDING customers) compiles to a fixed-size bitmap
+    (<= ceil(2^18/63) rows, a few KB at ANY dim cardinality), the
+    fact scan probes it shuffle-free (k=4 probe columns, broadcast
+    bitmap joins), and only maybe-present rows reach the real join —
+    at 100 TB this is the difference between shuffling the full fact
+    table into the join and shuffling the ~selectivity fraction that
+    can match. One-sided error makes the filter SEMANTICS-TRANSPARENT:
+    no false negatives, and the exact join drops the deterministic
+    false positives, so the result equals the plain join and the
+    oracle is the plain SQL join."""
+    from cpx_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", F.col("c_custkey").cast("string").alias("c_key"))
+    )
+    bloom = bloom_build(cust, "c_key", k=4, m_bits=1 << 18)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_custkey").cast("string").alias("o_key"),
+    )
+    pre = (
+        bloom_probe(bloom, orders, "o_key", k=4, m_bits=1 << 18)
+        .filter(F.col("maybe_present"))
+        .drop("o_key")
+    )
+    return (
+        pre.join(cust, pre.o_custkey == cust.c_custkey)  # exact join drops FPs
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -905,3 +905,66 @@ def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("noise_score"), "vec_id")
     )
+
+
+@register(
+    "q_centroid_similarity",
+    oracle="""
+    WITH comp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) gs(i)),
+    cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY label, i),
+    centv AS (
+        SELECT label, list(m ORDER BY i) AS centroid FROM cent GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> a.centroid[i] * b.centroid[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> a.centroid[i] * a.centroid[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> b.centroid[i] * b.centroid[i]))))
+                 - 1e-9, 6) + 0 AS centroid_cos
+    FROM centv a JOIN centv b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between the label centroids — the class-overlap
+    diagnostic run before trusting labels for stratified sampling,
+    kNN voting or SemDeDup cells (two near-parallel centroids mean
+    those labels do not separate in embedding space). Centroids are
+    exact-decimal elementwise means (order-independent, engine-exact);
+    the pairwise stage is label_count^2/2 rows — a frame of CELLS, not
+    vectors, so the self-join cost is fixed by the label vocabulary no
+    matter the corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode(as_double("embedding")).alias("i", "x"))
+    centv = (
+        exploded.groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p.getField("m")).alias("centroid"),
+        )
+    )
+    a = centv.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = centv.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            fround(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -1386,3 +1386,77 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_readability",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               len({_TOKENS_SQL}) AS words,
+               GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vgroups
+        FROM documents),
+    per_doc AS (
+        SELECT source,
+               ROUND(0.39 * (words * 1.0 / sentences)
+                     + 11.8 * (vgroups * 1.0 / words)
+                     - 15.59 - 1e-9, 4) + 0 AS fk_grade
+        FROM t WHERE words > 0)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(fk_grade AS DECIMAL(20,4))) AS DOUBLE)
+                 / COUNT(*) - 1e-9, 4) + 0 AS mean_fk_grade,
+           COUNT(CASE WHEN fk_grade > 12 THEN 1 END) AS n_college_level
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability per source — the curation
+    signal that catches both keyword-stuffed fragments (absurdly low
+    grade) and run-on boilerplate (absurdly high). Whole words from
+    the whitespace tokenizer, sentences from terminal-punctuation runs
+    (floored at 1), syllables approximated by vowel GROUPS — every
+    count is a regexp over the text, JVM-side codegen in Spark and
+    regexp_extract_all in DuckDB. The per-doc grade is one IEEE
+    expression rounded tie-safe at 4dp; source means sum those rounded
+    values as DECIMAL so the aggregate is order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = token_count(F.col("text"))
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("long"),
+    )
+    vgroups = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("long")
+    per_doc = (
+        docs.select(
+            "source",
+            words.alias("words"),
+            sentences.alias("sentences"),
+            vgroups.alias("vgroups"),
+        )
+        .filter(F.col("words") > 0)
+        .select(
+            "source",
+            fround(
+                0.39 * (F.col("words") * 1.0 / F.col("sentences"))
+                + 11.8 * (F.col("vgroups") * 1.0 / F.col("words"))
+                - 15.59,
+                4,
+            ).alias("fk_grade"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(
+                F.sum(F.col("fk_grade").cast("decimal(20,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_fk_grade"),
+            F.count(F.when(F.col("fk_grade") > 12, 1)).alias("n_college_level"),
+        )
+        .orderBy("source")
+    )
