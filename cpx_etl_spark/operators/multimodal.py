@@ -447,3 +447,42 @@ def dhash_56(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(*cols).mapInPandas(batches, schema=schema)
+
+
+def decode_wav_energy(
+    df: DataFrame, id_col: str = "doc_id", window_words: int = 32
+) -> DataFrame:
+    """Windowed PCM energy — the first real DSP stage after decode
+    (VAD, silence trimming and loudness normalization all start from
+    per-frame energy): parse the RIFF header, reinterpret the data
+    chunk as little-endian int16 words, and emit one row per
+    ``window_words``-sample window with its exact integer sum of
+    squares. Row-EXPANDING mapInPandas (1 file -> n_windows rows),
+    numpy-vectorized per file; int64 accumulation is exact (32 *
+    32767^2 << 2^63), so the energy column hash-verifies against the
+    closed-form SQL replay of the synthesized payload."""
+    import numpy as np
+
+    schema = f"{id_col} bigint, window_idx bigint, n_words bigint, energy bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, wins, ns, es = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                rate, _ch, bits, _n, _d = parse_wav_header(b)
+                if rate is None or bits != 16:
+                    continue
+                arr = np.frombuffer(b[44:], dtype="<i2").astype(np.int64)
+                n_win = (len(arr) + window_words - 1) // window_words
+                for k in range(n_win):
+                    seg = arr[k * window_words : (k + 1) * window_words]
+                    ids.append(did)
+                    wins.append(k)
+                    ns.append(len(seg))
+                    es.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "window_idx": wins, "n_words": ns, "energy": es}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=schema)

@@ -371,3 +371,63 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Energy replay: data byte j of the synthesized PCM is digest byte
+# j % 16 (synth_wav_bytes), so word w = signed16(byte(2w % 16) +
+# 256 * byte((2w+1) % 16)); windows cover 32 words each.
+_HEXD = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+_WAV_ENERGY_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h,
+               (1 + ({_hexbyte(1)}) % 2) * (64 + ({_hexbyte(2)})) AS n_words
+        FROM documents),
+    win AS (
+        -- fixed series (max n_words = 2*(64+255) = 638 -> 20 windows),
+        -- filtered per doc: DuckDB's generate_series is not lateral
+        SELECT doc_id, h, n_words, gs.k AS window_idx
+        FROM d, generate_series(0, 19) gs(k)
+        WHERE gs.k * 32 < n_words),
+    words AS (
+        SELECT doc_id, window_idx, h, 32 * window_idx + gi.i AS wi
+        FROM win, generate_series(0, 31) gi(i)
+        WHERE 32 * window_idx + gi.i < n_words),
+    vals AS (
+        SELECT doc_id, window_idx,
+               ({_HEXD.format(pos="2 * ((2 * wi) % 16) + 1")}) * 16
+                 + ({_HEXD.format(pos="2 * ((2 * wi) % 16) + 2")}) AS lo,
+               ({_HEXD.format(pos="2 * ((2 * wi + 1) % 16) + 1")}) * 16
+                 + ({_HEXD.format(pos="2 * ((2 * wi + 1) % 16) + 2")}) AS hi
+        FROM words),
+    s AS (
+        SELECT doc_id, window_idx,
+               CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+                    ELSE lo + 256 * hi END AS v
+        FROM vals)
+    SELECT doc_id, window_idx, COUNT(*) AS n_words,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+    FROM s
+    GROUP BY doc_id, window_idx
+    ORDER BY doc_id, window_idx
+"""
+
+
+@register("mm_audio_energy", oracle=_WAV_ENERGY_ORACLE)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy extraction — the audio modality past the
+    header: synthesize the valid 16-bit WAV, decode the REAL data
+    chunk as int16 words (numpy, Arrow-batched), one row per 32-word
+    window with its exact integer sum of squares — the feature VAD /
+    silence-trim / loudness stages consume. Row-expanding mapInPandas
+    like mm_frame_sample; the oracle replays the same windows from the
+    synthesis contract's closed form (digest-byte tiling), so an
+    endianness or sign-extension bug in the decode breaks the hash."""
+    from cpx_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_wav_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_energy(attach_wav_payload(docs), id_col="doc_id").orderBy(
+        "doc_id", "window_idx"
+    )

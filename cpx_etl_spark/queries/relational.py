@@ -5404,3 +5404,228 @@ def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(value AS DECIMAL(20,4)) AS v,
+               epoch_us(ts) AS t,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                        ORDER BY ts, event_id) AS nt
+        FROM events)
+    SELECT user_id, day, COUNT(*) AS n_intervals,
+           ROUND(CAST(SUM(v * (nt - t)) AS DOUBLE)
+                 / CAST(SUM(nt - t) AS BIGINT) - 1e-9, 6) + 0 AS twa
+    FROM iv
+    WHERE nt IS NOT NULL
+    GROUP BY user_id, day
+    HAVING CAST(SUM(nt - t) AS BIGINT) > 0
+    ORDER BY user_id, day
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP — the finance/IoT aggregate where a
+    reading HOLDS until the next one, so a plain mean over-weights
+    bursts): per user-day, each event's value is weighted by the
+    integer-microsecond gap to the next event in that day (lead over
+    the user-day partition — user-keyed windows, never corpus-global),
+    the last reading contributes no interval. Products stay in the
+    DECIMAL x BIGINT domain, so the weighted sum is exact and
+    order-independent; one IEEE division at the end. Zero-length days
+    (all events at one instant) are excluded by the HAVING mirror."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").cast("decimal(20,4)").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        "ts",
+        "event_id",
+    ).withColumn("nt", F.lead(F.unix_micros("ts")).over(w))
+    return (
+        iv.filter(F.col("nt").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("v") * (F.col("nt") - F.col("t"))).cast("double")
+                / F.sum(F.col("nt") - F.col("t"))
+                - 1e-9,
+                6,
+            ).alias("twa"),
+            F.sum(F.col("nt") - F.col("t")).alias("_dur"),
+        )
+        .filter(F.col("_dur") > 0)
+        .drop("_dur")
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "q_rank_movers",
+    oracle="""
+    WITH monthly AS (
+        SELECT n.n_name, date_trunc('month', o.o_orderdate) AS month,
+               SUM(CAST(o.o_totalprice AS DECIMAL(20,2))) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, date_trunc('month', o.o_orderdate)),
+    ranked AS (
+        SELECT n_name, month,
+               CAST(RANK() OVER (PARTITION BY month
+                                 ORDER BY rev DESC, n_name) AS INT) AS rnk
+        FROM monthly),
+    delta AS (
+        SELECT n_name, month, rnk,
+               LAG(rnk) OVER (PARTITION BY n_name ORDER BY month) AS prev_rnk
+        FROM ranked)
+    SELECT CAST(month AS TIMESTAMP) AS month, n_name, rnk, prev_rnk,
+           prev_rnk - rnk AS rank_change
+    FROM delta
+    WHERE prev_rnk IS NOT NULL AND prev_rnk <> rnk
+    ORDER BY month, rnk, n_name
+    """,
+)
+def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period rank movers — the BI 'biggest climbers /
+    fallers' readout: nations ranked by exact-DECIMAL monthly revenue
+    (dims broadcast into the fact aggregation), consecutive-month rank
+    deltas via lag over the nation partition. Both windows run on the
+    nation x month AGGREGATED frame (hundreds of rows at any corpus
+    size) — the fact table never sees a window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"))
+    )
+    ranked = monthly.select(
+        "n_name",
+        "month",
+        F.rank()
+        .over(Window.partitionBy("month").orderBy(F.col("rev").desc(), "n_name"))
+        .cast("int")
+        .alias("rnk"),
+    )
+    delta = ranked.withColumn(
+        "prev_rnk", F.lag("rnk").over(Window.partitionBy("n_name").orderBy("month"))
+    )
+    return (
+        delta.filter(F.col("prev_rnk").isNotNull() & (F.col("prev_rnk") != F.col("rnk")))
+        .select(
+            "month",
+            "n_name",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("rank_change"),
+        )
+        .orderBy("month", "rnk", "n_name")
+    )
+
+
+@register(
+    "q_negative_sampling",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+    purchased AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    pb AS (SELECT p_partkey,
+                  CAST(concat('0x', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 64 AS bucket
+           FROM part),
+    cand AS (
+        SELECT b.o_custkey, pb.p_partkey,
+               md5(CAST(b.o_custkey AS VARCHAR) || ':'
+                   || CAST(pb.p_partkey AS VARCHAR)) AS rk
+        FROM buyers b
+        JOIN pb ON pb.bucket =
+             CAST(concat('0x', substr(md5(CAST(b.o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64),
+    neg AS (
+        SELECT c.o_custkey, c.p_partkey, c.rk
+        FROM cand c
+        LEFT JOIN purchased p
+          ON p.o_custkey = c.o_custkey AND p.l_partkey = c.p_partkey
+        WHERE p.o_custkey IS NULL)
+    SELECT o_custkey, p_partkey AS neg_partkey, neg_rank
+    FROM (SELECT o_custkey, p_partkey,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                         ORDER BY rk, p_partkey) AS INT)
+                   AS neg_rank
+          FROM neg)
+    WHERE neg_rank <= 5
+    ORDER BY o_custkey, neg_rank
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the contrastive-training
+    data op (recsys two-tower / word2vec negatives): for every buyer,
+    5 parts they did NOT purchase, drawn reproducibly. The scale
+    trick: parts hash into 64 buckets and each user probes ONLY its
+    md5-assigned bucket, so the candidate join is |users| x
+    |parts|/64 — the bucket count is the knob that keeps per-user
+    candidates O(1) as the catalog grows (grow B with |parts|);
+    no user ever scans the full catalog and there is no RNG state —
+    md5(user:part) ranks candidates, the purchased anti-join removes
+    positives, a user-partitioned row_number takes the top 5."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    buyers = o.select("o_custkey").distinct()
+    purchased = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    ub = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 64
+    )
+    pb = p.select(
+        "p_partkey",
+        (
+            F.conv(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 64
+        ).alias("bucket"),
+    )
+    cand = (
+        buyers.withColumn("bucket", ub)
+        .join(pb, on="bucket")
+        .select(
+            "o_custkey",
+            "p_partkey",
+            F.md5(
+                F.concat(
+                    F.col("o_custkey").cast("string"),
+                    F.lit(":"),
+                    F.col("p_partkey").cast("string"),
+                )
+            ).alias("rk"),
+        )
+    )
+    neg = cand.join(
+        purchased.withColumnRenamed("l_partkey", "p_partkey"),
+        on=["o_custkey", "p_partkey"],
+        how="left_anti",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("rk", "p_partkey")
+    return (
+        neg.select(
+            "o_custkey",
+            F.col("p_partkey").alias("neg_partkey"),
+            F.row_number().over(w).cast("int").alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= 5)
+        .orderBy("o_custkey", "neg_rank")
+    )

@@ -1460,3 +1460,94 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_TOKENS_SQL}) AS token
+        FROM documents),
+    hashed AS (
+        SELECT doc_id, source, token,
+               CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 4096
+                 AS bucket,
+               CASE WHEN CAST(concat('0x', substr(md5(token), 9, 1)) AS BIGINT)
+                         % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM tok),
+    per_bucket AS (
+        SELECT doc_id, source, bucket,
+               CAST(SUM(sign) AS BIGINT) AS val
+        FROM hashed GROUP BY doc_id, source, bucket),
+    per_doc AS (
+        SELECT doc_id, source,
+               COUNT(*) AS nnz,
+               CAST(SUM(val * val) AS BIGINT) AS l2sq
+        FROM per_bucket GROUP BY doc_id, source),
+    tok_doc AS (
+        SELECT doc_id, COUNT(DISTINCT token) AS n_distinct_tokens
+        FROM hashed GROUP BY doc_id)
+    SELECT p.source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(t.n_distinct_tokens) AS BIGINT) * 1.0 / COUNT(*)
+                 - 1e-9, 4) + 0 AS mean_distinct_tokens,
+           ROUND(CAST(SUM(p.nnz) AS BIGINT) * 1.0 / COUNT(*) - 1e-9, 4) + 0
+             AS mean_nnz,
+           ROUND(CAST(SUM(p.l2sq) AS BIGINT) * 1.0 / COUNT(*) - 1e-9, 4) + 0
+             AS mean_l2sq
+    FROM per_doc p JOIN tok_doc t ON t.doc_id = p.doc_id
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization audit (Weinberger et al. 2009 — the
+    fixed-width sparse featurizer that needs NO vocabulary pass, the
+    property that matters when the token space is unbounded): tokens
+    hash to 4096 signed buckets (md5-derived bucket and +-1 sign,
+    engine-replayable), per-doc sparse vectors accumulate sign
+    collisions, and the per-source report compares mean distinct
+    tokens vs mean occupied buckets (the collision loss) plus the mean
+    integer l2^2 of the hashed vectors. Everything is integer
+    arithmetic over one token explode — two partial-aggregated
+    shuffles, zero UDFs, no vocabulary state."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    hashed = tok.select(
+        "doc_id",
+        "source",
+        "token",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long") % 4096
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("token"), 9, 1), 16, 10).cast("long") % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    per_bucket = hashed.groupBy("doc_id", "source", "bucket").agg(
+        F.sum("sign").alias("val")
+    )
+    per_doc = per_bucket.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum(F.col("val") * F.col("val")).alias("l2sq"),
+    )
+    tok_doc = hashed.groupBy("doc_id").agg(
+        F.countDistinct("token").alias("n_distinct_tokens")
+    )
+    return (
+        per_doc.join(tok_doc, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(
+                F.sum("n_distinct_tokens") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("mean_distinct_tokens"),
+            fround(F.sum("nnz") * 1.0 / F.count(F.lit(1)), 4).alias("mean_nnz"),
+            fround(F.sum("l2sq") * 1.0 / F.count(F.lit(1)), 4).alias("mean_l2sq"),
+        )
+        .orderBy("source")
+    )
