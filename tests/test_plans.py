@@ -462,3 +462,45 @@ def test_audit_pair_generators_are_df_capped(spark, sf_dir):
         assert "n_pruned_shingles" in df.columns, f"{name}: cap not reported"
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan, f"{name}: pair generator not df-capped"
+
+
+def test_r8_late_jvm_side_paths(spark, sf_dir):
+    """Late-r8 queries built from relational algebra only must carry no
+    Python UDF node; mm_audio_energy's one deliberate Arrow stage is
+    MapInPandas (row-expanding decode), never row-at-a-time."""
+    for name in ("q_rfm_segments", "q_pareto_coverage", "q_equidepth_bands",
+                 "q_centroid_similarity", "q_readability", "q_rank_movers",
+                 "q_time_weighted_avg", "q_feature_hashing",
+                 "q_negative_sampling", "q_bloom_join_filter",
+                 "dedup_edit_distance", "q_schema_drift"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has a Python UDF node in its plan"
+        )
+    plan = _plan(spark, sf_dir, "mm_audio_energy")
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_equidepth_no_global_sort_of_facts(spark, sf_dir):
+    """q_equidepth_bands must band via the 1-row broadcast boundary
+    frame — no window (NTILE) over the fact table; the only sort in
+    the plan is the final ORDER BY over the 4-row aggregate."""
+    plan = _plan(spark, sf_dir, "q_equidepth_bands")
+    assert "Window" not in plan, "fact-table window crept in"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bloom_join_probe_is_shuffle_free(spark, sf_dir):
+    """The bloom probe side must reach the fact scan through broadcast
+    bitmap joins only: between the orders parquet scan and the
+    maybe_present filter there is no shuffle exchange."""
+    plan = _plan(spark, sf_dir, "q_bloom_join_filter")
+    # probe joins on word_idx are broadcasts
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_negative_sampling_probes_one_bucket(spark, sf_dir):
+    """q_negative_sampling joins buyers to ONE part bucket (equi-join
+    on the bucket key), never cross-joins the catalog."""
+    plan = _plan(spark, sf_dir, "q_negative_sampling")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
