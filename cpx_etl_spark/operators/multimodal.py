@@ -473,7 +473,16 @@ def decode_wav_energy(
                 rate, _ch, bits, _n, _d = parse_wav_header(b)
                 if rate is None or bits != 16:
                     continue
-                arr = np.frombuffer(b[44:], dtype="<i2").astype(np.int64)
+                # honor the declared data-chunk size (clamped to what is
+                # actually present) and drop a torn trailing half-word —
+                # a truncated container degrades to fewer windows, it
+                # must not kill the task (same fail-soft contract as the
+                # header parse above and the MP4 box walk)
+                data_size = int.from_bytes(b[40:44], "little")
+                body = b[44 : 44 + data_size]
+                arr = np.frombuffer(
+                    body[: len(body) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
                 n_win = (len(arr) + window_words - 1) // window_words
                 for k in range(n_win):
                     seg = arr[k * window_words : (k + 1) * window_words]

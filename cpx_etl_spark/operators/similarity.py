@@ -620,6 +620,22 @@ def sql_sketch_cte(
 # IVF
 # ---------------------------------------------------------------------------
 
+# Above this cell count the one-Lloyd-step centroid frame stops being
+# "small": ivf_build must NOT pin it as a broadcast (a corpus-sized
+# pinned broadcast is a hard job failure at Spark's broadcast limit).
+_IVF_BROADCAST_K_MAX = 1024
+
+
+def _md5_seed_cell(id_col: str, k: int) -> F.Column:
+    """Deterministic balanced seed partition md5(id) % k (engine-exact:
+    the DuckDB mirror is CAST(concat('0x', substr(md5(id),1,8)) ...)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % k
+    )
+
+
 def trained_cells(
     corpus: DataFrame, id_col: str, vec_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -630,33 +646,103 @@ def trained_cells(
     Seed partition = md5(id) % k (balanced, deterministic, mirrored
     1:1 in the DuckDB oracle), then one Lloyd step: exact-decimal
     centroid per seed cell, every vector re-assigned to its nearest
-    centroid. Same shuffle shape as ivf_build — one partial-aggregated
-    pass for centroids, one broadcast-centroid scan for assignment."""
-    seeded = corpus.withColumn(
-        "_seed_cell",
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % k,
+    centroid.
+
+    Scale posture: EXACT nearest-centroid assignment is an N x k scan,
+    so this variant is the small/medium-k and oracle-gate path. For
+    corpus-sized k the centroid frame is never pinned as a broadcast
+    (k > _IVF_BROADCAST_K_MAX falls back to an unhinted cross join —
+    degraded, not a hard failure), and the linear-scale assignment is
+    trained_cells_lsh below (bucketed candidates, O(N) volume)."""
+    seeded = corpus.withColumn("_seed_cell", _md5_seed_cell(id_col, k))
+    return ivf_build(
+        seeded, id_col, vec_col, "_seed_cell",
+        broadcast_centroids=(k <= _IVF_BROADCAST_K_MAX),
     )
-    return ivf_build(seeded, id_col, vec_col, "_seed_cell")
 
 
-def ivf_build(
+def trained_cells_lsh(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    cell_col: str,
-) -> tuple[DataFrame, DataFrame]:
-    """IVF training half: (centroids [cell, centroid], assignments
-    [neighbor_id, v_c, cell]). Centroid = exact-decimal mean per seed
-    cell; every vector re-assigned to its NEAREST centroid via min_by
-    aggregation (one partial-aggregated shuffle — no per-id window sort
-    over the corpus, VERDICT r1 item 8)."""
-    vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("v"), F.col(cell_col))
-    # centroid = elementwise mean per seed cell; decimal-cast sum is
-    # exact => order-independent => identical in the SQL oracle
-    exploded = vecs.select(cell_col, F.posexplode("v").alias("i", "x"))
-    centroids = (
+    k: int,
+    n_bits: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Linear-scale trained cells — the 100 TB assignment path for
+    corpus-sized k (SemDeDup's k ~ N / target-cell-size). Same
+    md5-seeded cells and exact-decimal centroids as trained_cells, but
+    each vector is assigned to the nearest centroid AMONG THE CENTROIDS
+    IN ITS OWN b-bit sign-LSH BUCKET (both sides bucketed with the same
+    deterministic integer hyperplanes used everywhere else), falling
+    back to the vector's seed cell when its bucket holds no centroid.
+
+    Cost shape: bucketing is one O(N) (resp. O(k)) projection; the
+    candidate stage is a plain HASH JOIN on the bucket key — expected
+    k/2^b centroid candidates per vector, so with the default
+    b ≈ log2(k) - 2 the total candidate volume is O(N), never N x k,
+    and NOTHING is pinned as a broadcast (AQE may still choose to
+    broadcast the k-row centroid-bucket frame when it is actually
+    small — its choice, made against runtime stats, not a pin).
+    Returns (centroids, assigned, fallback_ids); assignment quality is
+    approximate (bucket-local nearest), which is the standard trade in
+    production IVF training — the within-cell SemDeDup semantics
+    downstream are unchanged."""
+    if n_bits is None:
+        n_bits = max(1, k.bit_length() - 3)  # ~ log2(k) - 2
+    dim = _infer_dim(corpus, vec_col)
+    weights = hyperplane_weights(1, n_bits, dim, tag="tc")
+    seeded = corpus.withColumn("_seed_cell", _md5_seed_cell(id_col, k))
+    vecs = seeded.select(
+        F.col(id_col), as_double(vec_col).alias("v"), F.col("_seed_cell")
+    )
+    centroids = cell_centroids(vecs, "_seed_cell", "v").select(
+        F.col("_seed_cell").alias("cell"), "centroid"
+    )
+    vb = vecs.withColumn(
+        "_bkt", lsh_bucket_for_table(quantize_vec(F.col("v")), weights[0])
+    )
+    cb = centroids.select(
+        "cell",
+        "centroid",
+        lsh_bucket_for_table(quantize_vec(F.col("centroid")), weights[0]).alias(
+            "_bkt"
+        ),
+    )
+    best = (
+        vb.join(cb, "_bkt")  # equi hash join on the bucket key — no pin
+        .withColumn(
+            "c_cos", F.round(cosine(F.col("v"), F.col("centroid")) - 1e-9, 6)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.col("cell"),
+                F.struct((-F.col("c_cos")).alias("nc"), F.col("cell")),
+            ).alias("_best")
+        )
+    )
+    assigned_all = vecs.join(best, on=id_col, how="left")
+    assigned = assigned_all.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("v_c"),
+        F.coalesce("_best", "_seed_cell").alias("cell"),
+    )
+    fallback_ids = assigned_all.filter(F.col("_best").isNull()).select(
+        F.col(id_col)
+    )
+    return centroids, assigned, fallback_ids
+
+
+def cell_centroids(df: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
+    """Exact-DECIMAL elementwise mean vector per cell: posexplode →
+    decimal(30,12) sum / count per (cell, dim) → array_sort reassembly.
+    The decimal-cast sum is exact ⇒ order-independent ⇒ bit-identical
+    to the SQL-oracle replay regardless of partitioning.  Shared by
+    ivf_build (IVF training) and q_centroid_similarity (label-overlap
+    diagnostic) so a precision or ordering change cannot diverge them.
+    Output: one row per cell, columns (cell_col, centroid)."""
+    exploded = df.select(cell_col, F.posexplode(vec_col).alias("i", "x"))
+    return (
         exploded.groupBy(cell_col, "i")
         .agg(
             (
@@ -667,13 +753,38 @@ def ivf_build(
         .groupBy(cell_col)
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
         .select(
-            F.col(cell_col).alias("cell"),
+            F.col(cell_col),
             F.transform("pairs", lambda p: p.getField("m")).alias("centroid"),
         )
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    broadcast_centroids: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF training half: (centroids [cell, centroid], assignments
+    [neighbor_id, v_c, cell]). Centroid = exact-decimal mean per seed
+    cell; every vector re-assigned to its NEAREST centroid via min_by
+    aggregation (one partial-aggregated shuffle — no per-id window sort
+    over the corpus, VERDICT r1 item 8).
+
+    broadcast_centroids: the pin is correct ONLY while the cell count
+    is bounded (classic IVF, k fixed). Callers with data-sized k
+    (trained_cells) pass False so a corpus-scale centroid frame can
+    never hard-fail the broadcast limit; the unhinted cross join still
+    computes N x k (use trained_cells_lsh for the linear-scale path)."""
+    vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("v"), F.col(cell_col))
+    centroids = cell_centroids(vecs, cell_col, "v").select(
+        F.col(cell_col).alias("cell"), "centroid"
+    )
     # assign every corpus vector to its nearest centroid: min_by over
     # (-cos, cell) — partial aggregation, no window sort
-    scored_assign = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+    cent_side = F.broadcast(centroids) if broadcast_centroids else centroids
+    scored_assign = vecs.crossJoin(cent_side).withColumn(
         "c_cos", F.round(cosine(F.col("v"), F.col("centroid")) - 1e-9, 6)
     )
     assigned = scored_assign.groupBy(id_col).agg(

@@ -1327,6 +1327,147 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dedup_semantic_lsh: the gate pins b (the bucket width) so the plane
+# set can be a literal in the static oracle; the OPERATOR's default is
+# b ~ log2(k) - 2, which keeps expected candidates-per-vector constant
+# as k grows with the corpus.
+_SEM_LSH_BITS = 4
+
+
+def _sem_lsh_planes_sql() -> str:
+    from cpx_etl_spark.operators.similarity import (
+        hyperplane_weights,
+        sql_planes_values,
+    )
+
+    return sql_planes_values(hyperplane_weights(1, _SEM_LSH_BITS, 64, tag="tc"))
+
+
+@register(
+    "dedup_semantic_lsh",
+    oracle=f"""
+    WITH kk AS (
+        SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET_CELL}.0) AS BIGINT)) AS k
+        FROM embeddings),
+    seeded AS (
+        SELECT vec_id, embedding,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % (SELECT k FROM kk) AS scell
+        FROM embeddings),
+    comp AS (
+        SELECT scell, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM seeded, generate_series(1, 64) gs(i)),
+    cent AS (
+        SELECT scell AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY scell, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    planes (tbl, p, w) AS (VALUES
+        {_sem_lsh_planes_sql()}),
+    vbkt AS (
+        SELECT s.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(FLOOR(CAST(s.embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM seeded s CROSS JOIN planes pl GROUP BY s.vec_id),
+    cbkt AS (
+        SELECT c.cell,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(FLOOR(c.centroid[i] * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM centv c CROSS JOIN planes pl GROUP BY c.cell),
+    best AS (
+        SELECT s.vec_id, c.cell
+        FROM seeded s
+        JOIN vbkt vb ON vb.vec_id = s.vec_id
+        JOIN cbkt cb ON cb.bkt = vb.bkt
+        JOIN centv c ON c.cell = cb.cell
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+            ROUND(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(s.embedding[i] AS DOUBLE) * c.centroid[i]))
+                  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> c.centroid[i] * c.centroid[i]))))
+                  - 1e-9, 6) DESC, c.cell) = 1),
+    assigned AS (
+        SELECT s.vec_id, s.embedding,
+               COALESCE(b.cell, s.scell) AS cell,
+               CASE WHEN b.cell IS NULL THEN 1 ELSE 0 END AS fb
+        FROM seeded s LEFT JOIN best b ON b.vec_id = s.vec_id),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_SQL_SEM_COS.format(a="a", b="b")} >= 0.45)
+    SELECT a.cell, COUNT(*) AS n_vectors,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept,
+           (SELECT k FROM kk) AS k_cells,
+           (SELECT CAST(SUM(fb) AS BIGINT) FROM assigned) AS n_fallback
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """,
+)
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the LINEAR-SCALE assignment: same trained
+    md5-seeded k = ceil(N/64) cells and exact-decimal centroids as
+    dedup_semantic_trained, but each vector picks the nearest centroid
+    only among those sharing its b-bit sign-LSH bucket (one plain hash
+    join on the bucket key — expected k/2^b candidates per vector,
+    O(N) candidate volume, no pinned broadcast, no N x k scan),
+    falling back to its seed cell when the bucket holds no centroid
+    (count reported in n_fallback — never silent). The gate pins b=4
+    so the hyperplanes are literals in the static oracle; production
+    uses the operator default b ~ log2(k) - 2, which keeps per-vector
+    candidates constant as k grows with N. Within-cell pairwise-cosine
+    drop at tau = 0.45 is unchanged (SemDeDup: Abbas et al. 2023,
+    arXiv:2303.09540)."""
+    from cpx_etl_spark.functions.vectors import cosine
+    from cpx_etl_spark.operators.similarity import trained_cells_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # 1-row planning lookup: k must be known at plan time
+    k = max(2, -(-n // _SEM_TARGET_CELL))
+    _cents, assigned, fallback = trained_cells_lsh(
+        emb, "vec_id", "embedding", k, n_bits=_SEM_LSH_BITS
+    )
+    n_fb = fallback.agg(F.count(F.lit(1)).cast("long").alias("n_fallback"))
+    a = assigned.select(
+        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("is_dropped", F.lit(1)),
+            assigned.neighbor_id == dropped.vec_id,
+            "left",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+        .withColumn("k_cells", F.lit(int(k)).cast("long"))
+        .crossJoin(F.broadcast(n_fb))  # 1-row truncation report
+        .orderBy("cell")
+    )
+
+
 @register(
     "dedup_canonical_exact",
     oracle="""
@@ -1419,15 +1560,20 @@ def dedup_bow_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-block cap for the edit-distance blocker: blocks with more docs
+# than this propose no pairs (mirrors _AUDIT_MAX_DF for the shingle
+# audits; interpolated into BOTH engines so they cannot desynchronize).
+_EDIT_MAX_BLOCK = 64
+
 @register(
     "dedup_edit_distance",
-    oracle="""
+    oracle=f"""
     WITH b AS (
         SELECT doc_id,
                substr(lower(text), 1, 16) AS blk,
                substr(lower(text), 1, 64) AS head
         FROM documents),
-    hot AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) > 64),
+    hot AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) > {_EDIT_MAX_BLOCK}),
     capped AS (SELECT doc_id, blk, head FROM b
                WHERE blk NOT IN (SELECT blk FROM hot))
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
@@ -1448,16 +1594,20 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical integer DP, so the pair set hash-verifies. Scale
     discipline matches the shingle family: blocking is equi-key (one
     hash shuffle, never all-pairs), per-pair work is O(64^2) constant,
-    and blocks larger than 64 docs (boilerplate openers — the
-    quadratic hazard) are EXCLUDED from candidate generation with the
-    truncation reported in n_pruned_blocks (0 on this corpus)."""
+    and blocks larger than _EDIT_MAX_BLOCK docs (boilerplate openers —
+    the quadratic hazard) are EXCLUDED from candidate generation with
+    the truncation reported in n_pruned_blocks (0 on this corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
         F.substring(F.lower("text"), 1, 16).alias("blk"),
         F.substring(F.lower("text"), 1, 64).alias("head"),
     )
-    hot = b.groupBy("blk").count().filter(F.col("count") > 64).select("blk")
+    hot = (
+        b.groupBy("blk").count()
+        .filter(F.col("count") > _EDIT_MAX_BLOCK)
+        .select("blk")
+    )
     capped = b.join(hot, on="blk", how="left_anti")
     a = capped.select(F.col("doc_id").alias("doc_a"), "blk", F.col("head").alias("ha"))
     c = capped.select(F.col("doc_id").alias("doc_b"), "blk", F.col("head").alias("hb"))

@@ -5497,12 +5497,14 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dims broadcast into the fact aggregation), consecutive-month rank
     deltas via lag over the nation partition. Both windows run on the
     nation x month AGGREGATED frame (hundreds of rows at any corpus
-    size) — the fact table never sees a window."""
+    size) — the fact table never sees a window. Only nation (25 rows)
+    is pinned broadcast; customer scales with the corpus, so its join
+    is left to AQE (shuffle hash at scale, broadcast when small)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"))

@@ -940,22 +940,11 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pairwise stage is label_count^2/2 rows — a frame of CELLS, not
     vectors, so the self-join cost is fixed by the label vocabulary no
     matter the corpus size."""
+    from cpx_etl_spark.operators.similarity import cell_centroids
+
     emb = load_table(spark, sf_dir, "embeddings")
-    exploded = emb.select("label", F.posexplode(as_double("embedding")).alias("i", "x"))
-    centv = (
-        exploded.groupBy("label", "i")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
-        .select(
-            "label",
-            F.transform("pairs", lambda p: p.getField("m")).alias("centroid"),
-        )
+    centv = cell_centroids(
+        emb.select("label", as_double("embedding").alias("v")), "label", "v"
     )
     a = centv.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
     b = centv.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))

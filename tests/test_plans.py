@@ -492,11 +492,26 @@ def test_equidepth_no_global_sort_of_facts(spark, sf_dir):
 
 def test_bloom_join_probe_is_shuffle_free(spark, sf_dir):
     """The bloom probe side must reach the fact scan through broadcast
-    bitmap joins only: between the orders parquet scan and the
-    maybe_present filter there is no shuffle exchange."""
+    bitmap joins only: each of the k=4 word-index joins (_w0.._w3) is
+    a BroadcastHashJoin, and NO probe-internal key (_p*/_w*) ever
+    appears in a shuffle exchange — i.e. the fact stream between the
+    orders scan and the maybe_present filter is never repartitioned.
+    (A lost broadcast hint turns a probe join into SortMergeJoin /
+    ShuffledHashJoin with an Exchange on _wN, which this catches even
+    while other broadcast joins elsewhere keep the old count green.)"""
     plan = _plan(spark, sf_dir, "q_bloom_join_filter")
-    # probe joins on word_idx are broadcasts
-    assert plan.count("BroadcastHashJoin") >= 4
+    bhj_lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    for i in range(4):
+        assert any(f"_w{i}" in ln for ln in bhj_lines), (
+            f"probe join on _w{i} is not a BroadcastHashJoin"
+        )
+    import re
+
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert not re.search(r"_[wp]\d+", ln), (
+                f"probe key reached a shuffle exchange: {ln.strip()}"
+            )
 
 
 def test_negative_sampling_probes_one_bucket(spark, sf_dir):
