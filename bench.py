@@ -91,8 +91,10 @@ HEADLINE = [
     "mm_image_phash",
     "q_ngram_novelty",
     # late-r8: trained-k SemDeDup — the within-cell pairwise-cosine
-    # shape whose pair volume k deliberately bounds (~N^2/2k)
+    # shape whose pair volume k deliberately bounds (~N^2/2k) — and its
+    # linear-scale sibling (bucket-hash-join assignment, no N x k scan)
     "dedup_semantic_trained",
+    "dedup_semantic_lsh",
 ]
 
 
