@@ -5631,3 +5631,148 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 5)
         .orderBy("o_custkey", "neg_rank")
     )
+
+
+# l-diversity ladder: a k-anonymous group is still unsafe if everyone
+# in it shares the sensitive value (homogeneity attack) — the audit
+# requires >= _L_DIVERSITY distinct sensitive values per QI group.
+_L_DIVERSITY = 3
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+    SELECT n.n_name, c.c_mktsegment,
+           COUNT(*) AS n,
+           COUNT(DISTINCT CASE
+               WHEN c.c_acctbal < 0 THEN 'debt'
+               WHEN c.c_acctbal < 2500 THEN 'low'
+               WHEN c.c_acctbal < 7500 THEN 'mid'
+               ELSE 'high' END) AS l_distinct,
+           CASE WHEN COUNT(DISTINCT CASE
+               WHEN c.c_acctbal < 0 THEN 'debt'
+               WHEN c.c_acctbal < 2500 THEN 'low'
+               WHEN c.c_acctbal < 7500 THEN 'mid'
+               ELSE 'high' END) >= {_L_DIVERSITY}
+               THEN 'ok' ELSE 'violating' END AS verdict
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, c.c_mktsegment
+    ORDER BY n.n_name, c.c_mktsegment
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion check to q_k_anonymity's group
+    SIZES: a quasi-identifier group whose members all share one
+    sensitive value leaks it regardless of k (the homogeneity attack,
+    Machanavajjhala et al. 2007). Sensitive attribute = the account-
+    balance band (4 fixed boundaries, deterministic); per (nation,
+    segment) QI group the audit reports the distinct-band count and an
+    ok/violating verdict at l = 3. One scan, one group-cardinality
+    aggregate with a distinct-count (partial-aggregated two-phase
+    shuffle), nation broadcast — the same 100 TB shape as any
+    per-group COUNT DISTINCT."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 2500, "low")
+        .when(F.col("c_acctbal") < 7500, "mid")
+        .otherwise("high")
+    )
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "c_mktsegment", band.alias("band"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("band").alias("l_distinct"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("l_distinct") >= _L_DIVERSITY, "ok").otherwise(
+                "violating"
+            ),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+# Interval-overlap join: hours with at least this many events count as
+# "hot" (interpolated into both engines).
+_OVERLAP_HOT_N = 20
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               MIN(ts) AS amin, MAX(ts) AS amax
+        FROM events GROUP BY 1, 2),
+    hot AS (
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+        FROM events GROUP BY 1 HAVING COUNT(*) >= {_OVERLAP_HOT_N})
+    SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+           CAST(h.hour AS TIMESTAMP) AS hour, h.n_events,
+           CAST((epoch_us(LEAST(s.amax, h.hour + INTERVAL 1 HOUR))
+                 - epoch_us(GREATEST(s.amin, h.hour))) // 1000000
+                AS BIGINT) AS overlap_seconds
+    FROM spans s JOIN hot h
+      ON h.hour >= date_trunc('hour', s.amin)
+     AND h.hour <= date_trunc('hour', s.amax)
+    ORDER BY user_id, day, hour
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join with NO shared key — the join shape Spark
+    cannot hash: user-day activity spans [min ts, max ts] matched
+    against "hot hours" (hourly buckets with >= 20 events) purely on
+    time overlap. A naive inequality join plans as a nested-loop /
+    cartesian product (|spans| x |hot| comparisons — dead at scale);
+    here the span side EXPLODES into the hour buckets it covers
+    (sequence(), bounded fan-out: a span lives inside one day, so
+    <= 24 rows per span) and the match becomes a plain HASH join on
+    the hour key — O(N x 24) shuffled rows, zero comparisons outside
+    the bucket. The DuckDB oracle deliberately keeps the RAW
+    inequality join (its IEJoin handles gate scale), proving the
+    bucketization is a pure optimization with identical semantics.
+    Overlap seconds come from integer epoch-microsecond arithmetic
+    (exact in both engines; a span touching the hour edge reports 0)."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.min("ts").alias("amin"), F.max("ts").alias("amax")
+    )
+    hot = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= _OVERLAP_HOT_N)
+    )
+    bucketed = spans.withColumn(
+        "hour",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "amin"),
+                F.date_trunc("hour", "amax"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    overlap = (
+        F.unix_micros(
+            F.least(F.col("amax"), F.col("hour") + F.expr("INTERVAL 1 HOUR"))
+        )
+        - F.unix_micros(F.greatest(F.col("amin"), F.col("hour")))
+    )
+    return (
+        bucketed.join(hot, on="hour")  # manufactured equi-key: hash join
+        .select(
+            "user_id",
+            "day",
+            "hour",
+            "n_events",
+            F.floor(overlap / F.lit(1000000)).cast("long").alias(
+                "overlap_seconds"
+            ),
+        )
+        .orderBy("user_id", "day", "hour")
+    )

@@ -864,6 +864,146 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_train3",
+    oracle=f"""
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w),
+    s0 AS (
+        SELECT freq,
+               ' ' || array_to_string(list_transform(
+                   generate_series(1, len(word)),
+                   i -> substr(word, i, 1)), ' ') || ' ' AS seq
+        FROM words),
+    p1 AS (
+        SELECT arr[gs.i] AS sym_a, arr[gs.i + 1] AS sym_b,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM s0),
+             generate_series(1, 63) gs(i)
+        WHERE gs.i <= len(arr) - 1
+        GROUP BY 1, 2),
+    b1 AS (SELECT sym_a, sym_b, pair_count FROM p1
+             ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+    s1 AS (SELECT freq,
+               replace(replace(seq,
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' '),
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' ') AS seq
+             FROM s0 CROSS JOIN b1 b),
+    p2 AS (
+        SELECT arr[gs.i] AS sym_a, arr[gs.i + 1] AS sym_b,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM s1),
+             generate_series(1, 63) gs(i)
+        WHERE gs.i <= len(arr) - 1
+        GROUP BY 1, 2),
+    b2 AS (SELECT sym_a, sym_b, pair_count FROM p2
+             ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+    s2 AS (SELECT freq,
+               replace(replace(seq,
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' '),
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' ') AS seq
+             FROM s1 CROSS JOIN b2 b),
+    p3 AS (
+        SELECT arr[gs.i] AS sym_a, arr[gs.i + 1] AS sym_b,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM s2),
+             generate_series(1, 63) gs(i)
+        WHERE gs.i <= len(arr) - 1
+        GROUP BY 1, 2),
+    b3 AS (SELECT sym_a, sym_b, pair_count FROM p3
+             ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+    s3 AS (SELECT freq,
+               replace(replace(seq,
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' '),
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' ') AS seq
+             FROM s2 CROSS JOIN b3 b)
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS step, sym_a, sym_b, pair_count FROM b1
+        UNION ALL
+        SELECT CAST(2 AS INT), sym_a, sym_b, pair_count FROM b2
+        UNION ALL
+        SELECT CAST(3 AS INT), sym_a, sym_b, pair_count FROM b3)
+    ORDER BY step
+    """,
+)
+def q_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE full BPE training iterations — the iterative loop
+    q_bpe_merge_step takes one step of: corpus word frequencies once
+    (the only corpus-sized shuffle), then per iteration (a) adjacent
+    symbol-pair counts over the VOCABULARY-sized sequence frame,
+    (b) argmax pair with lexicographic tiebreak as a 1-ROW broadcast,
+    (c) merge applied to every sequence. This is the canonical shape
+    for iterative training on Spark: the loop body never rescans the
+    corpus, each iteration is one vocab-keyed shuffle plus a 1-row
+    broadcast join, and the trained artifact (the ordered merge table)
+    is the output — exactly what a tokenizer trainer persists.
+
+    Merge semantics, identical in both engines: sequences carry
+    sentinel spaces and the merge is a delimiter-bounded string
+    replace(' a b ' -> ' ab ') applied TWICE (both engines scan
+    left-to-right non-overlapping and consume the shared delimiter, so
+    alternating occurrences need a second pass; on runs of a repeated
+    symbol this variant can merge different POSITIONS than classic
+    left-greedy BPE — same merge count, engine-identical either way).
+    Pair extraction caps at 63 pairs/word mirroring the oracle's fixed
+    generate_series bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.selectExpr(
+        "freq",
+        "' ' || array_join(transform(sequence(1, length(word)),"
+        " i -> substr(word, i, 1)), ' ') || ' ' AS seq",
+    )
+    merges = None
+    for step in (1, 2, 3):
+        pairs = (
+            seqs.selectExpr("freq", "split(trim(seq), ' ') AS arr")
+            .filter(F.size("arr") >= 2)
+            .selectExpr(
+                "freq",
+                "explode(transform(sequence(1, least(size(arr) - 1, 63)),"
+                " i -> struct(element_at(arr, i) AS sym_a,"
+                " element_at(arr, i + 1) AS sym_b))) AS p",
+            )
+            .select("freq", "p.sym_a", "p.sym_b")
+            .groupBy("sym_a", "sym_b")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), "sym_a", "sym_b"
+        ).limit(1)
+        step_row = best.select(
+            F.lit(step).cast("int").alias("step"), "sym_a", "sym_b", "pair_count"
+        )
+        merges = step_row if merges is None else merges.unionByName(step_row)
+        seqs = (
+            seqs.crossJoin(F.broadcast(best.select("sym_a", "sym_b")))
+            .selectExpr(
+                "freq",
+                "replace(replace(seq,"
+                " ' ' || sym_a || ' ' || sym_b || ' ',"
+                " ' ' || sym_a || sym_b || ' '),"
+                " ' ' || sym_a || ' ' || sym_b || ' ',"
+                " ' ' || sym_a || sym_b || ' ') AS seq",
+            )
+        )
+    return merges.orderBy("step")
+
+
+@register(
     "q_token_rarity_filter",
     oracle=f"""
     WITH toks AS (

@@ -519,3 +519,24 @@ def test_negative_sampling_probes_one_bucket(spark, sf_dir):
     on the bucket key), never cross-joins the catalog."""
     plan = _plan(spark, sf_dir, "q_negative_sampling")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_is_hash_join(spark, sf_dir):
+    """q_interval_overlap_join exists to AVOID the nested-loop plan a
+    pure inequality join gets: the span side explodes into hour
+    buckets and matches hot hours on an equi key, so the physical plan
+    must contain no cartesian product and no nested-loop join."""
+    plan = _plan(spark, sf_dir, "q_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_train3_is_codegen_with_broadcast_merges(spark, sf_dir):
+    """The BPE training loop must stay JVM-side (no Python UDF nodes)
+    and apply each iteration's merge through a 1-row broadcast join —
+    never a driver collect baked into literals (the plan shows the
+    merge pair arriving via BroadcastExchange/BroadcastNestedLoopJoin
+    on a 1-row frame, which is the intended shape here)."""
+    plan = _plan(spark, sf_dir, "q_bpe_train3")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Broadcast" in plan  # the three 1-row merge frames
