@@ -17,7 +17,7 @@ from cpx_etl_spark.operators.curation import (
     decontaminate,
     pack_sequences,
 )
-from cpx_etl_spark.queries import register
+from cpx_etl_spark.queries import fround, register
 from cpx_etl_spark.sources import load_table
 
 # deterministic ~1/16 eval split: first hex digit of md5(doc_id)
@@ -423,4 +423,139 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.join(sha, on="doc_id")
         .select("doc_id", "n_shingles", "n_maybe", contamination.alias("contamination"))
         .filter(F.col("contamination") >= 0.2)
+    )
+
+
+# DSIR-style importance reweighting: B hashed feature buckets, 1023
+# bigram positions per doc (hot-doc cap, mirrored as the oracle's fixed
+# generate_series bound), top-quarter selection.
+_DSIR_B = 256
+_DSIR_MAXPOS = 1023
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+    bgi AS (
+        SELECT doc_id, lang, substr(t, gs.i, 2) AS bgr
+        FROM d, generate_series(1, {_DSIR_MAXPOS}) gs(i)
+        WHERE gs.i <= len(t) - 1),
+    cb AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(bgr), 1, 8)) AS BIGINT)
+                 % {_DSIR_B} AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM bgi GROUP BY 1, 2, 3),
+    bs AS (
+        SELECT bkt, CAST(SUM(c) AS BIGINT) AS r_b,
+               CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS t_b
+        FROM cb GROUP BY bkt),
+    tot AS (SELECT CAST(SUM(r_b) AS BIGINT) AS r,
+                   CAST(SUM(t_b) AS BIGINT) AS t FROM bs),
+    ratio AS (
+        SELECT bkt,
+               CAST(ROUND((CAST(t_b AS DOUBLE) * tot.r)
+                          / (CAST(r_b AS DOUBLE) * tot.t) - 1e-9, 6) + 0
+                    AS DECIMAL(20,6)) AS rt
+        FROM bs CROSS JOIN tot),
+    scored AS (
+        SELECT cb.doc_id, cb.lang,
+               CAST(SUM(cb.c) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(cb.c * r.rt) AS DOUBLE) - 1e-9, 4) + 0 AS score
+        FROM cb JOIN ratio r USING (bkt)
+        GROUP BY cb.doc_id, cb.lang),
+    cut AS (
+        SELECT MIN(score) AS lo FROM (
+            SELECT score FROM scored ORDER BY score DESC, doc_id
+            LIMIT (SELECT CAST(FLOOR(COUNT(*) * 0.25) AS BIGINT) FROM scored)))
+    SELECT s.doc_id, s.lang, s.n_bigrams, s.score,
+           s.score >= cut.lo AS selected
+    FROM scored s CROSS JOIN cut
+    ORDER BY s.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance reweighting (DSIR, Xie et al. 2023,
+    arXiv:2302.03169 — log-free rational variant): documents are scored
+    by how target-like their hashed char-bigram feature mass is.
+    Target = the declared-'en' slice; features = md5-hashed bigrams in
+    B = 256 fixed buckets; each doc's score is the count-weighted mean
+    of its buckets' target/raw probability ratios (DSIR sums log
+    ratios — the linear ratio keeps every aggregate in the
+    decimal-exact domain, no transcendentals in scored output). Top
+    quarter by (score, doc_id) is selected via the 1-row cutoff frame.
+    Scale shape: the bigram explode is the one corpus-sized stage (the
+    1023-position cap bounds pathological docs and mirrors the
+    oracle's fixed series bound); bucket stats are a 256-row frame —
+    broadcast by CONSTANT size, not corpus luck; scoring is one
+    bucket-keyed join + per-doc aggregate with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", F.lower("text").alias("t"))
+    bgi = d.filter(F.length("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.length("t") - 1, F.lit(_DSIR_MAXPOS))
+                ),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("bgr"),
+    )
+    cb = (
+        bgi.withColumn(
+            "bkt",
+            F.conv(F.substring(F.md5("bgr"), 1, 8), 16, 10).cast("long")
+            % _DSIR_B,
+        )
+        .groupBy("doc_id", "lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = cb.groupBy("bkt").agg(
+        F.sum("c").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))).alias(
+            "t_b"
+        ),
+    )
+    tot = bs.agg(F.sum("r_b").alias("r"), F.sum("t_b").alias("t"))
+    ratio = bs.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        fround(
+            (F.col("t_b").cast("double") * F.col("r"))
+            / (F.col("r_b").cast("double") * F.col("t")),
+            6,
+        )
+        .cast("decimal(20,6)")
+        .alias("rt"),
+    )
+    scored = (
+        cb.join(F.broadcast(ratio), "bkt")  # 256-row constant-size frame
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            fround(F.sum(F.col("c") * F.col("rt")).cast("double"), 4).alias(
+                "score"
+            ),
+        )
+    )
+    # FLOOR on both sides (code-review r7); scored cardinality == doc
+    # cardinality (every doc clears the 2-char floor on this schema)
+    n_sel = int(docs.count() * 0.25)
+    cut = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(n_sel)
+        .agg(F.min("score").alias("lo"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))  # 1-row cutoff frame
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "score",
+            (F.col("score") >= F.col("lo")).alias("selected"),
+        )
+        .orderBy("doc_id")
     )

@@ -863,112 +863,84 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_bpe_train3",
-    oracle=f"""
-    WITH words AS (
+# ---------------------------------------------------------------------------
+# BPE training/apply: shared iteration builders. Both engines represent a
+# word as its space-joined symbol sequence with sentinel spaces; a merge is
+# the delimiter-bounded replace ' a b ' -> ' ab ' applied TWICE (both
+# engines scan left-to-right non-overlapping and consume the shared
+# delimiter, so alternating occurrences need a second pass; on runs of a
+# repeated symbol this can merge different POSITIONS than classic
+# left-greedy BPE — same merge count, engine-identical either way). Pair
+# extraction caps at 63 pairs/word, mirroring the oracle's fixed
+# generate_series bound.
+# ---------------------------------------------------------------------------
+
+_BPE_WORDS_SQL = f"""words AS (
         SELECT w AS word, COUNT(*) AS freq
         FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
         WHERE w <> ''
-        GROUP BY w),
-    s0 AS (
-        SELECT freq,
+        GROUP BY w)"""
+
+_BPE_S0_SQL = """s0 AS (
+        SELECT {carry},
                ' ' || array_to_string(list_transform(
                    generate_series(1, len(word)),
                    i -> substr(word, i, 1)), ' ') || ' ' AS seq
-        FROM words),
-    p1 AS (
-        SELECT arr[gs.i] AS sym_a, arr[gs.i + 1] AS sym_b,
-               CAST(SUM(freq) AS BIGINT) AS pair_count
-        FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM s0),
-             generate_series(1, 63) gs(i)
-        WHERE gs.i <= len(arr) - 1
-        GROUP BY 1, 2),
-    b1 AS (SELECT sym_a, sym_b, pair_count FROM p1
-             ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-    s1 AS (SELECT freq,
-               replace(replace(seq,
-                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
-                       ' ' || b.sym_a || b.sym_b || ' '),
-                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
-                       ' ' || b.sym_a || b.sym_b || ' ') AS seq
-             FROM s0 CROSS JOIN b1 b),
-    p2 AS (
-        SELECT arr[gs.i] AS sym_a, arr[gs.i + 1] AS sym_b,
-               CAST(SUM(freq) AS BIGINT) AS pair_count
-        FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM s1),
-             generate_series(1, 63) gs(i)
-        WHERE gs.i <= len(arr) - 1
-        GROUP BY 1, 2),
-    b2 AS (SELECT sym_a, sym_b, pair_count FROM p2
-             ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-    s2 AS (SELECT freq,
-               replace(replace(seq,
-                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
-                       ' ' || b.sym_a || b.sym_b || ' '),
-                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
-                       ' ' || b.sym_a || b.sym_b || ' ') AS seq
-             FROM s1 CROSS JOIN b2 b),
-    p3 AS (
-        SELECT arr[gs.i] AS sym_a, arr[gs.i + 1] AS sym_b,
-               CAST(SUM(freq) AS BIGINT) AS pair_count
-        FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM s2),
-             generate_series(1, 63) gs(i)
-        WHERE gs.i <= len(arr) - 1
-        GROUP BY 1, 2),
-    b3 AS (SELECT sym_a, sym_b, pair_count FROM p3
-             ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
-    s3 AS (SELECT freq,
-               replace(replace(seq,
-                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
-                       ' ' || b.sym_a || b.sym_b || ' '),
-                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
-                       ' ' || b.sym_a || b.sym_b || ' ') AS seq
-             FROM s2 CROSS JOIN b3 b)
-    SELECT * FROM (
-        SELECT CAST(1 AS INT) AS step, sym_a, sym_b, pair_count FROM b1
-        UNION ALL
-        SELECT CAST(2 AS INT), sym_a, sym_b, pair_count FROM b2
-        UNION ALL
-        SELECT CAST(3 AS INT), sym_a, sym_b, pair_count FROM b3)
-    ORDER BY step
-    """,
-)
-def q_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THREE full BPE training iterations — the iterative loop
-    q_bpe_merge_step takes one step of: corpus word frequencies once
-    (the only corpus-sized shuffle), then per iteration (a) adjacent
-    symbol-pair counts over the VOCABULARY-sized sequence frame,
-    (b) argmax pair with lexicographic tiebreak as a 1-ROW broadcast,
-    (c) merge applied to every sequence. This is the canonical shape
-    for iterative training on Spark: the loop body never rescans the
-    corpus, each iteration is one vocab-keyed shuffle plus a 1-row
-    broadcast join, and the trained artifact (the ordered merge table)
-    is the output — exactly what a tokenizer trainer persists.
+        FROM words)"""
 
-    Merge semantics, identical in both engines: sequences carry
-    sentinel spaces and the merge is a delimiter-bounded string
-    replace(' a b ' -> ' ab ') applied TWICE (both engines scan
-    left-to-right non-overlapping and consume the shared delimiter, so
-    alternating occurrences need a second pass; on runs of a repeated
-    symbol this variant can merge different POSITIONS than classic
-    left-greedy BPE — same merge count, engine-identical either way).
-    Pair extraction caps at 63 pairs/word mirroring the oracle's fixed
-    generate_series bound."""
+
+def _bpe_iter_sql(k: int, carry: str) -> str:
+    """One oracle iteration: pair counts p{k} over s{k-1}, argmax b{k},
+    merged sequences s{k}. `carry` = columns threaded through s-frames."""
+    return f"""p{k} AS (
+        SELECT arr[gs.i] AS sym_a, arr[gs.i + 1] AS sym_b,
+               CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM (SELECT freq, string_split(trim(seq), ' ') AS arr FROM s{k - 1}),
+             generate_series(1, 63) gs(i)
+        WHERE gs.i <= len(arr) - 1
+        GROUP BY 1, 2),
+    b{k} AS (SELECT sym_a, sym_b, pair_count FROM p{k}
+             ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1),
+    s{k} AS (SELECT {carry},
+               replace(replace(seq,
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' '),
+                       ' ' || b.sym_a || ' ' || b.sym_b || ' ',
+                       ' ' || b.sym_a || b.sym_b || ' ') AS seq
+             FROM s{k - 1} CROSS JOIN b{k} b)"""
+
+
+def _bpe_cte_chain(steps: int, carry: str) -> str:
+    """The full WITH-chain body words/s0/p1..s{steps}."""
+    parts = [_BPE_WORDS_SQL, _BPE_S0_SQL.format(carry=carry)]
+    parts += [_bpe_iter_sql(k, carry) for k in range(1, steps + 1)]
+    return ",\n    ".join(parts)
+
+
+def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def _bpe_train(
+    words: DataFrame, steps: int, carry: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Run `steps` BPE iterations over the vocab frame; returns
+    (merge table [step, sym_a, sym_b, pair_count], final sequences
+    [*carry, seq]). Each iteration: one vocab-keyed pair-count shuffle
+    + a 1-row broadcast argmax join — the corpus is never rescanned."""
     seqs = words.selectExpr(
-        "freq",
+        *carry,
         "' ' || array_join(transform(sequence(1, length(word)),"
         " i -> substr(word, i, 1)), ' ') || ' ' AS seq",
     )
     merges = None
-    for step in (1, 2, 3):
+    for step in range(1, steps + 1):
         pairs = (
             seqs.selectExpr("freq", "split(trim(seq), ' ') AS arr")
             .filter(F.size("arr") >= 2)
@@ -992,7 +964,7 @@ def q_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs = (
             seqs.crossJoin(F.broadcast(best.select("sym_a", "sym_b")))
             .selectExpr(
-                "freq",
+                *carry,
                 "replace(replace(seq,"
                 " ' ' || sym_a || ' ' || sym_b || ' ',"
                 " ' ' || sym_a || sym_b || ' '),"
@@ -1000,7 +972,102 @@ def q_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ' ' || sym_a || sym_b || ' ') AS seq",
             )
         )
+    return merges, seqs
+
+
+@register(
+    "q_bpe_train3",
+    oracle=f"""
+    WITH {_bpe_cte_chain(3, "freq")}
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS step, sym_a, sym_b, pair_count FROM b1
+        UNION ALL
+        SELECT CAST(2 AS INT), sym_a, sym_b, pair_count FROM b2
+        UNION ALL
+        SELECT CAST(3 AS INT), sym_a, sym_b, pair_count FROM b3)
+    ORDER BY step
+    """,
+)
+def q_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE full BPE training iterations — the iterative loop
+    q_bpe_merge_step takes one step of: corpus word frequencies once
+    (the only corpus-sized shuffle), then per iteration (a) adjacent
+    symbol-pair counts over the VOCABULARY-sized sequence frame,
+    (b) argmax pair with lexicographic tiebreak as a 1-ROW broadcast,
+    (c) merge applied to every sequence. This is the canonical shape
+    for iterative training on Spark: the loop body never rescans the
+    corpus, each iteration is one vocab-keyed shuffle plus a 1-row
+    broadcast join, and the trained artifact (the ordered merge table)
+    is the output — exactly what a tokenizer trainer persists. Merge
+    semantics and the 63-pair cap: see the shared-builder note above
+    _bpe_iter_sql."""
+    merges, _seqs = _bpe_train(_bpe_word_freqs(spark, sf_dir), 3, ["freq"])
     return merges.orderBy("step")
+
+
+@register(
+    "q_bpe_apply",
+    oracle=f"""
+    WITH {_bpe_cte_chain(3, "word, freq")},
+    nsym AS (
+        SELECT word, len(word) AS n_chars_w,
+               len(string_split(trim(seq), ' ')) AS n_syms
+        FROM s3),
+    sw AS (
+        SELECT source, w AS word, COUNT(*) AS cnt
+        FROM (SELECT source, unnest({_TOKENS_SQL}) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY 1, 2)
+    SELECT sw.source,
+           CAST(SUM(sw.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(sw.cnt * n.n_chars_w) AS BIGINT) AS n_chars,
+           CAST(SUM(sw.cnt * n.n_syms) AS BIGINT) AS n_symbols,
+           ROUND(CAST(SUM(sw.cnt * n.n_syms) AS DOUBLE)
+                 / CAST(SUM(sw.cnt * n.n_chars_w) AS BIGINT) - 1e-9, 6) + 0
+             AS compression
+    FROM sw JOIN nsym n USING (word)
+    GROUP BY sw.source
+    ORDER BY sw.source
+    """,
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-APPLY: the 3 merges from q_bpe_train3's loop encode
+    the corpus and the per-source compression is measured (symbols
+    after merges / characters before — the tokenizer-efficiency readout
+    corpora are compared on). The apply side never re-tokenizes row by
+    row: the trained final sequences live on the VOCABULARY frame
+    (word -> symbol count), and encoding the corpus is one vocab-keyed
+    hash join of per-source word counts against it — the standard
+    dictionary-encode shape; all aggregates are integer-exact."""
+    words = _bpe_word_freqs(spark, sf_dir)
+    _merges, seqs = _bpe_train(words, 3, ["word", "freq"])
+    nsym = seqs.select(
+        "word",
+        F.length("word").cast("long").alias("n_chars_w"),
+        F.size(F.split(F.trim("seq"), " ")).cast("long").alias("n_syms"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        sw.join(nsym, on="word")  # vocab-sized, unhinted
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_chars_w")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_syms")).alias("n_symbols"),
+            fround(
+                F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n_chars_w")),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

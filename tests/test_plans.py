@@ -540,3 +540,15 @@ def test_bpe_train3_is_codegen_with_broadcast_merges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_bpe_train3")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Broadcast" in plan  # the three 1-row merge frames
+
+
+def test_dsir_and_bpe_apply_stay_jvm_side(spark, sf_dir):
+    """The DSIR scorer and the BPE train+apply loop are pure column
+    algebra — no Python UDF nodes anywhere; DSIR's only pinned
+    broadcasts are the constant-256-bucket ratio frame and 1-row
+    bounds."""
+    for name in ("q_dsir_weights", "q_bpe_apply", "q_bpe_train3"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has a Python UDF node in its plan"
+        )
