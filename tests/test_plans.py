@@ -552,3 +552,14 @@ def test_dsir_and_bpe_apply_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} has a Python UDF node in its plan"
         )
+
+
+def test_prefix_filter_verification_is_candidate_driven(spark, sf_dir):
+    """dedup_prefix_filter's exact verification must hang off the
+    candidate pairs (joins keyed on doc ids / tokens) — no cartesian
+    product and no Python UDF anywhere; and no global rank window (the
+    (df, token) sort runs per-doc inside array_sort)."""
+    plan = _plan(spark, sf_dir, "dedup_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan, "a global rank window crept in"
