@@ -95,6 +95,10 @@ HEADLINE = [
     # linear-scale sibling (bucket-hash-join assignment, no N x k scan)
     "dedup_semantic_trained",
     "dedup_semantic_lsh",
+    # final late-r8 shapes: the iterative vocab-frame training loop and
+    # the hashed-feature importance scorer
+    "q_bpe_train3",
+    "q_dsir_weights",
 ]
 
 

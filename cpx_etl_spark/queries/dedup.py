@@ -1627,27 +1627,27 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Prefix-filtered set-similarity join (PPJoin's prefix principle,
-# Xiao et al. 2008): under ANY global token order, two sets with
-# Jaccard >= t must share a token within each one's first
-# L - ceil(t*L) + 1 tokens. Ordering by ASCENDING document frequency
-# makes those prefix tokens the RAREST ones, so candidate volume is
-# minimized by construction (hot tokens never generate candidates —
-# they sort to the suffix).
-_PREFIX_TAU = 0.9
+# Xiao et al. 2008): under ANY global element order, two sets with
+# Jaccard >= t must share an element within each one's first
+# L - ceil(t*L) + 1 elements. Ordering by ASCENDING document frequency
+# makes those prefix elements the RAREST ones, so candidate volume is
+# minimized by construction (hot shingles never generate candidates —
+# they sort to the suffix). Element = 4-gram shingle (the family
+# granularity: word SETS collapse on template-heavy corpora — this one
+# included — while 4-gram sets stay distinctive).
+_PREFIX_TAU = 0.8
 
 
 @register(
     "dedup_prefix_filter",
     oracle=f"""
     WITH tok AS (
-        SELECT DISTINCT doc_id, tk
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
-              FROM documents)
-        WHERE tk <> ''),
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents)),
     sz AS (SELECT doc_id, COUNT(*) AS l FROM tok GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n
-        FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT i.da AS doc_a, i.db AS doc_b,
            ROUND(i.n * 1.0 / (sa.l + sb.l - i.n) - 1e-9, 6) + 0 AS jaccard
@@ -1660,32 +1660,31 @@ _PREFIX_TAU = 0.9
     """,
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT token-set similarity join via PPJoin prefix filtering —
+    """EXACT shingle-set similarity join via PPJoin prefix filtering —
     the lossless counterpart to the MinHash/LSH candidate generators:
-    docs sort their distinct tokens by (df ASC, token) and only the
-    first L - ceil(tau*L) + 1 (the rarest) generate candidates; the
-    prefix principle guarantees every pair with true Jaccard >= tau
-    shares a prefix token, and the ORACLE IS THE ALL-PAIRS GROUND
-    TRUTH, so a hash match PROVES the filter lost nothing. Exact
-    verification runs only on candidates (candidate-driven
-    intersection join, never all-pairs). Scale shape: one vocab-keyed
-    df join, per-doc array_sort over its own tokens (no global rank
-    window — the (df, token) pair IS the order), candidate volume
-    bounded by rare-token df products. Spark-side prefix arithmetic
-    needs only completeness, not cross-engine mirroring — the oracle
-    never sees the prefix."""
+    docs sort their distinct 4-gram shingles by (df ASC, shingle) and
+    only the first L - ceil(tau*L) + 1 (the rarest) generate
+    candidates; the prefix principle guarantees every pair with true
+    Jaccard >= tau shares a prefix shingle, and the ORACLE IS THE
+    ALL-PAIRS GROUND TRUTH, so a hash match PROVES the filter lost
+    nothing. Exact verification runs only on candidates
+    (candidate-driven intersection join, never all-pairs). Scale
+    shape: one vocab-keyed df join, per-doc array_sort over its own
+    shingles (no global rank window — the (df, shingle) pair IS the
+    order), candidate volume bounded by rare-shingle df products at
+    tau = 0.8 the prefix is ~L/5. Spark-side prefix arithmetic needs
+    only completeness, not cross-engine mirroring — the oracle never
+    sees the prefix."""
+    from cpx_etl_spark.operators.dedup import shingle_index
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
-        .filter(F.col("tk") != "")
-        .distinct()
-    )
-    dft = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    tok, sz = shingle_index(docs, "doc_id", "text", n=_NGRAM)
+    dft = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
-        tok.join(dft, "tk")  # vocab-sized frequency join, unhinted
+        tok.join(dft, "sh")  # vocab-sized frequency join, unhinted
         .groupBy("doc_id")
         .agg(
-            F.array_sort(F.collect_list(F.struct("df", "tk"))).alias("arr"),
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("arr"),
             F.count(F.lit(1)).alias("l"),
         )
     )
@@ -1693,32 +1692,37 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         f"explode(slice(arr, 1, CAST(l - ceil({_PREFIX_TAU} * l) + 1 AS INT)))"
         " AS p",
-    ).select("doc_id", F.col("p.tk").alias("tk"))
+    ).select("doc_id", F.col("p.sh").alias("sh"))
     cand = (
-        pref.select(F.col("doc_id").alias("da"), "tk")
-        .join(pref.select(F.col("doc_id").alias("db"), "tk"), on="tk")
+        pref.select(F.col("doc_id").alias("da"), "sh")
+        .join(pref.select(F.col("doc_id").alias("db"), "sh"), on="sh")
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("da"), F.col("tk").alias("tka"))
-    tb = tok.select(F.col("doc_id").alias("db2"), F.col("tk").alias("tkb"))
+    ta = tok.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
+    tb = tok.select(F.col("doc_id").alias("db2"), F.col("sh").alias("shb"))
     inter = (
         cand.join(ta, on="da")
         .join(
             tb,
-            (F.col("db") == F.col("db2")) & (F.col("tka") == F.col("tkb")),
+            (F.col("db") == F.col("db2")) & (F.col("sha") == F.col("shb")),
         )
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("l"))
     jac = fround(
         F.col("n") * F.lit(1.0) / (F.col("la") + F.col("lb") - F.col("n")), 6
     )
     return (
-        inter.join(sz.select(F.col("doc_id").alias("da"), F.col("l").alias("la")), "da")
-        .join(sz.select(F.col("doc_id").alias("db"), F.col("l").alias("lb")), "db")
+        inter.join(
+            sz.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("la")),
+            "da",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("lb")),
+            "db",
+        )
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
