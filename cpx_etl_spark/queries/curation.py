@@ -466,9 +466,8 @@ _DSIR_MAXPOS = 1023
         FROM cb JOIN ratio r USING (bkt)
         GROUP BY cb.doc_id, cb.lang),
     cut AS (
-        SELECT MIN(score) AS lo FROM (
-            SELECT score FROM scored ORDER BY score DESC, doc_id
-            LIMIT (SELECT CAST(FLOOR(COUNT(*) * 0.25) AS BIGINT) FROM scored)))
+        SELECT ROUND(quantile_cont(score, 0.75) - 1e-9, 6) + 0 AS lo
+        FROM scored)
     SELECT s.doc_id, s.lang, s.n_bigrams, s.score,
            s.score >= cut.lo AS selected
     FROM scored s CROSS JOIN cut
@@ -483,8 +482,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = 256 fixed buckets; each doc's score is the count-weighted mean
     of its buckets' target/raw probability ratios (DSIR sums log
     ratios — the linear ratio keeps every aggregate in the
-    decimal-exact domain, no transcendentals in scored output). Top
-    quarter by (score, doc_id) is selected via the 1-row cutoff frame.
+    decimal-exact domain, no transcendentals in scored output). The
+    top-quarter cutoff is the exact interpolated 75th percentile of
+    the score distribution — a SORT-BASED 1-row aggregate (the
+    q_equidepth_bands pattern, cross-engine bitwise vs DuckDB
+    quantile_cont), NOT a fraction-of-corpus orderBy().limit(): no
+    N/4 rows ever pass through a single-point global limit, and no
+    plan-build count() action runs.
     Scale shape: the bigram explode is the one corpus-sized stage (the
     1023-position cap bounds pathological docs and mirrors the
     oracle's fixed series bound); bucket stats are a 256-row frame —
@@ -540,13 +544,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # FLOOR on both sides (code-review r7); scored cardinality == doc
-    # cardinality (every doc clears the 2-char floor on this schema)
-    n_sel = int(docs.count() * 0.25)
-    cut = (
-        scored.orderBy(F.col("score").desc(), "doc_id")
-        .limit(n_sel)
-        .agg(F.min("score").alias("lo"))
+    # exact interpolated p75 as a sort-based 1-row aggregate — the
+    # cutoff derives from `scored` itself (r8 ADVICE: no dependence on
+    # the raw-doc cardinality), and no global TakeOrdered materializes
+    # a fraction of the corpus at a single point
+    cut = scored.agg(
+        fround(F.percentile(F.col("score"), F.lit(0.75)), 6).alias("lo")
     )
     return (
         scored.crossJoin(F.broadcast(cut))  # 1-row cutoff frame

@@ -1220,6 +1220,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trained variant sizes k = ceil(N / _SEM_TARGET_CELL) from the data.
 _SEM_TARGET_CELL = 64
 
+# The REGISTERED trained variant caps k: its assignment is the exact
+# N x k scan (ivf_build, unpinned), so an uncapped corpus-sized k is
+# N^2/64 cosines — the r8 VERDICT scale-killer.  The cap bounds the
+# assignment at N x 4096 (linear, classic-IVF posture); past
+# ~cap*64 = 256k vectors cells grow beyond the 64-member target and
+# dedup_semantic_lsh (bucketed assignment, uncapped k) is the
+# production path.
+_SEM_TRAINED_K_CAP = 4096
+
+
+def sem_trained_k(n: int) -> int:
+    """Registered trained-SemDeDup cell count: ceil(n/64) clamped to
+    [2, _SEM_TRAINED_K_CAP].  Mirrored literally in the DuckDB oracle
+    (LEAST(GREATEST(...))) and pinned by the plan-guard test so the
+    registered query can never construct an unbounded N x k scan."""
+    return max(2, min(-(-n // _SEM_TARGET_CELL), _SEM_TRAINED_K_CAP))
+
 _SQL_SEM_COS = """ROUND(list_sum(list_transform(generate_series(1, 64),
                     i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))
                     / (sqrt(list_sum(list_transform(generate_series(1, 64),
@@ -1233,7 +1250,8 @@ _SQL_SEM_COS = """ROUND(list_sum(list_transform(generate_series(1, 64),
     "dedup_semantic_trained",
     oracle=f"""
     WITH kk AS (
-        SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET_CELL}.0) AS BIGINT)) AS k
+        SELECT LEAST(GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET_CELL}.0) AS BIGINT)),
+                     {_SEM_TRAINED_K_CAP}) AS k
         FROM embeddings),
     seeded AS (
         SELECT vec_id, embedding,
@@ -1278,24 +1296,28 @@ _SQL_SEM_COS = """ROUND(list_sum(list_transform(generate_series(1, 64),
     """,
 )
 def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with TRAINED, corpus-sized cells (the r7 VERDICT scale
-    item): k = ceil(N / 64) md5-seeded cells, one Lloyd step to
-    exact-decimal centroids, nearest-centroid assignment, pairwise
-    cosine ONLY within a cell, keep-first drop rule at tau = 0.45 —
-    identical semantics to dedup_semantic but with the pair bound
-    sum n_c^2 ~ N * target_cell_size controlled by k growing with N
-    (production SemDeDup trains k ~ N / target-cell-size clusters;
-    the 10-label variant's bound is N^2/10, fine as an oracle gate,
-    wrong as the scale posture). k is reported in the k_cells column;
-    the N-count behind it is a 1-row planning lookup. Reference has
-    no dedup surface — this family is the mandated LLM-pipeline
-    extension (SemDeDup: Abbas et al. 2023, arXiv:2303.09540)."""
+    """SemDeDup with TRAINED cells and a CAPPED cell count:
+    k = min(ceil(N/64), 4096) md5-seeded cells, one Lloyd step to
+    exact-decimal centroids, nearest-centroid EXACT assignment,
+    pairwise cosine ONLY within a cell, keep-first drop rule at
+    tau = 0.45. The cap is the r8 VERDICT fix: the exact assignment
+    is an N x k scan (ivf_build, unpinned — no broadcast hard-fail),
+    so k saturating at 4096 bounds it at N x 4096 cosines — the
+    classic fixed-k IVF posture — instead of the uncapped N^2/64.
+    The trade is explicit: past ~256k vectors (cap * target cell
+    size) cells grow beyond the 64-member target and the within-cell
+    pair bound degrades; `dedup_semantic_lsh` keeps k corpus-sized
+    with a bucketed O(N) assignment and is the production path at
+    that scale. k is reported in the k_cells column; the N-count
+    behind it is a 1-row planning lookup. Reference has no dedup
+    surface — this family is the mandated LLM-pipeline extension
+    (SemDeDup: Abbas et al. 2023, arXiv:2303.09540)."""
     from cpx_etl_spark.functions.vectors import cosine
     from cpx_etl_spark.operators.similarity import trained_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # 1-row planning lookup: k must be known at plan time
-    k = max(2, -(-n // _SEM_TARGET_CELL))
+    k = sem_trained_k(n)
     _cents, assigned = trained_cells(emb, "vec_id", "embedding", k)
     a = assigned.select(
         F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"), "cell"
@@ -1505,10 +1527,11 @@ def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_bow_reorder",
     oracle="""
-    WITH corpus AS (
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000,
+        SELECT doc_id + 1 + (SELECT m FROM mx),
                array_to_string(list_reverse(string_split(text, ' ')), ' ')
         FROM documents WHERE doc_id < 25),
     sig AS (
@@ -1536,11 +1559,19 @@ def dedup_bow_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle shape to dedup_exact. The corpus has no natural reordered
     copies, so the gate PLANTS token-reversed twins of doc_id < 25
     (the record-linkage corrupt-then-recover pattern) — the operator
-    must recover exactly those 25 pairs and nothing else."""
+    must recover exactly those 25 pairs and nothing else. Planted ids
+    are offset past MAX(doc_id) via a 1-row broadcast bounds frame
+    (r8 ADVICE: a fixed +1e6 offset silently collides with real ids
+    once the corpus exceeds a million documents)."""
     docs = load_table(spark, sf_dir, "documents")
-    planted = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    mx = docs.agg(F.max("doc_id").alias("_m"))
+    planted = (
+        docs.filter(F.col("doc_id") < 25)
+        .crossJoin(F.broadcast(mx))  # 1-row id-bounds frame
+        .select(
+            (F.col("doc_id") + 1 + F.col("_m")).alias("doc_id"),
+            F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+        )
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
     sig = corpus.select(
@@ -1636,6 +1667,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # granularity: word SETS collapse on template-heavy corpora — this one
 # included — while 4-gram sets stay distinctive).
 _PREFIX_TAU = 0.8
+# the accept test runs on the UNROUNDED rational J (r8 ADVICE: the
+# 6dp-rounded filter accepted true J in [0.7999995, 0.8), a window the
+# prefix principle's completeness guarantee does not cover) — as exact
+# integers: J >= 4/5  <=>  5n >= 4(la + lb - n)
+_PREFIX_TAU_NUM, _PREFIX_TAU_DEN = 4, 5
 
 
 @register(
@@ -1654,8 +1690,8 @@ _PREFIX_TAU = 0.8
     FROM inter i
     JOIN sz sa ON sa.doc_id = i.da
     JOIN sz sb ON sb.doc_id = i.db
-    WHERE ROUND(i.n * 1.0 / (sa.l + sb.l - i.n) - 1e-9, 6) + 0
-          >= {_PREFIX_TAU}
+    WHERE {_PREFIX_TAU_DEN} * i.n
+          >= {_PREFIX_TAU_NUM} * (sa.l + sb.l - i.n)
     ORDER BY doc_a, doc_b
     """,
 )
@@ -1727,7 +1763,13 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
             jac.alias("jaccard"),
+            (
+                F.lit(_PREFIX_TAU_DEN) * F.col("n")
+                >= F.lit(_PREFIX_TAU_NUM)
+                * (F.col("la") + F.col("lb") - F.col("n"))
+            ).alias("_keep"),  # integer-exact J >= tau, round-free
         )
-        .filter(F.col("jaccard") >= _PREFIX_TAU)
+        .filter(F.col("_keep"))
+        .drop("_keep")
         .orderBy("doc_a", "doc_b")
     )

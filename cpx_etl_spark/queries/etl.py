@@ -1578,8 +1578,10 @@ def _write_xsl_toc_sheets() -> str:
            CASE WHEN nsec = 3 THEN 'd0e1,d0e2,d0e3'
                 ELSE 'd0e1,d0e2' END AS sec_ids,
            CASE WHEN nsec = 3 THEN 'i,ii,iii' ELSE 'i,ii' END AS sec_nums,
-           CASE WHEN nsec = 3 THEN tk[1] || ',' || tk[2] || ',' || tk[3]
-                ELSE tk[1] || ',' || tk[2] END AS sec_tokens
+           CASE WHEN nsec = 3 THEN COALESCE(tk[1], '') || ',' ||
+                     COALESCE(tk[2], '') || ',' || COALESCE(tk[3], '')
+                ELSE COALESCE(tk[1], '') || ',' || COALESCE(tk[2], '')
+                END AS sec_tokens
     FROM t
     ORDER BY did
     """,
@@ -1610,11 +1612,23 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<doc id="'),
         F.col("doc_id").cast("string"),
         F.lit('">'),
-        F.lit("<sec>"), F.element_at(tk, 1), F.lit("</sec>"),
-        F.lit("<sec>"), F.element_at(tk, 2), F.lit("</sec>"),
+        # coalesce each token to '' (r8 ADVICE: a <3-token document
+        # would null-propagate through F.concat and NULL the whole
+        # XML while the oracle still emits its constant columns);
+        # oracle mirrors with COALESCE(tk[n], '')
+        F.lit("<sec>"),
+        F.coalesce(F.element_at(tk, 1), F.lit("")),
+        F.lit("</sec>"),
+        F.lit("<sec>"),
+        F.coalesce(F.element_at(tk, 2), F.lit("")),
+        F.lit("</sec>"),
         F.when(
             nsec == 3,
-            F.concat(F.lit("<sec>"), F.element_at(tk, 3), F.lit("</sec>")),
+            F.concat(
+                F.lit("<sec>"),
+                F.coalesce(F.element_at(tk, 3), F.lit("")),
+                F.lit("</sec>"),
+            ),
         ).otherwise(F.lit("")),
         F.lit("</doc>"),
     )

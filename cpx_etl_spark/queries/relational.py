@@ -4533,9 +4533,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank is an exact rational in both engines; interpolation is
     IEEE arithmetic; one tie-round at output. The reference vector is
     built here with a global row_number — at 100 TB the reference is a
-    fixed-size quantile sketch (e.g. 10k evenly-spaced order stats)
-    broadcast to executors, which this plan models: ref joins are
-    broadcast-sized, the per-doc side never sorts globally."""
+    fixed-size quantile sketch (e.g. 10k evenly-spaced order stats).
+    The ref joins are deliberately UNHINTED (r8 ADVICE: a pinned
+    F.broadcast on the document-cardinality ref frame hard-fails the
+    broadcast limit at scale) — AQE broadcasts them while they are
+    actually small and degrades to a shuffle join gracefully when
+    they are not; the per-doc side never sorts globally."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
@@ -4564,8 +4567,8 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ref.alias("a")
     b = ref.alias("b")
     return (
-        pos.join(F.broadcast(a), F.col("a.rn") == F.col("lo"))
-        .join(F.broadcast(b), F.col("b.rn") == F.col("lo") + 1, "left")
+        pos.join(a, F.col("a.rn") == F.col("lo"))  # unhinted: AQE decides
+        .join(b, F.col("b.rn") == F.col("lo") + 1, "left")
         .select(
             "doc_id",
             "source",

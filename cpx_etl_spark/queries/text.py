@@ -1085,10 +1085,8 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks t JOIN df d ON d.tok = t.tok
         GROUP BY t.doc_id),
     cut AS (
-        SELECT MAX(mean_df) AS lo FROM (
-          SELECT mean_df FROM scored
-          ORDER BY mean_df, doc_id
-          LIMIT (SELECT CAST(FLOOR(COUNT(*) * 0.1) AS BIGINT) FROM scored)))
+        SELECT ROUND(quantile_cont(mean_df, 0.1) - 1e-9, 6) + 0 AS lo
+        FROM scored)
     SELECT s.doc_id, s.n_tokens, s.mean_df,
            s.mean_df <= cut.lo AS flag_rare
     FROM scored s CROSS JOIN cut
@@ -1100,8 +1098,13 @@ def q_token_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filter: a document whose tokens have unusually LOW mean
     document frequency is statistically unlike the corpus (gibberish,
     wrong language, encoding damage). Per-doc mean token df
-    (decimal-exact), bottom-decile cutoff from a 1-row bounds frame.
-    The df table is vocabulary-sized and joins unhinted; the heavy
+    (decimal-exact); the bottom-decile cutoff is the exact
+    interpolated 10th percentile of the mean_df distribution — a
+    SORT-BASED 1-row aggregate (the q_equidepth_bands pattern,
+    cross-engine bitwise vs DuckDB quantile_cont), NOT a
+    fraction-of-corpus orderBy().limit(): no N/10 rows pass through
+    a single-point global limit and no plan-build count() action
+    runs. The df table is vocabulary-sized and joins unhinted; the heavy
     lifting is two token-keyed aggregates with map-side partials —
     exactly the KenLM-filter shape minus the external model."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1119,14 +1122,12 @@ def q_token_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_df"),
         )
     )
-    # decile size: FLOOR on BOTH sides (DuckDB's CAST rounds to
-    # nearest — a 157-doc corpus would split 15 vs 16, code-review r7);
-    # scored-cardinality == doc-cardinality (every doc has >= 1 token),
-    # so the cheap source count avoids executing the heavy
-    # explode+join pipeline a third time
-    n_low = int(docs.count() * 0.1)
-    low = scored.orderBy("mean_df", "doc_id").limit(n_low)
-    cut = low.agg(F.max("mean_df").alias("lo"))
+    # exact interpolated p10 as a sort-based 1-row aggregate over the
+    # same `scored` frame the flag is applied to — no global
+    # TakeOrdered, no extra plan-build count() action
+    cut = scored.agg(
+        fround(F.percentile(F.col("mean_df"), F.lit(0.1)), 6).alias("lo")
+    )
     return (
         scored.crossJoin(F.broadcast(cut))  # 1-row bounds frame
         .select(

@@ -938,3 +938,24 @@ def test_trained_cells_lsh_assignment_is_bucketed(spark, sf_dir):
         assigned.neighbor_id == F.col("fb_id"),
         "left_anti",
     ).count() == n
+
+
+def test_sem_trained_k_is_capped():
+    """r8 VERDICT item 4: the registered trained-SemDeDup query must
+    never construct an unbounded N x k assignment scan.  Its k
+    formula saturates at the constant cap, the DuckDB oracle mirrors
+    the same clamp literally (so the two sides cannot drift), and the
+    docstring routes corpora past the cap to dedup_semantic_lsh."""
+    from cpx_etl_spark.queries.dedup import (
+        _SEM_TRAINED_K_CAP,
+        sem_trained_k,
+    )
+    from cpx_etl_spark.queries import load_registry
+
+    assert sem_trained_k(10) == 2
+    assert sem_trained_k(64 * 100) == 100
+    assert sem_trained_k(10**9) == _SEM_TRAINED_K_CAP
+    assert sem_trained_k(10**12) == _SEM_TRAINED_K_CAP
+    _q, oracles = load_registry()
+    assert f"LEAST(GREATEST(2," in oracles["dedup_semantic_trained"]
+    assert str(_SEM_TRAINED_K_CAP) in oracles["dedup_semantic_trained"]

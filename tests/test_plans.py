@@ -563,3 +563,18 @@ def test_prefix_filter_verification_is_candidate_driven(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan, "a global rank window crept in"
+
+
+def test_percentile_cutoffs_have_no_global_limit(spark, sf_dir):
+    """q_dsir_weights and q_token_rarity_filter derive their
+    selection cutoffs from an exact-percentile 1-row aggregate
+    (r8 VERDICT: the old orderBy().limit(N*frac) forced a
+    fraction-of-corpus TakeOrdered through a single point). The
+    executed plan must contain no GlobalLimit / TakeOrdered node
+    at all, and no CollectLimit — the only sort is the final
+    ORDER BY doc_id (a plain output Sort, not a limit)."""
+    for name in ("q_dsir_weights", "q_token_rarity_filter"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" not in plan, f"{name}: TakeOrdered"
+        assert "GlobalLimit" not in plan, f"{name}: GlobalLimit"
+        assert "CollectLimit" not in plan, f"{name}: CollectLimit"
