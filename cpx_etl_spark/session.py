@@ -31,6 +31,22 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # transformWithState needs google.protobuf in every JVM-spawned
+    # python process (state-server clients in executor workers AND the
+    # schema-validation driver worker, which addPyFile cannot reach).
+    # If no system protobuf exists, expose the vendored pure-python
+    # runtime via PYTHONPATH BEFORE the JVM launches so all child
+    # processes inherit it; a real installation always wins.
+    try:  # pragma: no cover - depends on container contents
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        vendor_dir = os.path.join(os.path.dirname(__file__), "vendor")
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if vendor_dir not in parts:
+            os.environ["PYTHONPATH"] = (
+                vendor_dir + os.pathsep + os.environ.get("PYTHONPATH", "")
+            ).rstrip(os.pathsep)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
