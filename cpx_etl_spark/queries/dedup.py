@@ -1773,3 +1773,136 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_keep")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Sparse TF-IDF cosine join: the vector space is the MID-FREQUENCY
+# vocabulary (2 <= df <= 64).  df >= 2 because df-1 tokens cannot be
+# shared; df <= 64 is the semantic twin of the shingle-family hot caps:
+# it bounds candidate volume at sum df^2 <= 64 * corpus_tokens (linear)
+# AND drops the stopword mass that dominates raw tf vectors.  Both
+# bounds are vocabulary SELECTION (mirrored in the oracle), not
+# truncation.  idf enters as the INTEGER floor(N * 1000 / df), so every
+# vector component tf*idf is an integer and dot/norm accumulate as
+# exact decimals — cross-engine bitwise, order-independent; the only
+# IEEE arithmetic is the final sqrt/divide, tie-rounded at 6dp.
+_TFIDF_MIN_DF, _TFIDF_MAX_DF = 2, 64
+_TFIDF_TAU = 0.5
+
+
+@register(
+    "q_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok != ''
+        GROUP BY 1, 2),
+    dft AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+        HAVING COUNT(*) BETWEEN {_TFIDF_MIN_DF} AND {_TFIDF_MAX_DF}),
+    w AS (
+        SELECT tf.doc_id, tf.tok,
+               tf.tf * CAST(FLOOR(n1.n_docs * 1000.0 / d.df) AS BIGINT) AS c
+        FROM tf JOIN dft d USING (tok) CROSS JOIN n1),
+    norms AS (
+        SELECT doc_id, SUM(CAST(c AS DECIMAL(19,0)) * c) AS nn
+        FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(CAST(a.c AS DECIMAL(19,0)) * b.c) AS dot,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                 - 1e-9, 6) + 0 AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE ROUND(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                - 1e-9, 6) + 0 >= {_TFIDF_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — the lexical-vector
+    sibling of the dense embedding joins and the weighted complement
+    of Jaccard (which counts shared terms; cosine WEIGHTS them by
+    rarity, so two docs sharing five distinctive terms outrank two
+    sharing five common ones).  Physical shape: no dense vectors ever
+    materialize — components live as (doc, token, weight) rows, the
+    dot product IS the token-keyed self-join + pair aggregation, and
+    norms are one per-doc aggregate joined back unhinted.  Candidate
+    volume is bounded by the mid-frequency vocabulary selection
+    (module comment); integer idf keeps every accumulation
+    decimal-exact so the pair set hash-verifies against the all-pairs
+    oracle.  Reference has no similarity surface — mandated
+    LLM-pipeline extension (cf. Salton's vector space model; the
+    df-banded vocabulary is the classic 'mid-frequency terms carry
+    the signal' Luhn cut)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= _TFIDF_MIN_DF) & (F.col("df") <= _TFIDF_MAX_DF)
+        )
+    )
+    w = (
+        tf.join(dft, "tok")  # vocab-sized frequency join, unhinted
+        .crossJoin(F.broadcast(n1))  # 1-row corpus-size frame
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.floor(F.col("n_docs") * F.lit(1000.0) / F.col("df"))
+            ).alias("c"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("nn")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("c").alias("ca"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    cos = fround(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "n_shared", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _TFIDF_TAU)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1541,11 +1541,38 @@ _XSL_TOC_BASE = """<xsl:stylesheet version="1.0"
 </xsl:stylesheet>
 """
 
-_XSL_TOC_MAIN = """<xsl:stylesheet version="1.0"
+# r9: the import tree is a 3-level DIAMOND — main imports mid_a then
+# mid_b, and each mid imports toc_base again.  XSLT 1.0 §2.6 assigns
+# precedence by postorder walk: BASE(via a) < MID_A < BASE(via b) <
+# MID_B < MAIN.  The gate pins that exact order: main's sec template
+# apply-imports must land on MID_B (latest import wins), B's
+# apply-imports must land on the SECOND base copy (not MID_A — the
+# diamond loads base once per reference, each at its own precedence),
+# and MID_A's label-mode template still fires because it is the only
+# label template in the tree.  A collapsed diamond, an inverted
+# precedence, or a mis-scoped apply-imports each produce a different
+# wrapper string and break the hash.
+_XSL_TOC_MID_A = """<xsl:stylesheet version="1.0"
     xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
   <xsl:import href="toc_base.xsl"/>
+  <xsl:template match="sec"><a><xsl:apply-imports/></a></xsl:template>
+  <xsl:template match="sec" mode="label"><l>A:<xsl:value-of select="."/></l></xsl:template>
+</xsl:stylesheet>
+"""
+
+_XSL_TOC_MID_B = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:import href="toc_base.xsl"/>
+  <xsl:template match="sec"><b><xsl:apply-imports/></b></xsl:template>
+</xsl:stylesheet>
+"""
+
+_XSL_TOC_MAIN = """<xsl:stylesheet version="1.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:import href="toc_mid_a.xsl"/>
+  <xsl:import href="toc_mid_b.xsl"/>
   <xsl:template match="doc">
-    <toc did="{@id}"><xsl:apply-templates select="sec"/></toc>
+    <toc did="{@id}"><xsl:apply-templates select="sec"/><xsl:apply-templates select="sec" mode="label"/></toc>
   </xsl:template>
   <xsl:template match="sec">
     <e id="{generate-id()}"><num><xsl:number format="i"/></num><xsl:apply-imports/></e>
@@ -1555,14 +1582,19 @@ _XSL_TOC_MAIN = """<xsl:stylesheet version="1.0"
 
 
 def _write_xsl_toc_sheets() -> str:
-    """Only the IMPORTED sheet needs to exist on disk (the import href
-    resolves against base_dir); the main sheet ships as a source
+    """Only the IMPORTED sheets need to exist on disk (import hrefs
+    resolve against base_dir); the main sheet ships as a source
     string."""
     import os
 
     d = scratch_dir("cpx_etl_xsl_toc_")
-    with open(os.path.join(d, "toc_base.xsl"), "w", encoding="utf-8") as fh:
-        fh.write(_XSL_TOC_BASE)
+    for fname, src in (
+        ("toc_base.xsl", _XSL_TOC_BASE),
+        ("toc_mid_a.xsl", _XSL_TOC_MID_A),
+        ("toc_mid_b.xsl", _XSL_TOC_MID_B),
+    ):
+        with open(os.path.join(d, fname), "w", encoding="utf-8") as fh:
+            fh.write(src)
     return d
 
 
@@ -1581,23 +1613,32 @@ def _write_xsl_toc_sheets() -> str:
            CASE WHEN nsec = 3 THEN COALESCE(tk[1], '') || ',' ||
                      COALESCE(tk[2], '') || ',' || COALESCE(tk[3], '')
                 ELSE COALESCE(tk[1], '') || ',' || COALESCE(tk[2], '')
-                END AS sec_tokens
+                END AS sec_tokens,
+           CASE WHEN nsec = 3 THEN 'A:' || COALESCE(tk[1], '') || ',A:' ||
+                     COALESCE(tk[2], '') || ',A:' || COALESCE(tk[3], '')
+                ELSE 'A:' || COALESCE(tk[1], '') || ',A:' ||
+                     COALESCE(tk[2], '') END AS label_a,
+           CAST(nsec AS BIGINT) AS n_b_wraps,
+           CAST(0 AS BIGINT) AS n_a_wraps
     FROM t
     ORDER BY did
     """,
 )
 def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate evidence for the r8 XSLT constructs (xsl:number,
-    generate-id(), xsl:import + precedence, xsl:apply-imports): each
-    document renders a small sectioned XML; the MAIN stylesheet
-    IMPORTS a base sheet, overrides its doc template (import
-    precedence — if precedence broke, the base's <wrong/> wins and
-    every row's extraction collapses), numbers each section with
-    xsl:number format='i' and ids it with generate-id(); apply-imports
-    then falls through to the base's sec template for the token body.
-    The oracle predicts the interpreter's EXACT output arithmetically
-    (roman numbering, d0eN document-order ids, token passthrough) —
-    a numbering/ordering/precedence bug breaks the hash match.
+    """Driver-gate evidence for the XSLT import machinery (xsl:number,
+    generate-id(), xsl:import + precedence, xsl:apply-imports), r9:
+    through a 3-level DIAMOND import tree (main -> {mid_a, mid_b} ->
+    toc_base twice). Postorder precedence BASE(a) < MID_A < BASE(b) <
+    MID_B < MAIN is pinned end-to-end: main's sec template
+    apply-imports into MID_B's <b> wrapper (latest import wins; an
+    <a> wrapper appearing means precedence inverted — n_a_wraps
+    pins 0), MID_B's apply-imports lands on the SECOND base copy (the
+    diamond loads base per-reference; collapsing it would route to
+    MID_A instead), and MID_A's label-mode template still fires as
+    the only mode='label' rule in the tree. Roman xsl:number, d0eN
+    generate-id order, and token passthrough are predicted
+    arithmetically by the oracle — any numbering/ordering/precedence
+    bug breaks the hash match.
     (Reference parity: the XSLT extract pipeline, index.js:87-126.)"""
     from cpx_etl_spark.plans.xsl_chain import xslt_transform_column
 
@@ -1655,6 +1696,15 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.expr("regexp_extract_all(out_xml, '<s t=\"([^\"]*)\"', 1)"), ","
         ).alias("sec_tokens"),
+        F.array_join(
+            F.expr("regexp_extract_all(out_xml, '<l>([^<]*)</l>', 1)"), ","
+        ).alias("label_a"),
+        F.size(F.expr("regexp_extract_all(out_xml, '<b>', 0)"))
+        .cast("long")
+        .alias("n_b_wraps"),
+        F.size(F.expr("regexp_extract_all(out_xml, '<a>', 0)"))
+        .cast("long")
+        .alias("n_a_wraps"),
     ).orderBy("did")
 
 

@@ -5779,3 +5779,189 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day", "hour")
     )
+
+
+# Wilson-score z for 95% confidence; written as the literal product
+# 1.96*1.96 in BOTH engines so constant folding yields the identical
+# IEEE double on each side.
+_WILSON_EXPR = (
+    "(phat + (1.96*1.96)/(2*nd) - 1.96*sqrt((phat*(1.0-phat)"
+    " + (1.96*1.96)/(4*nd))/nd)) / (1.0 + (1.96*1.96)/nd)"
+)
+
+
+@register(
+    "q_wilson_returns",
+    oracle=f"""
+    WITH st AS (
+        SELECT l_partkey AS partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem GROUP BY 1),
+    sc AS (
+        SELECT partkey, n_lines, n_returned,
+               CAST(n_returned AS DOUBLE) / n_lines AS phat,
+               CAST(n_lines AS DOUBLE) AS nd
+        FROM st)
+    SELECT partkey, n_lines, n_returned,
+           ROUND(phat - 1e-9, 6) + 0 AS return_rate,
+           ROUND({_WILSON_EXPR} - 1e-9, 6) + 0 AS wilson_lb
+    FROM sc
+    ORDER BY wilson_lb DESC, partkey
+    LIMIT 20
+    """,
+)
+def q_wilson_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower-bound ranking of per-part return rates — the
+    'sort by rating' primitive done right: the naive rate ranks a
+    1-of-1 returned part above a 40-of-100 one, while the 95% Wilson
+    lower bound discounts small samples, which is exactly why it is
+    the standard ranking for CTR / ratings / defect rates under
+    uncertainty.  Counts are one partial-aggregated groupBy over the
+    fact table (map-side combine, part-cardinality result frame); the
+    Wilson formula is pure IEEE arithmetic on the aggregated frame
+    with the z^2 constant folded identically in both engines, and the
+    top-20 is a TakeOrderedAndProject on the (rounded score, partkey)
+    key — never a global sort of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    st = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_returned"),
+    )
+    sc = st.select(
+        "partkey",
+        "n_lines",
+        "n_returned",
+        (F.col("n_returned").cast("double") / F.col("n_lines")).alias("phat"),
+        F.col("n_lines").cast("double").alias("nd"),
+    )
+    return (
+        sc.select(
+            "partkey",
+            "n_lines",
+            "n_returned",
+            fround(F.col("phat"), 6).alias("return_rate"),
+            fround(F.expr(_WILSON_EXPR), 6).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), "partkey")
+        .limit(20)
+    )
+
+
+# Deterministic Poisson(1) bootstrap: cumulative CDF thresholds written
+# as shared DOUBLE literals (e^-1 * sum 1/j!) so the inverse-CDF CASE
+# ladder folds to the identical constants in both engines; weights cap
+# at 7 (P(X>7) ~ 1e-5 — the tail mass lands on the last bucket).
+_BOOT_THRESH = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119",
+)
+_BOOT_B = 64
+_BOOT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    + " ELSE 7 END"
+)
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT o.o_orderpriority AS priority, gs.b,
+               CAST(concat('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                    || '-' || CAST(gs.b AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0 AS u,
+               CAST(o.o_totalprice AS DECIMAL(20,4)) AS price
+        FROM orders o, generate_series(0, {_BOOT_B - 1}) gs(b)),
+    wts AS (SELECT priority, b, {_BOOT_CASE} AS w, price FROM reps),
+    means AS (
+        SELECT priority, b,
+               ROUND(CAST(SUM(w * price) AS DOUBLE)
+                     / GREATEST(CAST(SUM(w) AS BIGINT), 1) - 1e-9, 4) + 0
+                   AS mean_b
+        FROM wts GROUP BY 1, 2),
+    fullm AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                     / COUNT(*) - 1e-9, 4) + 0 AS mean_full
+        FROM orders GROUP BY 1)
+    SELECT f.priority, f.n_orders, f.mean_full,
+           ROUND(quantile_cont(m.mean_b, 0.05) - 1e-9, 4) + 0 AS ci_lo,
+           ROUND(quantile_cont(m.mean_b, 0.95) - 1e-9, 4) + 0 AS ci_hi
+    FROM means m JOIN fullm f USING (priority)
+    GROUP BY f.priority, f.n_orders, f.mean_full
+    ORDER BY f.priority
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value per
+    priority — the resampling-based uncertainty quantification every
+    metrics pipeline wants and naive RAND() can never gate: the
+    Poisson bootstrap (each row enters replicate b with weight ~
+    Poisson(1), the streaming-friendly bootstrap used at web scale
+    because it needs no global resample pass) with md5-seeded
+    inverse-CDF weights (q_dp_noisy_counts' determinism recipe), 64
+    replicates, exact-decimal weighted means, and exact interpolated
+    p05/p95 over the replicate means.  Scale shape: the explode is a
+    CONSTANT 64x fan-out that partial-aggregates map-side into a
+    (group x 64)-row frame; no shuffle grows with the bootstrap, and
+    per-replicate means are decimal-exact so the CI hash-verifies."""
+    o = _t(spark, sf_dir, "orders")
+    reps = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+    ).select(
+        "priority",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("-"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4503599627370496.0)
+        ).alias("u"),
+        "price",
+    )
+    wts = reps.select("priority", "b", F.expr(_BOOT_CASE).alias("w"), "price")
+    means = wts.groupBy("priority", "b").agg(
+        fround(
+            F.sum(F.col("w") * F.col("price")).cast("double")
+            / F.greatest(F.sum("w"), F.lit(1)),
+            4,
+        ).alias("mean_b")
+    )
+    full = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        davg(F.col("o_totalprice")).alias("mean_full"),
+    )
+    return (
+        means.groupBy("priority")
+        .agg(
+            fround(F.percentile(F.col("mean_b"), F.lit(0.05)), 4).alias("ci_lo"),
+            fround(F.percentile(F.col("mean_b"), F.lit(0.95)), 4).alias("ci_hi"),
+        )
+        .join(full, "priority")
+        .select("priority", "n_orders", "mean_full", "ci_lo", "ci_hi")
+        .orderBy("priority")
+    )

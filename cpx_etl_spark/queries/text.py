@@ -1759,3 +1759,258 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_simpson_diversity",
+    oracle=f"""
+    WITH tc AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest({_TOKENS_SQL}) AS tok FROM documents)
+        WHERE tok != ''
+        GROUP BY 1, 2),
+    st AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               SUM(CAST(c AS DECIMAL(19,0)) * c) AS sq
+        FROM tc GROUP BY source)
+    SELECT source, n_tokens, n_vocab,
+           ROUND(1.0 - CAST(sq AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens) - 1e-9, 6) + 0
+               AS simpson,
+           ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / CAST(sq AS DOUBLE)
+                 - 1e-9, 6) + 0 AS effective_vocab
+    FROM st
+    ORDER BY source
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of the token distribution per source — the
+    LOG-FREE lexical-diversity score (Shannon entropy needs
+    transcendentals that cannot hash-match across engines; Simpson's
+    1 - sum p_i^2 is a pure rational with the same monotone story):
+    the probability two random tokens differ, plus its inverse — the
+    'effective vocabulary size' a uniform distribution would need.
+    Low diversity flags template/boilerplate-dominated sources before
+    they flood dedup.  Two partial-aggregated shuffles (token counts,
+    then per-source moments); sum c^2 accumulates as exact decimals so
+    only the final two IEEE divisions round."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("sq"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return st.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        fround(F.lit(1.0) - F.col("sq").cast("double") / (nt * F.col("n_tokens")), 6)
+        .alias("simpson"),
+        fround(nt * F.col("n_tokens") / F.col("sq").cast("double"), 6)
+        .alias("effective_vocab"),
+    ).orderBy("source")
+
+
+@register(
+    "q_vocab_drift",
+    oracle=f"""
+    WITH mx AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    tk AS (
+        SELECT DISTINCT source, tok,
+               CASE WHEN doc_id * 2 <= (SELECT lo FROM mx) + (SELECT hi FROM mx)
+                    THEN 0 ELSE 1 END AS cohort
+        FROM (SELECT doc_id, source, unnest({_TOKENS_SQL}) AS tok
+              FROM documents)
+        WHERE tok != ''),
+    agg AS (
+        SELECT source, tok,
+               MAX(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS in_early,
+               MAX(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS in_late
+        FROM tk GROUP BY 1, 2),
+    st AS (
+        SELECT source,
+               CAST(SUM(in_early) AS BIGINT) AS vocab_early,
+               CAST(SUM(in_late) AS BIGINT) AS vocab_late,
+               CAST(SUM(in_early * in_late) AS BIGINT) AS vocab_both
+        FROM agg GROUP BY source)
+    SELECT source, vocab_early, vocab_late, vocab_both,
+           ROUND(vocab_both * 1.0
+                 / (vocab_early + vocab_late - vocab_both) - 1e-9, 6) + 0
+               AS jaccard,
+           ROUND((vocab_late - vocab_both) * 1.0
+                 / GREATEST(vocab_late, 1) - 1e-9, 6) + 0 AS pct_new
+    FROM st
+    ORDER BY source
+    """,
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift report per source — the text twin of
+    q_schema_drift: the corpus splits into early/late halves at the
+    doc_id midpoint (a 1-row min/max bounds frame, integer-exact both
+    engines), and per source the distinct-token sets of the halves
+    compare by Jaccard overlap and new-token rate.  A crawl whose
+    late half suddenly speaks different tokens (template change,
+    encoding break, language shift) shows as a Jaccard drop before
+    any downstream metric moves.  Shape: one distinct-token shuffle,
+    then a token-keyed presence aggregation — the set intersection
+    is MAX-flag algebra, never a join of two corpus-sized sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    tk = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .crossJoin(F.broadcast(mx))  # 1-row id-bounds frame
+        .select(
+            "source",
+            "tok",
+            F.when(
+                F.col("doc_id") * 2 <= F.col("lo") + F.col("hi"), F.lit(0)
+            )
+            .otherwise(F.lit(1))
+            .alias("cohort"),
+        )
+        .distinct()
+    )
+    agg = tk.groupBy("source", "tok").agg(
+        F.max(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("in_early"),
+        F.max(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("in_late"),
+    )
+    st = agg.groupBy("source").agg(
+        F.sum("in_early").alias("vocab_early"),
+        F.sum("in_late").alias("vocab_late"),
+        F.sum(F.col("in_early") * F.col("in_late")).alias("vocab_both"),
+    )
+    return st.select(
+        "source",
+        "vocab_early",
+        "vocab_late",
+        "vocab_both",
+        fround(
+            F.col("vocab_both")
+            * F.lit(1.0)
+            / (F.col("vocab_early") + F.col("vocab_late") - F.col("vocab_both")),
+            6,
+        ).alias("jaccard"),
+        fround(
+            (F.col("vocab_late") - F.col("vocab_both"))
+            * F.lit(1.0)
+            / F.greatest(F.col("vocab_late"), F.lit(1)),
+            6,
+        ).alias("pct_new"),
+    ).orderBy("source")
+
+
+# BM25 with the LOG-FREE rational idf (N - df + 0.5)/(df + 0.5) — same
+# house convention as the TF-IDF/PMI rankers: ln() cannot hash-match
+# across engines, and the rational keeps BM25's monotone idf story.
+# k1/b are the classic Robertson defaults.
+_BM25_QUERY = ("system", "data", "market", "report", "analysis")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    toks AS (
+        SELECT doc_id, tok FROM
+            (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+        WHERE tok != ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
+    avgdl AS (SELECT CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS ad FROM dl),
+    q(tok) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY)}),
+    tf AS (
+        SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks t JOIN q ON q.tok = t.tok
+        GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    terms AS (
+        SELECT tf.doc_id,
+               ((n1.n - df.df + 0.5) / (df.df + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B}
+                     * (CAST(dl.dlen AS DOUBLE) / av.ad))) AS w
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN n1 CROSS JOIN avgdl av),
+    scored AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+               ROUND(CAST(SUM(CAST(ROUND(w - 1e-9, 6) AS DECIMAL(20,6)))
+                          AS DOUBLE) - 1e-9, 6) + 0 AS bm25
+        FROM terms GROUP BY doc_id)
+    SELECT doc_id, n_hit_terms, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query —
+    the search-engine ranking primitive (Robertson-Sparck Jones;
+    k1=1.2, b=0.75) with the house log-free rational idf.  Scale
+    shape: the query is a CONSTANT 5-term frame broadcast against the
+    token stream, so tf materializes only for query terms (a
+    query-sized frame, never the full vocabulary); doc lengths are
+    one per-doc aggregate; avgdl and N are 1-row frames; per-term
+    weights tie-round at 6dp BEFORE the per-doc sum (decimal addition
+    of rounded terms is order-independent, so the score
+    hash-verifies), and the top-20 is TakeOrderedAndProject on the
+    (score, doc_id) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    n1 = docs.agg(F.count(F.lit(1)).alias("n"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    avgdl = dl.agg(
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("ad")
+    )
+    q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "tok string")
+    tf = (
+        toks.join(F.broadcast(q), "tok")  # constant 5-term frame
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    w = (
+        ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * (tfd * F.lit(_BM25_K1 + 1.0))
+        / (
+            tfd
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B)
+                * (F.col("dlen").cast("double") / F.col("ad"))
+            )
+        )
+    )
+    terms = (
+        tf.join(F.broadcast(dft), "tok")  # query-sized df frame
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(avgdl))
+        .select("doc_id", fround(w, 6).cast("decimal(20,6)").alias("w"))
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            fround(F.sum("w").cast("double"), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -578,3 +578,39 @@ def test_percentile_cutoffs_have_no_global_limit(spark, sf_dir):
         assert "TakeOrderedAndProject" not in plan, f"{name}: TakeOrdered"
         assert "GlobalLimit" not in plan, f"{name}: GlobalLimit"
         assert "CollectLimit" not in plan, f"{name}: CollectLimit"
+
+
+def test_r9_jvm_side_paths(spark, sf_dir):
+    """The six r9 queries are pure column algebra — no Python UDF
+    nodes — and no cartesian products beyond 1-row scalar frames."""
+    for name in (
+        "q_tfidf_cosine_pairs",
+        "q_wilson_returns",
+        "q_simpson_diversity",
+        "q_vocab_drift",
+        "q_bm25_topk",
+        "q_bootstrap_ci",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} has a Python UDF node in its plan"
+        )
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_r9_topk_is_take_ordered(spark, sf_dir):
+    """The two ranked outputs must plan as TakeOrderedAndProject (a
+    per-partition heap + driver merge of k rows), never a global sort
+    of the scored frame."""
+    for name in ("q_wilson_returns", "q_bm25_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrdered"
+
+
+def test_r9_bootstrap_no_window(spark, sf_dir):
+    """q_bootstrap_ci must aggregate its constant 64x fan-out with
+    hash aggregates (map-side partials), never a window over the
+    exploded frame."""
+    plan = _plan(spark, sf_dir, "q_bootstrap_ci")
+    assert "Window" not in plan, "bootstrap grew a window"
+    assert plan.count("HashAggregate") >= 2
