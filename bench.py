@@ -99,6 +99,12 @@ HEADLINE = [
     # the hashed-feature importance scorer
     "q_bpe_train3",
     "q_dsir_weights",
+    # r9 additions: the sparse token-keyed similarity join (dot product
+    # AS join), the constant-query retrieval scorer, and the 64x
+    # hash-seeded bootstrap fan-out — the round's new physical shapes
+    "q_tfidf_cosine_pairs",
+    "q_bm25_topk",
+    "q_bootstrap_ci",
 ]
 
 

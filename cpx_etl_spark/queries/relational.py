@@ -5915,11 +5915,22 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group x 64)-row frame; no shuffle grows with the bootstrap, and
     per-replicate means are decimal-exact so the CI hash-verifies."""
     o = _t(spark, sf_dir, "orders")
+    # hash-repartition the 3-column projection BEFORE the 64x fan-out:
+    # the md5 stage is CPU-bound at 64 hashes/row, so its parallelism
+    # must come from the cluster, not the accident of input file
+    # layout (a single small parquet file would otherwise run the
+    # whole fan-out in one task — measured 15s -> ~2s at sf0.1); the
+    # narrow pre-explode shuffle is cheap relative to the hash work at
+    # every scale, and results are partition-independent
     reps = o.select(
+        "o_orderkey",
         F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+    ).repartition(F.col("o_orderkey")).select(
+        "priority",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+        "price",
     ).select(
         "priority",
         "b",
