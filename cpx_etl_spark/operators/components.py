@@ -90,3 +90,90 @@ def dedup_clusters(
         src_col=pair_a, dst_col=pair_b,
     )
     return comps.withColumn("is_survivor", F.col(id_col) == F.col("component"))
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): converges in O(log^2 n) ROUNDS regardless of graph
+    diameter, where min-label propagation needs diameter rounds — a
+    10^6-node path graph takes ~40 star rounds vs 10^6 propagation
+    rounds, which is the difference between a job and a hang at 100 TB.
+    Each round is two edge-keyed aggregations + joins (no driver-side
+    graph state; the edge list never leaves the cluster):
+
+      large-star(u): m = min(N(u) + {u}); relink every LARGER
+        neighbor v > u to m  ->  edges stay canonical (big, small)
+        because m <= u < v.
+      small-star(u): over canonical edges (u, v<u): m = min(N<(u));
+        relink u and all its smaller neighbors to m.
+
+    Fixed point: a union of stars centered at each component's minimum
+    id, detected by symmetric exceptAll emptiness (two bounded probe
+    jobs per round on checkpointed frames). Raises on non-convergence
+    (fail-fast, never wrong-answer). Returns (id, component)."""
+    # canonical direction: (big, small)
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star over the symmetric view: neighbors of a = both
+        # directions of the canonical list
+        sym = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over canonical (u, v<u)
+        nm = large.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            large.join(nm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        center = nm.select(F.col("u"), F.col("m").alias("v"))
+        new_e = relink.unionAll(center).distinct().localCheckpoint(eager=True)
+        stable = (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
+        )
+        e = new_e
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixed point in {max_iter} rounds"
+        )
+    # stars centered at the component minimum: every non-center node
+    # has exactly one smaller neighbor (the center); centers/singletons
+    # map to themselves
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.select(F.col(id_col).alias("u"))
+        .join(comp, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("component", "u").alias("component"),
+        )
+    )

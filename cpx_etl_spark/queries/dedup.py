@@ -164,9 +164,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Transitive-closure oracle for BOTH connected-components queries
+# (min-label propagation and the large-star/small-star variant): the
+# algorithm differs, the answer must not.
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_SQL_INDEX},
     cand AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
              FROM tok t1 JOIN tok t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id),
@@ -193,8 +194,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN (SELECT a, MIN(b) AS min_reach FROM reach GROUP BY a) m
            ON m.a = d.doc_id
-    """,
-)
+    """
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> cluster id + survivor
     flag per document. Oracle computes the transitive closure with a
@@ -205,6 +208,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=_NGRAM, threshold=0.5)
     return _clusters(docs, pairs, "doc_id")
+
+
+@register("dedup_clusters_bigstar", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014) over the same near-dup pair graph as
+    dedup_clusters, against the same transitive-closure oracle — the
+    O(log^2 n)-ROUND formulation that replaces min-label propagation
+    when component diameter is unbounded (propagation needs diameter
+    rounds: a chain of pairwise near-dups 10^6 long — template spam,
+    serial crawls — hangs it; star contraction takes ~40). Same
+    output contract: component = min reachable doc_id + survivor
+    flag. Two CC algorithms against ONE oracle pins algorithm-
+    independence of the answer."""
+    from cpx_etl_spark.operators.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=_NGRAM, threshold=0.5)
+    comps = connected_components_star(
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    return comps.withColumn("is_survivor", F.col("doc_id") == F.col("component"))
 
 
 # SimHash oracle: token hash = first 15 hex chars of md5 as BIGINT

@@ -2014,3 +2014,217 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q_lm_fluency_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        FROM t),
+    db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c
+           FROM bg GROUP BY 1, 2, 3),
+    pairs AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2
+              FROM db GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+    ppm AS (SELECT w1, w2, (c2 * 1000000) // c1 AS ppm
+            FROM pairs JOIN ctx USING (w1)),
+    scored AS (
+        SELECT db.doc_id,
+               CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(db.c * ppm.ppm) AS DOUBLE)
+                     / CAST(SUM(db.c) AS DOUBLE) - 1e-9, 6) + 0 AS fluency_ppm
+        FROM db JOIN ppm USING (w1, w2)
+        GROUP BY db.doc_id),
+    cut AS (SELECT ROUND(quantile_cont(fluency_ppm, 0.10) - 1e-9, 6) + 0 AS lo
+            FROM scored)
+    SELECT s.doc_id, s.n_bigrams, s.fluency_ppm,
+           s.fluency_ppm <= cut.lo AS low_fluency
+    FROM scored s CROSS JOIN cut
+    ORDER BY s.doc_id
+    """,
+)
+def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM fluency filter — the CCNet/Gopher perplexity
+    screen with the corpus's own bigram model as the LM: each document
+    is scored by the mean conditional probability of its token
+    transitions under the corpus bigram counts, and the bottom decile
+    is flagged (word salad, boilerplate fragments, wrong-language
+    residue all score low because their transitions are rare
+    corpus-wide). Log-free exactness: per-transition probability is
+    the INTEGER floor((c(w1,w2) * 1e6) / c(w1)) parts-per-million (the
+    tf-idf/decayed-popularity integer-scaling idiom — perplexity's
+    log-sum would be transcendental), summed exactly per doc, with ONE
+    IEEE division (mean) + tie-round at output. Scale shape: the
+    bigram explode + (doc,w1,w2) pre-aggregation are the corpus-sized
+    stages (map-side partials); pair/context frames are
+    bigram-vocabulary-sized and the scoring join is bigram-keyed,
+    UNHINTED (AQE broadcasts while small); the decile cutoff is the
+    exact-percentile SORT-BASED 1-row aggregate broadcast (the
+    q_equidepth_bands pattern) — no fraction-of-corpus TakeOrdered,
+    no plan-build count(). Documents with <2 tokens have no
+    transitions and are excluded (mirrored: the oracle's
+    generate_series is empty for them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    db = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                    F.expr(
+                        "slice(split(text, ' '), 2,"
+                        " greatest(size(split(text, ' ')) - 1, 0))"
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = db.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
+    ctx = pairs.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    ppm = pairs.join(ctx, "w1").select(
+        "w1", "w2", F.expr("(c2 * CAST(1000000 AS BIGINT)) DIV c1").alias("ppm")
+    )
+    scored = (
+        db.join(ppm, ["w1", "w2"])  # bigram-vocab frame; AQE decides
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            fround(
+                F.sum(F.col("c") * F.col("ppm")).cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("fluency_ppm"),
+        )
+    )
+    cut = scored.agg(
+        fround(F.percentile(F.col("fluency_ppm"), F.lit(0.10)), 6).alias("lo")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))  # 1-row cutoff frame
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "fluency_ppm",
+            (F.col("fluency_ppm") <= F.col("lo")).alias("low_fluency"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    pos AS (
+        SELECT doc_id, s.pos AS pos, s.tok AS tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(tk)),
+                            i -> struct_pack(pos := i, tok := tk[i]))) AS s
+              FROM t)),
+    tg AS (
+        SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3, COUNT(*) AS c
+        FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 2),
+                            i -> struct_pack(w1 := tk[i], w2 := tk[i+1],
+                                             w3 := tk[i+2]))) AS s
+              FROM t)
+        GROUP BY 1, 2, 3),
+    q AS (SELECT w1, w2, w3 FROM tg
+          ORDER BY c DESC, w1, w2, w3 LIMIT 1),
+    m AS (
+        SELECT p1.doc_id, p1.pos
+        FROM pos p1 JOIN q ON p1.tok = q.w1
+        JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                   AND p2.tok = q.w2
+        JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+                   AND p3.tok = q.w3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(pos) AS first_pos
+    FROM m GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the
+    text-retrieval primitive LIKE-scans can't do at scale: every
+    occurrence of the corpus's most frequent trigram (deterministic
+    tiebreak), found by intersecting the three terms' postings lists
+    on (doc, adjacent positions). The query phrase derives from the
+    trigram frequency head (a TakeOrdered over the trigram-VOCABULARY
+    frame — aggregated, not corpus-sized) resolved once as a bounded
+    1-row planning action (a production search receives its query as
+    a constant; the derivation only makes the gate deterministic);
+    each postings leg is then term-LITERAL-filtered BEFORE any join
+    (frames are df(term)-sized, the rarest-first principle), and the
+    adjacency join is (doc_id, pos)-keyed equi-join — co-partitioned,
+    no position explode ever re-joins the full corpus. first_pos is
+    1-based. Docs without the phrase simply don't appear (inner
+    semantics, mirrored)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    pos = docs.select(
+        "doc_id", F.posexplode(tk).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    n3 = F.greatest(F.size(tk) - 2, F.lit(0))
+    tg = (
+        docs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(tk, 1, n3),
+                    F.expr(
+                        "slice(split(text, ' '), 2,"
+                        " greatest(size(split(text, ' ')) - 2, 0))"
+                    ),
+                    F.expr(
+                        "slice(split(text, ' '), 3,"
+                        " greatest(size(split(text, ' ')) - 2, 0))"
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.0").alias("w1"),
+            F.col("p.1").alias("w2"),
+            F.col("p.2").alias("w3"),
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Resolve the query phrase ONCE as a bounded 1-row planning action
+    # (TakeOrdered over the aggregated trigram frame; a production
+    # search receives its query as a constant — deriving it here only
+    # makes the gate deterministic). The term literals then sit
+    # directly in each postings filter instead of re-planning the
+    # phrase-head subtree per leg.
+    w1, w2, w3 = (
+        tg.orderBy(F.desc("c"), "w1", "w2", "w3")
+        .limit(1)
+        .select("w1", "w2", "w3")
+        .collect()[0]
+    )
+    p1 = pos.filter(F.col("tok") == F.lit(w1)).select("doc_id", "pos")
+    p2 = pos.filter(F.col("tok") == F.lit(w2)).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2")
+    )
+    p3 = pos.filter(F.col("tok") == F.lit(w3)).select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("pos3")
+    )
+    m = p1.join(
+        p2,
+        (F.col("d2") == F.col("doc_id")) & (F.col("pos2") == F.col("pos") + 1),
+    ).join(
+        p3,
+        (F.col("d3") == F.col("doc_id")) & (F.col("pos3") == F.col("pos") + 2),
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"), F.min("pos").alias("first_pos"))
+        .orderBy("doc_id")
+    )

@@ -255,6 +255,43 @@ def test_connected_components_long_chain_converges(spark):
     assert set(comps.values()) == {0}
 
 
+def test_connected_components_star_chain_few_rounds(spark):
+    """The large-star/small-star point: a 64-long chain (diameter 63,
+    which min-label propagation needs 63 rounds for) converges within
+    a LOG-bounded round budget, labels identical to propagation."""
+    from cpx_etl_spark.operators.components import connected_components_star
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comps = {r["id"]: r["component"] for r in
+             connected_components_star(nodes, edges, max_iter=14).collect()}
+    assert comps == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_mixed_graph(spark):
+    from cpx_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "id long")
+    # {1..4} chain, {5,6,7} triangle, {8,9} via duplicate+reversed
+    # edges, {10}, {11} isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5), (8, 9), (9, 8), (8, 9)],
+        "src long, dst long",
+    )
+    star = {r["id"]: r["component"] for r in
+            connected_components_star(nodes, edges).collect()}
+    prop = {r["id"]: r["component"] for r in
+            connected_components(nodes, edges).collect()}
+    assert star == prop
+    assert star[4] == 1 and star[7] == 5 and star[9] == 8 and star[11] == 11
+
+
 def test_multimodal_resize_and_frame_sample_plumbing(spark):
     from cpx_etl_spark.operators.multimodal import (
         attach_payload,

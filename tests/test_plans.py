@@ -614,3 +614,26 @@ def test_r9_bootstrap_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_bootstrap_ci")
     assert "Window" not in plan, "bootstrap grew a window"
     assert plan.count("HashAggregate") >= 2
+
+
+def test_lm_fluency_percentile_cutoff_no_global_limit(spark, sf_dir):
+    """q_lm_fluency_filter's decile cutoff is the exact-percentile
+    1-row aggregate: no TakeOrdered/GlobalLimit anywhere (the corpus
+    never funnels through a single-point limit) and no Python UDF."""
+    plan = _plan(spark, sf_dir, "q_lm_fluency_filter")
+    assert "TakeOrderedAndProject" not in plan
+    assert "GlobalLimit" not in plan
+    assert "CollectLimit" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_postings_are_filtered_before_join(spark, sf_dir):
+    """The phrase-probe legs must be term-filtered postings, not a
+    corpus-wide position self-join: the only TakeOrdered is the 1-row
+    query-phrase head over the aggregated trigram frame, and the
+    adjacency joins are equi-joins (SortMergeJoin/BroadcastHashJoin),
+    never a cartesian product."""
+    plan = _plan(spark, sf_dir, "q_phrase_search")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
