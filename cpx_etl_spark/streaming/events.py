@@ -330,6 +330,29 @@ def dedup_first_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_first_within_watermark_stream(
+    sdf: DataFrame, watermark: str = "10 days"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): dedup state EXPIRES
+    by event-time watermark instead of living forever — the
+    bounded-state contract plain dropDuplicates lacks on unbounded key
+    domains (its per-key state only grows). The delay is the dedup
+    horizon: duplicates arriving within it are suppressed; the same
+    key MAY legitimately re-emit after the watermark passes it. With a
+    delay spanning the whole replay, exactly one row per key survives
+    (the batch twin used in the equivalence test)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
 # --- stream-stream interval join ---------------------------------------------
 
 ATTRIBUTION_WINDOW_US = 3_600_000_000  # clicks within 1 h before a purchase

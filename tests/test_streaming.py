@@ -66,6 +66,25 @@ def test_dedup_first_stream_matches_batch_keys(spark, sf_dir):
     assert bk == sk
 
 
+def test_dedup_within_watermark_bounded_state_variant(spark, sf_dir):
+    """dropDuplicatesWithinWatermark — the state-expiring dedup API:
+    with a horizon spanning the whole replay, the emitted key set
+    equals the batch distinct-key set and no key is emitted twice."""
+    from cpx_etl_spark.streaming.events import dedup_first_within_watermark_stream
+
+    batch = dedup_first_batch(load_table(spark, sf_dir, "events")).toPandas()
+    stream = _drain(
+        dedup_first_within_watermark_stream(events_stream(spark, sf_dir)),
+        "t_dedup_wm",
+        spark,
+        "append",
+    ).toPandas()
+    bk = set(map(tuple, batch[["user_id", "event_type"]].itertuples(index=False)))
+    sk = [tuple(r) for r in stream[["user_id", "event_type"]].itertuples(index=False)]
+    assert set(sk) == bk
+    assert len(sk) == len(set(sk)), "a key was emitted more than once"
+
+
 def test_sessionize_stream_closed_sessions_match_batch(spark, sf_dir):
     """Every CLOSED session emitted by the stateful streaming sessionizer
     must appear in the batch sessionization with identical bounds."""
