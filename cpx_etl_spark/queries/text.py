@@ -2203,12 +2203,17 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # makes the gate deterministic). The term literals then sit
     # directly in each postings filter instead of re-planning the
     # phrase-head subtree per leg.
-    w1, w2, w3 = (
+    head = (
         tg.orderBy(F.desc("c"), "w1", "w2", "w3")
         .limit(1)
         .select("w1", "w2", "w3")
-        .collect()[0]
+        .collect()
     )
+    # no document has >= 3 tokens => no trigram exists; None literals
+    # make every postings filter empty, flowing the oracle's empty
+    # result through the normal plan/schema (code-review r9: indexing
+    # head[0] crashed where the oracle returned zero rows)
+    w1, w2, w3 = head[0] if head else (None, None, None)
     p1 = pos.filter(F.col("tok") == F.lit(w1)).select("doc_id", "pos")
     p2 = pos.filter(F.col("tok") == F.lit(w2)).select(
         F.col("doc_id").alias("d2"), F.col("pos").alias("pos2")

@@ -37,10 +37,23 @@ def get_spark(
     # If no system protobuf exists, expose the vendored pure-python
     # runtime via PYTHONPATH BEFORE the JVM launches so all child
     # processes inherit it; a real installation always wins.
+    # NOTE: "importable in-process" is NOT the test — if vendor
+    # .activate() already ran in this process, google.protobuf imports
+    # fine here via sys.path, but JVM children inherit only PYTHONPATH
+    # (code-review r9). Export whenever the import resolves to the
+    # vendored tree OR fails entirely; skip only for a real install.
+    vendor_dir = os.path.join(os.path.dirname(__file__), "vendor")
+    needs_export = True
     try:  # pragma: no cover - depends on container contents
-        import google.protobuf  # noqa: F401
+        import google.protobuf as _gp  # noqa: F401
+
+        gp_file = getattr(_gp, "__file__", None)
+        if gp_file:  # real installs and the vendored tree both set it
+            gp_dir = os.path.dirname(os.path.abspath(gp_file))
+            needs_export = gp_dir.startswith(vendor_dir + os.sep)
     except ImportError:
-        vendor_dir = os.path.join(os.path.dirname(__file__), "vendor")
+        pass
+    if needs_export:
         parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
         if vendor_dir not in parts:
             os.environ["PYTHONPATH"] = (

@@ -340,15 +340,19 @@ def dedup_first_within_watermark_stream(
     horizon: duplicates arriving within it are suppressed; the same
     key MAY legitimately re-emit after the watermark passes it. With a
     delay spanning the whole replay, exactly one row per key survives
-    (the batch twin used in the equivalence test)."""
+    (the batch twin used in the equivalence test). The surviving ROW
+    is the first-ARRIVING one — arbitrary across partitionings/runs —
+    so the payload columns are named kept_*, not first_* (code-review
+    r9: only the KEY SET is deterministic; consumers needing a
+    deterministic representative use dedup_first_batch semantics)."""
     return (
         sdf.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select(
             "user_id",
             "event_type",
-            F.col("event_id").alias("first_event_id"),
-            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("kept_event_id"),
+            F.col("ts").alias("kept_ts"),
         )
     )
 

@@ -127,13 +127,30 @@ def test_repeated_bytes_and_message_fields(sm):
     assert list(rt2.value) == [b"a", b"", b"ccc"]
 
 
-def test_varint_and_zigzag_edges():
-    from google.protobuf._minirt import (
-        _unzigzag,
-        _zigzag,
-        dec_varint,
-        enc_varint,
+def _load_minirt():
+    """Load the vendored _minirt BY FILE PATH, not through the
+    google.protobuf namespace: on a machine with a real protobuf
+    installed, activate() correctly defers to it and the namespace
+    import would raise — but this test targets the vendored code
+    itself, which exists regardless (code-review r9)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        vendor._VENDOR_DIR, "google", "protobuf", "_minirt.py"
     )
+    spec = importlib.util.spec_from_file_location("_cpx_minirt_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_varint_and_zigzag_edges():
+    minirt = _load_minirt()
+    _unzigzag = minirt._unzigzag
+    _zigzag = minirt._zigzag
+    dec_varint = minirt.dec_varint
+    enc_varint = minirt.enc_varint
 
     for v in (0, 1, 127, 128, 300, 2**32, 2**63 - 1, -1, -(2**63)):
         buf = bytearray()
@@ -160,3 +177,46 @@ def test_activate_is_idempotent_and_defers_to_system():
     assert second is False
     assert sys.path.count(vendor._VENDOR_DIR) <= 1
     assert first in (True, False)
+
+
+def test_repeated_message_kwarg_copies(sm):
+    """Construction kwargs must COPY repeated sub-messages (real
+    protobuf semantics): mutating the original afterward cannot change
+    the already-built message, and wrong-typed items fail at
+    construction, not inside SerializeToString."""
+    p = sm.KeyAndValuePair(key=b"k", value=b"v")
+    m = sm.StateResponseWithMapIterator(kvPair=[p])
+    p.key = b"changed"
+    assert m.kvPair[0].key == b"k"
+    with pytest.raises(TypeError):
+        sm.StateResponseWithMapIterator(kvPair=[b"not-a-message"])
+
+
+def test_worker_zip_name_tracks_source_digest(tmp_path, monkeypatch):
+    """activate_for_workers keys the shipped zip by a digest of the
+    vendored sources: an edited runtime gets a fresh zip instead of a
+    stale cached one from shared /tmp."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+
+    class _FakeSC:
+        def addPyFile(self, p):
+            self.path = p
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    z1 = vendor.activate_for_workers(_FakeSpark())
+    assert z1.startswith(str(tmp_path)) and z1.endswith(".zip")
+    import os
+    import zipfile
+
+    assert os.path.exists(z1)
+    with zipfile.ZipFile(z1) as zf:
+        assert any(n.endswith("_minirt.py") for n in zf.namelist())
+    # same sources -> same name (cache hit), no rebuild artifacts left
+    z2 = vendor.activate_for_workers(_FakeSpark())
+    assert z2 == z1
+    leftovers = [p for p in os.listdir(tmp_path) if not p.endswith(".zip")]
+    assert leftovers == []
