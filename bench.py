@@ -105,6 +105,11 @@ HEADLINE = [
     "q_tfidf_cosine_pairs",
     "q_bm25_topk",
     "q_bootstrap_ci",
+    # late-r9: the alternating star-contraction iterative shape (CC
+    # with log-round convergence) and the bigram-vocab scoring join
+    # behind the LM fluency screen
+    "dedup_clusters_bigstar",
+    "q_lm_fluency_filter",
 ]
 
 

@@ -364,6 +364,7 @@ def test_survey_names_match_registry():
         "dedup_embedding",
         "click_attribution_outer_stream",
         "bloom_dedup_stream",
+        "dedup_first_within_watermark_stream",
     }
     prefixes = ("q_", "dedup_", "ann_", "text_", "stream_", "mm_")
     query_shaped = {
