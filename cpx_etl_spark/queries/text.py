@@ -2233,3 +2233,269 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matches"), F.min("pos").alias("first_pos"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-evaluation statistics: before a quality/language filter gates a
+# 100 TB corpus, its discrimination (ROC AUC), calibration (reliability
+# bins), and agreement with a second judge (Cohen's kappa) need to be
+# measured ON the corpus — the validation step between "wrote a filter"
+# and "deleted 30% of the training data". Reference analogue: the
+# validate/execMatchValidate stage (src/main/js/etl.js validate) scores
+# rows against a declared contract; these queries score the CLASSIFIER
+# against the corpus. All three are transcendental-free exact rationals
+# (integer pair counts / contingency cells) so DuckDB agrees bitwise.
+# ---------------------------------------------------------------------------
+
+# Shared scored frame: the clipped-linear quality signal (same expression
+# as text_quality_score) as the predictor, English-vs-not as the label.
+_SCORED_EN_SQL = f"""
+    SELECT source,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           ROUND(GREATEST(0.0, LEAST(1.0,
+               0.12 * (list_sum(list_transform({_TOKENS_SQL}, s -> length(s)))
+                       * 1.0 / len({_TOKENS_SQL}))
+               + 0.5 * (len(list_filter({_TOKENS_SQL},
+                       s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])})))
+                       * 1.0 / len({_TOKENS_SQL}))
+               - 2.0 * (len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+                       * 1.0 / length(text)))) - 1e-9, 4) + 0 AS q
+    FROM documents"""
+
+
+def _scored_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, y, q): quality score + is-English label per document."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang", "text")
+    t = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        token_count(F.col("text")).alias("n_tokens"),
+        sum_token_lengths(tokens(F.col("text"))).alias("sum_len"),
+        punct_count(F.col("text")).alias("n_punct"),
+        stopword_count(tokens(F.col("text")), STOPWORDS["en"]).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.select(
+        "source",
+        "y",
+        quality_score(
+            F.col("sum_len") / F.col("n_tokens"),
+            F.col("n_stop") / F.col("n_tokens"),
+            F.col("n_punct") / F.col("n_chars"),
+        ).alias("q"),
+    )
+
+
+@register(
+    "q_filter_auc",
+    oracle=f"""
+    WITH scored AS ({_SCORED_EN_SQL}),
+    cells AS (
+        SELECT source, q,
+               SUM(y) AS p,
+               SUM(1 - y) AS nq
+        FROM scored GROUP BY 1, 2),
+    run AS (
+        SELECT source, q, p, nq,
+               SUM(nq) OVER (PARTITION BY source ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nq
+                   AS cum_below
+        FROM cells)
+    SELECT source,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(nq) AS BIGINT) AS n_neg,
+           CAST(SUM(p * (2 * cum_below + nq)) AS BIGINT) AS u2,
+           ROUND(SUM(p * (2 * cum_below + nq)) * 1.0
+               / (2.0 * SUM(p) * SUM(nq)) - 1e-9, 6) + 0 AS auc
+    FROM run GROUP BY source
+    HAVING SUM(p) > 0 AND SUM(nq) > 0
+    ORDER BY source
+    """,
+)
+def q_filter_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the quality score as an English-detector, per
+    source — the Mann-Whitney U statistic as pure integer pair counts.
+
+    Scale shape: the corpus collapses FIRST to per-(source, score)
+    class counts — the predictor is a 4-dp clipped score, so the
+    grouped frame is bounded by the score DOMAIN (<= 10,001 distinct
+    values per source), not the corpus. The running
+    negatives-below-this-score sum is a window over that domain-sized
+    frame; a 10^9-row corpus and a 10^5-row corpus window over the
+    same <= 10k rows per source. U counts concordant pairs without
+    enumerating any pair: at score s, each of p_s positives beats
+    cum_below negatives and half-ties with the nq_s negatives at s, so
+    u2 = sum(p_s * (2*cum_below + nq_s)) is twice the U statistic and
+    AUC = u2 / (2 * n_pos * n_neg) — integers until the final
+    division. Degenerate single-class sources are filtered on BOTH
+    engines (HAVING mirror)."""
+    from pyspark.sql.window import Window
+
+    scored = _scored_en(spark, sf_dir)
+    cells = scored.groupBy("source", "q").agg(
+        F.sum("y").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).alias("nq"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cells.withColumn("cum_below", F.sum("nq").over(w) - F.col("nq"))
+    u2 = F.sum(F.col("p") * (F.lit(2) * F.col("cum_below") + F.col("nq")))
+    return (
+        run.groupBy("source")
+        .agg(
+            F.sum("p").cast("long").alias("n_pos"),
+            F.sum("nq").cast("long").alias("n_neg"),
+            u2.cast("long").alias("u2"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            "u2",
+            fround(
+                F.col("u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+            ).alias("auc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_score_calibration",
+    oracle=f"""
+    WITH scored AS ({_SCORED_EN_SQL}),
+    binned AS (
+        SELECT source, LEAST(CAST(FLOOR(q * 10) AS INT), 9) AS bin, q, y
+        FROM scored),
+    bins AS (
+        SELECT source, bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(q AS DECIMAL(20,4))) AS DOUBLE) AS sum_q
+        FROM binned GROUP BY 1, 2)
+    SELECT source, bin, n, n_pos,
+           ROUND(sum_q / n - 1e-9, 6) + 0 AS avg_conf,
+           ROUND(n_pos * 1.0 / n - 1e-9, 6) + 0 AS pos_rate,
+           ROUND(ABS(sum_q / n - n_pos * 1.0 / n) - 1e-9, 6) + 0 AS gap
+    FROM bins ORDER BY source, bin
+    """,
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality score read as
+    P(document is English): 10 fixed-width confidence bins per source,
+    mean predicted confidence vs empirical positive rate, and the
+    per-bin |gap| that Expected Calibration Error weights. A filter
+    whose 0.9-bin is only 60% English gates on a lie; this is the
+    table that catches it BEFORE thresholding a 100 TB corpus.
+
+    Scale shape: one map-side-combinable groupBy to (source, bin) —
+    at most 10 bins x |sources| rows regardless of corpus size. The
+    bin index floors q*10 (identical IEEE expression both engines;
+    q = 1.0 clamps into bin 9); the mean confidence accumulates the
+    4-dp scores in exact DECIMAL so partition order cannot move the
+    double sum."""
+    scored = _scored_en(spark, sf_dir)
+    binned = scored.select(
+        "source",
+        F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "q",
+        "y",
+    )
+    bins = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("q").cast("decimal(20,4)")).cast("double").alias("sum_q"),
+    )
+    avg_conf = F.col("sum_q") / F.col("n")
+    pos_rate = F.col("n_pos") / F.col("n")
+    return bins.select(
+        "source",
+        "bin",
+        "n",
+        "n_pos",
+        fround(avg_conf, 6).alias("avg_conf"),
+        fround(pos_rate, 6).alias("pos_rate"),
+        fround(F.abs(avg_conf - pos_rate), 6).alias("gap"),
+    ).orderBy("source", "bin")
+
+
+@register(
+    "q_judge_agreement",
+    oracle=f"""
+    WITH pred AS (
+        SELECT source,
+               CASE WHEN {sql_lang_id(_TOKENS_SQL)} = 'en' THEN 1 ELSE 0 END AS a_en,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b_en
+        FROM documents),
+    cells AS (
+        SELECT source,
+               CAST(SUM(a_en * b_en) AS BIGINT) AS tt,
+               CAST(SUM(a_en * (1 - b_en)) AS BIGINT) AS tf,
+               CAST(SUM((1 - a_en) * b_en) AS BIGINT) AS ft,
+               CAST(SUM((1 - a_en) * (1 - b_en)) AS BIGINT) AS ff
+        FROM pred GROUP BY source)
+    SELECT source, tt, tf, ft, ff,
+           ROUND(((tt + tf + ft + ff) * (tt + ff)
+                   - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))) * 1.0
+               / ((tt + tf + ft + ff) * (tt + tf + ft + ff)
+                   - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff)))
+               - 1e-9, 6) + 0 AS kappa
+    FROM cells
+    WHERE (tt + tf + ft + ff) * (tt + tf + ft + ff)
+          <> ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+    ORDER BY source
+    """,
+)
+def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two judges of 'is this document English' —
+    the stopword-profile lang_id prediction (judge A) vs the declared
+    lang column (judge B), per source. Chance-corrected agreement is
+    the standard check before trusting a cheap model-judge to relabel
+    a corpus; raw accuracy rewards a judge that answers the majority
+    class every time, kappa does not.
+
+    Scale shape: one map-side-combinable aggregation to the four 2x2
+    contingency cells per source; kappa is computed from the cells as
+    exact BIGINT products (kappa = (n*(tt+ff) - sum_marginals) /
+    (n^2 - sum_marginals)) with the single final division in IEEE
+    double. Degenerate tables (chance agreement = 1, e.g. a judge
+    that answers one class for every row AND matches) are excluded on
+    both engines by the identical zero-denominator predicate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang", "text")
+    pred = docs.select(
+        "source",
+        F.when(lang_id(tokens(F.col("text"))) == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("a_en"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("b_en"),
+    )
+    cells = pred.groupBy("source").agg(
+        F.sum(F.col("a_en") * F.col("b_en")).cast("long").alias("tt"),
+        F.sum(F.col("a_en") * (F.lit(1) - F.col("b_en"))).cast("long").alias("tf"),
+        F.sum((F.lit(1) - F.col("a_en")) * F.col("b_en")).cast("long").alias("ft"),
+        F.sum((F.lit(1) - F.col("a_en")) * (F.lit(1) - F.col("b_en")))
+        .cast("long")
+        .alias("ff"),
+    )
+    n = F.col("tt") + F.col("tf") + F.col("ft") + F.col("ff")
+    marg = (F.col("tt") + F.col("tf")) * (F.col("tt") + F.col("ft")) + (
+        F.col("ft") + F.col("ff")
+    ) * (F.col("tf") + F.col("ff"))
+    return (
+        cells.filter(n * n != marg)
+        .select(
+            "source",
+            "tt",
+            "tf",
+            "ft",
+            "ff",
+            fround((n * (F.col("tt") + F.col("ff")) - marg) / (n * n - marg), 6).alias(
+                "kappa"
+            ),
+        )
+        .orderBy("source")
+    )
