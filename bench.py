@@ -110,6 +110,12 @@ HEADLINE = [
     # behind the LM fluency screen
     "dedup_clusters_bigstar",
     "q_lm_fluency_filter",
+    # late-r9: filter-evaluation statistics — the domain-bounded
+    # Mann-Whitney window and the two map-side-combinable contingency
+    # reductions
+    "q_filter_auc",
+    "q_score_calibration",
+    "q_judge_agreement",
 ]
 
 

@@ -4531,20 +4531,34 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank -> fractional position in the global sorted vector ->
     linear interpolation between the two bracketing order statistics.
     percent_rank is an exact rational in both engines; interpolation is
-    IEEE arithmetic; one tie-round at output. The reference vector is
-    built here with a global row_number — at 100 TB the reference is a
-    fixed-size quantile sketch (e.g. 10k evenly-spaced order stats).
-    The ref joins are deliberately UNHINTED (r8 ADVICE: a pinned
-    F.broadcast on the document-cardinality ref frame hard-fails the
-    broadcast limit at scale) — AQE broadcasts them while they are
-    actually small and degrades to a shuffle join gracefully when
-    they are not; the per-doc side never sorts globally."""
+    IEEE arithmetic; one tie-round at output. The global rank behind
+    the reference vector is TWO-PHASE (plan-lint r9: the naive
+    Window.orderBy row_number funnels the corpus through one
+    partition): rank(doc) = docs-with-smaller-value (a running sum
+    over the DOMAIN-sized distinct-value frame, same bounded-window
+    posture as q_filter_auc) + rank within the value cell
+    (partitionBy(n_chars) — distributes across the cluster). The ref
+    joins are deliberately UNHINTED (r8 ADVICE: a pinned F.broadcast
+    on the document-cardinality ref frame hard-fails the broadcast
+    limit at scale) — AQE broadcasts them while they are actually
+    small and degrades to a shuffle join gracefully when they are
+    not; the per-doc side never sorts globally."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    ref = docs.select(
-        F.col("n_chars").alias("v"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rn"),
+    cells = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.select(
+        "v", (F.sum("c").over(wv) - F.col("c")).alias("cum_below")
+    )
+    wr = Window.partitionBy("n_chars").orderBy("doc_id")
+    ref = (
+        docs.select("n_chars", "doc_id")
+        .withColumn("wr", F.row_number().over(wr))
+        .join(cum, F.col("n_chars") == F.col("v"))  # unhinted: AQE decides
+        .select("v", (F.col("cum_below") + F.col("wr")).alias("rn"))
     )
     n_total = docs.agg(F.count(F.lit(1)).alias("n"))
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
