@@ -957,3 +957,84 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+_TRUNC_DIM = 16
+
+
+@register(
+    "q_ann_dim_tradeoff",
+    oracle=f"""
+    WITH cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+    full_ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ROUND({sql_cosine('eq.embedding', 'ec.embedding', _DIM)} - 1e-9, 6)
+                       DESC,
+                   neighbor_id) AS rank
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.neighbor_id),
+    trunc_ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   ROUND({sql_cosine('eq.embedding', 'ec.embedding', _TRUNC_DIM)} - 1e-9, 6)
+                       DESC,
+                   neighbor_id) AS rank
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.neighbor_id)
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.neighbor_id) * 1.0 / 10 - 1e-9, 6) + 0 AS recall
+    FROM (SELECT * FROM full_ranked WHERE rank <= 10) f
+    LEFT JOIN (SELECT * FROM trunc_ranked WHERE rank <= 10) t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def q_ann_dim_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit: top-10 cosine neighbors from
+    the FIRST 16 of 64 embedding dimensions vs the full-dimension
+    ground truth, recall@10 per query — the measurement behind the
+    matryoshka-style serving decision (a 4x smaller vector is a 4x
+    cheaper scan, shuffle, and index at 100 TB; this query says what
+    that buys costs in recall, BEFORE the cheap representation is
+    deployed corpus-wide).
+
+    Scale shape: two brute-force passes over the same candidate frame
+    (constant query set broadcast against the corpus — linear, the
+    exact posture of ann_bruteforce_topk); the truncated pass slices
+    the stored vector, it does not re-read anything. Both rankings use
+    the 6-dp rounded cosine with the vec_id tiebreak, so the two
+    top-10 SETS are deterministic in both engines; the overlap count
+    is then integer-exact. Full side LEFT JOINs the truncated side so
+    a zero-overlap query still reports recall 0 instead of vanishing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    full = brute_force_topk(emb, qs, "vec_id", "embedding", k=10)
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
+    )
+    trunc = brute_force_topk(
+        emb_t, emb_t.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    ).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    return (
+        full.join(
+            trunc,
+            (F.col("tq") == F.col("query_id")) & (F.col("tn") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("tn").alias("n_overlap"),
+            fround(F.count("tn") / F.lit(10), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
