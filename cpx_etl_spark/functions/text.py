@@ -88,6 +88,34 @@ def quality_score(mean_token_len: Column, stop_ratio: Column, punct_ratio: Colum
     return F.round(clipped - 1e-9, 4)
 
 
+def sql_quality_score(mean_len_sql: str, stop_ratio_sql: str, punct_ratio_sql: str) -> str:
+    """DuckDB twin of quality_score() over caller-supplied ratio SQL —
+    the ONE place the 0.12/0.5/-2.0 weights and the clip/round contract
+    live on the oracle side (code-review r9: the expression had been
+    hand-copied into four oracles; a weight change had to hit all four
+    or the oracles silently disagreed)."""
+    return (
+        f"ROUND(GREATEST(0.0, LEAST(1.0, "
+        f"0.12 * ({mean_len_sql}) "
+        f"+ 0.5 * ({stop_ratio_sql}) "
+        f"- 2.0 * ({punct_ratio_sql}))) - 1e-9, 4) + 0"
+    )
+
+
+def sql_quality_score_from_text(tokens_sql: str, text_col: str = "text") -> str:
+    """sql_quality_score instantiated directly over a raw text column
+    (the form document-scoring oracles use)."""
+    stop_list = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return sql_quality_score(
+        f"list_sum(list_transform({tokens_sql}, s -> length(s))) * 1.0"
+        f" / len({tokens_sql})",
+        f"len(list_filter({tokens_sql}, s -> s IN ({stop_list}))) * 1.0"
+        f" / len({tokens_sql})",
+        f"len(regexp_extract_all({text_col}, '{PUNCT_PATTERN}')) * 1.0"
+        f" / length({text_col})",
+    )
+
+
 def lang_scores(tokens_col: Column) -> dict[str, Column]:
     return {lang: stopword_count(tokens_col, words) for lang, words in STOPWORDS.items()}
 

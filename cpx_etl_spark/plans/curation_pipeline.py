@@ -21,6 +21,7 @@ from cpx_etl_spark.functions.text import (
     STOPWORDS,
     punct_count,
     quality_score,
+    sql_quality_score_from_text,
     stopword_count,
     sum_token_lengths,
     token_count,
@@ -40,14 +41,7 @@ def _quality_expr():
     return quality_score(mean_len, stop_ratio, punct_ratio)
 
 
-_SQL_QUALITY = f"""ROUND(GREATEST(0.0, LEAST(1.0,
-    0.12 * (list_sum(list_transform({_TOKENS_SQL}, s -> length(s))) * 1.0
-            / len({_TOKENS_SQL}))
-    + 0.5 * (len(list_filter({_TOKENS_SQL},
-             s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])}))) * 1.0
-             / len({_TOKENS_SQL}))
-    - 2.0 * (len(regexp_extract_all(text, '{PUNCT_PATTERN}')) * 1.0
-             / length(text)))) - 1e-9, 4) + 0"""
+_SQL_QUALITY = sql_quality_score_from_text(_TOKENS_SQL)
 
 
 def _apply_step(df: DataFrame, step: dict) -> DataFrame:

@@ -15,6 +15,8 @@ from cpx_etl_spark.functions.text import (
     punct_count,
     quality_score,
     sql_lang_id,
+    sql_quality_score,
+    sql_quality_score_from_text,
     stopword_count,
     sum_token_lengths,
     token_count,
@@ -61,10 +63,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sum_len * 1.0 / n_tokens - 1e-9, 4) + 0 AS mean_token_len,
            ROUND(n_stop * 1.0 / n_tokens - 1e-9, 6) + 0 AS stopword_ratio,
            ROUND(n_punct * 1.0 / n_chars - 1e-9, 6) + 0 AS punct_ratio,
-           ROUND(GREATEST(0.0, LEAST(1.0,
-               0.12 * (sum_len * 1.0 / n_tokens)
-               + 0.5 * (n_stop * 1.0 / n_tokens)
-               - 2.0 * (n_punct * 1.0 / n_chars))) - 1e-9, 4) + 0 AS quality
+           {sql_quality_score("sum_len * 1.0 / n_tokens",
+                              "n_stop * 1.0 / n_tokens",
+                              "n_punct * 1.0 / n_chars")} AS quality
     FROM t
     """,
 )
@@ -127,14 +128,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT doc_id, text,
                len({_TOKENS_SQL}) AS n_tokens,
-               ROUND(GREATEST(0.0, LEAST(1.0,
-                   0.12 * (list_sum(list_transform({_TOKENS_SQL}, s -> length(s))) * 1.0
-                           / len({_TOKENS_SQL}))
-                   + 0.5 * (len(list_filter({_TOKENS_SQL},
-                         s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])}))) * 1.0
-                           / len({_TOKENS_SQL}))
-                   - 2.0 * (len(regexp_extract_all(text, '{PUNCT_PATTERN}')) * 1.0
-                           / length(text)))) - 1e-9, 4) + 0 AS quality
+               {sql_quality_score_from_text(_TOKENS_SQL)} AS quality
         FROM documents),
     kept AS (SELECT * FROM scored
              WHERE quality >= 0.55 AND n_tokens BETWEEN 20 AND 200),
@@ -2252,14 +2246,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCORED_EN_SQL = f"""
     SELECT source,
            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           ROUND(GREATEST(0.0, LEAST(1.0,
-               0.12 * (list_sum(list_transform({_TOKENS_SQL}, s -> length(s)))
-                       * 1.0 / len({_TOKENS_SQL}))
-               + 0.5 * (len(list_filter({_TOKENS_SQL},
-                       s -> s IN ({", ".join(repr(w) for w in STOPWORDS["en"])})))
-                       * 1.0 / len({_TOKENS_SQL}))
-               - 2.0 * (len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
-                       * 1.0 / length(text)))) - 1e-9, 4) + 0 AS q
+           {sql_quality_score_from_text(_TOKENS_SQL)} AS q
     FROM documents"""
 
 
@@ -2304,8 +2291,7 @@ def _scored_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(SUM(p) AS BIGINT) AS n_pos,
            CAST(SUM(nq) AS BIGINT) AS n_neg,
-           CAST(SUM(p * (2 * cum_below + nq)) AS BIGINT) AS u2,
-           ROUND(SUM(p * (2 * cum_below + nq)) * 1.0
+           ROUND(CAST(SUM(CAST(p AS HUGEINT) * (2 * cum_below + nq)) AS DOUBLE)
                / (2.0 * SUM(p) * SUM(nq)) - 1e-9, 6) + 0 AS auc
     FROM run GROUP BY source
     HAVING SUM(p) > 0 AND SUM(nq) > 0
@@ -2326,9 +2312,14 @@ def q_filter_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerating any pair: at score s, each of p_s positives beats
     cum_below negatives and half-ties with the nq_s negatives at s, so
     u2 = sum(p_s * (2*cum_below + nq_s)) is twice the U statistic and
-    AUC = u2 / (2 * n_pos * n_neg) — integers until the final
-    division. Degenerate single-class sources are filtered on BOTH
-    engines (HAVING mirror)."""
+    AUC = u2 / (2 * n_pos * n_neg). u2 can exceed int64 (it is
+    pair-count-scaled, ~n_pos*n_neg), so the accumulation is exact
+    DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB (code-review
+    r9: a BIGINT u2 wraps silently in Spark and raises in DuckDB at
+    ~3e9 rows per source — the engines diverged exactly at the stated
+    scale posture); the single division is double on both engines.
+    Degenerate single-class sources are filtered on BOTH engines
+    (HAVING mirror)."""
     from pyspark.sql.window import Window
 
     scored = _scored_en(spark, sf_dir)
@@ -2342,22 +2333,24 @@ def q_filter_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = cells.withColumn("cum_below", F.sum("nq").over(w) - F.col("nq"))
-    u2 = F.sum(F.col("p") * (F.lit(2) * F.col("cum_below") + F.col("nq")))
+    u2 = F.sum(
+        F.col("p").cast("decimal(19,0)")
+        * (F.lit(2) * F.col("cum_below") + F.col("nq")).cast("decimal(19,0)")
+    )
     return (
         run.groupBy("source")
         .agg(
             F.sum("p").cast("long").alias("n_pos"),
             F.sum("nq").cast("long").alias("n_neg"),
-            u2.cast("long").alias("u2"),
+            u2.cast("double").alias("_u2"),
         )
         .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select(
             "source",
             "n_pos",
             "n_neg",
-            "u2",
             fround(
-                F.col("u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+                F.col("_u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
             ).alias("auc"),
         )
         .orderBy("source")
@@ -2437,16 +2430,18 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(a_en * (1 - b_en)) AS BIGINT) AS tf,
                CAST(SUM((1 - a_en) * b_en) AS BIGINT) AS ft,
                CAST(SUM((1 - a_en) * (1 - b_en)) AS BIGINT) AS ff
-        FROM pred GROUP BY source)
+        FROM pred GROUP BY source),
+    scored AS (
+        SELECT source, tt, tf, ft, ff,
+               CAST(tt + tf + ft + ff AS DOUBLE) AS nd,
+               CAST(tt + tf AS DOUBLE) * CAST(tt + ft AS DOUBLE)
+                   + CAST(ft + ff AS DOUBLE) * CAST(tf + ff AS DOUBLE) AS margd
+        FROM cells)
     SELECT source, tt, tf, ft, ff,
-           ROUND(((tt + tf + ft + ff) * (tt + ff)
-                   - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))) * 1.0
-               / ((tt + tf + ft + ff) * (tt + tf + ft + ff)
-                   - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff)))
-               - 1e-9, 6) + 0 AS kappa
-    FROM cells
-    WHERE (tt + tf + ft + ff) * (tt + tf + ft + ff)
-          <> ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+           ROUND((nd * CAST(tt + ff AS DOUBLE) - margd)
+               / (nd * nd - margd) - 1e-9, 6) + 0 AS kappa
+    FROM scored
+    WHERE nd * nd <> margd
     ORDER BY source
     """,
 )
@@ -2459,12 +2454,16 @@ def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     class every time, kappa does not.
 
     Scale shape: one map-side-combinable aggregation to the four 2x2
-    contingency cells per source; kappa is computed from the cells as
-    exact BIGINT products (kappa = (n*(tt+ff) - sum_marginals) /
-    (n^2 - sum_marginals)) with the single final division in IEEE
-    double. Degenerate tables (chance agreement = 1, e.g. a judge
-    that answers one class for every row AND matches) are excluded on
-    both engines by the identical zero-denominator predicate."""
+    contingency cells per source; the cells stay exact BIGINT counts,
+    but the n^2-scale terms (n*n and the marginal products) are
+    computed in IEEE DOUBLE on BOTH engines (kappa = (n*(tt+ff) -
+    sum_marginals) / (n^2 - sum_marginals)) — code-review r9: BIGINT
+    n*n wraps silently in Spark and raises in DuckDB past ~3e9 rows
+    per source; double products are exact below 2^53 (so the gate
+    hash is unchanged) and degrade identically in both engines above
+    it. Degenerate tables (chance agreement = 1, e.g. a judge that
+    answers one class for every row AND matches) are excluded on both
+    engines by the identical zero-denominator predicate."""
     docs = load_table(spark, sf_dir, "documents").select("source", "lang", "text")
     pred = docs.select(
         "source",
@@ -2481,21 +2480,25 @@ def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ff"),
     )
-    n = F.col("tt") + F.col("tf") + F.col("ft") + F.col("ff")
-    marg = (F.col("tt") + F.col("tf")) * (F.col("tt") + F.col("ft")) + (
-        F.col("ft") + F.col("ff")
-    ) * (F.col("tf") + F.col("ff"))
+    nd = (F.col("tt") + F.col("tf") + F.col("ft") + F.col("ff")).cast("double")
+    margd = (F.col("tt") + F.col("tf")).cast("double") * (
+        F.col("tt") + F.col("ft")
+    ).cast("double") + (F.col("ft") + F.col("ff")).cast("double") * (
+        F.col("tf") + F.col("ff")
+    ).cast("double")
     return (
-        cells.filter(n * n != marg)
+        cells.filter(nd * nd != margd)
         .select(
             "source",
             "tt",
             "tf",
             "ft",
             "ff",
-            fround((n * (F.col("tt") + F.col("ff")) - marg) / (n * n - marg), 6).alias(
-                "kappa"
-            ),
+            fround(
+                (nd * (F.col("tt") + F.col("ff")).cast("double") - margd)
+                / (nd * nd - margd),
+                6,
+            ).alias("kappa"),
         )
         .orderBy("source")
     )

@@ -39,8 +39,6 @@ def test_auc_is_one_for_perfect_separator(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r["n_pos"], r["n_neg"]) == (4, 6)
-    # u2 = 2 * n_pos * n_neg when all pairs are concordant
-    assert r["u2"] == 2 * 4 * 6
     assert r["auc"] == 1.0
 
 

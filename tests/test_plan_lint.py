@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from plan_lint import _ALLOW, _PATTERNS, _single_partition_funnels  # noqa: E402
+from plan_lint import _ALLOW_FUNNELS, _PATTERNS, _single_partition_funnels  # noqa: E402
 
 
 def _plan(df) -> str:
@@ -23,12 +23,17 @@ def test_cartesian_product_detected(spark):
     a = spark.range(100).select(F.col("id").alias("x"))
     b = spark.range(100).select(F.col("id").alias("y"))
     # keyless crossJoin of two multi-row frames with the broadcast
-    # path disabled plans as CartesianProduct
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # path disabled plans as CartesianProduct. Save/RESTORE the
+    # threshold (code-review r9: conf.unset drops the session-scoped
+    # fixture to Spark's 10MB default, not get_spark's configured
+    # value, order-dependently breaking later plan-shape tests)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
     try:
         plan = _plan(a.crossJoin(b))
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set(key, old)
     assert "CartesianProduct" in plan
     assert "CartesianProduct" in _PATTERNS
 
@@ -81,6 +86,24 @@ def test_quantile_normalize_rank_is_two_phase(spark, sf_dir):
         )
 
 
-def test_allowlist_entries_have_reasons():
-    for key, reason in _ALLOW.items():
-        assert isinstance(reason, str) and len(reason) > 20, key
+def test_allowlist_entries_have_reasons_and_anchors():
+    for name, entries in _ALLOW_FUNNELS.items():
+        for prefix, reason in entries:
+            assert isinstance(prefix, str) and len(prefix) >= 7, (name, prefix)
+            assert isinstance(reason, str) and len(reason) > 20, (name, prefix)
+
+
+def test_new_funnel_in_allowed_query_still_reports(spark):
+    """The allowlist is anchored to the audited child prefix: a fresh
+    corpus-sized funnel inside an already-allowed query must NOT be
+    covered by the old entry."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    plan = _plan(df.withColumn("rn", F.row_number().over(Window.orderBy("id"))))
+    hits = _single_partition_funnels(plan)
+    assert hits
+    allowed = _ALLOW_FUNNELS["q_gini_revenue"]
+    assert not any(
+        h.startswith(prefix) for h in hits for prefix, _ in allowed
+    )

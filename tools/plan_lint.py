@@ -8,21 +8,21 @@ sweep across ALL registered queries so a NEW query that reintroduces a
 known anti-pattern is caught the round it lands, not when a judge
 reads its plan.
 
-Patterns (each can be suppressed per-query via _ALLOW, with the reason
-recorded next to the entry — an allowlist without a reason is a lint
-failure of this file itself):
+Patterns:
 
 - CartesianProduct: a non-broadcast cross join — O(N*M) row pairs.
   1-row scalar crossJoins plan as BroadcastNestedLoopJoin, so any
   CartesianProduct means two unbounded sides met without a key.
 - BatchEvalPython: a row-at-a-time Python UDF — the ~100x-slower
   non-Arrow path; the repo's contract is zero of these anywhere.
-- Exchange SinglePartition: a global funnel. Legitimate when the frame
-  entering it is already aggregate-sized (1-row planning stats,
-  domain-sized cutoff frames, final ORDER BY of a small result), so
-  this pattern reports only when no allowlist reason covers it —
-  every registered query's single-partition exchanges were audited
-  when added here.
+- Exchange SinglePartition: a global funnel, classified by the CHILD
+  operator actually funneled. The keyless partial/merge scalar-agg
+  shape is benign by construction (one row per upstream partition);
+  everything else must match an _ALLOW_FUNNELS entry for that query
+  whose child PREFIX anchors the audited reason to the specific
+  funneled frame — a NEW funnel added to an already-allowed query
+  still reports (code-review r9: a bare per-query suppression would
+  hide a reintroduced corpus-sized funnel behind an old reason).
 
 Usage: python tools/plan_lint.py [sf_dir]   (default sf0.001; plans
 only — a few seconds per query of Catalyst work, no jobs run)
@@ -31,47 +31,63 @@ Exit code 1 if any unallowed hit is found.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (query, pattern) -> reason. Reasons are load-bearing documentation:
-# the reviewer reads them instead of re-deriving the plan. Every entry
-# was audited against the actual funneled child when added.
-_ALLOW: dict[tuple[str, str], str] = {
-    ("q_approx_quantile_hist", "SinglePartitionFunnel"):
+# query -> [(funneled-child prefix, reason)]. Reasons are load-bearing
+# documentation: the reviewer reads them instead of re-deriving the
+# plan. Every entry was audited against the actual funneled child when
+# added; the prefix pins the entry to that child, so it stops matching
+# if the query's funnel changes shape.
+_ALLOW_FUNNELS: dict[str, list[tuple[str, str]]] = {
+    "q_approx_quantile_hist": [(
+        "HashAggregate(keys=[bin",
         "funnels the 256-bin keyed agg — fixed sketch size by construction",
-    ("q_max_concurrency", "SinglePartitionFunnel"):
+    )],
+    "q_max_concurrency": [(
+        "HashAggregate(keys=[day",
         "funnels the per-day boundary-delta agg — bounded by the DATE "
         "domain, not the corpus (global cumsum needs the day order)",
-    ("q_quantile_normalize", "SinglePartitionFunnel"):
+    )],
+    "q_quantile_normalize": [(
+        "HashAggregate(keys=[n_chars",
         "funnels the distinct-n_chars cumulative frame — bounded by the "
         "value DOMAIN; the corpus-sized rank is two-phase and distributed",
-    ("q_gini_revenue", "SinglePartitionFunnel"):
+    )],
+    "q_gini_revenue": [(
+        "HashAggregate(keys=[o_custkey",
         "documented global rank over the CUSTOMER-cardinality aggregated "
         "frame (docstring: rank runs over the per-customer aggregate, "
         "not order cardinality; G needs the total ascending order)",
-    ("q_pareto_coverage", "SinglePartitionFunnel"):
+    )],
+    "q_pareto_coverage": [(
+        "HashAggregate(keys=[o_custkey",
         "documented cumulative-share pass over the customer-aggregated "
         "frame — same posture as q_gini_revenue",
-    ("q_user_value_deciles", "SinglePartitionFunnel"):
+    )],
+    "q_user_value_deciles": [(
+        "HashAggregate(keys=[user_id",
         "documented NTILE decile window over the USER-aggregated frame",
-    ("q_rfm_segments", "SinglePartitionFunnel"):
+    )],
+    "q_rfm_segments": [(
+        "Project [datediff(",
         "documented NTILE quintile windows over the customer-aggregated "
-        "frame — same posture as q_user_value_deciles",
-    ("stream_late_data_audit", "SinglePartitionFunnel"):
+        "frame (the projected child derives R/F/M from the per-customer "
+        "agg) — same posture as q_user_value_deciles",
+    )],
+    "stream_late_data_audit": [(
+        "Project [cast(ts",
         "documented one-shard arrival-order diagnostic; production path "
         "shards the running max per ingestion partition (docstring)",
+    )],
 }
 
-# Every registered query funnels through at least one SinglePartition
-# exchange somewhere: the driver contract compares SORTED results, so
-# queries end in a global ORDER BY of their (aggregate-sized) output.
-# A SinglePartition exchange is therefore only reported when it feeds
-# MORE plan above it than the final sort/collect — i.e. when it
-# appears below a join/aggregate/window that continues the
-# computation. See _single_partition_mid_plan.
+# Non-funnel pattern suppressions: (query, pattern) -> reason.
+_ALLOW: dict[tuple[str, str], str] = {}
+
 _PATTERNS = ("CartesianProduct", "BatchEvalPython")
 
 
@@ -85,9 +101,9 @@ def _single_partition_funnels(plan: str) -> list[str]:
       pattern: one row per upstream partition enters the single
       partition. Benign at any corpus size; not reported.
     - anything else — the funneled frame's size is a DESIGN claim
-      (aggregated key-cardinality frames under global windows, final
-      ORDER BY of aggregate-sized results, ...). Reported with the
-      child line so the allowlist reason can be checked against it.
+      (aggregated key-cardinality frames under global windows,
+      domain-sized cutoff frames, ...). Reported with the child line
+      so the allowlist prefix anchors the reason to the actual frame.
     """
     hits: list[str] = []
     lines = plan.splitlines()
@@ -101,7 +117,7 @@ def _single_partition_funnels(plan: str) -> list[str]:
             child,
         ):
             continue
-        hits.append(child.lstrip("+-: ").split("[")[0].strip()[:60])
+        hits.append(child.lstrip("+-: ").strip()[:80])
     return hits
 
 
@@ -124,8 +140,9 @@ def main() -> int:
         for pat in _PATTERNS:
             if pat in plan and (name, pat) not in _ALLOW:
                 failures.append(f"{name}: {pat}")
-        if (name, "SinglePartitionFunnel") not in _ALLOW:
-            for child in _single_partition_funnels(plan):
+        allowed = _ALLOW_FUNNELS.get(name, [])
+        for child in _single_partition_funnels(plan):
+            if not any(child.startswith(prefix) for prefix, _reason in allowed):
                 failures.append(f"{name}: SinglePartitionFunnel <- {child}")
     print(f"checked {checked}/{len(queries)} query plans at {sf_dir}")
     for f in failures:
