@@ -2544,7 +2544,11 @@ def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     x / decimal y products — order-independent, unlike the engines'
     native regr_slope/corr which sum floats in partition order), then
     the closed-form slope/intercept/r are per-row IEEE arithmetic.
-    One aggregation pass, map-side partials, any scale."""
+    One aggregation pass, map-side partials, any scale. The n*sxx
+    second-moment product is exact DECIMAL(38,0) before its one cast
+    to double (sf1 smoke, r9: as long*long it overflows at ~10x sf0.1
+    — DuckDB never did, its SUM(BIGINT) is already HUGEINT, so the
+    engines diverged: Spark threw, the oracle answered)."""
     orders = _t(spark, sf_dir, "orders")
     b = orders.select(
         "o_orderpriority",
@@ -2556,7 +2560,7 @@ def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = b.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
         F.sum(yd).cast("double").alias("sy"),
         F.sum(xd * yd).cast("double").alias("sxy"),
         F.sum(yd * yd).cast("double").alias("syy"),
@@ -2564,7 +2568,9 @@ def q_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
     cov_n = n * sxy - sx * sy
-    var_n = n * sxx - sx.cast("double") * sx
+    var_n = (n.cast("decimal(38,0)") * sxx).cast("double") - sx.cast(
+        "double"
+    ) * sx
     slope = cov_n / var_n
     return s.select(
         "o_orderpriority", "n",
@@ -5554,12 +5560,14 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_negative_sampling",
     oracle="""
     WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+    nb AS (SELECT GREATEST(64, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS b
+           FROM part),
     purchased AS (
         SELECT DISTINCT o.o_custkey, l.l_partkey
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
     pb AS (SELECT p_partkey,
                   CAST(concat('0x', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 64 AS bucket
+                       AS BIGINT) % (SELECT b FROM nb) AS bucket
            FROM part),
     cand AS (
         SELECT b.o_custkey, pb.p_partkey,
@@ -5568,7 +5576,7 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM buyers b
         JOIN pb ON pb.bucket =
              CAST(concat('0x', substr(md5(CAST(b.o_custkey AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 64),
+                  AS BIGINT) % (SELECT b FROM nb)),
     neg AS (
         SELECT c.o_custkey, c.p_partkey, c.rk
         FROM cand c
@@ -5589,17 +5597,27 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling — the contrastive-training
     data op (recsys two-tower / word2vec negatives): for every buyer,
     5 parts they did NOT purchase, drawn reproducibly. The scale
-    trick: parts hash into 64 buckets and each user probes ONLY its
+    trick: parts hash into B buckets and each user probes ONLY its
     md5-assigned bucket, so the candidate join is |users| x
-    |parts|/64 — the bucket count is the knob that keeps per-user
-    candidates O(1) as the catalog grows (grow B with |parts|);
-    no user ever scans the full catalog and there is no RNG state —
-    md5(user:part) ranks candidates, the purchased anti-join removes
-    positives, a user-partitioned row_number takes the top 5."""
+    |parts|/B — and B GROWS with the catalog (GREATEST(64,
+    ceil(|parts|/256)), a 1-row broadcast both engines derive from
+    COUNT(part)), so per-user candidates stay ~256 at any catalog
+    size. At gate scales B stays 64 (identical results); the sf1
+    smoke (r9) measured the fixed-64 version at 599 s — ~3.1k
+    md5-ranked candidates per user — vs the O(1)-per-user knob the
+    docstring had only described. No user ever scans the full catalog
+    and there is no RNG state — md5(user:part) ranks candidates, the
+    purchased anti-join removes positives, a user-partitioned
+    row_number takes the top 5."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     buyers = o.select("o_custkey").distinct()
+    nb = p.agg(
+        F.greatest(
+            F.lit(64), F.ceil(F.count(F.lit(1)) / 256.0).cast("long")
+        ).alias("b")
+    )
     purchased = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select("o_custkey", "l_partkey")
@@ -5608,18 +5626,20 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = (
         F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
         .cast("long")
-        % 64
+        % F.col("b")
     )
-    pb = p.select(
+    pb = p.crossJoin(F.broadcast(nb)).select(
         "p_partkey",
         (
             F.conv(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8), 16, 10)
             .cast("long")
-            % 64
+            % F.col("b")
         ).alias("bucket"),
     )
     cand = (
-        buyers.withColumn("bucket", ub)
+        buyers.crossJoin(F.broadcast(nb))
+        .withColumn("bucket", ub)
+        .drop("b")
         .join(pb, on="bucket")
         .select(
             "o_custkey",

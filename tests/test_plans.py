@@ -516,10 +516,20 @@ def test_bloom_join_probe_is_shuffle_free(spark, sf_dir):
 
 
 def test_negative_sampling_probes_one_bucket(spark, sf_dir):
-    """q_negative_sampling joins buyers to ONE part bucket (equi-join
-    on the bucket key), never cross-joins the catalog."""
+    """q_negative_sampling joins buyers to ONE part bucket (EQUI-join
+    on the bucket key), never cross-joins the catalog. Since the r9
+    catalog-derived bucket count, the plan carries exactly two
+    BroadcastNestedLoopJoins — the 1-row GREATEST(64, |parts|/256)
+    bounds frame joined to each side — and no CartesianProduct; the
+    catalog probe itself must stay a hash join on the bucket key."""
     plan = _plan(spark, sf_dir, "q_negative_sampling")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    assert sum("BroadcastNestedLoopJoin" in ln for ln in lines) == 2
+    assert any(
+        "Join" in ln and "bucket" in ln and "NestedLoop" not in ln
+        for ln in lines
+    ), "catalog probe is not an equi-join on the bucket key"
 
 
 def test_interval_overlap_join_is_hash_join(spark, sf_dir):
