@@ -8,6 +8,17 @@ the r9 run found q_trend_regression overflowing int64 (Spark threw
 where DuckDB's HUGEINT answered) and q_negative_sampling's fixed
 64-bucket knob costing 599 s (now catalog-derived: 29 s).
 
+The output JSON is the canonical smoke-artifact shape (sf_dir, ok,
+total_sec, slowest, fails, results) — SF1_SMOKE_r*.json committed at
+the repo root holds one or more of these runs under named keys, so
+round-over-round artifacts stay parseable by the same readers. The
+file is rewritten after EVERY query (a driver-killing failure at
+query 200/260 is exactly what a smoke exists to catch; losing the
+199 readings before it would force a full restart). Parallelism
+inherits SPARK_GRAFT_CPUS via get_spark, the same code path as
+bench.py, so ratio audits comparing two smoke runs are same-config by
+construction.
+
 Usage: python tools/sf1_smoke.py [sf_dir] [out_json]
 """
 
@@ -21,6 +32,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _summary(sf_dir: str, results: dict, fails: dict) -> dict:
+    return {
+        "sf_dir": sf_dir,
+        "ok": len(results),
+        "total_sec": round(sum(v["sec"] for v in results.values()), 1),
+        "slowest": dict(
+            sorted(
+                ((k, v["sec"]) for k, v in results.items()),
+                key=lambda kv: kv[1],
+                reverse=True,
+            )[:12]
+        ),
+        "fails": fails,
+        "results": results,
+    }
+
+
 def main() -> int:
     from cpx_etl_spark.queries import load_registry
     from cpx_etl_spark.session import get_spark
@@ -32,7 +60,7 @@ def main() -> int:
     )
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_smoke.json"
     queries, _ = load_registry()
-    spark = get_spark("sf1-smoke", master="local[32]", shuffle_partitions=32)
+    spark = get_spark("sf1-smoke")  # master/shuffle from SPARK_GRAFT_CPUS
     results: dict = {}
     fails: dict = {}
     for i, (name, fn) in enumerate(sorted(queries.items()), 1):
@@ -46,8 +74,10 @@ def main() -> int:
             f"[{i}/{len(queries)}] {name}: {results.get(name, fails.get(name))}",
             flush=True,
         )
-    with open(out, "w") as f:
-        json.dump({"sf_dir": sf_dir, "results": results, "fails": fails}, f, indent=1)
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_summary(sf_dir, results, fails), f, indent=1)
+        os.replace(tmp, out)
     print(f"DONE ok={len(results)} fail={len(fails)} -> {out}")
     return 1 if fails else 0
 
