@@ -493,9 +493,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     1023-position cap bounds pathological docs and mirrors the
     oracle's fixed series bound); bucket stats are a 256-row frame —
     broadcast by CONSTANT size, not corpus luck; scoring is one
-    bucket-keyed join + per-doc aggregate with map-side partials."""
+    bucket-keyed join + per-doc aggregate with map-side partials. The
+    3-column pre-explode projection is hash-repartitioned so the
+    CPU-bound md5 fan-out runs at cluster parallelism regardless of
+    file layout (the q_bootstrap_ci lesson, PERF.md r9: one parquet
+    file at sf0.1 capped the explode stage at 1 task — 3.6x on the
+    fan-out stage; every downstream aggregate is decimal-exact, so
+    partitioning cannot move a single output bit)."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", "lang", F.lower("text").alias("t"))
+    d = docs.select("doc_id", "lang", F.lower("text").alias("t")).repartition(
+        "doc_id"
+    )
     bgi = d.filter(F.length("t") >= 2).select(
         "doc_id",
         "lang",
