@@ -709,3 +709,69 @@ def click_attribution_outer_batch(df: DataFrame) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     ).select("user_id", "purchase_id", "click_id")
+
+
+def click_attribution_full_outer_stream(sdf: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both unmatched sides
+    emit: organic purchases with a null click_id (as in the left-outer
+    variant) AND unattributed clicks with a null purchase_id once the
+    watermark proves no purchase can still land in their forward
+    window. The second null side is the funnel-leak report (paid
+    clicks that never converted), which the left-outer variant cannot
+    produce online. Same watermark/state posture as the left-outer
+    twin: both sides bounded, outer rows emit exactly when their
+    window provably closed."""
+    p = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return p.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND "
+            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("any_user_id"),
+        "purchase_id",
+        "click_id",
+    )
+
+
+def click_attribution_full_outer_batch(df: DataFrame) -> DataFrame:
+    """Batch twin of click_attribution_full_outer_stream (same pair set
+    plus null rows on BOTH unmatched sides)."""
+    p = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("any_user_id"),
+        "purchase_id",
+        "click_id",
+    )

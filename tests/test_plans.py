@@ -363,6 +363,7 @@ def test_survey_names_match_registry():
         "dedup_embedding_demo",
         "dedup_embedding",
         "click_attribution_outer_stream",
+        "click_attribution_full_outer_stream",
         "bloom_dedup_stream",
         "dedup_first_within_watermark_stream",
     }

@@ -539,3 +539,57 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     drain()                      # "restart": same checkpoint, new data only
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]  # no loss, no duplicates
+
+
+def test_stream_full_outer_interval_join_emits_both_null_sides(
+    spark, sf_dir, tmp_path
+):
+    """FULL outer stream-stream interval join == the batch twin on a
+    bounded replay: inner rows identical, organic purchases (null
+    click) and unattributed clicks (null purchase) each emit only for
+    windows the final watermark provably closed — and both null sides
+    actually flush (non-degenerate)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cpx_etl_spark.sources import load_table
+    from cpx_etl_spark.streaming.events import (
+        click_attribution_full_outer_batch,
+        click_attribution_full_outer_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    out = click_attribution_full_outer_stream(sdf)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("full_outer_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM full_outer_pairs").collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in click_attribution_full_outer_batch(ev).collect()
+    }
+    want_inner = {p for p in want if p[0] is not None and p[1] is not None}
+    got_inner = {p for p in got if p[0] is not None and p[1] is not None}
+    assert got_inner == want_inner
+    # each emitted null row must be a true unmatched row of its side;
+    # append mode may hold back rows whose window the final watermark
+    # did not close, so subset (not equality) on the null sides
+    assert {p[0] for p in got if p[1] is None} <= {
+        p[0] for p in want if p[1] is None
+    }
+    assert {p[1] for p in got if p[0] is None} <= {
+        p[1] for p in want if p[0] is None
+    }
+    # and BOTH outer sides actually flushed rows
+    assert any(p[1] is None for p in got)
+    assert any(p[0] is None for p in got)
