@@ -359,61 +359,58 @@ def dedup_first_within_watermark_stream(
 
 # --- stream-stream interval join ---------------------------------------------
 
-ATTRIBUTION_WINDOW_US = 3_600_000_000  # clicks within 1 h before a purchase
+def _attribution_join(df: DataFrame, join_type: str, stream: bool) -> DataFrame:
+    """ONE builder for the whole attribution-join family (code-review
+    r9: the purchase/click side construction and the 1-hour interval
+    condition had been hand-copied into six functions; the stream ==
+    batch twin-equivalence tests depend on each pair's sides staying
+    byte-identical, which only a shared builder guarantees). Stream
+    sides carry the watermarks that bound join state: the click side's
+    watermark must cover the attribution window or matching rows would
+    be evicted before their purchase arrives; state per key is then
+    O(window), independent of stream length. The full-outer variant
+    coalesces the user key because either side may be null."""
+    p = df.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    if stream:
+        p = p.withWatermark("p_ts", "1 hour")
+        c = c.withWatermark("c_ts", "2 hours")
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND "
+            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+        join_type,
+    )
+    if join_type == "full_outer":
+        return joined.select(
+            F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("any_user_id"),
+            "purchase_id",
+            "click_id",
+        )
+    return joined.select("user_id", "purchase_id", "click_id")
 
 
 def click_attribution_pairs_batch(df: DataFrame) -> DataFrame:
     """(purchase, click) pairs where the click happened within the hour
     before the purchase, same user — the batch twin of the
     stream-stream interval join."""
-    p = df.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.unix_micros("ts").alias("p_us"),
-    )
-    c = df.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("event_id").alias("click_id"),
-        F.unix_micros("ts").alias("c_us"),
-    )
-    return p.join(
-        c,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("c_us") <= F.col("p_us"))
-        & (F.col("c_us") >= F.col("p_us") - F.lit(ATTRIBUTION_WINDOW_US)),
-        "inner",
-    ).select("user_id", "purchase_id", "click_id")
+    return _attribution_join(df, "inner", stream=False)
 
 
 def click_attribution_pairs_stream(sdf: DataFrame) -> DataFrame:
     """Stream-stream interval join: purchases join clicks from the same
-    source stream. Both sides carry watermarks so Spark bounds the join
-    state — the click side's watermark must cover the attribution
-    window or matching rows would be evicted before their purchase
-    arrives; state per key is then O(window), independent of stream
-    length."""
-    p = (
-        sdf.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-    )
-    c = (
-        sdf.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    return p.join(
-        c,
-        F.expr(
-            "user_id = c_user_id AND "
-            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
-        ),
-        "inner",
-    ).select("user_id", "purchase_id", "click_id")
+    source stream. Watermark/state posture: see _attribution_join."""
+    return _attribution_join(sdf, "inner", stream=True)
 
 
 def enrich_stream(sdf: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
@@ -664,51 +661,15 @@ def click_attribution_outer_stream(sdf: DataFrame) -> DataFrame:
     click_id once the watermark passes the end of their attribution
     window (outer results cannot emit earlier: a matching click may
     still arrive until the watermark proves it can't). The organic/
-    attributed split of q_attribution_last_touch, computed online.
-    Both sides are watermarked so state stays O(window) per key; the
+    attributed split of q_attribution_last_touch, computed online; the
     outer side's emission delay is exactly the click watermark."""
-    p = (
-        sdf.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-    )
-    c = (
-        sdf.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    return p.join(
-        c,
-        F.expr(
-            "user_id = c_user_id AND "
-            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
-        ),
-        "left_outer",
-    ).select("user_id", "purchase_id", "click_id")
+    return _attribution_join(sdf, "left_outer", stream=True)
 
 
 def click_attribution_outer_batch(df: DataFrame) -> DataFrame:
     """Batch twin of click_attribution_outer_stream (same pair set plus
     null rows for organic purchases)."""
-    p = df.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
-    )
-    c = df.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
-    )
-    return p.join(
-        c,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select("user_id", "purchase_id", "click_id")
+    return _attribution_join(df, "left_outer", stream=False)
 
 
 def click_attribution_full_outer_stream(sdf: DataFrame) -> DataFrame:
@@ -718,60 +679,12 @@ def click_attribution_full_outer_stream(sdf: DataFrame) -> DataFrame:
     watermark proves no purchase can still land in their forward
     window. The second null side is the funnel-leak report (paid
     clicks that never converted), which the left-outer variant cannot
-    produce online. Same watermark/state posture as the left-outer
-    twin: both sides bounded, outer rows emit exactly when their
-    window provably closed."""
-    p = (
-        sdf.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    c = (
-        sdf.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    return p.join(
-        c,
-        F.expr(
-            "user_id = c_user_id AND "
-            "c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
-        ),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("any_user_id"),
-        "purchase_id",
-        "click_id",
-    )
+    produce online. Outer rows emit exactly when their window provably
+    closed."""
+    return _attribution_join(sdf, "full_outer", stream=True)
 
 
 def click_attribution_full_outer_batch(df: DataFrame) -> DataFrame:
     """Batch twin of click_attribution_full_outer_stream (same pair set
     plus null rows on BOTH unmatched sides)."""
-    p = df.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
-    )
-    c = df.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
-    )
-    return p.join(
-        c,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("any_user_id"),
-        "purchase_id",
-        "click_id",
-    )
+    return _attribution_join(df, "full_outer", stream=False)

@@ -459,8 +459,6 @@ def test_stream_outer_interval_join_emits_unmatched(spark, sf_dir, tmp_path):
     after the watermark passes their window). availableNow drains the
     source fully, then Spark advances the final watermark so closed
     outer rows flush."""
-    from pyspark.sql import functions as F
-
     from cpx_etl_spark.sources import load_table
     from cpx_etl_spark.streaming.events import (
         click_attribution_outer_batch,
@@ -549,8 +547,6 @@ def test_stream_full_outer_interval_join_emits_both_null_sides(
     click) and unattributed clicks (null purchase) each emit only for
     windows the final watermark provably closed — and both null sides
     actually flush (non-degenerate)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from cpx_etl_spark.sources import load_table
     from cpx_etl_spark.streaming.events import (
         click_attribution_full_outer_batch,
