@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cpx_etl_spark.functions.text import sql_shingles, token_count
+from cpx_etl_spark.functions.text import (
+    PUNCT_PATTERN,
+    sql_quality_score_from_text,
+    sql_shingles,
+    token_count,
+)
 from cpx_etl_spark.operators.curation import (
     chunk_documents,
     decontaminate,
@@ -570,3 +575,95 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+        SELECT
+            CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 200
+                 THEN 1 ELSE 0 END AS len_ok,
+            CASE WHEN {sql_quality_score_from_text("string_split(text, ' ')")}
+                 >= 0.55 THEN 1 ELSE 0 END AS qual_ok,
+            CASE WHEN len(regexp_extract_all(text, '{PUNCT_PATTERN}')) * 1.0
+                      / length(text) <= 0.1 THEN 1 ELSE 0 END AS punct_ok
+        FROM documents),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(1 - len_ok) AS BIGINT) AS f1,
+               CAST(SUM(1 - qual_ok) AS BIGINT) AS f2,
+               CAST(SUM(1 - punct_ok) AS BIGINT) AS f3,
+               CAST(SUM(len_ok) AS BIGINT) AS s1,
+               CAST(SUM(len_ok * qual_ok) AS BIGINT) AS s2,
+               CAST(SUM(len_ok * qual_ok * punct_ok) AS BIGINT) AS s3
+        FROM flags)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'length_20_200' AS rule,
+               f1 AS n_fail_alone, n - s1 AS n_removed_cumulative,
+               s1 AS n_surviving FROM agg
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'quality_ge_055', f2, n - s2, s2 FROM agg
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'punct_le_01', f3, n - s3, s3 FROM agg)
+    ORDER BY stage
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-attrition funnel: for each curation rule (token-length
+    window, quality threshold, punctuation-density cap), how many
+    documents it removes ALONE and how many survive the rules applied
+    CUMULATIVELY in order — the attribution report read before
+    shipping a filter chain that deletes 30% of a 100 TB corpus
+    (a rule whose marginal removal is ~0 after its predecessors is
+    dead weight; one that alone kills half the corpus needs a second
+    look). One corpus pass computes the three boolean flags; the
+    funnel is a single 1-row aggregate unpivoted to 3 rows — nothing
+    downstream of the scan scales with the corpus."""
+    from cpx_etl_spark.functions.text import (
+        STOPWORDS,
+        punct_count,
+        quality_score,
+        stopword_count,
+        sum_token_lengths,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    t = docs.select(
+        token_count(F.col("text")).alias("n_tokens"),
+        sum_token_lengths(tokens(F.col("text"))).alias("sum_len"),
+        punct_count(F.col("text")).alias("n_punct"),
+        stopword_count(tokens(F.col("text")), STOPWORDS["en"]).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    quality = quality_score(
+        F.col("sum_len") / F.col("n_tokens"),
+        F.col("n_stop") / F.col("n_tokens"),
+        F.col("n_punct") / F.col("n_chars"),
+    )
+    flags = t.select(
+        F.when(F.col("n_tokens").between(20, 200), 1).otherwise(0).alias("len_ok"),
+        F.when(quality >= 0.55, 1).otherwise(0).alias("qual_ok"),
+        F.when(F.col("n_punct") / F.col("n_chars") <= 0.1, 1)
+        .otherwise(0)
+        .alias("punct_ok"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.lit(1) - F.col("len_ok")).cast("long").alias("f1"),
+        F.sum(F.lit(1) - F.col("qual_ok")).cast("long").alias("f2"),
+        F.sum(F.lit(1) - F.col("punct_ok")).cast("long").alias("f3"),
+        F.sum("len_ok").cast("long").alias("s1"),
+        F.sum(F.col("len_ok") * F.col("qual_ok")).cast("long").alias("s2"),
+        F.sum(F.col("len_ok") * F.col("qual_ok") * F.col("punct_ok"))
+        .cast("long")
+        .alias("s3"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+            CAST(1 AS BIGINT), 'length_20_200', f1, n - s1, s1,
+            CAST(2 AS BIGINT), 'quality_ge_055', f2, n - s2, s2,
+            CAST(3 AS BIGINT), 'punct_le_01', f3, n - s3, s3
+        ) AS (stage, rule, n_fail_alone, n_removed_cumulative, n_surviving)"""
+    ).orderBy("stage")

@@ -2502,3 +2502,108 @@ def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+    WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+             FROM documents GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    cells AS (SELECT source, n_chars AS v, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2),
+    allc AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+    grid AS (
+        SELECT s.source, s.n_s, vals.v,
+               COALESCE(c.c, 0) AS c_s, a.c AS c_all
+        FROM srcs s CROSS JOIN vals
+        JOIN allc a ON a.v = vals.v
+        LEFT JOIN cells c ON c.source = s.source AND c.v = vals.v),
+    cum AS (
+        SELECT source, n_s, v,
+               SUM(c_s) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+               SUM(c_all) OVER (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        FROM grid)
+    SELECT c.source, c.n_s,
+           ROUND(MAX(ABS(CAST(cum_s AS DOUBLE) * (t.n - c.n_s)
+                         - CAST(cum_all - cum_s AS DOUBLE) * c.n_s))
+                 / (CAST(c.n_s AS DOUBLE) * (t.n - c.n_s)) - 1e-9, 6) + 0 AS ks
+    FROM cum c CROSS JOIN tot t
+    GROUP BY c.source, c.n_s, t.n
+    ORDER BY c.source
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per source: the max
+    ECDF gap between each source's document-length distribution and
+    the REST of the corpus — the distribution-shift alarm run before a
+    new crawl snapshot joins the training mix (a mean/stddev check
+    misses shape changes; KS does not). No sampling, no approximation:
+    for step ECDFs the supremum is attained at a jump point, so
+    evaluating every distinct length is the exact statistic.
+
+    Scale shape: the corpus collapses to per-(source, length) counts
+    first; the evaluation grid is |sources| x |distinct lengths| —
+    value-DOMAIN-sized per source, the q_filter_auc posture — and the
+    cumulative windows partition BY SOURCE (hash-distributed, never a
+    global funnel). The gap numerator cross-multiplies the two ECDF
+    fractions to integers (cum_s*n_rest vs cum_rest*n_s) computed in
+    IEEE DOUBLE on both engines (exact below 2^53, identical rounding
+    above — the kappa/AUC overflow rule)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    allc = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c_all")
+    )
+    grid = (
+        vals.crossJoin(F.broadcast(srcs))  # sources x distinct lengths
+        .join(allc, "v")
+        .join(cells, ["source", "v"], "left")
+        .select(
+            "source",
+            "n_s",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_s"),
+            "c_all",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n_s",
+        F.sum("c_s").over(w).alias("cum_s"),
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    gap = F.abs(
+        F.col("cum_s").cast("double") * (F.col("n") - F.col("n_s"))
+        - (F.col("cum_all") - F.col("cum_s")).cast("double") * F.col("n_s")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n")
+        .agg(F.max(gap).alias("_g"))
+        .select(
+            "source",
+            "n_s",
+            fround(
+                F.col("_g")
+                / (F.col("n_s").cast("double") * (F.col("n") - F.col("n_s"))),
+                6,
+            ).alias("ks"),
+        )
+        .orderBy("source")
+    )
