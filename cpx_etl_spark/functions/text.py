@@ -88,6 +88,31 @@ def quality_score(mean_token_len: Column, stop_ratio: Column, punct_ratio: Colum
     return F.round(clipped - 1e-9, 4)
 
 
+def quality_signal_frame(df, *keep: str):
+    """The five quality signals (n_tokens/sum_len/n_punct/n_stop/
+    n_chars) over a text column, carrying `keep` columns through — the
+    ONE Spark-side construction of the frame quality_score consumes
+    (code-review r9: it had been hand-copied into three queries; the
+    SQL side had already centralized its twin in sql_quality_score)."""
+    return df.select(
+        *keep,
+        token_count(F.col("text")).alias("n_tokens"),
+        sum_token_lengths(tokens(F.col("text"))).alias("sum_len"),
+        punct_count(F.col("text")).alias("n_punct"),
+        stopword_count(tokens(F.col("text")), STOPWORDS["en"]).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_from_signals() -> Column:
+    """quality_score over the quality_signal_frame columns."""
+    return quality_score(
+        F.col("sum_len") / F.col("n_tokens"),
+        F.col("n_stop") / F.col("n_tokens"),
+        F.col("n_punct") / F.col("n_chars"),
+    )
+
+
 def sql_quality_score(mean_len_sql: str, stop_ratio_sql: str, punct_ratio_sql: str) -> str:
     """DuckDB twin of quality_score() over caller-supplied ratio SQL —
     the ONE place the 0.12/0.5/-2.0 weights and the clip/round contract

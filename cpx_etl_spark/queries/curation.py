@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from cpx_etl_spark.functions.text import (
     PUNCT_PATTERN,
+    quality_from_signals,
+    quality_signal_frame,
     sql_quality_score_from_text,
     sql_shingles,
     token_count,
@@ -620,28 +622,9 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     look). One corpus pass computes the three boolean flags; the
     funnel is a single 1-row aggregate unpivoted to 3 rows — nothing
     downstream of the scan scales with the corpus."""
-    from cpx_etl_spark.functions.text import (
-        STOPWORDS,
-        punct_count,
-        quality_score,
-        stopword_count,
-        sum_token_lengths,
-        tokens,
-    )
-
     docs = load_table(spark, sf_dir, "documents").select("text")
-    t = docs.select(
-        token_count(F.col("text")).alias("n_tokens"),
-        sum_token_lengths(tokens(F.col("text"))).alias("sum_len"),
-        punct_count(F.col("text")).alias("n_punct"),
-        stopword_count(tokens(F.col("text")), STOPWORDS["en"]).alias("n_stop"),
-        F.length("text").alias("n_chars"),
-    )
-    quality = quality_score(
-        F.col("sum_len") / F.col("n_tokens"),
-        F.col("n_stop") / F.col("n_tokens"),
-        F.col("n_punct") / F.col("n_chars"),
-    )
+    t = quality_signal_frame(docs)
+    quality = quality_from_signals()
     flags = t.select(
         F.when(F.col("n_tokens").between(20, 200), 1).otherwise(0).alias("len_ok"),
         F.when(quality >= 0.55, 1).otherwise(0).alias("qual_ok"),

@@ -13,7 +13,9 @@ from cpx_etl_spark.functions.text import (
     fingerprint,
     lang_id,
     punct_count,
+    quality_from_signals,
     quality_score,
+    quality_signal_frame,
     sql_lang_id,
     sql_quality_score,
     sql_quality_score_from_text,
@@ -73,14 +75,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/punctuation quality signals + clipped-linear score
     (transcendental-free so the oracle agrees exactly)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        sum_token_lengths(tokens(F.col("text"))).alias("sum_len"),
-        punct_count(F.col("text")).alias("n_punct"),
-        stopword_count(tokens(F.col("text")), STOPWORDS["en"]).alias("n_stop"),
-        F.length("text").alias("n_chars"),
-    )
+    t = quality_signal_frame(docs, "doc_id")
     mean_len = F.col("sum_len") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     punct_ratio = F.col("n_punct") / F.col("n_chars")
@@ -90,7 +85,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_len - 1e-9, 4).alias("mean_token_len"),
         F.round(stop_ratio - 1e-9, 6).alias("stopword_ratio"),
         F.round(punct_ratio - 1e-9, 6).alias("punct_ratio"),
-        quality_score(mean_len, stop_ratio, punct_ratio).alias("quality"),
+        quality_from_signals().alias("quality"),
     )
 
 
@@ -2252,25 +2247,13 @@ _SCORED_EN_SQL = f"""
 
 def _scored_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, y, q): quality score + is-English label per document."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "lang", "text")
-    t = docs.select(
+    docs = load_table(spark, sf_dir, "documents").select(
         "source",
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
-        token_count(F.col("text")).alias("n_tokens"),
-        sum_token_lengths(tokens(F.col("text"))).alias("sum_len"),
-        punct_count(F.col("text")).alias("n_punct"),
-        stopword_count(tokens(F.col("text")), STOPWORDS["en"]).alias("n_stop"),
-        F.length("text").alias("n_chars"),
+        "text",
     )
-    return t.select(
-        "source",
-        "y",
-        quality_score(
-            F.col("sum_len") / F.col("n_tokens"),
-            F.col("n_stop") / F.col("n_tokens"),
-            F.col("n_punct") / F.col("n_chars"),
-        ).alias("q"),
-    )
+    t = quality_signal_frame(docs, "source", "y")
+    return t.select("source", "y", quality_from_signals().alias("q"))
 
 
 @register(
@@ -2532,6 +2515,7 @@ def q_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - CAST(cum_all - cum_s AS DOUBLE) * c.n_s))
                  / (CAST(c.n_s AS DOUBLE) * (t.n - c.n_s)) - 1e-9, 6) + 0 AS ks
     FROM cum c CROSS JOIN tot t
+    WHERE t.n > c.n_s
     GROUP BY c.source, c.n_s, t.n
     ORDER BY c.source
     """,
@@ -2552,19 +2536,23 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global funnel). The gap numerator cross-multiplies the two ECDF
     fractions to integers (cum_s*n_rest vs cum_rest*n_s) computed in
     IEEE DOUBLE on both engines (exact below 2^53, identical rounding
-    above — the kappa/AUC overflow rule)."""
+    above — the kappa/AUC overflow rule). A source that IS the whole
+    corpus has no rest-distribution to drift from — excluded by the
+    same predicate on both engines (the q_judge_agreement
+    degenerate-table rule). The corpus scans exactly ONCE into
+    `cells`; the value grid, per-source sizes, and total all
+    re-aggregate that frame (code-review r9: five independent
+    DataFrame subtrees each re-scanned the table)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
-    vals = docs.select(F.col("n_chars").alias("v")).distinct()
-    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     cells = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    allc = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("c_all")
-    )
+    allc = cells.groupBy("v").agg(F.sum("c").alias("c_all"))
+    vals = allc.select("v")
+    srcs = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    tot = allc.agg(F.sum("c_all").cast("long").alias("n"))
     grid = (
         vals.crossJoin(F.broadcast(srcs))  # sources x distinct lengths
         .join(allc, "v")
@@ -2594,6 +2582,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("n_s"))
         .groupBy("source", "n_s", "n")
         .agg(F.max(gap).alias("_g"))
         .select(
