@@ -158,6 +158,10 @@ def connected_components_star(
             new_e.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(new_e).limit(1).count() == 0
         )
+        # the superseded round's checkpointed blocks are dead once the
+        # stability probes ran — release them or up to max_iter edge
+        # lists pile up in block-manager storage on large graphs
+        e.unpersist()
         e = new_e
         if stable:
             break

@@ -215,8 +215,60 @@ def test_worker_zip_name_tracks_source_digest(tmp_path, monkeypatch):
     assert os.path.exists(z1)
     with zipfile.ZipFile(z1) as zf:
         assert any(n.endswith("_minirt.py") for n in zf.namelist())
+    # the zip lives in a per-user 0700 cache dir (not directly in the
+    # shared temp root, where a predictable name could be pre-planted)
+    cache_dir = os.path.dirname(z1)
+    assert os.path.basename(cache_dir) == f"cpx_vendor_{os.getuid()}"
+    st = os.stat(cache_dir)
+    assert st.st_uid == os.getuid()
+    assert (st.st_mode & 0o077) == 0
     # same sources -> same name (cache hit), no rebuild artifacts left
     z2 = vendor.activate_for_workers(_FakeSpark())
     assert z2 == z1
-    leftovers = [p for p in os.listdir(tmp_path) if not p.endswith(".zip")]
+    leftovers = [
+        p for p in os.listdir(cache_dir) if not p.endswith(".zip")
+    ]
     assert leftovers == []
+    assert os.listdir(tmp_path) == [os.path.basename(cache_dir)]
+
+
+def test_packed_fixed_width_repeated_decode():
+    """proto3 default encoding for repeated numerics is PACKED (wire
+    type LEN) even for fixed-width types; the shim must split the
+    payload into 4/8-byte words rather than treating it as one value."""
+    import struct
+
+    rt = _load_minirt()
+
+    desc = rt.Descriptor("Packed", "test.Packed")
+    for name, number, ftype in (
+        ("floats", 1, rt.FieldDescriptor.TYPE_FLOAT),
+        ("doubles", 2, rt.FieldDescriptor.TYPE_DOUBLE),
+        ("fix32", 3, rt.FieldDescriptor.TYPE_FIXED32),
+        ("sfix64", 4, rt.FieldDescriptor.TYPE_SFIXED64),
+    ):
+        fd = rt.FieldDescriptor()
+        fd.name, fd.number, fd.type = name, number, ftype
+        fd.label = rt.FieldDescriptor.LABEL_REPEATED
+        desc.add_field(fd)
+    cls = rt.make_message_class(desc, __name__)
+
+    payload = b"".join(
+        [
+            bytes([1 << 3 | 2, 8]), struct.pack("<2f", 1.5, -2.0),
+            bytes([2 << 3 | 2, 8]), struct.pack("<d", 3.25),
+            bytes([3 << 3 | 2, 4]), struct.pack("<I", 4_000_000_000),
+            bytes([4 << 3 | 2, 8]), struct.pack("<q", -7),
+        ]
+    )
+    m = cls()
+    m.ParseFromString(payload)
+    assert list(m.floats) == [1.5, -2.0]
+    assert list(m.doubles) == [3.25]
+    assert list(m.fix32) == [4_000_000_000]
+    assert list(m.sfix64) == [-7]
+
+    # a ragged payload is a clear DecodeError, not an AttributeError
+    bad = bytes([2 << 3 | 2, 5]) + b"\x00" * 5
+    with pytest.raises(rt.DecodeError, match="packed fixed64"):
+        cls().ParseFromString(bad)
