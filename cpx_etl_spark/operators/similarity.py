@@ -796,6 +796,27 @@ def ivf_build(
     return centroids, assigned
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(query_id, v_q, cell): the nprobe nearest centroids per query.
+    The window is over |queries| x |cells| rows only — the query side
+    is small by contract, the centroid frame broadcasts."""
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell"))
+    return (
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", F.round(cosine(F.col("v_q"), F.col("centroid")) - 1e-9, 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "v_q", "cell")
+    )
+
+
 def ivf_serve(
     queries: DataFrame,
     centroids: DataFrame,
@@ -808,17 +829,7 @@ def ivf_serve(
     """IVF serving half: queries probe the nprobe nearest cells of a
     (possibly PERSISTED) centroid set and rerank exactly against the
     stored assignments of those cells only."""
-    # queries probe nprobe nearest cells (query side is small — the
-    # window here is over |queries| x |cells| rows only)
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell"))
-    probed = (
-        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("c_cos", F.round(cosine(F.col("v_q"), F.col("centroid")) - 1e-9, 6))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "v_q", "cell")
-    )
+    probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
     pairs = assigned.join(probed, on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -1394,4 +1405,230 @@ def pq_topk_indexed(
     return _pq_serve(
         queries, index.codebook_df, codes, vectors, id_col, vec_col,
         m=m, dim=dim, k=k, rerank=rerank,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ composition (FAISS IVFPQ, by_residual=False) — probe cells,
+# ADC-scan ONLY the probed cells' PQ codes, exact rerank. The standard
+# billion-scale serving index: the scan payload per query is
+# nprobe * (N/k_cells) rows of m small ints, never the float vectors.
+# ---------------------------------------------------------------------------
+
+def ivfpq_serve(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned_cells: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 3,
+) -> DataFrame:
+    """Serving half over (possibly persisted) IVFPQ artifacts:
+    ``centroids`` (cell, centroid), ``assigned_cells`` (vid, cell),
+    ``cb`` (j, code, cent), ``codes`` (vid, j, code), ``vectors``
+    (neighbor_id, v_c) for the exact rerank.
+
+    Shape: queries probe the nprobe nearest cells (broadcast
+    centroids); the candidate set is a hash join of the probed cells
+    against the cell-keyed assignments; the ADC score is the sum of m
+    LUT partial dots (6dp-rounded, DECIMAL-summed — order-independent,
+    so the oracle replays the approximation error bit-for-bit)
+    selected by the candidates' codes; the top rerank*k per query
+    rerank exactly against the float vectors. Codes are encoded on the
+    RAW vectors (FAISS by_residual=False) so one codebook serves every
+    cell and the oracle stays a single replayable derivation."""
+    probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
+    cellmates = (
+        assigned_cells.join(probed.select("query_id", "cell"), on="cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    qsv = _pq_subvectors(queries, id_col, vec_col, m, dim).select(
+        F.col("vid").alias("query_id"), "j", F.col("sv").alias("qv")
+    )
+    lut = qsv.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        "code",
+        F.round(dot(F.col("qv"), F.col("cent")) - 1e-9, 6).alias("pdot"),
+    )
+    ap = (
+        cellmates.join(codes, on="vid")
+        .join(F.broadcast(lut), ["query_id", "j", "code"])
+        .groupBy("query_id", "vid")
+        .agg(F.sum(F.col("pdot").cast("decimal(20,6)")).alias("approx"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vid")
+    )
+    cand = (
+        ap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank * k)
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
+    )
+    pairs = (
+        cand.join(vectors, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
+        )
+    )
+    return _ranked(pairs, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    rerank: int = 3,
+) -> DataFrame:
+    """IVFPQ ANN, one-shot: ivf_build (cells + centroids) composed with
+    pq_train/pq_encode (codebook + codes), served by ivfpq_serve. A
+    deployment trains once and serves many — persist the build half
+    with write_ivfpq_index and serve via ivfpq_topk_indexed."""
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
+    codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
+    )
+    return ivfpq_serve(
+        queries,
+        centroids,
+        assigned.select(F.col("neighbor_id").alias("vid"), "cell"),
+        cb,
+        codes,
+        vectors,
+        id_col,
+        vec_col,
+        m=m,
+        dim=dim,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFPQ index — the composed member of the persisted-index
+# family (MinHash signatures, IVF, embedding LSH, PQ)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_META = "_IVFPQ_META.json"
+
+
+class IvfPqIndex:
+    """Handle over a persisted IVFPQ index: tiny centroids + codebook,
+    cell-clustered (vid, cell, codes[m]) scan table — an nprobe-cell
+    ADC scan reads a sliver of the corpus, and that sliver is m small
+    ints per row — plus the full vectors for exact rerank."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        import os
+
+        self.path = path
+        self.meta = meta
+        self.centroids_df = spark.read.parquet(os.path.join(path, "centroids"))
+        self.codebook_df = spark.read.parquet(os.path.join(path, "codebook"))
+        self.cells_df = spark.read.parquet(os.path.join(path, "cells"))
+        self.vectors_df = spark.read.parquet(os.path.join(path, "vectors"))
+
+
+def write_ivfpq_index(
+    corpus: DataFrame, path: str, id_col: str, vec_col: str, cell_col: str,
+    m: int = 8, k_codes: int = 16, dim: int = 64,
+) -> None:
+    """Train and persist the IVFPQ index: centroids/ + codebook/ (both
+    tiny, one file each), cells/ (vid, cell, codes[m]) clustered by
+    cell so a probed-cell ADC scan prunes to its row groups, vectors/
+    for the rerank. Training, assignment and encoding run ONCE."""
+    import json
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
+    codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
+    packed = codes.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    cells = assigned.select(
+        F.col("neighbor_id").alias("vid"), "cell"
+    ).join(packed, on="vid")
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    )
+    os.makedirs(path, exist_ok=True)
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    write_clustered_parquet(cells, os.path.join(path, "cells"), ["cell"])
+    vectors.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    meta = {"id_col": id_col, "vec_col": vec_col, "cell_col": cell_col,
+            "m": m, "k_codes": k_codes, "dim": dim}
+    tmp = os.path.join(path, f"{_IVFPQ_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _IVFPQ_META))
+
+
+def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, _IVFPQ_META)) as f:
+        meta = json.load(f)
+    return IvfPqIndex(spark, path, meta)
+
+
+def ivfpq_topk_indexed(
+    queries: DataFrame, index: IvfPqIndex, id_col: str, vec_col: str,
+    k: int = 10, nprobe: int = 2, rerank: int = 3,
+) -> DataFrame:
+    """ANN serving against the persisted IVFPQ index: centroids and
+    codebook broadcast, the ADC scan reads only the probed cells' rows
+    of the cell-clustered codes table, the float vectors are touched
+    only for the rerank*k candidates per query."""
+    m, dim = index.meta["m"], index.meta["dim"]
+    codes = index.cells_df.select(
+        "vid", F.posexplode("codes").alias("j", "code")
+    )
+    return ivfpq_serve(
+        queries,
+        index.centroids_df,
+        index.cells_df.select("vid", "cell"),
+        index.codebook_df,
+        codes,
+        index.vectors_df.select("neighbor_id", F.col("v").alias("v_c")),
+        id_col,
+        vec_col,
+        m=m,
+        dim=dim,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
     )

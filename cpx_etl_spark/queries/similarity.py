@@ -497,6 +497,168 @@ def ann_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF x PQ (FAISS IVFPQ, by_residual=False): label cells + nprobe=2
+# from the IVF half, 8x16 codebook + ADC from the PQ half, 30-candidate
+# exact rerank. The oracle chains both derivations verbatim: centroid /
+# assignment / probe CTEs from _IVF_ORACLE, codebook / encode / LUT
+# CTEs from _PQ_ORACLE, joined on the probed cells.
+_IVFPQ_ORACLE = f"""
+    WITH icomp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    icent AS (
+        SELECT label AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM icomp GROUP BY label, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM icent GROUP BY cell),
+    ascore AS (
+        SELECT e.vec_id, c.cell,
+               ROUND({sql_cosine('e.embedding', 'c.centroid', _DIM)} - 1e-9, 6) + 0 AS c_cos
+        FROM embeddings e CROSS JOIN centv c),
+    assigned AS (
+        SELECT vec_id, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) = 1),
+    probed AS (
+        SELECT vec_id AS query_id, cell FROM ascore WHERE vec_id < 5
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) <= 2),
+    pcomp AS (
+      SELECT vec_id, g.j AS j, gs.i AS i,
+             CAST(embedding[g.j * 8 + gs.i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(0, 7) g(j), generate_series(1, 8) gs(i)
+    ),
+    cb AS (
+      SELECT j, vec_id % 16 AS code, i,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mval
+      FROM pcomp GROUP BY j, vec_id % 16, i
+    ),
+    cbv AS (SELECT j, code, list(mval ORDER BY i) AS cent FROM cb GROUP BY j, code),
+    sv AS (
+      SELECT vec_id, g.j AS j,
+             list_transform(generate_series(1, 8),
+                            i -> CAST(embedding[g.j * 8 + i] AS DOUBLE)) AS sv
+      FROM embeddings, generate_series(0, 7) g(j)
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 8),
+                          i -> (s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i]))) - 1e-9, 6) + 0,
+                          c.code) AS rn
+        FROM sv s JOIN cbv c ON c.j = s.j)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.j, c.code,
+             ROUND(list_sum(list_transform(generate_series(1, 8),
+                   i -> CAST(q.embedding[c.j * 8 + i] AS DOUBLE) * c.cent[i])) - 1e-9, 6) + 0 AS pdot
+      FROM embeddings q, cbv c
+      WHERE q.vec_id < 5
+    ),
+    cellmates AS (
+      SELECT p.query_id, a.vec_id AS vid
+      FROM probed p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ap AS (
+      SELECT cm.query_id, cm.vid AS neighbor_id,
+             SUM(CAST(l.pdot AS DECIMAL(20,6))) AS approx
+      FROM cellmates cm
+      JOIN enc e ON e.vec_id = cm.vid
+      JOIN lut l ON l.query_id = cm.query_id AND l.j = e.j AND l.code = e.code
+      GROUP BY cm.query_id, cm.vid
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM ap
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, neighbor_id) <= 30
+    ),
+    {_SQL_RANKED}
+"""
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN (the FAISS billion-scale composition, by_residual=
+    False): queries probe the 2 nearest IVF cells and ADC-scan ONLY
+    those cells' PQ codes — per query the scan payload is
+    nprobe * N/k_cells rows of 8 small ints, never the float vectors —
+    then the top-30 approximate candidates rerank exactly. Both halves
+    are this module's gated constructions (ann_ivf_topk's exact-decimal
+    centroids + min_by assignment; ann_pq_topk's seeded codebook + 6dp
+    DECIMAL-summed ADC), so the composed oracle replays the entire
+    derivation, including the approximation error, bit-for-bit.
+    operators/similarity.py ivfpq_topk."""
+    from cpx_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", "label",
+        k=10, nprobe=2, m=8, k_codes=16, dim=_DIM, rerank=3,
+    )
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted IVFPQ index (same size+mtime
+    invalidation convention as the IVF / PQ / signature indexes)."""
+    import hashlib
+    import os
+    import tempfile
+
+    parts = [os.path.abspath(sf_dir), "ivfpq-label-m8-k16", f"dim{_DIM}", "v1"]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(os.path.join(src, e) for e in os.listdir(src))
+        if os.path.isdir(src) else [src]
+    )
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"cpx_ivfpqindex_{digest}")
+
+
+def build_ivfpq_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted IVFPQ index exists for sf_dir; returns its
+    path. Trains/assigns/encodes once per (corpus, params)."""
+    import os
+
+    from cpx_etl_spark.operators.similarity import _IVFPQ_META, write_ivfpq_index
+
+    path = _ivfpq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, _IVFPQ_META)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivfpq_index(emb, path, "vec_id", "embedding", "label",
+                          m=8, k_codes=16, dim=_DIM)
+    return path
+
+
+@register("ann_ivfpq_topk_indexed", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against the PERSISTED IVFPQ index (train once,
+    serve many): centroids + codebook broadcast; the ADC scan reads
+    only the probed cells' row groups of the cell-clustered packed-
+    codes table; float vectors are touched only for the 30 rerank
+    candidates per query. Same oracle as ann_ivfpq_topk — the stored
+    index is the identical derivation, so the parquet round trip is
+    itself hash-verified."""
+    from cpx_etl_spark.operators.similarity import (
+        ivfpq_topk_indexed,
+        read_ivfpq_index,
+    )
+
+    idx = read_ivfpq_index(spark, build_ivfpq_standing_index(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk_indexed(
+        emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
+        k=10, nprobe=2, rerank=3,
+    )
+
+
 @register(
     "q_embedding_covariance",
     oracle=f"""
@@ -844,21 +1006,33 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_label_noise_audit",
     oracle=f"""
-    WITH pairs AS (
-        SELECT q.vec_id AS id, q.label AS lbl, c.label AS nlbl,
-               {sql_fround(sql_cosine('q.embedding', 'c.embedding', _DIM), 6)} AS cos,
-               c.vec_id AS nid
-        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 200),
-    ranked AS (
-        SELECT id, lbl, nlbl,
-               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rk
-        FROM pairs)
-    SELECT id AS vec_id, lbl AS label,
+    WITH {sql_lsh_buckets_cte(_ANN_W, _DIM)},
+    qprobes AS (
+        SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 200
+        UNION
+        SELECT vec_id, tbl, xor(bucket, CAST(1 AS BIGINT) << gs.p)
+        FROM buckets, generate_series(0, {_ANN_B - 1}) gs(p)
+        WHERE vec_id < 200),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM qprobes q
+        JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id, eq.label AS lbl, ec.label AS nlbl,
+               ROUND({sql_cosine('eq.embedding', 'ec.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.neighbor_id),
+    top5 AS (
+        SELECT query_id, lbl, nlbl FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) <= 5)
+    SELECT query_id AS vec_id, lbl AS label,
            COUNT(CASE WHEN nlbl <> lbl THEN 1 END) AS n_disagree,
            COUNT(CASE WHEN nlbl <> lbl THEN 1 END) / 5.0 AS noise_score
-    FROM ranked WHERE rk <= 5
-    GROUP BY id, lbl
+    FROM top5
+    GROUP BY query_id, lbl
     HAVING COUNT(CASE WHEN nlbl <> lbl THEN 1 END) >= 3
     ORDER BY noise_score DESC, vec_id
     """,
@@ -867,34 +1041,29 @@ def q_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit (confident-learning-lite): flag vectors whose
     5 nearest neighbors MOSTLY carry a different label — the standard
     mislabel/contamination detector run before training on labeled
-    embeddings. Brute-force scoring over the vec_id<200 audit slice at
-    gate scale; at 100 TB the identical rank+vote tail runs on the
-    module's ANN candidate generators (IVF/LSH/PQ) instead of the
-    cross join — the audit contract (top-5 vote, >=3 disagreement)
-    does not change. 6dp tie-rounded cosines keep the neighbor SET
-    cross-engine identical."""
+    embeddings. ANN-BACKED since r10: the top-5 neighbor pool comes
+    from the deterministic multi-table sign-LSH candidate generator
+    (lsh_topk — the exact construction ann_lsh_topk gates, recall@10
+    1.00/0.98 at sf0.01/0.1), so scoring touches only same-bucket
+    candidates instead of the 200 x N nested loop that made the r9
+    brute-force variant the registry's slowest sf1 query (70 s). The
+    audit contract (top-5 vote, >=3 disagreement, /5 noise score) is
+    unchanged; 6dp tie-rounded cosines with the neighbor_id tiebreak
+    keep the voted SET cross-engine identical. Brute-force ground
+    truth stays available via brute_force_topk (the recall pytest)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("id"),
-        F.col("label").alias("lbl"),
-        as_double("embedding").alias("qv"),
+    top5 = lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 200), "vec_id", "embedding",
+        k=5, n_tables=_ANN_L, n_bits=_ANN_B, probe_bits=1, dim=_DIM,
     )
-    c = emb.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nlbl"),
-        as_double("embedding").alias("cv"),
+    qlbl = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("lbl"))
+    nlbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlbl")
     )
-    pairs = q.join(c, F.col("nid") != F.col("id")).select(
-        "id",
-        "lbl",
-        "nlbl",
-        "nid",
-        fround(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("cos"), "nid")
-    top5 = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
     return (
-        top5.groupBy(F.col("id").alias("vec_id"), F.col("lbl").alias("label"))
+        top5.join(nlbl, "neighbor_id")
+        .join(qlbl, "query_id")
+        .groupBy(F.col("query_id").alias("vec_id"), F.col("lbl").alias("label"))
         .agg(F.count(F.when(F.col("nlbl") != F.col("lbl"), 1)).alias("n_disagree"))
         .filter(F.col("n_disagree") >= 3)
         .select(

@@ -996,3 +996,69 @@ def test_sem_trained_k_is_capped():
     _q, oracles = load_registry()
     assert f"LEAST(GREATEST(2," in oracles["dedup_semantic_trained"]
     assert str(_SEM_TRAINED_K_CAP) in oracles["dedup_semantic_trained"]
+
+
+def test_ivfpq_recall_vs_bruteforce_and_index_roundtrip(spark, sf_dir, tmp_path):
+    """IVFPQ (probe 2 cells, ADC over their codes, 30-cand exact
+    rerank) recall@10 against the exact baseline, and the persisted
+    index serving the identical result as the one-shot plan."""
+    from cpx_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    from cpx_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def _recall(rows, truth):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # the IVF half bounds what ANY within-cell scan can recall: on this
+    # near-random corpus (cells barely separate) that ceiling is itself
+    # low (~0.36 at nprobe=2), so assert the PQ half RELATIVE to it —
+    # with a generous rerank the ADC stage must reach the IVF ceiling
+    ivf_ceiling = _recall(
+        ivf_topk(emb, queries, "vec_id", "embedding", "label",
+                 k=10, nprobe=2).collect(),
+        truth,
+    )
+    pq_recall = _recall(
+        ivfpq_topk(emb, queries, "vec_id", "embedding", "label",
+                   k=10, nprobe=2, m=8, k_codes=16, dim=64, rerank=10).collect(),
+        truth,
+    )
+    # observed at sf0.001: ivf 0.355, ivfpq(rerank=10) 0.355 — equal
+    assert pq_recall >= 0.9 * ivf_ceiling, (
+        f"ADC stage lost recall below the IVF ceiling: "
+        f"{pq_recall:.2f} vs {ivf_ceiling:.2f}"
+    )
+
+    one_shot = ivfpq_topk(
+        emb, queries, "vec_id", "embedding", "label",
+        k=10, nprobe=2, m=8, k_codes=16, dim=64, rerank=3,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, "vec_id", "embedding", "label",
+                      m=8, k_codes=16, dim=64)
+    idx = read_ivfpq_index(spark, path)
+    served = ivfpq_topk_indexed(
+        queries, idx, "vec_id", "embedding", k=10, nprobe=2, rerank=3
+    )
+    a = sorted(map(tuple, one_shot.collect()))
+    b = sorted(map(tuple, served.collect()))
+    assert a == b
