@@ -374,29 +374,55 @@ def _split_bool(expr: str, word: str) -> tuple[str, ...]:
     return tuple(p for p in parts)
 
 
-def _format_number(value: float, pattern: str) -> str:
-    """XSLT 1.0 format-number() subset: the default decimal-format
-    symbols with '0' (required digit), '#' (optional digit), '.'
-    (decimal point), ',' (grouping, distance from the LAST separator to
-    the decimal point), and a trailing '%' (multiply by 100). Rounding
-    is half-even, as Java DecimalFormat specifies. No per-format
-    xsl:decimal-format, no negative sub-pattern (the '-' sign is
-    prefixed), no currency/permille — out-of-subset patterns fail fast."""
+# the default decimal-format (XSLT 1.0 §12.3) — a named/unnamed
+# xsl:decimal-format declaration overrides these per stylesheet
+_DEFAULT_DF = {
+    "decimal": ".",
+    "group": ",",
+    "minus": "-",
+    "percent": "%",
+    "nan": "NaN",
+    "infinity": "Infinity",
+}
+# declaration attribute -> symbol key; attributes outside this map
+# (zero-digit, digit, pattern-separator, per-mille) stay out of subset
+_DF_ATTRS = {
+    "decimal-separator": "decimal",
+    "grouping-separator": "group",
+    "minus-sign": "minus",
+    "percent": "percent",
+    "NaN": "nan",
+    "infinity": "infinity",
+}
+
+
+def _format_number(value: float, pattern: str, sym: dict | None = None) -> str:
+    """XSLT 1.0 format-number() subset: '0' (required digit), '#'
+    (optional digit), the decimal point, the grouping separator
+    (distance from the LAST separator to the decimal point), and a
+    trailing percent (multiply by 100). ``sym`` carries the active
+    xsl:decimal-format's symbols (default §12.3 set when None) — the
+    PATTERN is written in those symbols too, per JDK DecimalFormat.
+    Rounding is half-even, as Java DecimalFormat specifies. No
+    negative sub-pattern (the minus sign is prefixed), no
+    currency/permille — out-of-subset patterns fail fast."""
     import decimal
 
-    if any(c not in "0#.,%" for c in pattern):
+    sym = sym or _DEFAULT_DF
+    dec, grp, pct_ch = sym["decimal"], sym["group"], sym["percent"]
+    if any(c not in ("0#" + dec + grp + pct_ch) for c in pattern):
         raise XsltUnsupported(f"format-number pattern {pattern!r}")
-    pct = pattern.endswith("%")
+    pct = pattern.endswith(pct_ch)
     if pct:
-        pattern = pattern[:-1]
+        pattern = pattern[: -len(pct_ch)]
         value = value * 100
-    if pattern.count(".") > 1 or not pattern:
+    if pattern.count(dec) > 1 or not pattern:
         raise XsltUnsupported(f"format-number pattern {pattern!r}")
-    int_pat, _, frac_pat = pattern.partition(".")
+    int_pat, _, frac_pat = pattern.partition(dec)
     group = 0
-    if "," in int_pat:
-        group = len(int_pat) - int_pat.rindex(",") - 1
-        int_pat = int_pat.replace(",", "")
+    if grp in int_pat:
+        group = len(int_pat) - int_pat.rindex(grp) - 1
+        int_pat = int_pat.replace(grp, "")
     max_frac = len(frac_pat)
     min_frac = len(frac_pat.rstrip("#"))
     min_int = max(1, len(int_pat.lstrip("#"))) if int_pat else 1
@@ -414,13 +440,13 @@ def _format_number(value: float, pattern: str) -> str:
         int_part = "0" + int_part
     if group:
         rev = int_part[::-1]
-        int_part = ",".join(
+        int_part = grp.join(
             rev[i : i + group] for i in range(0, len(rev), group)
         )[::-1]
-    out = int_part + (f".{frac_part}" if frac_part else "")
+    out = int_part + (f"{dec}{frac_part}" if frac_part else "")
     if pct:
-        out += "%"
-    return ("-" + out) if neg else out
+        out += pct_ch
+    return (sym["minus"] + out) if neg else out
 
 
 def _roman(n: int) -> str:
@@ -516,6 +542,17 @@ class MiniXslt:
         # xsl:key declarations: name -> [(match_pattern, use_expr)];
         # XSLT 1.0 allows several declarations per key name (union)
         self._key_decls: dict[str, list[tuple[str, str]]] = {}
+        # xsl:decimal-format symbol sets; "" is the unnamed default
+        self._decimal_formats: dict[str, dict] = {}
+        # xsl:strip-space / xsl:preserve-space element-name tests
+        self._strip_names: set[str] = set()
+        self._preserve_names: set[str] = set()
+        # xsl:attribute-set: name -> declarations in load order (merged
+        # per XSLT 1.0 §7.1.4 — later/higher-precedence wins per attr)
+        self._attr_sets: dict[str, list[ET.Element]] = {}
+        # document-root id -> directory anchoring that document's
+        # relative document() references (the 2-arg form's base)
+        self._doc_base: dict[int, str | None] = {}
         self._sheet_roots: list[ET.Element] = []
         self._load_stack: list[str] = []  # ACTIVE import/include chain (cycle guard)
         self._prec_counter = 0
@@ -597,8 +634,6 @@ class MiniXslt:
                 if name:
                     self.named[name] = child
                 if match:
-                    if match.startswith("/") and match != "/":
-                        raise XsltUnsupported(f"absolute match pattern {match!r}")
                     self.templates.append((match, mode, child, own_prec))
                 elif not name:
                     raise XsltUnsupported("template without match or name")
@@ -609,9 +644,57 @@ class MiniXslt:
                 kuse = (child.get("use") or "").strip()
                 if not kname or not kmatch or not kuse:
                     raise XsltUnsupported("xsl:key requires name, match and use")
-                if kmatch.startswith("/") and kmatch != "/":
-                    raise XsltUnsupported(f"absolute key match pattern {kmatch!r}")
                 self._key_decls.setdefault(kname, []).append((kmatch, kuse))
+            elif _is_xsl(child, "decimal-format"):
+                seen_decl = True
+                sym = dict(_DEFAULT_DF)
+                for attr, val in child.attrib.items():
+                    if attr == "name":
+                        continue
+                    key = _DF_ATTRS.get(attr)
+                    if key is None:
+                        raise XsltUnsupported(
+                            f"xsl:decimal-format attribute {attr!r}"
+                        )
+                    sym[key] = val
+                dfname = child.get("name", "")
+                prev = self._decimal_formats.get(dfname)
+                if prev is not None and prev != sym:
+                    # §12.3: duplicate declarations must agree
+                    raise XsltUnsupported(
+                        f"conflicting xsl:decimal-format {dfname!r}"
+                    )
+                self._decimal_formats[dfname] = sym
+            elif _is_xsl(child, "strip-space") or _is_xsl(child, "preserve-space"):
+                seen_decl = True
+                names = (child.get("elements") or "").split()
+                if not names:
+                    raise XsltUnsupported(
+                        f"xsl:{_local(child.tag)} requires elements"
+                    )
+                target = (
+                    self._strip_names
+                    if _is_xsl(child, "strip-space")
+                    else self._preserve_names
+                )
+                for n in names:
+                    if ":" in n:
+                        raise XsltUnsupported(
+                            f"namespaced name test {n!r} in "
+                            f"xsl:{_local(child.tag)}"
+                        )
+                    target.add(n)
+            elif _is_xsl(child, "attribute-set"):
+                seen_decl = True
+                asname = child.get("name")
+                if not asname:
+                    raise XsltUnsupported("xsl:attribute-set requires a name")
+                for a in child:
+                    if not _is_xsl(a, "attribute"):
+                        raise XsltUnsupported(
+                            "xsl:attribute-set children must be xsl:attribute"
+                        )
+                self._attr_sets.setdefault(asname, []).append(child)
             elif _is_xsl(child, "variable") or _is_xsl(child, "param"):
                 # top-level params use their defaults (no external
                 # parameter API); evaluated at apply() against the doc
@@ -671,8 +754,15 @@ class MiniXslt:
             # its own specificity, per XSLT 1.0 §5.3
             for alt in _split_union(m):
                 self._compiled_by_mode.setdefault(mode, []).append((alt, prec, t))
+        if "*" in self._strip_names and "*" in self._preserve_names:
+            # same-specificity conflict; real XSLT resolves by import
+            # precedence/doc order — out of subset, refuse
+            raise XsltUnsupported(
+                "xsl:strip-space and xsl:preserve-space both declare '*'"
+            )
         # the MAIN sheet (loaded last) anchors document('')
         self._sty_root = self._sheet_roots[-1]
+        self._doc_base[id(self._sty_root)] = self.base_dir
         self._kind: dict[int, str | None] = {}
         self._sorts: dict[int, tuple] = {}
         self._wparams: dict[int, tuple] = {}
@@ -706,12 +796,55 @@ class MiniXslt:
                 c for c in elem if _is_xsl(c, "attribute")
             )
 
+    # -- whitespace stripping (xsl:strip-space / xsl:preserve-space) -------
+
+    def _strips_name(self, name: str) -> bool:
+        """Does xsl:strip-space apply to elements named ``name``? An
+        explicit name beats '*' on either side; preserve wins a direct
+        name tie (it is the document's default behavior)."""
+        if name in self._preserve_names:
+            return False
+        if name in self._strip_names:
+            return True
+        return "*" in self._strip_names and "*" not in self._preserve_names
+
+    def _apply_strip_space(self, root: ET.Element) -> None:
+        """Drop whitespace-only text children of matched elements
+        (XSLT 1.0 §3.4), honoring xml:space='preserve' inheritance.
+        Runs once per parsed document, BEFORE the parent map is built,
+        so match patterns / keys / xsl:number see the stripped tree."""
+        if not self._strip_names:
+            return
+        xml_space = "{http://www.w3.org/XML/1998/namespace}space"
+        stack: list[tuple[ET.Element, bool]] = [(root, False)]
+        while stack:
+            elem, preserve = stack.pop()
+            xs = elem.get(xml_space)
+            if xs == "preserve":
+                preserve = True
+            elif xs == "default":
+                preserve = False
+            if (
+                not preserve
+                and isinstance(elem.tag, str)
+                and self._strips_name(_local(elem.tag))
+            ):
+                if elem.text is not None and not elem.text.strip():
+                    elem.text = None
+                for c in elem:
+                    if c.tail is not None and not c.tail.strip():
+                        c.tail = None
+            for c in elem:
+                if isinstance(c.tag, str):
+                    stack.append((c, preserve))
+
     # -- public -----------------------------------------------------------
 
     def apply(self, xml: str) -> str:
         import sys
 
         src_root = ET.fromstring(xml)
+        self._apply_strip_space(src_root)
         if self._needs_parents:
             self._parents = {c: p for p in src_root.iter() for c in p}
             self._parents.update(self._ext_parents)
@@ -720,6 +853,7 @@ class MiniXslt:
         # matched template — consumed by xsl:apply-imports
         self._tframes: list[tuple[int, str | None, object]] = []
         self._root = src_root
+        self._doc_base[id(src_root)] = self.base_dir
         # keyed by (id(doc_root), key name): §12.2 scopes key() to the
         # context node's document, so each document gets its own index
         self._key_index: dict[tuple[int, str], dict[str, list]] = {}
@@ -804,31 +938,53 @@ class MiniXslt:
             if isinstance(node, str) and pattern in ("text()", "node()"):
                 return (0, 0, 0)
             return None
-        if any(d for _s, d in _split_path_marked(pattern)):
-            raise XsltUnsupported(f"descendant axis in match pattern {pattern!r}")
-        steps = _split_path(pattern)
-        target = node
-        n_preds = 0
-        for i in range(len(steps) - 1, -1, -1):
-            if i < len(steps) - 1:
-                target = self._parents.get(target)
-                if target is None:
-                    return None
-            name, preds = _parse_step(steps[i])
+        # '/a/b' anchors at the document node; a LEADING '//' adds no
+        # constraint (descendant-or-self from the root = anywhere), so
+        # '//a' matches like plain 'a'
+        anchored = pattern.startswith("/") and not pattern.startswith("//")
+        steps = _split_path_marked(pattern)  # ((step, via-descendant), ...)
+        if not steps:
+            return None
+
+        def walk(i: int, target) -> int | None:
+            """Match steps[..i] with steps[i] at ``target``; returns the
+            total predicate count of the matched chain or None. A step
+            reached via '//' may bind its left neighbor to ANY proper
+            ancestor — the while loop backtracks up the chain."""
+            step, via_desc = steps[i]
+            name, preds = _parse_step(step)
             if name == "text()":
                 return None  # element node can't match a text step
             if name not in ("*", "node()") and _local(target.tag) != name:
                 return None
             if preds and not all(self._test(target, p) for p in preds):
                 return None
-            n_preds += len(preds)
-        name0, _ = _parse_step(steps[-1])
+            n = len(preds)
+            if i == 0:
+                if anchored and self._parents.get(target) is not None:
+                    return None  # '/x/...': x must sit under the root
+                return n
+            p = self._parents.get(target)
+            while p is not None:
+                sub = walk(i - 1, p)
+                if sub is not None:
+                    return n + sub
+                if not via_desc:
+                    return None  # '/' separator: exactly the parent
+                p = self._parents.get(p)
+            return None
+
+        n_preds = walk(len(steps) - 1, node)
+        if n_preds is None:
+            return None
+        name0, _ = _parse_step(steps[-1][0])
         # three specificity levels mirroring XSLT 1.0 default priorities:
         # name test (0) > '*' (-0.25) > 'node()' (-0.5) — judge-advice r7:
         # scoring node() == '*' let declaration order decide where
         # libxslt (the lxml fast path) always prefers '*'
         spec = 0 if name0 == "node()" else (1 if name0 == "*" else 2)
-        return (len(steps) - 1, n_preds, spec)
+        # the root anchor counts as a step of structural depth
+        return (len(steps) - 1 + (1 if anchored else 0), n_preds, spec)
 
     def _node_children(self, elem: ET.Element) -> list:
         out: list = []
@@ -1026,9 +1182,12 @@ class MiniXslt:
                     return self._run_children(elem, ctx)
                 return self._element_markup(_local(ctx.tag), elem, ctx, "")
             raise XsltUnsupported(f"xsl:{name}")
-        # literal result element
+        # literal result element; XSL-namespaced attributes
+        # (xsl:use-attribute-sets) are instructions, not output
         attrs = "".join(
-            f" {k}={quoteattr(self._avt(v, ctx))}" for k, v in elem.attrib.items()
+            f" {k}={quoteattr(self._avt(v, ctx))}"
+            for k, v in elem.attrib.items()
+            if not k.startswith("{" + XSL_NS + "}")
         )
         return self._element_markup(_local(elem.tag), elem, ctx, attrs)
 
@@ -1047,24 +1206,68 @@ class MiniXslt:
                 self._ctx_pos.pop()
         return "".join(parts)
 
+    def _attrset_attrs(self, names: str, ctx,
+                       seen: frozenset = frozenset()) -> dict[str, str]:
+        """Evaluate the named xsl:attribute-sets (whitespace-separated
+        use-attribute-sets value) against ``ctx``. Same-named
+        declarations merge in load order (imported sheets load first,
+        so later-wins implements import precedence, as for named
+        templates); a set's own use-attribute-sets contributes FIRST
+        (§7.1.4 — its attributes are overridden by the set's own)."""
+        out: dict[str, str] = {}
+        for name in names.split():
+            if name in seen:
+                raise XsltUnsupported(
+                    f"xsl:attribute-set cycle through {name!r}"
+                )
+            decls = self._attr_sets.get(name)
+            if decls is None:
+                raise XsltUnsupported(
+                    f"use of undeclared xsl:attribute-set {name!r}"
+                )
+            for d in decls:
+                nested = d.get("use-attribute-sets")
+                if nested:
+                    out.update(
+                        self._attrset_attrs(nested, ctx, seen | {name})
+                    )
+                for a in d:
+                    out[self._avt(a.get("name", ""), ctx)] = _RTF(
+                        self._run_children(a, ctx)
+                    ).text()
+        return out
+
     def _element_markup(self, tag: str, elem: ET.Element, ctx,
                         static_attrs: str) -> str:
         """Render an element (literal or xsl:element): direct
         xsl:attribute children contribute dynamic attributes (AVT name,
         body string-value), a direct copy-of select="@*" child copies
-        the context node's attributes (identity-transform idiom); the
-        body renders with those skipped. Later additions replace
-        earlier ones per XSLT 1.0 §7.1.3: literal attrs, then copied,
-        then xsl:attribute."""
+        the context node's attributes (identity-transform idiom), and
+        use-attribute-sets (attribute on xsl:element/xsl:copy,
+        xsl:use-attribute-sets on a literal result element) splices
+        named attribute sets in at the LOWEST precedence; the body
+        renders with those skipped. Later additions replace earlier
+        ones per XSLT 1.0 §7.1.3/§7.1.4: attribute sets, then literal
+        attrs, then copied, then xsl:attribute."""
+        kind = self._kind.get(id(elem))
+        use_sets = (
+            elem.get("use-attribute-sets")
+            if kind in ("element", "copy")
+            else elem.get("{" + XSL_NS + "}use-attribute-sets")
+        )
         has_copy = any(
             self._kind.get(id(c)) == "#attr-copy" for c in elem
         )
-        if has_copy:
+        if has_copy or use_sets:
             merged: dict[str, str] = {}
-            if self._kind.get(id(elem)) is None:  # literal result element
+            if use_sets:
+                merged.update(self._attrset_attrs(use_sets, ctx))
+            if kind is None:  # literal result element
                 for k, v in elem.attrib.items():
+                    if k.startswith("{" + XSL_NS + "}"):
+                        continue
                     merged[_local(k)] = self._avt(v, ctx)
-            if isinstance(ctx, ET.Element):
+            if has_copy and isinstance(ctx, ET.Element):
                 for k, v in ctx.attrib.items():
                     merged[_local(k)] = v
             for a in self._dynattrs.get(id(elem), ()):
@@ -1156,30 +1359,45 @@ class MiniXslt:
                         vals.append(elem)
         return index
 
-    def _document(self, inner: str) -> "_Doc":
-        """document(uri): the external XML document at ``uri`` resolved
-        against base_dir; document('') is the stylesheet itself (XSLT
-        1.0 §12.1 — the embedded-lookup-table idiom). Only string
-        literals are in the subset; parsed once, cached."""
+    def _document(self, inner: str, ctx=None) -> "_Doc":
+        """document(uri[, node-set]): the external XML document at
+        ``uri``; document('') is the stylesheet itself (XSLT 1.0 §12.1
+        — the embedded-lookup-table idiom). A relative uri resolves
+        against base_dir, or — 2-arg form — against the base of the
+        document containing the node-set's first node (so a document
+        loaded from a subdirectory can chain relative references).
+        Only string-literal URIs are in the subset; parsed once per
+        resolved path, cached, whitespace-stripped like the source."""
+        import os
+
         args = _split_args(inner)
-        if len(args) != 1:
-            raise XsltUnsupported("document() supports a single URI argument")
+        if len(args) not in (1, 2):
+            raise XsltUnsupported("document() takes (uri[, node-set])")
         uri = _literal(args[0].strip())
         if not isinstance(uri, str):
             raise XsltUnsupported("document() URI must be a string literal")
         if uri == "":
             return _Doc(self._sty_root)
-        if uri in self._ext_docs:
-            return self._ext_docs[uri]
-        if self.base_dir is None:
+        base = self.base_dir
+        if len(args) == 2:
+            items = self._select(ctx, args[1].strip())
+            if not items:
+                raise XsltUnsupported(
+                    "document() second argument selected no nodes"
+                )
+            base = self._doc_base.get(id(self._containing_root(items[0])))
+        if base is None:
             raise XsltUnsupported(
-                f"document({uri!r}): stylesheet compiled without a base_dir"
+                f"document({uri!r}): no base_dir to resolve against"
             )
-        import os
-
-        root = ET.parse(os.path.join(self.base_dir, uri)).getroot()
+        full = os.path.normpath(os.path.join(base, uri))
+        if full in self._ext_docs:
+            return self._ext_docs[full]
+        root = ET.parse(full).getroot()
+        self._apply_strip_space(root)
         doc = _Doc(root)
-        self._ext_docs[uri] = doc
+        self._ext_docs[full] = doc
+        self._doc_base[id(root)] = os.path.dirname(full)
         if self._needs_parents:
             ext = {c: p for p in root.iter() for c in p}
             self._ext_parents.update(ext)
@@ -1244,7 +1462,7 @@ class MiniXslt:
                     return [self._generate_id(items[0])]
                 return [self._generate_id(ctx)]
             if fname == "document":
-                return [self._document(inner)]
+                return [self._document(inner, ctx)]
             if fname == "concat":
                 return ["".join(self._arg_string(ctx, a)
                                 for a in _split_args(inner))]
@@ -1282,25 +1500,41 @@ class MiniXslt:
                 return self._substring(ctx, inner)
             if fname == "format-number":
                 args = _split_args(inner)
-                if len(args) != 2:
+                if len(args) not in (2, 3):
                     raise XsltUnsupported(
-                        "format-number() supports (value, pattern); named "
-                        "xsl:decimal-format third arguments are out of subset"
+                        "format-number() takes (value, pattern[, format-name])"
                     )
+                if len(args) == 3:
+                    dfname = _literal(args[2].strip())
+                    if not isinstance(dfname, str):
+                        raise XsltUnsupported(
+                            "format-number() format-name must be a string literal"
+                        )
+                    sym = self._decimal_formats.get(dfname)
+                    if sym is None:
+                        raise XsltUnsupported(
+                            f"format-number() names undeclared "
+                            f"xsl:decimal-format {dfname!r}"
+                        )
+                else:
+                    # the UNNAMED xsl:decimal-format overrides defaults
+                    sym = self._decimal_formats.get("", _DEFAULT_DF)
                 try:
                     v = float(self._arg_string(ctx, args[0]))
                 except ValueError:
-                    return ["NaN"]
+                    return [sym["nan"]]
                 # non-finite values parse fine but would blow up the
                 # Decimal quantize inside _format_number; XSLT 1.0 says
-                # format-number(NaN) -> 'NaN', infinities -> 'Infinity'
+                # format-number(NaN) -> the NaN symbol, infinities ->
+                # the infinity symbol (minus-prefixed when negative)
                 import math
 
                 if math.isnan(v):
-                    return ["NaN"]
+                    return [sym["nan"]]
                 if math.isinf(v):
-                    return ["-Infinity" if v < 0 else "Infinity"]
-                return [_format_number(v, self._arg_string(ctx, args[1]))]
+                    inf = sym["infinity"]
+                    return [sym["minus"] + inf if v < 0 else inf]
+                return [_format_number(v, self._arg_string(ctx, args[1]), sym)]
             if fname == "true" and not inner.strip():
                 return [True]
             if fname == "false" and not inner.strip():
@@ -1343,7 +1577,7 @@ class MiniXslt:
             if path.startswith("key("):
                 cur: list = self._key_lookup(inner, ctx)
             else:
-                cur = [self._document(inner)]
+                cur = [self._document(inner, ctx)]
             path = path[end + 1 :]
             if path and not path.startswith("/"):
                 raise XsltUnsupported(f"syntax after node-set function in {path!r}")

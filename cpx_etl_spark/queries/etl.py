@@ -1556,7 +1556,7 @@ _XSL_TOC_MID_A = """<xsl:stylesheet version="1.0"
     xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
   <xsl:import href="toc_base.xsl"/>
   <xsl:template match="sec"><a><xsl:apply-imports/></a></xsl:template>
-  <xsl:template match="sec" mode="label"><l>A:<xsl:value-of select="."/></l></xsl:template>
+  <xsl:template match="doc//sec" mode="label"><l>A:<xsl:value-of select="."/></l></xsl:template>
 </xsl:stylesheet>
 """
 
@@ -1567,15 +1567,29 @@ _XSL_TOC_MID_B = """<xsl:stylesheet version="1.0"
 </xsl:stylesheet>
 """
 
+# r10 adds the four formerly-fail-fast constructs to the SAME gate:
+# xsl:strip-space (raw_len counts token chars only — unstripped
+# whitespace would inflate it), a named xsl:decimal-format (fm_num's
+# ',' decimal point), xsl:attribute-set (k/st attributes on every
+# <e>), an ABSOLUTE doc match (/doc), a DESCENDANT label match
+# (doc//sec), and 2-arg document() (ext_const reads sub/leaf.xml via
+# sub/cat.xml's base — a decoy leaf.xml at base_dir root proves the
+# second argument picked the base, not a fallback).
 _XSL_TOC_MAIN = """<xsl:stylesheet version="1.0"
     xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
   <xsl:import href="toc_mid_a.xsl"/>
   <xsl:import href="toc_mid_b.xsl"/>
-  <xsl:template match="doc">
-    <toc did="{@id}"><xsl:apply-templates select="sec"/><xsl:apply-templates select="sec" mode="label"/></toc>
+  <xsl:strip-space elements="doc"/>
+  <xsl:decimal-format name="eu" decimal-separator="," grouping-separator="."/>
+  <xsl:attribute-set name="secattrs">
+    <xsl:attribute name="k">s</xsl:attribute>
+    <xsl:attribute name="st"><xsl:value-of select="."/></xsl:attribute>
+  </xsl:attribute-set>
+  <xsl:template match="/doc">
+    <toc did="{@id}"><xsl:apply-templates select="sec"/><xsl:apply-templates select="sec" mode="label"/><fm><xsl:value-of select="format-number(@fm, '0,00', 'eu')"/></fm><raw n="{string-length(.)}"/><ext v="{document('leaf.xml', document('sub/cat.xml')/cat)/leaf}"/></toc>
   </xsl:template>
   <xsl:template match="sec">
-    <e id="{generate-id()}"><num><xsl:number format="i"/></num><xsl:apply-imports/></e>
+    <e xsl:use-attribute-sets="secattrs" id="{generate-id()}"><num><xsl:number format="i"/></num><xsl:apply-imports/></e>
   </xsl:template>
 </xsl:stylesheet>
 """
@@ -1592,8 +1606,16 @@ def _write_xsl_toc_sheets() -> str:
         ("toc_base.xsl", _XSL_TOC_BASE),
         ("toc_mid_a.xsl", _XSL_TOC_MID_A),
         ("toc_mid_b.xsl", _XSL_TOC_MID_B),
+        # 2-arg document() fixtures: the real leaf sits NEXT TO cat.xml
+        # in sub/; the decoy at the root proves the node-set argument's
+        # base directory (not base_dir) resolved the relative uri
+        ("leaf.xml", "<leaf>WRONG-BASE</leaf>"),
+        ("sub/cat.xml", "<cat><u>leaf.xml</u></cat>"),
+        ("sub/leaf.xml", "<leaf>L7</leaf>"),
     ):
-        with open(os.path.join(d, fname), "w", encoding="utf-8") as fh:
+        full = os.path.join(d, fname)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "w", encoding="utf-8") as fh:
             fh.write(src)
     return d
 
@@ -1619,7 +1641,17 @@ def _write_xsl_toc_sheets() -> str:
                 ELSE 'A:' || COALESCE(tk[1], '') || ',A:' ||
                      COALESCE(tk[2], '') END AS label_a,
            CAST(nsec AS BIGINT) AS n_b_wraps,
-           CAST(0 AS BIGINT) AS n_a_wraps
+           CAST(0 AS BIGINT) AS n_a_wraps,
+           CAST(doc_id * 10 AS VARCHAR) || ',12' AS fm_num,
+           CASE WHEN nsec = 3 THEN COALESCE(tk[1], '') || ',' ||
+                     COALESCE(tk[2], '') || ',' || COALESCE(tk[3], '')
+                ELSE COALESCE(tk[1], '') || ',' || COALESCE(tk[2], '')
+                END AS set_tokens,
+           CAST(nsec AS BIGINT) AS n_set_k,
+           CAST(LENGTH(COALESCE(tk[1], '')) + LENGTH(COALESCE(tk[2], '')) +
+                CASE WHEN nsec = 3 THEN LENGTH(COALESCE(tk[3], ''))
+                     ELSE 0 END AS BIGINT) AS raw_len,
+           'L7' AS ext_const
     FROM t
     ORDER BY did
     """,
@@ -1649,26 +1681,32 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query must not depend on that (code-review r8)
     tk = F.split(F.regexp_replace("text", '[&<>"\']', ""), " ")
     nsec = 2 + F.col("doc_id") % 2
+    # inter-element whitespace is DELIBERATE: xsl:strip-space must drop
+    # it or raw_len (string-length of the doc) inflates and the hash
+    # breaks; @fm feeds the named-decimal-format probe (x.125 rounds
+    # half-even to x,12 in the 'eu' format)
     xml = F.concat(
         F.lit('<doc id="'),
         F.col("doc_id").cast("string"),
-        F.lit('">'),
+        F.lit('" fm="'),
+        (F.col("doc_id") * 10).cast("string"),
+        F.lit('.125"> '),
         # coalesce each token to '' (r8 ADVICE: a <3-token document
         # would null-propagate through F.concat and NULL the whole
         # XML while the oracle still emits its constant columns);
         # oracle mirrors with COALESCE(tk[n], '')
         F.lit("<sec>"),
         F.coalesce(F.element_at(tk, 1), F.lit("")),
-        F.lit("</sec>"),
+        F.lit("</sec> "),
         F.lit("<sec>"),
         F.coalesce(F.element_at(tk, 2), F.lit("")),
-        F.lit("</sec>"),
+        F.lit("</sec> "),
         F.when(
             nsec == 3,
             F.concat(
                 F.lit("<sec>"),
                 F.coalesce(F.element_at(tk, 3), F.lit("")),
-                F.lit("</sec>"),
+                F.lit("</sec> "),
             ),
         ).otherwise(F.lit("")),
         F.lit("</doc>"),
@@ -1688,7 +1726,7 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transformed.select(
         F.col("doc_id").alias("did"),
         F.array_join(
-            F.expr("regexp_extract_all(out_xml, '<e id=\"([^\"]*)\"', 1)"), ","
+            F.expr("regexp_extract_all(out_xml, '<e [^>]*id=\"([^\"]*)\"', 1)"), ","
         ).alias("sec_ids"),
         F.array_join(
             F.expr("regexp_extract_all(out_xml, '<num>([^<]*)</num>', 1)"), ","
@@ -1705,6 +1743,20 @@ def q_xsl_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("regexp_extract_all(out_xml, '<a>', 0)"))
         .cast("long")
         .alias("n_a_wraps"),
+        # r10 construct probes: named decimal-format, attribute-set
+        # (static k + dynamic st), strip-space (raw char count), and
+        # 2-arg document() base resolution
+        F.regexp_extract("out_xml", "<fm>([^<]*)</fm>", 1).alias("fm_num"),
+        F.array_join(
+            F.expr("regexp_extract_all(out_xml, ' st=\"([^\"]*)\"', 1)"), ","
+        ).alias("set_tokens"),
+        F.size(F.expr("regexp_extract_all(out_xml, ' k=\"s\"', 0)"))
+        .cast("long")
+        .alias("n_set_k"),
+        F.regexp_extract("out_xml", '<raw n="([0-9]*)"', 1)
+        .cast("long")
+        .alias("raw_len"),
+        F.regexp_extract("out_xml", '<ext v="([^"]*)"', 1).alias("ext_const"),
     ).orderBy("did")
 
 

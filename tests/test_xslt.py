@@ -65,9 +65,10 @@ def test_descendant_axis_attribute_text_include_self():
 
 
 def test_descendant_axis_fail_fast_cases():
-    """Positional predicates on descendant steps, descendant match
-    patterns, and malformed '//' runs all raise XsltUnsupported — the
-    no-silent-wrong-answers contract."""
+    """Positional predicates on descendant steps and malformed '//'
+    runs raise XsltUnsupported — the no-silent-wrong-answers contract.
+    (Descendant-axis MATCH patterns are supported since r10 — see
+    test_descendant_and_absolute_match_patterns.)"""
     import pytest
 
     from cpx_etl_spark.functions.xslt import XsltUnsupported
@@ -80,10 +81,10 @@ def test_descendant_axis_fail_fast_cases():
 
     with pytest.raises(XsltUnsupported, match="positional"):
         _run_xsl(style('<v><xsl:value-of select="//b[1]"/></v>'), _DESC_XML)
-    with pytest.raises(XsltUnsupported, match="match pattern"):
-        _run_xsl(style("<v/>", match="root//b"), _DESC_XML)
     with pytest.raises(XsltUnsupported, match="malformed|trailing"):
         _run_xsl(style('<v><xsl:value-of select="a///b"/></v>'), _DESC_XML)
+    with pytest.raises(XsltUnsupported, match="malformed|trailing"):
+        _run_xsl(style("<v/>", match="root///b"), _DESC_XML)
 
 
 def test_document_root_select_still_works():
@@ -795,3 +796,230 @@ def test_xsl_number_level_multiple():
     assert "<n>2.b.i</n>" in out
     # single-token format: extra levels reuse it with '.' separators
     assert "<m>1.1.2</m>" in out and "<m>2.2.1</m>" in out
+
+
+# -- r10 closures: the four fail-fast edges VERDICT r9 listed ----------------
+
+
+def test_descendant_and_absolute_match_patterns():
+    """'a//b' match patterns bind b at ANY depth under an a; '/root/a'
+    anchors at the document node; an anchored pattern outranks an
+    unanchored one of equal step count; '//b' behaves like plain 'b'."""
+    xml = "<root><a><b>deep</b><c><b>deeper</b></c></a><b>top</b></root>"
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="root"><o><xsl:apply-templates/></o></xsl:template>
+      <xsl:template match="text()"/>
+      <xsl:template match="a"><xsl:apply-templates/></xsl:template>
+      <xsl:template match="c"><xsl:apply-templates/></xsl:template>
+      <xsl:template match="a//b"><in><xsl:value-of select="."/></in></xsl:template>
+      <xsl:template match="b"><out><xsl:value-of select="."/></out></xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    # both nested b's hit the descendant rule (depth 1 and 2 under a);
+    # the top-level b falls to the plain rule
+    assert "<in>deep</in>" in out and "<in>deeper</in>" in out
+    assert "<out>top</out>" in out
+
+    xml2 = "<r><x><r><y>inner</y></r></x><y>anchored</y></r>"
+    xsl2 = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="r | x"><xsl:apply-templates/></xsl:template>
+      <xsl:template match="text()"/>
+      <xsl:template match="/r/y"><top><xsl:value-of select="."/></top></xsl:template>
+      <xsl:template match="y"><any><xsl:value-of select="."/></any></xsl:template>
+    </xsl:stylesheet>"""
+    out2 = _run_xsl(xsl2, xml2)
+    # only the y directly under the DOCUMENT root matches /r/y; the y
+    # under the nested r element falls through to the unanchored rule
+    assert "<top>anchored</top>" in out2
+    assert "<any>inner</any>" in out2
+
+    # anchored beats unanchored at equal structural depth
+    xsl3 = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/r"><a><xsl:apply-templates select="y"/></a></xsl:template>
+      <xsl:template match="r"><b/></xsl:template>
+      <xsl:template match="y">y</xsl:template>
+    </xsl:stylesheet>"""
+    assert _run_xsl(xsl3, "<r><y/></r>") == "<a>y</a>"
+
+
+def test_absolute_and_descendant_key_match_patterns():
+    """xsl:key match patterns get the same anchored/descendant support
+    (the key builder dispatches through _match_score)."""
+    xml = ("<db><top code=\"t1\">T1</top>"
+           "<deep><sub><top code=\"t2\">T2</top></sub></deep></db>")
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:key name="anch" match="/db/top" use="@code"/>
+      <xsl:key name="desc" match="deep//top" use="@code"/>
+      <xsl:template match="db">
+        <o a1="{key('anch','t1')}" a2="{key('anch','t2')}"
+           d1="{key('desc','t1')}" d2="{key('desc','t2')}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    assert 'a1="T1"' in out and 'a2=""' in out   # anchored: only the top-level one
+    assert 'd1=""' in out and 'd2="T2"' in out   # descendant: only the nested one
+
+
+def test_named_decimal_format():
+    """format-number()'s third argument selects a named
+    xsl:decimal-format; the unnamed declaration overrides the default
+    symbols; NaN/infinity use the format's own symbols."""
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:decimal-format name="eu" decimal-separator="," grouping-separator="."/>
+      <xsl:decimal-format name="odd" minus-sign="~" NaN="nicht" infinity="unendlich"/>
+      <xsl:template match="d">
+        <o eu="{format-number(1234567.891, '#.###,00', 'eu')}"
+           neg="{format-number(-5.5, '0.0', 'odd')}"
+           nan="{format-number('x', '0', 'odd')}"
+           inf="{format-number('1e999', '0', 'odd')}"
+           plain="{format-number(1234.5, '#,##0.00')}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, "<d/>")
+    assert 'eu="1.234.567,89"' in out
+    assert 'neg="~5.5"' in out
+    assert 'nan="nicht"' in out
+    assert 'inf="unendlich"' in out
+    assert 'plain="1,234.50"' in out
+
+
+def test_named_decimal_format_fail_fasts():
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    ns = 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
+    undeclared = f"""<xsl:stylesheet version="1.0" {ns}>
+      <xsl:template match="d"><o v="{{format-number(1, '0', 'nope')}}"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="undeclared"):
+        MiniXslt(undeclared).apply("<d/>")
+    conflicting = f"""<xsl:stylesheet version="1.0" {ns}>
+      <xsl:decimal-format name="x" minus-sign="~"/>
+      <xsl:decimal-format name="x" minus-sign="!"/>
+      <xsl:template match="d"><o/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="conflicting"):
+        MiniXslt(conflicting)
+    out_of_subset = f"""<xsl:stylesheet version="1.0" {ns}>
+      <xsl:decimal-format name="x" zero-digit="a"/>
+      <xsl:template match="d"><o/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="zero-digit"):
+        MiniXslt(out_of_subset)
+
+
+def test_strip_space_and_preserve_space():
+    """xsl:strip-space drops whitespace-only text children of matched
+    elements before matching/number/keys run; xsl:preserve-space and
+    xml:space='preserve' both exempt subtrees."""
+    xml = ("<doc>\n  <row> <v>1</v> <v>2</v> </row>\n"
+           "  <keep> <v>3</v> </keep>\n"
+           "  <row xml:space=\"preserve\"> <v>4</v> </row>\n</doc>")
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:strip-space elements="*"/>
+      <xsl:preserve-space elements="keep"/>
+      <xsl:template match="doc"><o><xsl:apply-templates/></o></xsl:template>
+      <xsl:template match="row | keep"><g><xsl:apply-templates/></g></xsl:template>
+      <xsl:template match="v"><i><xsl:value-of select="."/></i></xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, xml)
+    # stripped row: no inter-element whitespace survives the built-in
+    # text rule; preserved subtrees keep theirs
+    assert "<g><i>1</i><i>2</i></g>" in out
+    assert "<g> <i>3</i> </g>" in out
+    assert "<g> <i>4</i> </g>" in out
+
+
+def test_strip_space_star_conflict_fails_fast():
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    ns = 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
+    xsl = f"""<xsl:stylesheet version="1.0" {ns}>
+      <xsl:strip-space elements="*"/>
+      <xsl:preserve-space elements="*"/>
+      <xsl:template match="d"><o/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="strip-space"):
+        MiniXslt(xsl)
+
+
+def test_attribute_sets():
+    """xsl:attribute-set via xsl:element/@use-attribute-sets and a
+    literal element's xsl:use-attribute-sets; element's own attributes
+    override the set's; sets nest via their own use-attribute-sets."""
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:attribute-set name="base">
+        <xsl:attribute name="cls">b</xsl:attribute>
+        <xsl:attribute name="role">cell</xsl:attribute>
+      </xsl:attribute-set>
+      <xsl:attribute-set name="hot" use-attribute-sets="base">
+        <xsl:attribute name="cls">hot</xsl:attribute>
+      </xsl:attribute-set>
+      <xsl:template match="d">
+        <o>
+          <xsl:element name="t" use-attribute-sets="hot"/>
+          <lit xsl:use-attribute-sets="base" role="row"/>
+        </o>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = _run_xsl(xsl, "<d/>")
+    # nested set: hot's own cls overrides base's; base's role survives
+    assert '<t cls="hot" role="cell"/>' in out
+    # literal attrs beat the set's (§7.1.4)
+    assert '<lit cls="b" role="row"/>' in out
+    # the xsl:use-attribute-sets attribute itself never serializes
+    assert "use-attribute-sets" not in out
+
+
+def test_attribute_set_cycle_and_undeclared_fail_fast():
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import MiniXslt, XsltUnsupported
+
+    ns = 'xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
+    cyc = f"""<xsl:stylesheet version="1.0" {ns}>
+      <xsl:attribute-set name="a" use-attribute-sets="b"/>
+      <xsl:attribute-set name="b" use-attribute-sets="a"/>
+      <xsl:template match="d"><xsl:element name="x" use-attribute-sets="a"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="cycle"):
+        MiniXslt(cyc).apply("<d/>")
+    und = f"""<xsl:stylesheet version="1.0" {ns}>
+      <xsl:template match="d"><xsl:element name="x" use-attribute-sets="nope"/></xsl:template>
+    </xsl:stylesheet>"""
+    with pytest.raises(XsltUnsupported, match="undeclared"):
+        MiniXslt(und).apply("<d/>")
+
+
+def test_document_two_arg_resolves_against_node_document(tmp_path):
+    """document(uri, node-set) resolves the relative uri against the
+    base of the document CONTAINING the node-set's first node — the
+    chained-catalog idiom (a doc in a subdirectory references its
+    sibling by relative path)."""
+    from cpx_etl_spark.functions.xslt import MiniXslt
+
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "cat.xml").write_text("<cat><ref>leaf.xml</ref></cat>")
+    (sub / "leaf.xml").write_text("<leaf>payload</leaf>")
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="d">
+        <o one="{document('sub/cat.xml')/cat/ref}"
+           two="{document('leaf.xml', document('sub/cat.xml')/cat)/leaf}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = MiniXslt(xsl, base_dir=str(tmp_path)).apply("<d/>")
+    # 1-arg resolves against base_dir; 2-arg against sub/ (cat.xml's dir)
+    assert 'one="leaf.xml"' in out
+    assert 'two="payload"' in out
