@@ -2019,8 +2019,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2
               FROM db GROUP BY 1, 2),
     ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
-    ppm AS (SELECT w1, w2, (c2 * 1000000) // c1 AS ppm
-            FROM pairs JOIN ctx USING (w1)),
+    uni AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS u2 FROM pairs GROUP BY 1),
+    nb AS (SELECT CAST(SUM(c2) AS BIGINT) AS nn FROM pairs),
+    ppm AS (SELECT w1, w2,
+                   (c2 * 750000) // c1 + (u2 * 250000) // nn AS ppm
+            FROM pairs JOIN ctx USING (w1) JOIN uni USING (w2)
+            CROSS JOIN nb),
     scored AS (
         SELECT db.doc_id,
                CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
@@ -2038,25 +2042,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LM fluency filter — the CCNet/Gopher perplexity
-    screen with the corpus's own bigram model as the LM: each document
-    is scored by the mean conditional probability of its token
-    transitions under the corpus bigram counts, and the bottom decile
-    is flagged (word salad, boilerplate fragments, wrong-language
-    residue all score low because their transitions are rare
-    corpus-wide). Log-free exactness: per-transition probability is
-    the INTEGER floor((c(w1,w2) * 1e6) / c(w1)) parts-per-million (the
-    tf-idf/decayed-popularity integer-scaling idiom — perplexity's
-    log-sum would be transcendental), summed exactly per doc, with ONE
-    IEEE division (mean) + tie-round at output. Scale shape: the
-    bigram explode + (doc,w1,w2) pre-aggregation are the corpus-sized
-    stages (map-side partials); pair/context frames are
-    bigram-vocabulary-sized and the scoring join is bigram-keyed,
-    UNHINTED (AQE broadcasts while small); the decile cutoff is the
-    exact-percentile SORT-BASED 1-row aggregate broadcast (the
-    q_equidepth_bands pattern) — no fraction-of-corpus TakeOrdered,
-    no plan-build count(). Documents with <2 tokens have no
-    transitions and are excluded (mirrored: the oracle's
-    generate_series is empty for them)."""
+    screen with the corpus's own INTERPOLATED bigram/unigram model as
+    the LM (r10, VERDICT r9 item 8): each transition scores
+    lambda*P(w2|w1) + (1-lambda)*P(w2) at lambda=3/4 — the
+    Jelinek-Mercer smoothing CCNet's KenLM model family uses (and the
+    2-gram cap of Brants et al. 2007's stupid backoff) — so a rare
+    continuation of a common context no longer scores identically to
+    word salad; documents in the bottom decile of the mean transition
+    score are flagged. Log-free exactness: each term is an INTEGER
+    floor in parts-per-million — (c(w1,w2)*750000) DIV c(w1) +
+    (u(w2)*250000) DIV N_bigrams, with u/N from the pair frame itself
+    (transition-target unigrams; no extra corpus scan) — summed
+    exactly per doc, ONE IEEE division (mean) + tie-round at output.
+    Scale shape: the bigram explode + (doc,w1,w2) pre-aggregation are
+    the corpus-sized stages (map-side partials); pair/context/unigram
+    frames are bigram-vocabulary-sized, the total a 1-row broadcast,
+    and the scoring join is bigram-keyed, UNHINTED (AQE broadcasts
+    while small); the decile cutoff is the exact-percentile SORT-BASED
+    1-row aggregate broadcast (the q_equidepth_bands pattern) — no
+    fraction-of-corpus TakeOrdered, no plan-build count(). Documents
+    with <2 tokens have no transitions and are excluded (mirrored: the
+    oracle's generate_series is empty for them)."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.split("text", " ")
     db = (
@@ -2078,8 +2084,20 @@ def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = db.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
     ctx = pairs.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    ppm = pairs.join(ctx, "w1").select(
-        "w1", "w2", F.expr("(c2 * CAST(1000000 AS BIGINT)) DIV c1").alias("ppm")
+    uni = pairs.groupBy("w2").agg(F.sum("c2").alias("u2"))
+    nb = pairs.agg(F.sum("c2").alias("nn"))
+    ppm = (
+        pairs.join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(nb))  # 1-row bigram total
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                "(c2 * CAST(750000 AS BIGINT)) DIV c1"
+                " + (u2 * CAST(250000 AS BIGINT)) DIV nn"
+            ).alias("ppm"),
+        )
     )
     scored = (
         db.join(ppm, ["w1", "w2"])  # bigram-vocab frame; AQE decides
