@@ -1943,9 +1943,12 @@ class MiniXslt:
 
 def compile_stylesheet(src: str, base_dir: str | None = None,
                        prefer_lxml: bool = True):
-    """``src`` -> callable(xml_string) -> transformed string. lxml's
-    real libxslt is the fast path when present; the MiniXslt subset
-    interpreter otherwise (tests assert the two agree when both run).
+    """``src`` -> callable(xml_string) -> transformed string. The
+    MiniXslt subset interpreter is the ENGINE OF RECORD; lxml's real
+    libxslt is a BEST-EFFORT fast path taken when importable (it never
+    is in this container — no install path — so the branch is
+    unexercised here; the cross-engine agreement test stays armed and
+    runs the comparison in any environment where lxml imports).
     ``base_dir`` anchors relative document() references; for the lxml
     path it becomes the parse base via a dummy base URL.
     ``prefer_lxml=False`` pins the subset interpreter — required when
