@@ -513,6 +513,28 @@ def lsh_topk(
     the embeddings corpus at L=12, b=6, 1-bit probe: 1.00 (sf0.01),
     0.98 (sf0.1) — vs 0.47 for round 1's single-table 4-plane hash.
     Pass `dim` to avoid a schema-probe Spark job during planning."""
+    scored = _lsh_scored_pairs(
+        corpus, queries, id_col, vec_col,
+        n_tables=n_tables, n_bits=n_bits, probe_bits=probe_bits,
+        tag=tag, dim=dim,
+    )
+    return _ranked(scored, k)
+
+
+def _lsh_scored_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_bits: int,
+    probe_bits: int,
+    tag: str = "hp",
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) over the multi-table LSH candidate
+    set with multiprobe — the shared candidate+rerank core of lsh_topk
+    (rank tail) and lsh_range_search (threshold tail)."""
     from itertools import combinations
 
     if dim is None:
@@ -547,7 +569,7 @@ def lsh_topk(
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
     )
-    scored = (
+    return (
         cand.join(cv, on="neighbor_id")
         .join(F.broadcast(qv), on="query_id")
         .select(
@@ -556,7 +578,33 @@ def lsh_topk(
             F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
         )
     )
-    return _ranked(scored, k)
+
+
+def lsh_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 12,
+    n_bits: int = 6,
+    probe_bits: int = 1,
+    tag: str = "hp",
+    dim: int | None = None,
+) -> DataFrame:
+    """RANGE query over the LSH candidate set: every candidate with
+    cosine >= threshold, unranked — the 'find everything similar
+    enough' primitive (radius dedup, near-dup expansion, retrieval
+    recall pools), distinct from top-k which caps the answer set. Same
+    candidate generation and 6dp tie-rounded cosine as lsh_topk, so
+    recall characteristics carry over; the result set size is
+    data-dependent by design."""
+    scored = _lsh_scored_pairs(
+        corpus, queries, id_col, vec_col,
+        n_tables=n_tables, n_bits=n_bits, probe_bits=probe_bits,
+        tag=tag, dim=dim,
+    )
+    return scored.filter(F.col("cos") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -1947,3 +1947,74 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _TFIDF_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q_dup_cluster_size_hist",
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT off FROM mx), text FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 17 = 0),
+    c AS (SELECT md5(text) AS h, COUNT(*) AS sz
+          FROM corpus GROUP BY md5(text)),
+    hist AS (SELECT sz AS cluster_size,
+                    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                    CAST(SUM(sz) AS BIGINT) AS n_docs
+             FROM c GROUP BY sz),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM hist)
+    SELECT cluster_size, n_clusters, n_docs,
+           ROUND(n_docs * 1.0 / total - 1e-9, 6) + 0 AS doc_share
+    FROM hist CROSS JOIN tot
+    ORDER BY cluster_size
+    """,
+)
+def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution (r10) — the crawl-health
+    readout behind every dedup decision: how many exact-content
+    clusters exist at each multiplicity, how many documents they hold,
+    and what corpus share that is (a heavy tail of large clusters
+    means boilerplate/mirror domination; all-singletons means exact
+    dedup will buy nothing and the near-dup passes carry the load).
+    The synthetic corpus is dup-free below sf0.1, so a deterministic
+    md5-selected ~1/17 of documents is re-ingested with ids offset
+    past MAX(doc_id) (the dedup_bow_reorder planted-id idiom) — the
+    gate then checks real multi-size grouping at every SF, not a
+    constant singleton row. Shape: one corpus scan into the hash
+    groupBy (map-side partials), then every later frame is
+    CLUSTER-SIZE-sized (a handful of rows at any corpus size); the
+    share denominator is a 1-row aggregate of the tiny hist frame,
+    broadcast — no second corpus scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg((F.max("doc_id") + 1).alias("off"))
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    replant = (
+        docs.filter(h % 17 == 0)
+        .crossJoin(F.broadcast(mx))  # 1-row id offset
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(replant)
+    clusters = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hist = clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+    tot = hist.agg(F.sum("n_docs").alias("total"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            fround(F.col("n_docs") / F.col("total"), 6).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -93,6 +93,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_TAU = 0.30
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH {sql_lsh_buckets_cte(_ANN_W, _DIM)},
+    qprobes AS (
+        SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 5
+        UNION
+        SELECT vec_id, tbl, xor(bucket, CAST(1 AS BIGINT) << gs.p)
+        FROM buckets, generate_series(0, {_ANN_B - 1}) gs(p)
+        WHERE vec_id < 5),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM qprobes q
+        JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND({sql_cosine('eq.embedding', 'ec.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cos FROM scored
+    WHERE cos >= {_RANGE_TAU}
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search (r10): every LSH candidate within
+    cosine >= 0.30 of each query vector, UNRANKED — the
+    radius-query primitive top-k cannot express (radius dedup,
+    near-dup expansion, recall-pool construction all need 'everything
+    similar enough', and the answer-set size is data-dependent by
+    design). Same deterministic multi-table sign-LSH candidate
+    generator and 6dp tie-rounded cosine as ann_lsh_topk, so the
+    oracle replays the candidate set and the threshold filter exactly;
+    the scale posture is the top-k one (bucketed candidates, never a
+    corpus cross join). operators/similarity.py lsh_range_search."""
+    from cpx_etl_spark.operators.similarity import lsh_range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_range_search(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        threshold=_RANGE_TAU, n_tables=_ANN_L, n_bits=_ANN_B,
+        probe_bits=1, dim=_DIM,
+    ).orderBy("query_id", "neighbor_id")
+
+
 _IVF_ORACLE = f"""
     WITH comp AS (
         SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x

@@ -2614,3 +2614,83 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_pii_rate_by_source",
+    oracle=f"""
+    WITH p AS (
+        SELECT source,
+               text
+               || CASE WHEN h % 5 = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN h % 7 = 0 THEN ' call 555-0199' ELSE '' END
+                 AS full_text
+        FROM (SELECT *,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS h
+              FROM documents))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN regexp_matches(full_text, '{_EMAIL_RE}')
+                      THEN 1 END) AS BIGINT) AS n_email_docs,
+           CAST(COUNT(CASE WHEN regexp_matches(full_text, '{_PHONE_RE}')
+                      THEN 1 END) AS BIGINT) AS n_phone_docs,
+           CAST(COUNT(CASE WHEN regexp_matches(full_text, '{_EMAIL_RE}')
+                        OR regexp_matches(full_text, '{_PHONE_RE}')
+                      THEN 1 END) AS BIGINT) AS n_pii_docs,
+           ROUND(COUNT(CASE WHEN regexp_matches(full_text, '{_EMAIL_RE}')
+                          OR regexp_matches(full_text, '{_PHONE_RE}')
+                        THEN 1 END) * 1.0 / COUNT(*) - 1e-9, 6) + 0 AS pii_rate
+    FROM p
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-incidence audit per source (r10) — the governance dashboard
+    next to the k-anonymity/l-diversity/DP-release family: what share
+    of each source's documents contains an email or phone-number
+    pattern, i.e. where the text_redact_pii scrub will actually fire
+    and which ingest streams need upstream attention. The corpus text
+    is synthetic (PII-free), so deterministic md5-derived subsets
+    (doc hash % 5 / % 7) carry planted contacts — the regexes run over
+    every byte and the oracle replays the plant, so a pattern drift or
+    a missed row breaks the hash. One scan, map-side partials; the
+    regex work is JVM-side regexp_like, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    full = F.concat(
+        F.col("text"),
+        F.when(
+            h % 5 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(h % 7 == 0, F.lit(" call 555-0199")).otherwise(F.lit("")),
+    )
+    has_email = F.regexp_like(full, F.lit(_EMAIL_RE))
+    has_phone = F.regexp_like(full, F.lit(_PHONE_RE))
+    return (
+        docs.select("source", has_email.alias("he"), has_phone.alias("hp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("he"), 1)).alias("n_email_docs"),
+            F.count(F.when(F.col("hp"), 1)).alias("n_phone_docs"),
+            F.count(F.when(F.col("he") | F.col("hp"), 1)).alias("n_pii_docs"),
+            fround(
+                F.count(F.when(F.col("he") | F.col("hp"), 1))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pii_rate"),
+        )
+        .orderBy("source")
+    )
