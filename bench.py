@@ -116,6 +116,14 @@ HEADLINE = [
     "q_filter_auc",
     "q_score_calibration",
     "q_judge_agreement",
+    # r10 additions: the composed IVFPQ serving index (probe cells,
+    # ADC-scan only their packed codes, exact rerank — bench pre-builds
+    # the index so the timing is the per-query serve), the ANN-backed
+    # label-noise audit that replaced the registry's slowest sf1 query,
+    # and the unranked LSH radius query
+    "ann_ivfpq_topk_indexed",
+    "q_label_noise_audit",
+    "ann_range_search",
 ]
 
 
@@ -137,12 +145,14 @@ def main() -> None:
     from cpx_etl_spark.queries.dedup import build_standing_index
     from cpx_etl_spark.queries.similarity import (
         build_ivf_standing_index,
+        build_ivfpq_standing_index,
         build_pq_standing_index,
     )
 
     build_standing_index(spark, sf_dir)
     build_ivf_standing_index(spark, sf_dir)
     build_pq_standing_index(spark, sf_dir)
+    build_ivfpq_standing_index(spark, sf_dir)
 
     # Warm the JVM + per-plan codegen caches with one pass at the
     # smallest sf so the timed run measures steady-state execution.
@@ -203,6 +213,7 @@ def main() -> None:
         build_standing_index(spark, sf1_dir)
         build_ivf_standing_index(spark, sf1_dir)
         build_pq_standing_index(spark, sf1_dir)
+        build_ivfpq_standing_index(spark, sf1_dir)
         # the sf1 section is single-pass by default (wall-clock); set
         # SPARK_GRAFT_SF1_REPEATS>1 on quiet reruns to record min-of-N
         # and tighten the rolling bests
