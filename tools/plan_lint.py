@@ -43,6 +43,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # added; the prefix pins the entry to that child, so it stops matching
 # if the query's funnel changes shape.
 _ALLOW_FUNNELS: dict[str, list[tuple[str, str]]] = {
+    "q_dup_cluster_size_hist": [(
+        "HashAggregate(keys=[]",
+        "two 1-row aggregates by design: the MAX(doc_id)+1 planted-id "
+        "offset bounds frame and the doc-share denominator over the "
+        "cluster-size-bounded hist frame — single-row broadcasts, "
+        "never corpus-sized",
+    )],
     "q_approx_quantile_hist": [(
         "HashAggregate(keys=[bin",
         "funnels the 256-bin keyed agg — fixed sketch size by construction",
