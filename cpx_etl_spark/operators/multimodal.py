@@ -495,3 +495,55 @@ def decode_wav_energy(
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+def image_tiles(df: DataFrame, id_col: str = "doc_id",
+                width: int = 16, tile: int = 4) -> DataFrame:
+    """ViT-style patch extraction: a width x width grayscale image
+    carried as a width^2-byte binary payload (row r = bytes
+    [width*r, width*(r+1))) splits into (width/tile)^2 non-overlapping
+    tile x tile patches — ROW-EXPANDING mapInPandas (1 image ->
+    n_tiles rows), numpy-vectorized per file, each row carrying the
+    raw patch bytes plus exact integer stats (sum/min/max — int64
+    accumulation is exact). This is the patching plumbing every
+    vision-tokenizer pipeline runs before the (stubbed) encoder; the
+    stats columns make the byte layout hash-verifiable against a pure
+    SQL replay of the synthesized payload."""
+    import numpy as np
+
+    nt = width // tile
+    schema = (
+        f"{id_col} bigint, tile_r bigint, tile_c bigint, n_px bigint, "
+        f"byte_sum bigint, min_p int, max_p int, tile_bytes binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (id_col, "tile_r", "tile_c", "n_px",
+                          "byte_sum", "min_p", "max_p", "tile_bytes")
+            }
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                img = np.frombuffer(bytes(b), dtype=np.uint8)
+                if img.size != width * width:
+                    raise ValueError(
+                        f"image payload for {id_col}={i} is {img.size} "
+                        f"bytes, expected {width * width}"
+                    )
+                img = img.reshape(width, width)
+                for tr in range(nt):
+                    for tc in range(nt):
+                        t = img[tr * tile:(tr + 1) * tile,
+                                tc * tile:(tc + 1) * tile]
+                        cols[id_col].append(i)
+                        cols["tile_r"].append(tr)
+                        cols["tile_c"].append(tc)
+                        cols["n_px"].append(t.size)
+                        cols["byte_sum"].append(int(t.astype(np.int64).sum()))
+                        cols["min_p"].append(int(t.min()))
+                        cols["max_p"].append(int(t.max()))
+                        cols["tile_bytes"].append(t.tobytes())
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=schema)

@@ -431,3 +431,53 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav_energy(attach_wav_payload(docs), id_col="doc_id").orderBy(
         "doc_id", "window_idx"
     )
+
+
+@register(
+    "mm_image_tiles",
+    oracle=f"""
+    WITH md AS (
+        SELECT doc_id, r.i AS r,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r.i AS VARCHAR)) AS h
+        FROM documents, generate_series(0, 15) r(i)),
+    pix AS (
+        SELECT doc_id, r, c.i AS c, {_ph_byte('h', 'c.i')} AS p
+        FROM md, generate_series(0, 15) c(i))
+    SELECT doc_id, r // 4 AS tile_r, c // 4 AS tile_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS byte_sum,
+           CAST(MIN(p) AS INTEGER) AS min_p,
+           CAST(MAX(p) AS INTEGER) AS max_p
+    FROM pix
+    GROUP BY doc_id, r // 4, c // 4
+    ORDER BY doc_id, tile_r, tile_c
+    """,
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style image PATCHING (r10): each 16x16 grayscale payload
+    (row r = the 16 bytes of md5(doc_id:r), synthesized JVM-side like
+    the dHash thumbnails) splits into a 4x4 grid of 4x4 patches via
+    the row-expanding Arrow-batched mapInPandas in
+    operators/multimodal.py image_tiles — the tokenizer-input plumbing
+    every vision pipeline runs before the (stubbed) encoder. The gate
+    compares each patch's exact integer stats (sum/min/max over its 16
+    bytes) against a pure-SQL pixel replay of the synthesis, so a
+    byte-order, stride, or tiling-boundary bug in the Python decoder
+    breaks the hash. Scale: 1 scan, constant 16-row expansion per
+    image, no shuffle until the final order."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{r}"))))
+            for r in range(16)
+        ]
+    )
+    base = docs.select("doc_id", payload.alias("payload"))
+    from cpx_etl_spark.operators.multimodal import image_tiles
+
+    return (
+        image_tiles(base, "doc_id", width=16, tile=4)
+        .select("doc_id", "tile_r", "tile_c", "n_px", "byte_sum",
+                "min_p", "max_p")
+        .orderBy("doc_id", "tile_r", "tile_c")
+    )
