@@ -1062,3 +1062,33 @@ def test_ivfpq_recall_vs_bruteforce_and_index_roundtrip(spark, sf_dir, tmp_path)
     a = sorted(map(tuple, one_shot.collect()))
     b = sorted(map(tuple, served.collect()))
     assert a == b
+
+
+def test_image_tiles_layout_and_size_guard(spark):
+    """image_tiles must honor row-major layout (tile (r,c) covers
+    bytes 16*(4r+i) + 4c + j) and fail fast on a short payload."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.multimodal import image_tiles
+
+    rng = np.arange(256, dtype=np.uint8)  # pixel value == byte index
+    df = spark.createDataFrame(
+        [(1, bytearray(rng.tobytes()))], "doc_id bigint, payload binary"
+    )
+    rows = {(r["tile_r"], r["tile_c"]): r
+            for r in image_tiles(df, "doc_id").collect()}
+    assert len(rows) == 16
+    img = rng.reshape(16, 16)
+    for (tr, tc), r in rows.items():
+        t = img[tr * 4:(tr + 1) * 4, tc * 4:(tc + 1) * 4]
+        assert r["byte_sum"] == int(t.astype(np.int64).sum())
+        assert r["min_p"] == int(t.min()) and r["max_p"] == int(t.max())
+        assert bytes(r["tile_bytes"]) == t.tobytes()
+
+    short = spark.createDataFrame(
+        [(2, bytearray(b"\x00" * 100))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="100 bytes, expected 256"):
+        image_tiles(short, "doc_id").collect()
