@@ -6010,3 +6010,110 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "n_orders", "mean_full", "ci_lo", "ci_hi")
         .orderBy("priority")
     )
+
+
+# AMS/Tug-of-war F2 sketch: 64 md5-seeded ±1 projections. Both the
+# counter expressions and the estimate arithmetic are generated ONCE
+# and shared verbatim between the Spark plan and the DuckDB oracle.
+_F2_COUNTERS = 64
+
+
+def _f2_sign_sql(j: int) -> str:
+    return (
+        "CASE WHEN CAST(concat('0x', substr(md5("
+        f"CAST(user_id AS VARCHAR) || ':{j}'), 1, 8)) AS BIGINT) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+
+
+def _f2_oracle() -> str:
+    sums = ",\n               ".join(
+        f"CAST(SUM({_f2_sign_sql(j)}) AS BIGINT) AS c{j}"
+        for j in range(_F2_COUNTERS)
+    )
+    sq = " + ".join(
+        f"CAST(c{j} AS DECIMAL(19,0)) * c{j}" for j in range(_F2_COUNTERS)
+    )
+    return f"""
+    WITH s AS (
+        SELECT {sums}
+        FROM events),
+    ex AS (
+        SELECT CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * cnt) AS DECIMAL(38,0))
+                 AS f2_exact
+        FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id))
+    SELECT CAST({_F2_COUNTERS} AS BIGINT) AS n_counters,
+           ROUND(CAST(({sq}) AS DOUBLE) / {_F2_COUNTERS} - 1e-9, 4) + 0
+             AS f2_estimate,
+           CAST(f2_exact AS BIGINT) AS f2_exact,
+           ROUND(ABS(CAST(({sq}) AS DOUBLE) / {_F2_COUNTERS}
+                     - CAST(f2_exact AS DOUBLE)) / CAST(f2_exact AS DOUBLE)
+                 - 1e-9, 6) + 0 AS rel_error
+    FROM s CROSS JOIN ex
+    """
+
+
+@register("q_f2_sketch", oracle=_f2_oracle())
+def q_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS 'tug-of-war' F2 sketch (Alon-Matias-Szegedy 1996): estimate
+    the SECOND frequency moment of the user_id column — which IS the
+    self-join size SUM(c_u^2), the quantity a planner needs before
+    committing to a key (q_join_cardinality_estimate's exact histogram
+    sibling) — from 64 md5-seeded +-1 projections. Each counter
+    c_j = SUM_rows s_j(user) accumulates in ONE map-side-combinable
+    pass (64 conditional sums in a single aggregate — no explode, no
+    64x row blowup; the sketch is 64 ints, mergeable across
+    partitions/batches/days by plain addition, which is the whole
+    point at 100 TB). E[c_j^2] = F2 exactly; the estimate is the mean
+    of the 64 squares (DECIMAL-exact squares, ONE IEEE division), and
+    the result row carries the exact F2 plus the realized relative
+    error — the sketch's accuracy is itself hash-verified, like the
+    MinHash/KMV audits. Reference has no sketch surface; this extends
+    the mandated scale-utility family (KMV, CMS, Bloom, 256-bin
+    quantile hist)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def sign(j: int):
+        parity = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f":{j}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        return F.when(parity == 0, 1).otherwise(-1)
+
+    sums = [
+        F.sum(sign(j)).cast("long").alias(f"c{j}")
+        for j in range(_F2_COUNTERS)
+    ]
+    s = ev.agg(*sums)
+    sq = None
+    for j in range(_F2_COUNTERS):
+        term = F.col(f"c{j}").cast("decimal(19,0)") * F.col(f"c{j}")
+        sq = term if sq is None else sq + term
+    est = sq.cast("double") / F.lit(_F2_COUNTERS)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(19,0)") * F.col("cnt"))
+            .cast("decimal(38,0)")
+            .alias("f2_exact")
+        )
+    )
+    return s.crossJoin(F.broadcast(exact)).select(
+        F.lit(_F2_COUNTERS).cast("long").alias("n_counters"),
+        fround(est, 4).alias("f2_estimate"),
+        F.col("f2_exact").cast("long").alias("f2_exact"),
+        fround(
+            F.abs(est - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
