@@ -2694,3 +2694,77 @@ def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_bigram_autocomplete",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+        FROM t),
+    pairs AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+              FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+    top_ctx AS (SELECT w1, c1 FROM ctx ORDER BY c1 DESC, w1 LIMIT 20),
+    ranked AS (
+        SELECT p.w1, p.w2, p.c2, tc.c1,
+               ROW_NUMBER() OVER (PARTITION BY p.w1
+                                  ORDER BY p.c2 DESC, p.w2) AS rank
+        FROM pairs p JOIN top_ctx tc USING (w1))
+    SELECT w1, CAST(rank AS BIGINT) AS rank, w2, c2,
+           (c2 * 1000000) // c1 AS prob_ppm
+    FROM ranked WHERE rank <= 3
+    ORDER BY w1, rank
+    """,
+)
+def q_bigram_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token SERVING-TABLE export (r10): the top-3 continuations
+    per context for the 20 hottest contexts — the artifact behind
+    query autocomplete, draft models for speculative decoding, and the
+    'suggested next word' head, distilled from the same corpus bigram
+    frame the LM fluency filter trains on. Probabilities are integer
+    ppm floors (log-free, engine-exact); every ORDER BY carries the
+    token tiebreak so both the context set and each context's top-3
+    are deterministic. Scale shape: the bigram explode + (w1,w2)
+    pre-aggregation are the corpus-sized stages (map-side partials);
+    the hot-context cut is a bounded global top-20 (TakeOrdered over
+    the context-vocabulary frame), and the ranking window partitions
+    by those 20 contexts only — never a corpus-wide sort."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    pairs = (
+        docs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+                    F.expr(
+                        "slice(split(text, ' '), 2,"
+                        " greatest(size(split(text, ' ')) - 1, 0))"
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = pairs.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    top_ctx = ctx.orderBy(F.col("c1").desc(), "w1").limit(20)
+    w = Window.partitionBy("w1").orderBy(F.col("c2").desc(), "w2")
+    return (
+        pairs.join(F.broadcast(top_ctx), "w1")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "w1",
+            "rank",
+            "w2",
+            "c2",
+            F.expr("(c2 * CAST(1000000 AS BIGINT)) DIV c1").alias("prob_ppm"),
+        )
+        .orderBy("w1", "rank")
+    )
