@@ -762,7 +762,16 @@ class MiniXslt:
             )
         # the MAIN sheet (loaded last) anchors document('')
         self._sty_root = self._sheet_roots[-1]
-        self._doc_base[id(self._sty_root)] = self.base_dir
+        # STYLESHEET-tree parent map (static across rows): without it,
+        # anchored (/a/b) match patterns over document('') nodes would
+        # see parentless elements and treat EVERY element of the sheet
+        # as a root child — silent wrong answers in the
+        # embedded-lookup-table idiom (code-review r10)
+        self._sheet_parents = (
+            {c: p for r in self._sheet_roots for p in r.iter() for c in p}
+            if self._needs_parents
+            else {}
+        )
         self._kind: dict[int, str | None] = {}
         self._sorts: dict[int, tuple] = {}
         self._wparams: dict[int, tuple] = {}
@@ -848,12 +857,12 @@ class MiniXslt:
         if self._needs_parents:
             self._parents = {c: p for p in src_root.iter() for c in p}
             self._parents.update(self._ext_parents)
+            self._parents.update(self._sheet_parents)
         self._tdepth = 0
         # (import precedence, mode, node) of the currently-executing
         # matched template — consumed by xsl:apply-imports
         self._tframes: list[tuple[int, str | None, object]] = []
         self._root = src_root
-        self._doc_base[id(src_root)] = self.base_dir
         # keyed by (id(doc_root), key name): §12.2 scopes key() to the
         # context node's document, so each document gets its own index
         self._key_index: dict[tuple[int, str], dict[str, list]] = {}
@@ -1385,7 +1394,17 @@ class MiniXslt:
                 raise XsltUnsupported(
                     "document() second argument selected no nodes"
                 )
-            base = self._doc_base.get(id(self._containing_root(items[0])))
+            root = self._containing_root(items[0])
+            # the source and stylesheet documents resolve against
+            # base_dir structurally — only document()-loaded trees own
+            # a _doc_base entry (their roots live in _ext_docs for the
+            # compiled sheet's lifetime, so the id keys stay valid;
+            # keying per-apply src roots would leak and risk recycled
+            # ids — code-review r10)
+            if root is self._root or root is self._sty_root:
+                base = self.base_dir
+            else:
+                base = self._doc_base.get(id(root))
         if base is None:
             raise XsltUnsupported(
                 f"document({uri!r}): no base_dir to resolve against"

@@ -158,10 +158,13 @@ def connected_components_star(
             new_e.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(new_e).limit(1).count() == 0
         )
-        # the superseded round's checkpointed blocks are dead once the
-        # stability probes ran — release them or up to max_iter edge
-        # lists pile up in block-manager storage on large graphs
-        e.unpersist()
+        # The superseded round's localCheckpoint blocks are NOT
+        # releasable via Dataset.unpersist() (it only uncaches
+        # cache-manager entries; the checkpoint persists the underlying
+        # RDD directly — code-review r10). They are freed by the
+        # ContextCleaner once the JVM RDD becomes unreachable, which
+        # the rebind below enables by dropping the last Python
+        # reference to the old frame.
         e = new_e
         if stable:
             break

@@ -1660,15 +1660,28 @@ def ivfpq_topk_indexed(
     """ANN serving against the persisted IVFPQ index: centroids and
     codebook broadcast, the ADC scan reads only the probed cells' rows
     of the cell-clustered codes table, the float vectors are touched
-    only for the rerank*k candidates per query."""
+    only for the rerank*k candidates per query.
+
+    The probed cell ids are collected first (bounded by
+    |queries| * nprobe — the query side is small by the serving
+    contract, exactly like the registry's other 1-row planning
+    lookups) and applied as a LITERAL isin filter on the cells table:
+    a join could not prune the parquet scan, but the literal predicate
+    reaches the reader and row-group min/max pruning over the
+    cell-clustered files actually fires (code-review r10 — without
+    this the 'reads only the probed cells' claim was aspirational)."""
     m, dim = index.meta["m"], index.meta["dim"]
-    codes = index.cells_df.select(
-        "vid", F.posexplode("codes").alias("j", "code")
+    probed_cells = sorted(
+        r["cell"]
+        for r in _probe_cells(queries, index.centroids_df, id_col, vec_col,
+                              nprobe).select("cell").distinct().collect()
     )
+    cells = index.cells_df.filter(F.col("cell").isin(probed_cells))
+    codes = cells.select("vid", F.posexplode("codes").alias("j", "code"))
     return ivfpq_serve(
         queries,
         index.centroids_df,
-        index.cells_df.select("vid", "cell"),
+        cells.select("vid", "cell"),
         index.codebook_df,
         codes,
         index.vectors_df.select("neighbor_id", F.col("v").alias("v_c")),

@@ -564,7 +564,9 @@ def _sig_index_dir(sf_dir: str) -> str:
         st = os.stat(p)
         parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
     digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"cpx_sigindex_{digest}")
+    from cpx_etl_spark.scratch import user_cache_root
+
+    return os.path.join(user_cache_root(), f"cpx_sigindex_{digest}")
 
 
 def build_standing_index(spark: SparkSession, sf_dir: str) -> str:
@@ -674,7 +676,9 @@ def _emb_index_dir(sf_dir: str) -> str:
         st = os.stat(p)
         parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
     digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"cpx_embindex_{digest}")
+    from cpx_etl_spark.scratch import user_cache_root
+
+    return os.path.join(user_cache_root(), f"cpx_embindex_{digest}")
 
 
 def build_embedding_standing_index(spark: SparkSession, sf_dir: str) -> str:

@@ -459,7 +459,9 @@ def q_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_item": (["o_orderkey", "l_linenumber"], {"l_quantity": "quantity"}),
         },
     )
-    base = os.path.join(tempfile.gettempdir(), "cpx_etl_load_roundtrip")
+    from cpx_etl_spark.scratch import user_cache_root
+
+    base = os.path.join(user_cache_root(), "cpx_etl_load_roundtrip")
     shutil.rmtree(base, ignore_errors=True)
     pks = {"order_hdr": ["o_orderkey"], "order_item": ["o_orderkey", "l_linenumber"]}
     for _ in range(2):  # second pass re-inserts identical rows: no growth

@@ -234,7 +234,9 @@ def _ivf_index_dir(sf_dir: str) -> str:
         st = os.stat(p)
         parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
     digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"cpx_ivfindex_{digest}")
+    from cpx_etl_spark.scratch import user_cache_root
+
+    return os.path.join(user_cache_root(), f"cpx_ivfindex_{digest}")
 
 
 def build_ivf_standing_index(spark: SparkSession, sf_dir: str) -> str:
@@ -511,7 +513,9 @@ def _pq_index_dir(sf_dir: str) -> str:
         st = os.stat(p)
         parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
     digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"cpx_pqindex_{digest}")
+    from cpx_etl_spark.scratch import user_cache_root
+
+    return os.path.join(user_cache_root(), f"cpx_pqindex_{digest}")
 
 
 def build_pq_standing_index(spark: SparkSession, sf_dir: str) -> str:
@@ -669,7 +673,9 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
         st = os.stat(p)
         parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
     digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"cpx_ivfpqindex_{digest}")
+    from cpx_etl_spark.scratch import user_cache_root
+
+    return os.path.join(user_cache_root(), f"cpx_ivfpqindex_{digest}")
 
 
 def build_ivfpq_standing_index(spark: SparkSession, sf_dir: str) -> str:

@@ -29,3 +29,24 @@ def _root() -> str:
 def scratch_dir(prefix: str = "d_") -> str:
     """A fresh empty directory, auto-removed when the process exits."""
     return tempfile.mkdtemp(prefix=prefix, dir=_root())
+
+
+def user_cache_root() -> str:
+    """Persistent per-user 0700 cache root for standing artifacts that
+    deliberately OUTLIVE the process (trained ANN / signature indexes:
+    build once, serve many). A predictable name directly under shared
+    /tmp would let another local user pre-plant an artifact that a
+    gated query then silently serves (the vendor-zip threat model,
+    code-review r10) — so the root carries the uid, is created 0700,
+    and a pre-existing dir with the wrong owner or looser permissions
+    is refused rather than trusted."""
+    d = os.path.join(tempfile.gettempdir(), f"cpx_cache_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise RuntimeError(
+            f"refusing cache root {d!r}: owned by uid {st.st_uid} with "
+            f"mode {oct(st.st_mode & 0o777)}; expected uid {os.getuid()} "
+            "and mode 0700"
+        )
+    return d

@@ -3,13 +3,20 @@ derives from load_registry(); SURVEY.md's generated block must match."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
+
+_SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "update_survey_totals.py",
+)
 
 
 def test_survey_totals_are_generated():
     out = subprocess.run(
-        [sys.executable, "tools/update_survey_totals.py", "--check"],
+        [sys.executable, _SCRIPT, "--check"],
         capture_output=True,
         text=True,
     )

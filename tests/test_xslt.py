@@ -1029,3 +1029,32 @@ def test_document_two_arg_resolves_against_node_document(tmp_path):
     # 1-arg resolves against base_dir; 2-arg against sub/ (cat.xml's dir)
     assert 'one="leaf.xml"' in out
     assert 'two="payload"' in out
+
+
+def test_anchored_patterns_see_stylesheet_document_structure():
+    """Anchored and descendant match patterns over document('') nodes
+    must consult the STYLESHEET tree's parent map: '/rec' matches only
+    a document-root child (the sheet's root is xsl:stylesheet, so it
+    matches nothing), while 'lookup//rec' finds the embedded rows
+    (code-review r10 — before the fix every sheet element looked
+    parentless and '/rec' matched ALL of them)."""
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        xmlns:d="urn:data">
+      <d:lookup><d:rec k="1">A</d:rec><d:rec k="2">B</d:rec></d:lookup>
+      <xsl:key name="anch" match="/rec" use="@k"/>
+      <xsl:key name="desc" match="lookup//rec" use="@k"/>
+      <xsl:template match="doc">
+        <o a="{count(key('anch', '1'))}"
+           d1="{key('desc', '1')}" d2="{key('desc', '2')}"/>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    # key() must be evaluated with document('') context: route through
+    # a for-each over the stylesheet doc
+    xsl = xsl.replace(
+        "<o a=",
+        "<xsl:for-each select=\"document('')\"><o a=",
+    ).replace("/>\n      </xsl:template>", "/></xsl:for-each>\n      </xsl:template>")
+    out = _run_xsl(xsl, "<doc/>")
+    assert 'a="0"' in out            # nothing sits directly under the doc root
+    assert 'd1="A"' in out and 'd2="B"' in out
