@@ -650,3 +650,184 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(3 AS BIGINT), 'punct_le_01', f3, n - s3, s3
         ) AS (stage, rule, n_fail_alone, n_removed_cumulative, n_surviving)"""
     ).orderBy("stage")
+
+
+@register(
+    "q_shard_skew_audit",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 64 AS part, COUNT(*) AS n
+        FROM documents GROUP BY 1),
+    s AS (SELECT source AS part_s, COUNT(*) AS n FROM documents GROUP BY 1),
+    ha AS (
+        SELECT 'hash64' AS strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MIN(n) AS BIGINT) AS min_rows,
+               CAST(MAX(n) AS BIGINT) AS max_rows,
+               ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*) - 1e-9, 4) + 0 AS avg_rows,
+               ROUND(CAST(MAX(n) AS DOUBLE)
+                     / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) - 1e-9, 4) + 0
+                 AS skew_factor
+        FROM h),
+    sa AS (
+        SELECT 'by_source' AS strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(MIN(n) AS BIGINT) AS min_rows,
+               CAST(MAX(n) AS BIGINT) AS max_rows,
+               ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*) - 1e-9, 4) + 0 AS avg_rows,
+               ROUND(CAST(MAX(n) AS DOUBLE)
+                     / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) - 1e-9, 4) + 0
+                 AS skew_factor
+        FROM s)
+    SELECT * FROM ha UNION ALL SELECT * FROM sa
+    ORDER BY strategy
+    """,
+)
+def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-skew PRE-WRITE audit (r10): before writing training shards,
+    compare the partition-size distribution two partitioning strategies
+    would produce — md5-hash into 64 shards vs partition-by-source —
+    reporting min/max/avg rows and the skew factor (max/avg; the
+    straggler multiplier for whoever reads the shards). Hash sharding
+    should land near 1.0, metadata sharding inherits the source
+    distribution's skew — the number that decides which one the shard
+    writer uses. One scan per strategy, both map-side-combinable; the
+    stats frames are shard-count-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    part = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 64
+    )
+
+    def stats(counts: DataFrame, name: str) -> DataFrame:
+        return counts.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("n").alias("min_rows"),
+            F.max("n").alias("max_rows"),
+            fround(F.sum("n").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_rows"
+            ),
+            fround(
+                F.max("n").cast("double")
+                / (F.sum("n").cast("double") / F.count(F.lit(1))),
+                4,
+            ).alias("skew_factor"),
+        )
+
+    h = docs.groupBy(part.alias("part")).agg(F.count(F.lit(1)).alias("n"))
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return stats(h, "hash64").unionByName(stats(s, "by_source")).orderBy(
+        "strategy"
+    )
+
+
+@register(
+    "q_epoch_shuffle_decorrelation",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS b0,
+               CAST(concat('0x', substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS b1,
+               CAST(concat('0x', substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS b2
+        FROM documents),
+    pairs AS (
+        SELECT 0 AS epoch_a, 1 AS epoch_b, b0 AS ba, b1 AS bb FROM b
+        UNION ALL
+        SELECT 0, 2, b0, b2 FROM b
+        UNION ALL
+        SELECT 1, 2, b1, b2 FROM b),
+    cells AS (
+        SELECT epoch_a, epoch_b, ba, bb, COUNT(*) AS o
+        FROM pairs GROUP BY 1, 2, 3, 4),
+    tot AS (
+        SELECT epoch_a, epoch_b, CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells GROUP BY 1, 2),
+    marg_a AS (SELECT epoch_a, epoch_b, ba, CAST(SUM(o) AS BIGINT) AS ra
+               FROM cells GROUP BY 1, 2, 3),
+    marg_b AS (SELECT epoch_a, epoch_b, bb, CAST(SUM(o) AS BIGINT) AS cb
+               FROM cells GROUP BY 1, 2, 3)
+    SELECT c.epoch_a, c.epoch_b, t.n AS n_docs, t.n_cells,
+           ROUND(SUM((o - CAST(ra AS DOUBLE) * cb / t.n)
+                     * (o - CAST(ra AS DOUBLE) * cb / t.n)
+                     / (CAST(ra AS DOUBLE) * cb / t.n)) - 1e-9, 4) + 0 AS chi2
+    FROM cells c
+    JOIN tot t USING (epoch_a, epoch_b)
+    JOIN marg_a ma ON ma.epoch_a = c.epoch_a AND ma.epoch_b = c.epoch_b
+                  AND ma.ba = c.ba
+    JOIN marg_b mb ON mb.epoch_a = c.epoch_a AND mb.epoch_b = c.epoch_b
+                  AND mb.bb = c.bb
+    GROUP BY c.epoch_a, c.epoch_b, t.n, t.n_cells
+    ORDER BY c.epoch_a, c.epoch_b
+    """,
+)
+def q_epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-reshuffle DECORRELATION audit (r10): a training reader
+    reshuffles the corpus each epoch with a deterministic keyed order
+    (md5(epoch:doc) — resumable, seed-stable); this query PROVES
+    successive epochs' orders are independent by binning each epoch's
+    shuffle key into 16 coarse position buckets (uniform by md5
+    construction — no global sort, no rank) and computing the
+    chi-square independence statistic of the (bucket_a, bucket_b)
+    contingency for every epoch pair. Correlated epochs (a reused
+    seed, a truncated key, a copy-paste epoch constant) blow chi2 far
+    past the 225-dof expectation; independent shuffles sit near it.
+    Fully distributed: one scan, map-side-combinable cell counts,
+    every later frame is 256-cells-sized; expected counts use one IEEE
+    double expression per cell (engine-exact, tie-rounded once)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bucket(e: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        )
+
+    b = docs.select(
+        bucket(0).alias("b0"), bucket(1).alias("b1"), bucket(2).alias("b2")
+    )
+    pairs = None
+    for ea, eb in ((0, 1), (0, 2), (1, 2)):
+        p = b.select(
+            F.lit(ea).alias("epoch_a"),
+            F.lit(eb).alias("epoch_b"),
+            F.col(f"b{ea}").alias("ba"),
+            F.col(f"b{eb}").alias("bb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cells = pairs.groupBy("epoch_a", "epoch_b", "ba", "bb").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = cells.groupBy("epoch_a", "epoch_b").agg(
+        F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    marg_a = cells.groupBy("epoch_a", "epoch_b", "ba").agg(
+        F.sum("o").alias("ra")
+    )
+    marg_b = cells.groupBy("epoch_a", "epoch_b", "bb").agg(
+        F.sum("o").alias("cb")
+    )
+    exp = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return (
+        cells.join(tot, ["epoch_a", "epoch_b"])
+        .join(marg_a, ["epoch_a", "epoch_b", "ba"])
+        .join(marg_b, ["epoch_a", "epoch_b", "bb"])
+        .groupBy("epoch_a", "epoch_b", F.col("n").alias("n_docs"), "n_cells")
+        .agg(fround(F.sum(term), 4).alias("chi2"))
+        .orderBy("epoch_a", "epoch_b")
+    )
