@@ -137,6 +137,10 @@ def test_registry_rotation_is_staleness_ordered():
     assert order[7:] == ["f1", "f2"]                # fresh last
     # no driver artifacts at all: insertion order preserved
     assert sweep_order(["a", "b"], {}) == ["a", "b"]
+    # a semantically-changed query re-gates with the never-gated cohort
+    # even if its (stale) evidence row is the freshest on record
+    forced = sweep_order(names, latest, force_regate=frozenset({"f1"}))
+    assert forced[:5] == ["f1", "n1", "n2", "n3", "n4"]
     # and the live registry is ordered by the same rule
     q, _ = load_registry()
     assert list(q) == sweep_order(sorted(q, key=list(q).index), _last_driver_round())
