@@ -831,3 +831,112 @@ def q_epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(fround(F.sum(term), 4).alias("chi2"))
         .orderBy("epoch_a", "epoch_b")
     )
+
+
+def _bloom_fpr_oracle() -> str:
+    from cpx_etl_spark.operators.sketches import BLOOM_WORD, sql_bloom_positions
+
+    k = 4
+
+    def block(tag: str, m_bits: int) -> str:
+        te_pos = sql_bloom_positions("sh", k, m_bits)
+        probe_pos = sql_bloom_positions("key", k, m_bits)
+        p_cols = ", ".join(f"{e} AS p{i}" for i, e in enumerate(probe_pos))
+        joins = "\n         ".join(
+            f"LEFT JOIN bloom_{tag} b{i} ON b{i}.word_idx = p{i} // {BLOOM_WORD}"
+            for i in range(k)
+        )
+        hit = " AND ".join(
+            f"(b{i}.bits IS NOT NULL AND ((b{i}.bits >> CAST(p{i} % {BLOOM_WORD} AS INTEGER)) & 1) = 1)"
+            for i in range(k)
+        )
+        return f"""
+    pos_{tag} AS (SELECT DISTINCT unnest([{", ".join(te_pos)}]) AS pos FROM te),
+    bloom_{tag} AS (SELECT pos // {BLOOM_WORD} AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INTEGER)) AS bits
+              FROM pos_{tag} GROUP BY 1),
+    nb_{tag} AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bits_set
+                 FROM bloom_{tag}),
+    pp_{tag} AS (SELECT key, {p_cols} FROM probes),
+    hits_{tag} AS (SELECT CASE WHEN {hit} THEN 1 ELSE 0 END AS maybe
+             FROM pp_{tag}
+         {joins}),
+    row_{tag} AS (
+        SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+               CAST({k} AS BIGINT) AS k_hashes,
+               n_members, n_bits_set,
+               ROUND(CAST(n_bits_set AS DOUBLE) / {m_bits} - 1e-9, 6) + 0
+                 AS load_factor,
+               CAST(65536 AS BIGINT) AS n_probes,
+               CAST(SUM(maybe) AS BIGINT) AS n_false_pos,
+               ROUND(CAST(SUM(maybe) AS DOUBLE) / 65536 - 1e-9, 6) + 0 AS fpr
+        FROM hits_{tag} CROSS JOIN nm CROSS JOIN nb_{tag}
+        GROUP BY n_members, n_bits_set)"""
+
+    return f"""
+    WITH te AS (SELECT DISTINCT unnest({_SHINGLES}) AS sh
+                FROM documents WHERE {_TEST_PRED}),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM te),
+    probes AS (SELECT 'fp:' || CAST(gs.i AS VARCHAR) AS key
+               FROM generate_series(0, 65535) gs(i)),{block("prod", 1 << 18)},{block("stress", 1 << 13)}
+    SELECT * FROM row_prod UNION ALL SELECT * FROM row_stress
+    ORDER BY m_bits
+    """
+
+
+@register("q_bloom_fpr_audit", oracle=_bloom_fpr_oracle())
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter FALSE-POSITIVE-RATE audit (r10) — the missing
+    member of the sketch-accuracy family (MinHash estimate error, LSH
+    candidate P/R, F2 relative error, HLL relative error): build the
+    decontamination bitmap exactly as q_decontaminate_bloom does, then
+    probe it with 65,536 deterministic GUARANTEED NON-MEMBERS
+    ('fp:<i>' — shingles are space-joined word 4-grams, so the
+    namespace cannot collide). TWO rows: the production size (2^18
+    bits — load ~3%, FPR ~0 at gate scale: the filter is healthy and
+    the audit proves it) and a deliberately STRESSED 2^13-bit build of
+    the same construction whose measurable FPR exercises the
+    false-positive path end-to-end, next to each bitmap's exact load
+    factor. Everything is md5-deterministic, so both realized FPRs
+    hash-verify; a hashing or sizing regression is a number change,
+    not a flaky test. Scale: bitmaps broadcast; the probe stream is a
+    fixed-size range, shuffle-free k-column probe."""
+    from cpx_etl_spark.functions.text import shingles_expr
+    from cpx_etl_spark.operators.sketches import bloom_build, bloom_probe
+
+    k = 4
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    sh = shingles_expr("split(text, ' ')", _NGRAM)
+    te = docs.filter(is_test).select(F.explode(F.expr(sh)).alias("sh")).distinct()
+    nm = te.agg(F.count(F.lit(1)).alias("n_members"))
+    probes = spark.range(65536).select(
+        F.concat(F.lit("fp:"), F.col("id").cast("string")).alias("key")
+    )
+
+    def row(m_bits: int) -> DataFrame:
+        bloom = bloom_build(te, "sh", k=k, m_bits=m_bits)
+        nb = bloom.agg(F.sum(F.expr("bit_count(bits)")).alias("n_bits_set"))
+        agg = bloom_probe(bloom, probes, "key", k=k, m_bits=m_bits).agg(
+            F.sum(F.col("maybe_present").cast("long")).alias("n_false_pos")
+        )
+        return (
+            agg.crossJoin(F.broadcast(nm))
+            .crossJoin(F.broadcast(nb))
+            .select(
+                F.lit(m_bits).cast("long").alias("m_bits"),
+                F.lit(k).cast("long").alias("k_hashes"),
+                "n_members",
+                "n_bits_set",
+                fround(
+                    F.col("n_bits_set").cast("double") / F.lit(m_bits), 6
+                ).alias("load_factor"),
+                F.lit(65536).cast("long").alias("n_probes"),
+                "n_false_pos",
+                fround(
+                    F.col("n_false_pos").cast("double") / F.lit(65536), 6
+                ).alias("fpr"),
+            )
+        )
+
+    return row(1 << 18).unionByName(row(1 << 13)).orderBy("m_bits")
