@@ -247,3 +247,77 @@ def read_bloom(spark, path: str) -> DataFrame:
     from cpx_etl_spark.sources.sinks import read_upsert_table
 
     return read_upsert_table(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — bounded-size distinct-count sketch (registers merge by
+# MAX, so incremental maintenance is drift-free like the CMS above)
+# ---------------------------------------------------------------------------
+
+def hll_build(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """Sparse HLL registers (bucket, r) over the md5-derived 60-bit
+    hash of ``key_col``: bucket = low log2(m) bits, r = leading-zero
+    rank of the remaining bits via length(ltrim(bin())) — the same
+    engine-exact arithmetic q_hll_distinct gates. One
+    map-side-combinable MAX aggregation; at most m rows out."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rank = F.lit(53) - F.length(F.expr(f"ltrim('0', bin(_h DIV {m}))"))
+    return (
+        df.select(h.alias("_h"))
+        .select((F.col("_h") % m).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(a: DataFrame | None, b: DataFrame) -> DataFrame:
+    """Register-wise MAX merge — the HLL union law. ``a`` may be None
+    (first micro-batch)."""
+    if a is None:
+        return b
+    return (
+        a.select("bucket", F.col("r").alias("_ra"))
+        .join(b.select("bucket", F.col("r").alias("_rb")), "bucket", "full")
+        .select(
+            "bucket",
+            F.greatest(
+                F.coalesce("_ra", F.lit(0)), F.coalesce("_rb", F.lit(0))
+            ).alias("r"),
+        )
+    )
+
+
+def hll_stream_upsert(sdf: DataFrame, key_col: str, out_path: str,
+                      checkpoint: str, m: int = 256):
+    """Maintain an HLL distinct-count sketch OVER A STREAM: each
+    micro-batch builds its delta registers (<= m rows) and MAX-merges
+    them into the parquet-backed register table. Register max is
+    order- and duplication-insensitive, so the maintained sketch
+    equals the batch-built sketch over the full stream EXACTLY (pytest
+    asserts register-level equality) — the bounded-state distinct
+    tracker where a streaming dropDuplicates' state would grow with
+    the key domain."""
+    from cpx_etl_spark.sources.sinks import (
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    def upsert_delta(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.take(1):
+            return
+        delta = hll_build(batch_df, key_col, m=m)
+        try:
+            base = read_upsert_table(batch_df.sparkSession, out_path)
+        except Exception:
+            base = None
+        upsert_parquet_table(hll_merge(base, delta), out_path, keys=["bucket"])
+
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert_delta)
+        .trigger(availableNow=True)
+        .start()
+    )

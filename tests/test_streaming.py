@@ -589,3 +589,30 @@ def test_stream_full_outer_interval_join_emits_both_null_sides(
     # and BOTH outer sides actually flushed rows
     assert any(p[1] is None for p in got)
     assert any(p[0] is None for p in got)
+
+
+def test_streaming_hll_equals_batch_registers(spark, sf_dir, tmp_path):
+    """Incrementally-maintained HLL == batch-built HLL REGISTER FOR
+    REGISTER (register max is order- and duplication-insensitive, so
+    micro-batch maintenance introduces zero drift), and the estimate
+    served from the maintained registers equals the batch estimate."""
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.sketches import hll_build, hll_stream_upsert
+    from cpx_etl_spark.sources.sinks import read_upsert_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    sdf = events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    out, ckpt = str(tmp_path / "hll"), str(tmp_path / "ckpt")
+    q = hll_stream_upsert(sdf, "k", out, ckpt, m=256)
+    q.awaitTermination()
+
+    maintained = {
+        (r["bucket"], r["r"]) for r in read_upsert_table(spark, out).collect()
+    }
+    batch = {(r["bucket"], r["r"]) for r in hll_build(ev, "k", m=256).collect()}
+    assert maintained == batch and len(batch) > 0
