@@ -18,7 +18,7 @@ from cpx_etl_spark.operators.routing import route
 from cpx_etl_spark.operators.validation import validate
 from cpx_etl_spark.plans.mapping import apply_mapping
 from cpx_etl_spark.plans.pipeline import compile_pipeline, load_related_split
-from cpx_etl_spark.queries import dsum, register, sql_dsum
+from cpx_etl_spark.queries import dsum, fround, register, sql_dsum
 from cpx_etl_spark.scratch import scratch_dir
 from cpx_etl_spark.sources import load_table
 from cpx_etl_spark.sources.fixed_width import Field, decode, encode
@@ -1867,3 +1867,126 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "q_snapshot_time_travel",
+    oracle="""
+    WITH h AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(20,4)) AS bal,
+               CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hh
+        FROM customer),
+    mx AS (SELECT MAX(c_custkey) + 1 AS off FROM customer),
+    v2 AS (
+        SELECT c_custkey,
+               CASE WHEN hh % 5 = 0 THEN bal + 100 ELSE bal END AS bal
+        FROM h
+        UNION ALL
+        SELECT c_custkey + (SELECT off FROM mx),
+               CAST(1.0000 AS DECIMAL(20,4))
+        FROM h WHERE hh % 11 = 0)
+    SELECT 'v1' AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(bal) AS DOUBLE) - 1e-9, 2) + 0 AS sum_bal,
+           CAST(0 AS BIGINT) AS n_changed_vs_prior,
+           CAST(0 AS BIGINT) AS n_added_vs_prior
+    FROM h
+    UNION ALL
+    SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+           ROUND(CAST(SUM(bal) AS DOUBLE) - 1e-9, 2) + 0,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM h WHERE hh % 5 = 0),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM h WHERE hh % 11 = 0)
+    FROM v2
+    ORDER BY version
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL, hash-gated (r10 — previously pytest-only,
+    SURVEY 2.8): load customers as snapshot v1, apply a deterministic
+    correction batch (md5-selected balances +100) plus planted new
+    accounts (ids offset past MAX) as v2, then read BOTH versions back
+    through the manifest protocol — v1 via explicit version name from
+    the retention window, v2 as current — and report per-version row
+    counts, decimal-exact balance totals, and the changed/added key
+    counts computed by DIFFING the two read-back frames (a full-outer
+    PK join, the CDC shape). The oracle derives both snapshots
+    arithmetically, so a commit-protocol bug (wrong version read,
+    partial promote, merge clobber) breaks counts, totals, or diff.
+    Scratch table per invocation (process-owned dir, auto-removed) —
+    the snapshot layout itself is the production one."""
+    import os
+
+    from cpx_etl_spark.scratch import scratch_dir
+    from cpx_etl_spark.sources.sinks import (
+        list_upsert_versions,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(20,4)").alias("bal")
+    )
+    hh = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    path = os.path.join(scratch_dir("cpx_tt_"), "t")
+    upsert_parquet_table(cust, path, ["c_custkey"])
+    mx = cust.agg((F.max("c_custkey") + 1).alias("off"))
+    corr = cust.filter(hh % 5 == 0).select(
+        "c_custkey", (F.col("bal") + 100).cast("decimal(20,4)").alias("bal")
+    )
+    added = (
+        cust.filter(hh % 11 == 0)
+        .crossJoin(F.broadcast(mx))  # 1-row id offset
+        .select(
+            (F.col("c_custkey") + F.col("off")).alias("c_custkey"),
+            F.lit("1.0000").cast("decimal(20,4)").alias("bal"),
+        )
+    )
+    upsert_parquet_table(corr.unionByName(added), path, ["c_custkey"])
+    versions = list_upsert_versions(path)
+    old = read_upsert_table(spark, path, version=versions[0])
+    cur = read_upsert_table(spark, path)
+    diff = (
+        cur.select(F.col("c_custkey").alias("k"), F.col("bal").alias("new_bal"))
+        .join(
+            old.select(F.col("c_custkey").alias("k"), F.col("bal").alias("old_bal")),
+            "k",
+            "full",
+        )
+        .agg(
+            F.count(
+                F.when(
+                    F.col("old_bal").isNotNull()
+                    & F.col("new_bal").isNotNull()
+                    & (F.col("old_bal") != F.col("new_bal")),
+                    1,
+                )
+            ).alias("n_changed"),
+            F.count(F.when(F.col("old_bal").isNull(), 1)).alias("n_added"),
+        )
+    )
+
+    def stats(df: DataFrame, name: str, changed, added_n) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            fround(F.sum("bal").cast("double"), 2).alias("sum_bal"),
+            changed.alias("n_changed_vs_prior"),
+            added_n.alias("n_added_vs_prior"),
+        )
+
+    v1_row = stats(
+        old, "v1", F.lit(0).cast("long"), F.lit(0).cast("long")
+    )
+    v2_row = stats(cur, "v2", F.lit(None), F.lit(None)).drop(
+        "n_changed_vs_prior", "n_added_vs_prior"
+    ).crossJoin(F.broadcast(diff)).select(
+        "version",
+        "n_rows",
+        "sum_bal",
+        F.col("n_changed").alias("n_changed_vs_prior"),
+        F.col("n_added").alias("n_added_vs_prior"),
+    )
+    return v1_row.unionByName(v2_row).orderBy("version")
