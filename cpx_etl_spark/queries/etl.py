@@ -1990,3 +1990,83 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_added").alias("n_added_vs_prior"),
     )
     return v1_row.unionByName(v2_row).orderBy("version")
+
+
+@register(
+    "q_incremental_ingest",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 3 AS drop_id
+        FROM documents)
+    SELECT drop_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(1 AS BIGINT) AS times_ingested
+    FROM h
+    GROUP BY drop_id
+    ORDER BY drop_id
+    """,
+)
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-tracked INCREMENTAL FILE INGESTION, hash-gated (r10 —
+    previously pytest-only, SURVEY 2.8): documents split into three
+    md5-derived landing-file drops; the ingest loop runs FOUR times —
+    after drop 1, after drops 2+3 land, and twice more with nothing
+    new — and the read-back of the ingested table (tagged per file via
+    input metadata) must show every document ingested EXACTLY ONCE per
+    drop (times_ingested pins 1: a manifest bug double-appends or
+    drops a file and the count breaks). The landing listing / manifest
+    anti-join is file-name-sized, never data-sized — the batch twin of
+    a streaming checkpoint for hourly/daily loads."""
+    import os
+
+    from cpx_etl_spark.scratch import scratch_dir
+    from cpx_etl_spark.sources.sinks import ingest_new_files
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    drop = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 3
+    )
+    base = scratch_dir("cpx_ingest_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    out = os.path.join(base, "out")
+    manifest = os.path.join(base, "manifest")
+    tagged = docs.withColumn("drop_id", drop)
+
+    def land(d: int) -> None:
+        tagged.filter(F.col("drop_id") == d).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"stage{d}"))
+        src = os.path.join(base, f"stage{d}")
+        part = [f for f in os.listdir(src) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(src, part), os.path.join(landing, f"drop{d}.parquet")
+        )
+
+    land(0)
+    ingested = [ingest_new_files(spark, landing, manifest, out)]
+    land(1)
+    land(2)
+    ingested.append(ingest_new_files(spark, landing, manifest, out))
+    # two idle re-runs: nothing new may be re-processed
+    ingested.append(ingest_new_files(spark, landing, manifest, out))
+    ingested.append(ingest_new_files(spark, landing, manifest, out))
+    return (
+        spark.read.parquet(out)
+        .groupBy("drop_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("times"),
+            F.first("source").alias("source"),
+        )
+        .groupBy("drop_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.max("times").cast("long").alias("times_ingested"),
+        )
+        .orderBy("drop_id")
+    )
