@@ -131,36 +131,44 @@ def _last_driver_round(root=None) -> dict[str, int]:
 
 # Queries whose implementation or oracle CHANGED after their latest
 # driver-evidence row (the hash they were last confirmed against no
-# longer exists at HEAD). They rank with the never-gated cohort so the
-# next driver sweep re-confirms the NEW semantics instead of letting a
-# stale-but-green row stand for code that no longer produces it.
-# Remove an entry once a CORRECTNESS_r*.json row postdates the change.
-_FORCE_REGATE: frozenset[str] = frozenset({
-    "q_label_noise_audit",     # r10: ANN-backed candidate pool
-    "q_lm_fluency_filter",     # r10: interpolated bigram/unigram LM
-    "q_xsl_toc",               # r10: four new XSLT constructs in chain
-    "dedup_semantic_trained",  # r10: regime column added
-})
+# longer exists at HEAD): name -> round the change shipped in. While a
+# query's newest evidence PREDATES its change round, it ranks with the
+# never-gated cohort so the next driver sweep re-confirms the NEW
+# semantics; once a CORRECTNESS row at/after the change round lands,
+# the entry expires AUTOMATICALLY (no manual cleanup, no permanently
+# pinned budget).
+_CHANGED_IN: dict[str, int] = {
+    "q_label_noise_audit": 10,     # r10: ANN-backed candidate pool
+    "q_lm_fluency_filter": 10,     # r10: interpolated bigram/unigram LM
+    "q_xsl_toc": 10,               # r10: four new XSLT constructs
+    "dedup_semantic_trained": 10,  # r10: regime column added
+}
 
 
 def sweep_order(
     names: list[str],
     latest: dict[str, int],
-    force_regate: frozenset[str] = _FORCE_REGATE,
+    changed_in: dict[str, int] | None = None,
 ) -> list[str]:
     """Gate-sweep ordering rule: queries with NO driver evidence at all
     sort first (rank 0 — zero evidence is staler than any stale
     evidence; VERDICT r6 showed the old min(gated)+0.5 rank buried
     never-gated queries behind a ~50-query stale-but-confirmed cohort
-    for 2+ rounds), semantically-changed queries (``force_regate``)
-    rank with them, then confirmed queries stalest-first, insertion
-    order within cohorts. Pure function so the rule itself is
-    unit-testable against fixture evidence (not a re-derivation of
-    this formula)."""
-    return sorted(
-        names,
-        key=lambda name: 0 if name in force_regate else latest.get(name, 0),
-    )
+    for 2+ rounds), semantically-changed queries whose evidence
+    predates the change (``changed_in``) rank with them, then confirmed
+    queries stalest-first, insertion order within cohorts. Pure
+    function so the rule itself is unit-testable against fixture
+    evidence (not a re-derivation of this formula)."""
+    if changed_in is None:
+        changed_in = _CHANGED_IN
+
+    def rank(name: str) -> int:
+        r = latest.get(name, 0)
+        if r < changed_in.get(name, 0):
+            return 0  # stale-for-the-new-semantics: re-gate
+        return r
+
+    return sorted(names, key=rank)
 
 
 def load_registry() -> tuple[dict, dict]:

@@ -138,9 +138,12 @@ def test_registry_rotation_is_staleness_ordered():
     # no driver artifacts at all: insertion order preserved
     assert sweep_order(["a", "b"], {}) == ["a", "b"]
     # a semantically-changed query re-gates with the never-gated cohort
-    # even if its (stale) evidence row is the freshest on record
-    forced = sweep_order(names, latest, force_regate=frozenset({"f1"}))
+    # while its evidence predates the change round...
+    forced = sweep_order(names, latest, changed_in={"f1": 6})
     assert forced[:5] == ["f1", "n1", "n2", "n3", "n4"]
+    # ...and the pin expires automatically once evidence catches up
+    expired = sweep_order(names, latest | {"f1": 6}, changed_in={"f1": 6})
+    assert expired[-1] == "f1"
     # and the live registry is ordered by the same rule
     q, _ = load_registry()
     assert list(q) == sweep_order(sorted(q, key=list(q).index), _last_driver_round())
