@@ -265,7 +265,12 @@ def hll_build(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
     ).cast("long")
     rank = F.lit(53) - F.length(F.expr(f"ltrim('0', bin(_h DIV {m}))"))
     return (
-        df.select(h.alias("_h"))
+        # NULL keys hash to a NULL bucket, which no equi/PK join ever
+        # matches — left in, the maintained sketch's null rows would
+        # grow every merge (code-review r10); a NULL contributes
+        # nothing to a distinct count anyway
+        df.filter(F.col(key_col).isNotNull())
+        .select(h.alias("_h"))
         .select((F.col("_h") % m).alias("bucket"), rank.alias("r"))
         .groupBy("bucket")
         .agg(F.max("r").alias("r"))
@@ -298,21 +303,30 @@ def hll_stream_upsert(sdf: DataFrame, key_col: str, out_path: str,
     equals the batch-built sketch over the full stream EXACTLY (pytest
     asserts register-level equality) — the bounded-state distinct
     tracker where a streaming dropDuplicates' state would grow with
-    the key domain."""
+    the key domain.
+
+    The merged register table is committed REPLACE-WHOLE via the
+    versioned-manifest protocol (commit_versioned_parquet — the helper
+    for artifacts replaced rather than merged row-wise): one base read
+    per batch, no redundant PK merge, and "is there a base yet?" is an
+    explicit manifest probe — a transient read FAILURE raises and the
+    batch retries, instead of being mistaken for "first batch" and
+    silently REGRESSING the stored maxima (code-review r10)."""
     from cpx_etl_spark.sources.sinks import (
+        commit_versioned_parquet,
+        list_upsert_versions,
         read_upsert_table,
-        upsert_parquet_table,
     )
 
     def upsert_delta(batch_df: DataFrame, _bid: int) -> None:
         if not batch_df.take(1):
             return
         delta = hll_build(batch_df, key_col, m=m)
-        try:
+        if list_upsert_versions(out_path):
             base = read_upsert_table(batch_df.sparkSession, out_path)
-        except Exception:
+        else:
             base = None
-        upsert_parquet_table(hll_merge(base, delta), out_path, keys=["bucket"])
+        commit_versioned_parquet(hll_merge(base, delta), out_path)
 
     return (
         sdf.writeStream.outputMode("append")

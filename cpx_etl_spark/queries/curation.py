@@ -742,9 +742,19 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 0, 2, b0, b2 FROM b
         UNION ALL
         SELECT 1, 2, b1, b2 FROM b),
-    cells AS (
+    obs AS (
         SELECT epoch_a, epoch_b, ba, bb, COUNT(*) AS o
         FROM pairs GROUP BY 1, 2, 3, 4),
+    grid AS (
+        SELECT p.epoch_a, p.epoch_b, ga.i AS ba, gb.i AS bb
+        FROM (SELECT DISTINCT epoch_a, epoch_b FROM pairs) p,
+             generate_series(0, 15) ga(i), generate_series(0, 15) gb(i)),
+    cells AS (
+        SELECT g.epoch_a, g.epoch_b, g.ba, g.bb,
+               COALESCE(o.o, 0) AS o
+        FROM grid g LEFT JOIN obs o
+          ON o.epoch_a = g.epoch_a AND o.epoch_b = g.epoch_b
+         AND o.ba = g.ba AND o.bb = g.bb),
     tot AS (
         SELECT epoch_a, epoch_b, CAST(SUM(o) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_cells
@@ -754,9 +764,11 @@ def q_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     marg_b AS (SELECT epoch_a, epoch_b, bb, CAST(SUM(o) AS BIGINT) AS cb
                FROM cells GROUP BY 1, 2, 3)
     SELECT c.epoch_a, c.epoch_b, t.n AS n_docs, t.n_cells,
-           ROUND(SUM((o - CAST(ra AS DOUBLE) * cb / t.n)
+           ROUND(SUM(CASE WHEN ra > 0 AND cb > 0 THEN
+                     (o - CAST(ra AS DOUBLE) * cb / t.n)
                      * (o - CAST(ra AS DOUBLE) * cb / t.n)
-                     / (CAST(ra AS DOUBLE) * cb / t.n)) - 1e-9, 4) + 0 AS chi2
+                     / (CAST(ra AS DOUBLE) * cb / t.n) ELSE 0 END)
+                 - 1e-9, 4) + 0 AS chi2
     FROM cells c
     JOIN tot t USING (epoch_a, epoch_b)
     JOIN marg_a ma ON ma.epoch_a = c.epoch_a AND ma.epoch_b = c.epoch_b
@@ -809,8 +821,21 @@ def q_epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col(f"b{eb}").alias("bb"),
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    cells = pairs.groupBy("epoch_a", "epoch_b", "ba", "bb").agg(
+    obs = pairs.groupBy("epoch_a", "epoch_b", "ba", "bb").agg(
         F.count(F.lit(1)).alias("o")
+    )
+    # DENSE 16x16 grid per epoch pair: empty cells still carry their
+    # expected-count chi2 contribution — dropping them understates the
+    # statistic exactly when the shuffle is MOST correlated
+    # (code-review r10); guarded to e > 0 like q_chi2_independence
+    grid = (
+        obs.select("epoch_a", "epoch_b")
+        .distinct()
+        .crossJoin(spark.range(16).select(F.col("id").alias("ba")))
+        .crossJoin(spark.range(16).select(F.col("id").alias("bb")))
+    )
+    cells = grid.join(obs, ["epoch_a", "epoch_b", "ba", "bb"], "left").select(
+        "epoch_a", "epoch_b", "ba", "bb", F.coalesce("o", F.lit(0)).alias("o")
     )
     tot = cells.groupBy("epoch_a", "epoch_b").agg(
         F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells")
@@ -822,7 +847,10 @@ def q_epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("o").alias("cb")
     )
     exp = F.col("ra").cast("double") * F.col("cb") / F.col("n")
-    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    term = F.when(
+        (F.col("ra") > 0) & (F.col("cb") > 0),
+        (F.col("o") - exp) * (F.col("o") - exp) / exp,
+    ).otherwise(F.lit(0.0))
     return (
         cells.join(tot, ["epoch_a", "epoch_b"])
         .join(marg_a, ["epoch_a", "epoch_b", "ba"])

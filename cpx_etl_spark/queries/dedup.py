@@ -551,7 +551,6 @@ def _sig_index_dir(sf_dir: str) -> str:
     cache instead of serving a stale index."""
     import hashlib
     import os
-    import tempfile
 
     parts = [os.path.abspath(sf_dir), f"n{_NGRAM}", f"k{_MH_K}",
              f"b{_MH_BANDS}", "refpred-md5-7", "v1"]
@@ -663,7 +662,6 @@ def _sql_emb_cross_indexed(threshold: float) -> str:
 def _emb_index_dir(sf_dir: str) -> str:
     import hashlib
     import os
-    import tempfile
 
     parts = [os.path.abspath(sf_dir), f"t{_EMBS_THRESHOLD}", f"d{_EMB_DIM}",
              "refpred-md5-7", "v1"]

@@ -439,8 +439,6 @@ def q_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME load a second time (must be a no-op), and return the read-
     back join — the oracle checks content equals a single clean load."""
     import os
-    import shutil
-    import tempfile
 
     from cpx_etl_spark.sources.sinks import read_upsert_table, upsert_parquet_table
 
@@ -459,10 +457,12 @@ def q_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_item": (["o_orderkey", "l_linenumber"], {"l_quantity": "quantity"}),
         },
     )
-    from cpx_etl_spark.scratch import user_cache_root
+    from cpx_etl_spark.scratch import scratch_dir
 
-    base = os.path.join(user_cache_root(), "cpx_etl_load_roundtrip")
-    shutil.rmtree(base, ignore_errors=True)
+    # transient per-invocation table: fresh process-owned dir (isolated
+    # from concurrent runs, auto-removed atexit) — the persistent
+    # user_cache_root is for standing artifacts only (code-review r10)
+    base = scratch_dir("cpx_etl_load_roundtrip_")
     pks = {"order_hdr": ["o_orderkey"], "order_item": ["o_orderkey", "l_linenumber"]}
     for _ in range(2):  # second pass re-inserts identical rows: no growth
         for name, frame in ents.items():
@@ -1968,21 +1968,21 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def stats(df: DataFrame, name: str, changed, added_n) -> DataFrame:
+    def stats(df: DataFrame, name: str) -> DataFrame:
         return df.agg(
             F.lit(name).alias("version"),
             F.count(F.lit(1)).alias("n_rows"),
             fround(F.sum("bal").cast("double"), 2).alias("sum_bal"),
-            changed.alias("n_changed_vs_prior"),
-            added_n.alias("n_added_vs_prior"),
         )
 
-    v1_row = stats(
-        old, "v1", F.lit(0).cast("long"), F.lit(0).cast("long")
+    v1_row = stats(old, "v1").select(
+        "version",
+        "n_rows",
+        "sum_bal",
+        F.lit(0).cast("long").alias("n_changed_vs_prior"),
+        F.lit(0).cast("long").alias("n_added_vs_prior"),
     )
-    v2_row = stats(cur, "v2", F.lit(None), F.lit(None)).drop(
-        "n_changed_vs_prior", "n_added_vs_prior"
-    ).crossJoin(F.broadcast(diff)).select(
+    v2_row = stats(cur, "v2").crossJoin(F.broadcast(diff)).select(
         "version",
         "n_rows",
         "sum_bal",
@@ -2048,13 +2048,23 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     land(0)
-    ingested = [ingest_new_files(spark, landing, manifest, out)]
+    first = ingest_new_files(spark, landing, manifest, out)
     land(1)
     land(2)
-    ingested.append(ingest_new_files(spark, landing, manifest, out))
-    # two idle re-runs: nothing new may be re-processed
-    ingested.append(ingest_new_files(spark, landing, manifest, out))
-    ingested.append(ingest_new_files(spark, landing, manifest, out))
+    second = ingest_new_files(spark, landing, manifest, out)
+    if sorted(first) != ["drop0.parquet"] or sorted(second) != [
+        "drop1.parquet",
+        "drop2.parquet",
+    ]:
+        raise RuntimeError(
+            f"incremental ingest picked wrong files: {first} / {second}"
+        )
+    # two idle re-runs: nothing new may be re-processed — fail fast
+    # here (legible) rather than only via the read-back hash
+    for _ in range(2):
+        idle = ingest_new_files(spark, landing, manifest, out)
+        if idle:
+            raise RuntimeError(f"idle re-run re-processed files: {idle}")
     return (
         spark.read.parquet(out)
         .groupBy("drop_id", "doc_id")

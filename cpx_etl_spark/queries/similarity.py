@@ -222,7 +222,6 @@ def _ivf_index_dir(sf_dir: str) -> str:
     index)."""
     import hashlib
     import os
-    import tempfile
 
     parts = [os.path.abspath(sf_dir), "label-cells", f"dim{_DIM}", "v1"]
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -501,7 +500,6 @@ def _pq_index_dir(sf_dir: str) -> str:
     invalidation convention as the IVF / signature indexes)."""
     import hashlib
     import os
-    import tempfile
 
     parts = [os.path.abspath(sf_dir), "pq-m8-k16", f"dim{_DIM}", "v1"]
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -661,7 +659,6 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
     invalidation convention as the IVF / PQ / signature indexes)."""
     import hashlib
     import os
-    import tempfile
 
     parts = [os.path.abspath(sf_dir), "ivfpq-label-m8-k16", f"dim{_DIM}", "v1"]
     src = os.path.join(sf_dir, "embeddings.parquet")

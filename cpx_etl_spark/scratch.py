@@ -40,9 +40,20 @@ def user_cache_root() -> str:
     code-review r10) — so the root carries the uid, is created 0700,
     and a pre-existing dir with the wrong owner or looser permissions
     is refused rather than trusted."""
+    import stat as stat_mod
+
     d = os.path.join(tempfile.gettempdir(), f"cpx_cache_{os.getuid()}")
     os.makedirs(d, mode=0o700, exist_ok=True)
-    st = os.stat(d)
+    # lstat, NOT stat: a pre-planted SYMLINK at the predictable name
+    # would pass a follow-the-link ownership check while redirecting
+    # every cache write into an attacker-chosen victim-owned directory
+    # (code-review r10)
+    st = os.lstat(d)
+    if stat_mod.S_ISLNK(st.st_mode) or not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"refusing cache root {d!r}: not a real directory "
+            "(symlink pre-plant?)"
+        )
     if st.st_uid != os.getuid() or (st.st_mode & 0o077):
         raise RuntimeError(
             f"refusing cache root {d!r}: owned by uid {st.st_uid} with "
