@@ -2080,3 +2080,91 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("drop_id")
     )
+
+
+@register(
+    "q_cdc_log_compaction",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(20,4)) AS price,
+               CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hh
+        FROM orders),
+    log AS (
+        SELECT k, 0 AS seq, 'I' AS op, price FROM h
+        UNION ALL
+        SELECT k, 1, 'U', price + 10 FROM h WHERE hh % 3 = 0
+        UNION ALL
+        SELECT k, 2, 'D', CAST(NULL AS DECIMAL(20,4)) FROM h WHERE hh % 5 = 0),
+    compacted AS (
+        SELECT k, op AS final_op, price
+        FROM log
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+    SELECT final_op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(CAST(COALESCE(SUM(price), 0) AS DOUBLE) - 1e-9, 2) + 0
+             AS sum_price
+    FROM compacted
+    GROUP BY final_op
+    ORDER BY final_op
+    """,
+)
+def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC LOG COMPACTION (r10): replay an ORDERED change log with
+    several ops per key in one batch — insert, a deterministic
+    md5-selected update, a deterministic delete — and compact to
+    last-writer-wins state with DELETE tombstones, the Kafka-compaction
+    / CDC-log-replay shape that q_cdc_apply's single-op-per-key merge
+    cannot express (an out-of-order or dropped op changes which write
+    wins and breaks the hash). Compaction is one max_by(seq)
+    aggregation per key — a single partial-aggregated shuffle, no
+    window sort over the log — then a final-op rollup with
+    decimal-exact surviving-price totals (deleted keys contribute 0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+        h.alias("hh"),
+    )
+    log = (
+        base.select("k", F.lit(0).alias("seq"), F.lit("I").alias("op"), "price")
+        .unionByName(
+            base.filter(F.col("hh") % 3 == 0).select(
+                "k",
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("price") + 10).cast("decimal(20,4)").alias("price"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("hh") % 5 == 0).select(
+                "k",
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("decimal(20,4)").alias("price"),
+            )
+        )
+    )
+    compacted = log.groupBy("k").agg(
+        F.max_by(F.struct("op", "price"), F.col("seq")).alias("last")
+    )
+    return (
+        compacted.select(
+            F.col("last.op").alias("final_op"), F.col("last.price").alias("price")
+        )
+        .groupBy("final_op")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            fround(
+                F.coalesce(F.sum("price"), F.lit(0).cast("decimal(20,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("final_op")
+    )
