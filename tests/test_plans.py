@@ -138,11 +138,14 @@ def test_registry_rotation_is_staleness_ordered():
     # no driver artifacts at all: insertion order preserved
     assert sweep_order(["a", "b"], {}) == ["a", "b"]
     # a semantically-changed query re-gates with the never-gated cohort
-    # while its evidence predates the change round...
+    # while its evidence is not STRICTLY newer than the change round
+    # (a change-round row may predate the change — judge-advice r10)...
     forced = sweep_order(names, latest, changed_in={"f1": 6})
     assert forced[:5] == ["f1", "n1", "n2", "n3", "n4"]
-    # ...and the pin expires automatically once evidence catches up
-    expired = sweep_order(names, latest | {"f1": 6}, changed_in={"f1": 6})
+    same_round = sweep_order(names, latest | {"f1": 6}, changed_in={"f1": 6})
+    assert same_round[0] == "f1"
+    # ...and the pin expires automatically once newer evidence lands
+    expired = sweep_order(names, latest | {"f1": 7}, changed_in={"f1": 6})
     assert expired[-1] == "f1"
     # and the live registry is ordered by the same rule
     q, _ = load_registry()

@@ -34,3 +34,68 @@ def test_every_oracle_names_a_registered_query():
         "mm_byte_features",
         "q_approx_distinct_users",
     ]
+
+
+_DIGEST_SCRIPT = os.path.join(
+    os.path.dirname(_SCRIPT), "update_gate_digests.py"
+)
+
+
+def test_gate_digests_in_sync_with_head():
+    """Semantic-change ledger staleness gate (judge-advice r10): a
+    query edited without running tools/update_gate_digests.py fails
+    here, so a semantic change cannot land standing on a pre-change
+    CORRECTNESS hash."""
+    out = subprocess.run(
+        [sys.executable, _DIGEST_SCRIPT, "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 0, out.stderr or out.stdout
+
+
+def test_same_round_stale_evidence_regates():
+    """The r10 granularity hole: evidence from the CHANGE ROUND itself
+    may have been produced mid-round before the change — it must NOT
+    satisfy the re-gate pin. Only strictly-newer evidence expires it."""
+    from cpx_etl_spark.queries import sweep_order
+
+    names = ["f1", "other"]
+    # f1 changed in round 6; a round-6 row still ranks it 0 (re-gate)
+    assert sweep_order(names, {"f1": 6, "other": 3}, changed_in={"f1": 6}) == [
+        "f1",
+        "other",
+    ]
+    # a strictly-newer row expires the pin automatically
+    assert sweep_order(names, {"f1": 7, "other": 3}, changed_in={"f1": 6}) == [
+        "other",
+        "f1",
+    ]
+
+
+def test_digest_drift_distrusts_all_evidence():
+    """A registered query whose HEAD digest differs from the committed
+    ledger entry (the state between an edit and the tool run) ranks 0
+    regardless of how fresh its evidence is."""
+    from cpx_etl_spark.queries import (
+        ORACLES,
+        changed_rounds,
+        load_registry,
+        query_digest,
+    )
+
+    q, _ = load_registry()
+    rounds = changed_rounds()
+    # in-sync repo: no entry carries the drift sentinel
+    assert all(r < 10**9 for r in rounds.values())
+    # and digests really are content-derived: recomputing matches
+    name = next(iter(q))
+    import json
+    from pathlib import Path
+
+    from cpx_etl_spark import queries as qmod
+
+    ledger = json.loads(
+        (Path(qmod.__file__).parent / "gate_digests.json").read_text()
+    )
+    assert ledger[name]["digest"] == query_digest(q[name], ORACLES.get(name))
