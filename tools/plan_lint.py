@@ -130,10 +130,17 @@ def _single_partition_funnels(plan: str) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])  # optional: lint just the named queries
     from cpx_etl_spark.queries import load_registry
     from cpx_etl_spark.session import get_spark
 
     queries, _ = load_registry()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        queries = {k: v for k, v in queries.items() if k in only}
     spark = get_spark("plan-lint", master="local[4]", shuffle_partitions=4)
     failures: list[str] = []
     checked = 0
