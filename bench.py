@@ -187,6 +187,24 @@ def main() -> None:
             best_all = json.load(f)
     except (OSError, ValueError):
         best_all = {}
+    # Re-baseline on SEMANTIC change (VERDICT r10 item 7): a best-known
+    # recorded against old semantics is not comparable to a query doing
+    # strictly different work (q_lm_fluency_filter read 1.39x against
+    # its pre-interpolation self). Each query's content digest (same
+    # derivation as the gate-sweep ledger) is stored beside the bests;
+    # when it drifts, that query's best-known entries reset at EVERY sf
+    # and the new digest is recorded — so the 2x bar always compares
+    # like against like.
+    from cpx_etl_spark.queries import ORACLES, query_digest
+
+    rec_digests = best_all.setdefault("_query_digests", {})
+    for name in HEADLINE:
+        d = query_digest(queries[name], ORACLES.get(name))
+        if rec_digests.get(name) not in (None, d):
+            for sfk, m in best_all.items():
+                if sfk != "_query_digests" and isinstance(m, dict):
+                    m.pop(name, None)
+        rec_digests[name] = d
     best_sf = best_all.setdefault(str(sf), {})
     for name, dt in timings.items():
         best_sf[name] = min(best_sf.get(name, dt), dt)

@@ -2009,32 +2009,48 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lm_fluency_filter",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    dtri AS (
+        SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(tk) - 2),
+                            i -> struct_pack(w1 := tk[i], w2 := tk[i+1],
+                                             w3 := tk[i+2]))) AS s
+              FROM t)
+        GROUP BY 1, 2, 3, 4),
+    tri AS (SELECT w1, w2, w3, CAST(SUM(c) AS BIGINT) AS c3
+            FROM dtri GROUP BY 1, 2, 3),
     bg AS (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, len(tk) - 1),
-                      i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
-        FROM t),
-    db AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c
-           FROM bg GROUP BY 1, 2, 3),
-    pairs AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2
-              FROM db GROUP BY 1, 2),
-    ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
-    uni AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS u2 FROM pairs GROUP BY 1),
-    nb AS (SELECT CAST(SUM(c2) AS BIGINT) AS nn FROM pairs),
-    ppm AS (SELECT w1, w2,
-                   (c2 * 750000) // c1 + (u2 * 250000) // nn AS ppm
-            FROM pairs JOIN ctx USING (w1) JOIN uni USING (w2)
-            CROSS JOIN nb),
+        SELECT s.w1 AS w1, s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                            i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS s
+              FROM t)
+        GROUP BY 1, 2),
+    uni AS (SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(tk) AS w FROM t) u GROUP BY 1),
+    nt AS (SELECT CAST(SUM(c1) AS BIGINT) AS nn FROM uni),
+    ppm AS (
+        SELECT tri.w1, tri.w2, tri.w3,
+               CASE WHEN tri.c3 >= 2 THEN (tri.c3 * 1000000) // b12.c2
+                    WHEN b23.c2 >= 2 THEN (b23.c2 * 400000) // u2.c1
+                    ELSE (u3.c1 * 160000) // nt.nn END AS ppm,
+               CASE WHEN tri.c3 >= 2 THEN 0 ELSE 1 END AS backed
+        FROM tri
+        JOIN bg b12 ON b12.w1 = tri.w1 AND b12.w2 = tri.w2
+        JOIN bg b23 ON b23.w1 = tri.w2 AND b23.w2 = tri.w3
+        JOIN uni u2 ON u2.w = tri.w2
+        JOIN uni u3 ON u3.w = tri.w3
+        CROSS JOIN nt),
     scored AS (
-        SELECT db.doc_id,
-               CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
-               ROUND(CAST(SUM(db.c * ppm.ppm) AS DOUBLE)
-                     / CAST(SUM(db.c) AS DOUBLE) - 1e-9, 6) + 0 AS fluency_ppm
-        FROM db JOIN ppm USING (w1, w2)
-        GROUP BY db.doc_id),
+        SELECT d.doc_id,
+               CAST(SUM(d.c) AS BIGINT) AS n_trigrams,
+               CAST(SUM(d.c * p.backed) AS BIGINT) AS n_backoff,
+               ROUND(CAST(SUM(d.c * p.ppm) AS DOUBLE)
+                     / CAST(SUM(d.c) AS DOUBLE) - 1e-9, 6) + 0 AS fluency_ppm
+        FROM dtri d JOIN ppm p USING (w1, w2, w3)
+        GROUP BY d.doc_id),
     cut AS (SELECT ROUND(quantile_cont(fluency_ppm, 0.10) - 1e-9, 6) + 0 AS lo
             FROM scored)
-    SELECT s.doc_id, s.n_bigrams, s.fluency_ppm,
+    SELECT s.doc_id, s.n_trigrams, s.n_backoff, s.fluency_ppm,
            s.fluency_ppm <= cut.lo AS low_fluency
     FROM scored s CROSS JOIN cut
     ORDER BY s.doc_id
@@ -2042,68 +2058,88 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LM fluency filter — the CCNet/Gopher perplexity
-    screen with the corpus's own INTERPOLATED bigram/unigram model as
-    the LM (r10, VERDICT r9 item 8): each transition scores
-    lambda*P(w2|w1) + (1-lambda)*P(w2) at lambda=3/4 — the
-    Jelinek-Mercer smoothing CCNet's KenLM model family uses (and the
-    2-gram cap of Brants et al. 2007's stupid backoff) — so a rare
-    continuation of a common context no longer scores identically to
-    word salad; documents in the bottom decile of the mean transition
-    score are flagged. Log-free exactness: each term is an INTEGER
-    floor in parts-per-million — (c(w1,w2)*750000) DIV c(w1) +
-    (u(w2)*250000) DIV N_bigrams, with u/N from the pair frame itself
-    (transition-target unigrams; no extra corpus scan) — summed
-    exactly per doc, ONE IEEE division (mean) + tie-round at output.
-    Scale shape: the bigram explode + (doc,w1,w2) pre-aggregation are
-    the corpus-sized stages (map-side partials); pair/context/unigram
-    frames are bigram-vocabulary-sized, the total a 1-row broadcast,
-    and the scoring join is bigram-keyed, UNHINTED (AQE broadcasts
-    while small); the decile cutoff is the exact-percentile SORT-BASED
-    1-row aggregate broadcast (the q_equidepth_bands pattern) — no
-    fraction-of-corpus TakeOrdered, no plan-build count(). Documents
-    with <2 tokens have no transitions and are excluded (mirrored: the
-    oracle's generate_series is empty for them)."""
+    screen, upgraded r11 (VERDICT r10 item 9) from the interpolated
+    bigram to a TRIGRAM head with log-free STUPID BACKOFF (Brants et
+    al. 2007) over the corpus's own singleton-pruned LM: a trigram
+    transition scores c3/c(w1w2) when the corpus has seen it at least
+    twice (KenLM-style count pruning — a singleton only ever proves the
+    document agrees with itself); otherwise it backs off to
+    0.4 * c(w2w3)/c(w2) when that bigram survives pruning, else to
+    0.4^2 * c(w3)/N. Every branch is an INTEGER floor in
+    parts-per-million ((c3*1000000) DIV c12 / (c23*400000) DIV cw2 /
+    (u3*160000) DIV N), summed exactly per doc with ONE IEEE division
+    (the mean) + tie-round at output — bit-exact cross-engine. The
+    per-doc BACKOFF count rides the row, so the gate verifies the
+    backoff branch actually fires, not just the happy path. Documents
+    in the bottom decile of mean transition score flag low_fluency.
+    Scale shape: trigram/bigram/unigram exploders are corpus-sized
+    narrow projections with map-side-partial pre-aggregation; scoring
+    frames are n-gram-vocabulary-sized, joins UNHINTED (AQE broadcasts
+    while small); token total and the exact-percentile decile cutoff
+    are 1-row broadcasts — no GlobalLimit/TakeOrdered funnel. Docs with
+    <3 tokens have no trigram transitions and are excluded (mirrored:
+    the oracle's generate_series is empty for them)."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.split("text", " ")
-    db = (
-        docs.select(
+
+    def grams(n: int, names: list[str]) -> DataFrame:
+        width = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+        z = F.arrays_zip(*[F.slice(tk, i + 1, width) for i in range(n)])
+        return docs.select(
+            "doc_id", F.explode(z).alias("g")
+        ).select(
             "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
-                    F.expr(
-                        "slice(split(text, ' '), 2,"
-                        " greatest(size(split(text, ' ')) - 1, 0))"
-                    ),
-                )
-            ).alias("p"),
+            *[F.col(f"g.{i}").alias(nm) for i, nm in enumerate(names)],
         )
-        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-        .groupBy("doc_id", "w1", "w2")
+
+    dtri = (
+        grams(3, ["w1", "w2", "w3"])
+        .groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    pairs = db.groupBy("w1", "w2").agg(F.sum("c").alias("c2"))
-    ctx = pairs.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    uni = pairs.groupBy("w2").agg(F.sum("c2").alias("u2"))
-    nb = pairs.agg(F.sum("c2").alias("nn"))
+    tri = dtri.groupBy("w1", "w2", "w3").agg(F.sum("c").alias("c3"))
+    bg = (
+        grams(2, ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        docs.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nt = uni.agg(F.sum("c1").alias("nn"))
+    b12 = bg.select("w1", "w2", F.col("c2").alias("c12"))
+    b23 = bg.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+        F.col("c2").alias("c23"),
+    )
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cw2"))
+    u3 = uni.select(F.col("w").alias("w3"), F.col("c1").alias("u3"))
     ppm = (
-        pairs.join(ctx, "w1")
-        .join(uni, "w2")
-        .crossJoin(F.broadcast(nb))  # 1-row bigram total
+        tri.join(b12, ["w1", "w2"])
+        .join(b23, ["w2", "w3"])
+        .join(u2, "w2")
+        .join(u3, "w3")
+        .crossJoin(F.broadcast(nt))  # 1-row token total
         .select(
             "w1",
             "w2",
+            "w3",
             F.expr(
-                "(c2 * CAST(750000 AS BIGINT)) DIV c1"
-                " + (u2 * CAST(250000 AS BIGINT)) DIV nn"
+                "CASE WHEN c3 >= 2 THEN (c3 * CAST(1000000 AS BIGINT)) DIV c12"
+                " WHEN c23 >= 2 THEN (c23 * CAST(400000 AS BIGINT)) DIV cw2"
+                " ELSE (u3 * CAST(160000 AS BIGINT)) DIV nn END"
             ).alias("ppm"),
+            F.expr("CASE WHEN c3 >= 2 THEN 0 ELSE 1 END").alias("backed"),
         )
     )
     scored = (
-        db.join(ppm, ["w1", "w2"])  # bigram-vocab frame; AQE decides
+        dtri.join(ppm, ["w1", "w2", "w3"])  # trigram-vocab frame; AQE decides
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_bigrams"),
+            F.sum("c").alias("n_trigrams"),
+            F.sum(F.col("c") * F.col("backed")).alias("n_backoff"),
             fround(
                 F.sum(F.col("c") * F.col("ppm")).cast("double")
                 / F.sum("c").cast("double"),
@@ -2118,7 +2154,8 @@ def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.crossJoin(F.broadcast(cut))  # 1-row cutoff frame
         .select(
             "doc_id",
-            "n_bigrams",
+            "n_trigrams",
+            "n_backoff",
             "fluency_ppm",
             (F.col("fluency_ppm") <= F.col("lo")).alias("low_fluency"),
         )
