@@ -2248,3 +2248,82 @@ def q_upsert_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("corrected").cast("long").alias("n_corrected"),
         F.lit(1 <= n_scanned < n_total).alias("pruned"),
     )
+
+
+@register(
+    "q_snapshot_rollback",
+    oracle="""
+    WITH h AS (
+        SELECT c_custkey,
+               CAST(c_acctbal AS DECIMAL(20,4)) AS bal,
+               CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS hh
+        FROM customer),
+    final AS (
+        SELECT c_custkey,
+               CASE WHEN hh % 5 = 0 THEN bal + 100 ELSE bal END AS bal,
+               hh
+        FROM h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND((CAST(SUM(bal) AS DOUBLE)) - 1e-9, 2) + 0 AS sum_bal,
+           CAST(SUM(CASE WHEN hh % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_would_be_corrupted,
+           TRUE AS rolled_back
+    FROM final
+    """,
+)
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK, hash-gated — the third member of the commit
+    protocol triple (commit / time travel / rollback; Iceberg
+    rollback-to-snapshot): customers load as v1, a BAD batch
+    (md5-selected ~1/3 of keys, +999 each) commits as v2, the head
+    ROLLS BACK to v1 (metadata-only manifest repoint; v2 becomes
+    unreferenced and is GC'd by the next commit), then a GOOD
+    correction batch (+100 on the hh%5 cohort) upserts on the
+    rolled-back lineage. The final read must equal base+good exactly —
+    any surviving +999 row (rollback didn't take, or the GC promoted
+    the stale v2) breaks the decimal-exact total, and the in-row
+    ``rolled_back`` flag pins that v2's successor actually reused the
+    abandoned version slot (names never collide after GC). Oracle
+    derives the final state arithmetically from the source table."""
+    import os
+
+    from cpx_etl_spark.scratch import scratch_dir
+    from cpx_etl_spark.sources.sinks import (
+        list_upsert_versions,
+        read_upsert_table,
+        rollback_upsert_table,
+        upsert_parquet_table,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(20,4)").alias("bal")
+    )
+    hh = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    path = os.path.join(scratch_dir("cpx_rb_"), "t")
+    upsert_parquet_table(cust, path, ["c_custkey"])
+    bad = cust.filter(hh % 3 == 0).select(
+        "c_custkey", (F.col("bal") + 999).cast("decimal(20,4)").alias("bal")
+    )
+    upsert_parquet_table(bad, path, ["c_custkey"])
+    v1 = list_upsert_versions(path)[0]
+    rollback_upsert_table(path, v1)
+    good = cust.filter(hh % 5 == 0).select(
+        "c_custkey", (F.col("bal") + 100).cast("decimal(20,4)").alias("bal")
+    )
+    upsert_parquet_table(good, path, ["c_custkey"])
+    versions = list_upsert_versions(path)
+    # the abandoned v2 slot was GC'd and renumbered: exactly {v1, v2}
+    rolled_back = versions == [v1, f"v{int(v1[1:]) + 1:08d}"]
+    cur = read_upsert_table(spark, path)
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        fround(F.sum("bal").cast("double"), 2).alias("sum_bal"),
+        F.sum(F.when(hh % 3 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_would_be_corrupted"),
+        F.lit(bool(rolled_back)).alias("rolled_back"),
+    )

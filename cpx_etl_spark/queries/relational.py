@@ -6231,3 +6231,183 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("ok").alias("merged_matches_direct"),
     )
+
+
+# --- k-hop BFS reachability (fixed-iteration frontier expansion) -------------
+
+_KHOP = 3
+_KHOP_SEEDS = 5
+
+
+@register(
+    "q_khop_reach",
+    oracle=f"""
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT pa AS a, pb AS b FROM pr
+              UNION ALL SELECT pb, pa FROM pr),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {_KHOP_SEEDS}),
+    bfs(node, hop) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.b, bfs.hop + 1
+        FROM bfs JOIN edges e ON e.a = bfs.node
+        WHERE bfs.hop < {_KHOP}
+    ),
+    reach AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node)
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM reach GROUP BY hop ORDER BY hop
+    """,
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS reachability over the co-purchase graph — the
+    fixed-iteration FRONTIER-EXPANSION pattern (the graph family's
+    missing third member beside PageRank's value iteration and the
+    connected-components label propagation): from the 5 smallest nodes
+    of the support>=2 co-purchase edge set, 3 hop-synchronous rounds of
+    frontier JOIN edges with an anti-join against the visited set —
+    each node is claimed by its MINIMUM hop exactly as BFS defines, and
+    the per-hop newly-reached counts + node-id bounds are the result.
+    Edge generation is the q_copurchase_pairs basket-bounded self-join
+    (never |parts|^2); each round is one hash join + distinct + anti
+    join, all key-partitioned — the shape that runs a trillion-edge
+    graph hop by hop. The oracle replays BFS as a depth-bounded
+    RECURSIVE CTE in UNION (distinct) mode with MIN(hop) per node."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pr = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pr.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionByName(
+        pr.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    seeds = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_KHOP_SEEDS)
+    )
+    visited = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for h in range(1, _KHOP + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("hop")
+    )
+
+
+# --- linear multi-touch attribution ------------------------------------------
+
+
+@register(
+    "q_attribution_linear",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, p.p_ts, p.value, c.c_ts,
+                 COUNT(c.c_ts) OVER (PARTITION BY p.event_id) AS n
+          FROM p LEFT JOIN c
+            ON c.c_user = p.user_id
+           AND c.c_ts <= p.p_ts
+           AND c.c_ts > p.p_ts - INTERVAL 1 HOUR),
+    touch AS (SELECT date_trunc('day', c_ts) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_touches,
+                     {sql_dsum("ROUND(value / n - 1e-9, 6)")} AS rev_linear
+              FROM j WHERE c_ts IS NOT NULL GROUP BY 1),
+    org AS (SELECT date_trunc('day', p_ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_organic,
+                   {sql_dsum("value")} AS rev_organic
+            FROM j WHERE c_ts IS NULL GROUP BY 1)
+    SELECT COALESCE(t.day, o.day) AS day,
+           COALESCE(t.n_touches, 0) AS n_touches,
+           COALESCE(t.rev_linear, 0.0) + 0 AS rev_linear,
+           COALESCE(o.n_organic, 0) AS n_organic,
+           COALESCE(o.rev_organic, 0.0) + 0 AS rev_organic
+    FROM touch t FULL OUTER JOIN org o ON t.day = o.day
+    ORDER BY day
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the fractional-credit sibling
+    of q_attribution_last_touch: every same-user click within the hour
+    before a purchase receives an equal value/n share, credited to the
+    CLICK's day (which is what makes multi-touch a different daily
+    series from any single-touch rule; clickless purchases stay organic
+    revenue on the purchase day). One time-banded LEFT join + a
+    purchase-keyed window count, then two day rollups full-outer-merged
+    with zero fills. Cross-engine exactness: value/n is ONE IEEE
+    division, tie-rounded at 6dp per credit, then DECIMAL-summed —
+    order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).withColumn(
+        "n", F.count("c_ts").over(Window.partitionBy("event_id"))
+    )
+    touch = (
+        j.filter(F.col("c_ts").isNotNull())
+        .groupBy(F.date_trunc("day", "c_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            dsum(fround(F.col("value") / F.col("n"), 6)).alias("rev_linear"),
+        )
+    )
+    org = (
+        j.filter(F.col("c_ts").isNull())
+        .groupBy(F.date_trunc("day", "p_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_organic"),
+            dsum(F.col("value")).alias("rev_organic"),
+        )
+    )
+    return (
+        touch.join(org, on="day", how="full")
+        .select(
+            "day",
+            F.coalesce("n_touches", F.lit(0)).alias("n_touches"),
+            F.coalesce("rev_linear", F.lit(0.0)).alias("rev_linear"),
+            F.coalesce("n_organic", F.lit(0)).alias("n_organic"),
+            F.coalesce("rev_organic", F.lit(0.0)).alias("rev_organic"),
+        )
+        .orderBy("day")
+    )

@@ -409,6 +409,25 @@ def upsert_parquet_table(
     _commit_manifest(path, next_v)
 
 
+def rollback_upsert_table(path: str, version: str) -> None:
+    """ROLLBACK the table head to a retained prior snapshot — the
+    Iceberg rollback-to-snapshot operation, completing the protocol
+    triple (commit / time travel / rollback). Metadata-only: the
+    manifest pointer atomically repoints at the old version directory
+    (snapshots are immutable, so no data moves); versions NEWER than
+    the rolled-back head become unreferenced and are garbage-collected
+    at the start of the next upsert — exactly the abandon-the-bad-load
+    semantics. The next upsert then numbers its version after the
+    rolled-back head (the GC removes the stale successor dirs first,
+    so names never collide)."""
+    if version not in list_upsert_versions(path):
+        raise FileNotFoundError(
+            f"version {version!r} not retained at {path}; "
+            f"available: {list_upsert_versions(path)}"
+        )
+    _commit_manifest(path, version)
+
+
 def commit_versioned_parquet(
     df: DataFrame, path: str, retain_versions: int = 2,
     stats_cols: list[str] | None = None,

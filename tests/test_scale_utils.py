@@ -236,6 +236,40 @@ def test_upsert_pruned_read_skips_files(spark, tmp_path):
     assert total == 8 and len(sel) == n_scanned
 
 
+def test_upsert_rollback(spark, tmp_path):
+    """rollback_upsert_table repoints the head at a retained snapshot
+    (metadata-only); the abandoned successor is GC'd by the next upsert
+    and its version slot is reused without collision."""
+    import pytest
+
+    from cpx_etl_spark.sources.sinks import (
+        list_upsert_versions,
+        read_upsert_table,
+        rollback_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "rb")
+    upsert_parquet_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), path, ["id"]
+    )
+    upsert_parquet_table(
+        spark.createDataFrame([(2, "BAD")], "id long, v string"), path, ["id"]
+    )
+    rollback_upsert_table(path, "v00000001")
+    got = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}  # head is v1 again
+    # next upsert GC's the abandoned v2 and reuses its slot
+    upsert_parquet_table(
+        spark.createDataFrame([(3, "c")], "id long, v string"), path, ["id"]
+    )
+    assert list_upsert_versions(path) == ["v00000001", "v00000002"]
+    got2 = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got2 == {1: "a", 2: "b", 3: "c"}  # BAD never resurfaces
+    with pytest.raises(FileNotFoundError):
+        rollback_upsert_table(path, "v00000099")
+
+
 def test_upsert_multi_version_retention(spark, tmp_path):
     """retain_versions keeps a deep time-travel window: with 4, three
     superseded snapshots stay readable; the default (2) still collects
