@@ -1706,3 +1706,101 @@ def ivfpq_topk_indexed(
         rerank=rerank,
         probed=probed,
     )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    rerank: int = 3,
+) -> DataFrame:
+    """IVFPQ with by_residual=True — the FAISS DEFAULT composition the
+    by_residual=False sibling (ivfpq_topk) approximates: PQ codebooks
+    train on and codes encode the RESIDUALS r = v - centroid(cell(v)),
+    which have much smaller spread than raw vectors, so the same m x
+    k_codes budget quantizes finer. Inner-product ADC decomposes as
+    dot(q, v_hat) = dot(q, centroid) + dot(q, r_hat): the per-(query,
+    probed-cell) centroid term comes from the probe itself, and the LUT
+    of dot(q_j, cent_jc) against the residual codebook stays
+    CELL-INDEPENDENT (m * k_codes rows per query, broadcast) — so the
+    scan cost is identical to the non-residual variant: nprobe cells'
+    worth of m small ints per query, floats touched only at rerank.
+    Every stage reuses the gated constructions (ivf_build, pq_train,
+    pq_encode on the residual frame), rounds at 6dp and sums as
+    DECIMAL, so the oracle replays the approximation bit-for-bit."""
+    sub = dim // m
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    res = (
+        assigned.join(F.broadcast(centroids), "cell")
+        .select(
+            F.col("neighbor_id").alias("rid"),
+            F.zip_with("v_c", "centroid", lambda a, b: a - b).alias("rvec"),
+        )
+    )
+    cb = pq_train(res, "rid", "rvec", m=m, k_codes=k_codes, dim=dim)
+    codes = pq_encode(res, "rid", "rvec", cb, m=m, dim=dim)
+    probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
+    qc = (
+        probed.join(F.broadcast(centroids), "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.round(dot(F.col("v_q"), F.col("centroid")) - 1e-9, 6)
+            .cast("decimal(20,6)")
+            .alias("qc"),
+        )
+    )
+    qsv = _pq_subvectors(queries, id_col, vec_col, m, dim).select(
+        F.col("vid").alias("query_id"), "j", F.col("sv").alias("qv")
+    )
+    lut = qsv.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        "code",
+        F.round(dot(F.col("qv"), F.col("cent")) - 1e-9, 6).alias("pdot"),
+    )
+    cellmates = (
+        assigned.select(F.col("neighbor_id").alias("vid"), "cell")
+        .join(probed.select("query_id", "cell"), on="cell")
+        .filter(F.col("vid") != F.col("query_id"))
+    )
+    ap = (
+        cellmates.join(codes, on="vid")
+        .join(F.broadcast(lut), ["query_id", "j", "code"])
+        .groupBy("query_id", "vid", "cell")
+        .agg(F.sum(F.col("pdot").cast("decimal(20,6)")).alias("rsum"))
+    )
+    scored = ap.join(qc, ["query_id", "cell"]).select(
+        "query_id", "vid", (F.col("qc") + F.col("rsum")).alias("approx")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("vid")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank * k)
+        .select("query_id", F.col("vid").alias("neighbor_id"))
+    )
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
+    )
+    pairs = (
+        cand.join(vectors, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
+        )
+    )
+    return _ranked(pairs, k)

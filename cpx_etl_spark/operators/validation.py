@@ -72,3 +72,89 @@ def validate(
     for v in verdicts:
         conj = conj & v
     return out.withColumn(overall, conj)
+
+
+def expectations_report(df: DataFrame, specs: list[dict]) -> DataFrame:
+    """TABLE-level expectation suite — the dbt-test / Great-Expectations
+    surface on top of the per-row ``validate``: every expectation
+    compiles into the SAME single aggregate pass (one scan, map-side
+    partials — at 100 TB the suite costs one pass no matter how many
+    expectations), then the 1-row result explodes into one verdict row
+    per expectation: (expectation, observed, passed). ``passed`` is
+    derived from the 4dp tie-rounded observed value so engines agree
+    bit-for-bit at thresholds.
+
+    Spec kinds: row_count_at_least(value) / unique(col: observed =
+    duplicate count) / null_count_at_most(col, value) /
+    accepted_values(col, values: observed = violations, NULL counts as
+    a violation) / min_at_least(col, value) / max_at_most(col, value) /
+    mean_between(col, lo, hi: DECIMAL-exact mean).
+    """
+    EPS = 1e-9
+    aggs = []
+    rows = []
+    for i, spec in enumerate(specs):
+        kind, col, tag = spec["kind"], spec.get("col"), f"_e{i}"
+        if kind == "row_count_at_least":
+            aggs.append(F.count(F.lit(1)).cast("double").alias(tag))
+            name = f"row_count_at_least_{spec['value']}"
+        elif kind == "unique":
+            aggs.append(
+                (F.count(col) - F.countDistinct(col)).cast("double").alias(tag)
+            )
+            name = f"unique_{col}"
+        elif kind == "null_count_at_most":
+            aggs.append(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("double")
+                .alias(tag)
+            )
+            name = f"null_count_at_most_{col}_{spec['value']}"
+        elif kind == "accepted_values":
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col).isin(spec["values"]), 0).otherwise(1)
+                )
+                .cast("double")
+                .alias(tag)
+            )
+            name = f"accepted_values_{col}"
+        elif kind == "min_at_least":
+            aggs.append(F.min(col).cast("double").alias(tag))
+            name = f"min_at_least_{col}_{spec['value']}"
+        elif kind == "max_at_most":
+            aggs.append(F.max(col).cast("double").alias(tag))
+            name = f"max_at_most_{col}_{spec['value']}"
+        elif kind == "mean_between":
+            aggs.append(
+                (
+                    F.sum(F.col(col).cast("decimal(20,4)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(tag)
+            )
+            name = f"mean_between_{col}"
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        obs = F.round(F.col(tag) - EPS, 4)
+        if kind in ("unique",):
+            passed = obs == 0
+        elif kind in ("accepted_values",):
+            passed = obs <= 0
+        elif kind in ("row_count_at_least", "min_at_least"):
+            passed = obs >= spec["value"]
+        elif kind in ("max_at_most", "null_count_at_most"):
+            passed = obs <= spec["value"]
+        else:  # mean_between
+            passed = (obs >= spec["lo"]) & (obs <= spec["hi"])
+        rows.append(
+            F.struct(
+                F.lit(name).alias("expectation"),
+                (obs + 0).alias("observed"),
+                passed.alias("passed"),
+            )
+        )
+    return (
+        df.agg(*aggs)
+        .select(F.explode(F.array(*rows)).alias("e"))
+        .select("e.*")
+    )

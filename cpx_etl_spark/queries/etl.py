@@ -2327,3 +2327,74 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_would_be_corrupted"),
         F.lit(bool(rolled_back)).alias("rolled_back"),
     )
+
+
+@register(
+    "q_data_expectations",
+    oracle="""
+    WITH a AS (SELECT
+        CAST(COUNT(*) AS DOUBLE) AS e0,
+        CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS e1,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS e2,
+        CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+             AS DOUBLE) AS e3,
+        CAST(MIN(o_totalprice) AS DOUBLE) AS e4,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS e5,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS e6
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'row_count_at_least_1000' AS expectation,
+             ROUND(e0 - 1e-9, 4) + 0 AS observed,
+             ROUND(e0 - 1e-9, 4) >= 1000 AS passed FROM a
+      UNION ALL
+      SELECT 'unique_o_orderkey', ROUND(e1 - 1e-9, 4) + 0,
+             ROUND(e1 - 1e-9, 4) = 0 FROM a
+      UNION ALL
+      SELECT 'null_count_at_most_o_custkey_0', ROUND(e2 - 1e-9, 4) + 0,
+             ROUND(e2 - 1e-9, 4) <= 0 FROM a
+      UNION ALL
+      SELECT 'accepted_values_o_orderstatus', ROUND(e3 - 1e-9, 4) + 0,
+             ROUND(e3 - 1e-9, 4) <= 0 FROM a
+      UNION ALL
+      SELECT 'min_at_least_o_totalprice_500', ROUND(e4 - 1e-9, 4) + 0,
+             ROUND(e4 - 1e-9, 4) >= 500 FROM a
+      UNION ALL
+      SELECT 'mean_between_o_totalprice', ROUND(e5 - 1e-9, 4) + 0,
+             ROUND(e5 - 1e-9, 4) >= 200000 AND ROUND(e5 - 1e-9, 4) <= 300000
+      FROM a
+      UNION ALL
+      SELECT 'max_at_most_o_totalprice_100000', ROUND(e6 - 1e-9, 4) + 0,
+             ROUND(e6 - 1e-9, 4) <= 100000 FROM a
+    ) ORDER BY expectation
+    """,
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative TABLE-level expectation suite — the dbt-test /
+    Great-Expectations data-contract surface (the table-level sibling
+    of the reference's per-row validate, etl.js:407-470): seven
+    expectations over orders (row count floor, PK uniqueness, FK null
+    budget, accepted status values with NULL-as-violation, price
+    floor, decimal-exact mean band, and a DELIBERATELY failing price
+    ceiling so the gate hash-verifies the fail branch, not just the
+    happy path) all compile into ONE aggregate scan with map-side
+    partials — at 100 TB the whole contract costs a single pass —
+    then explode into one (expectation, observed, passed) verdict row
+    each, with pass/fail decided on the 4dp tie-rounded observed value
+    identically in both engines."""
+    from cpx_etl_spark.operators.validation import expectations_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return expectations_report(
+        orders,
+        [
+            {"kind": "row_count_at_least", "value": 1000},
+            {"kind": "unique", "col": "o_orderkey"},
+            {"kind": "null_count_at_most", "col": "o_custkey", "value": 0},
+            {"kind": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"kind": "min_at_least", "col": "o_totalprice", "value": 500},
+            {"kind": "mean_between", "col": "o_totalprice",
+             "lo": 200000, "hi": 300000},
+            {"kind": "max_at_most", "col": "o_totalprice", "value": 100000},
+        ],
+    ).orderBy("expectation")

@@ -1260,3 +1260,126 @@ def q_ann_dim_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# IVF x PQ with by_residual=TRUE — the FAISS default: codebooks train
+# on and codes encode residuals v - centroid(cell(v)); inner-product
+# ADC decomposes as dot(q, c) + dot(q, r_hat), so the LUT stays
+# cell-independent and the scan cost matches the non-residual sibling.
+_IVFPQR_ORACLE = f"""
+    WITH icomp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    icent AS (
+        SELECT label AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM icomp GROUP BY label, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM icent GROUP BY cell),
+    ascore AS (
+        SELECT e.vec_id, c.cell,
+               ROUND({sql_cosine('e.embedding', 'c.centroid', _DIM)} - 1e-9, 6) + 0 AS c_cos
+        FROM embeddings e CROSS JOIN centv c),
+    assigned AS (
+        SELECT vec_id, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) = 1),
+    probed AS (
+        SELECT vec_id AS query_id, cell FROM ascore WHERE vec_id < 5
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) <= 2),
+    resv AS (
+        SELECT e.vec_id,
+               list_transform(generate_series(1, {_DIM}),
+                   i -> CAST(e.embedding[i] AS DOUBLE) - cv.centroid[i]) AS rvec
+        FROM embeddings e
+        JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN centv cv ON cv.cell = a.cell),
+    pcomp AS (
+      SELECT vec_id, g.j AS j, gs.i AS i, rvec[g.j * 8 + gs.i] AS x
+      FROM resv, generate_series(0, 7) g(j), generate_series(1, 8) gs(i)
+    ),
+    cb AS (
+      SELECT j, vec_id % 16 AS code, i,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mval
+      FROM pcomp GROUP BY j, vec_id % 16, i
+    ),
+    cbv AS (SELECT j, code, list(mval ORDER BY i) AS cent FROM cb GROUP BY j, code),
+    sv AS (
+      SELECT vec_id, g.j AS j,
+             list_transform(generate_series(1, 8), i -> rvec[g.j * 8 + i]) AS sv
+      FROM resv, generate_series(0, 7) g(j)
+    ),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 8),
+                          i -> (s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i]))) - 1e-9, 6) + 0,
+                          c.code) AS rn
+        FROM sv s JOIN cbv c ON c.j = s.j)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.j, c.code,
+             ROUND(list_sum(list_transform(generate_series(1, 8),
+                   i -> CAST(q.embedding[c.j * 8 + i] AS DOUBLE) * c.cent[i])) - 1e-9, 6) + 0 AS pdot
+      FROM embeddings q, cbv c
+      WHERE q.vec_id < 5
+    ),
+    qc AS (
+      SELECT p.query_id, p.cell,
+             CAST(ROUND(list_sum(list_transform(generate_series(1, {_DIM}),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * cv.centroid[i])) - 1e-9, 6) + 0
+                  AS DECIMAL(20,6)) AS qc
+      FROM probed p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN centv cv ON cv.cell = p.cell
+    ),
+    cellmates AS (
+      SELECT p.query_id, p.cell, a.vec_id AS vid
+      FROM probed p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ap AS (
+      SELECT cm.query_id, cm.vid, cm.cell,
+             SUM(CAST(l.pdot AS DECIMAL(20,6))) AS rsum
+      FROM cellmates cm
+      JOIN enc e ON e.vec_id = cm.vid
+      JOIN lut l ON l.query_id = cm.query_id AND l.j = e.j AND l.code = e.code
+      GROUP BY cm.query_id, cm.vid, cm.cell
+    ),
+    cand AS (
+      SELECT query_id, vid AS neighbor_id FROM (
+        SELECT a.query_id, a.vid, a.rsum + q.qc AS approx
+        FROM ap a JOIN qc q ON q.query_id = a.query_id AND q.cell = a.cell)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, vid) <= 30
+    ),
+    {_SQL_RANKED}
+"""
+
+
+@register("ann_ivfpq_residual_topk", oracle=_IVFPQR_ORACLE)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ with by_residual=TRUE — the FAISS DEFAULT the r10
+    by_residual=False composition (`ann_ivfpq_topk`) was the stepping
+    stone toward: PQ codebooks train on the assignment residuals
+    v - centroid(cell(v)) (much smaller spread than raw vectors, so
+    the same 8x16 code budget quantizes finer), and the inner-product
+    ADC decomposes as dot(q, centroid) + dot(q, r_hat) — the centroid
+    term comes with the probe, the residual LUT stays cell-independent,
+    and the scan still touches only nprobe cells' worth of 8 small
+    ints per query. The oracle replays the ENTIRE derivation (IVF
+    centroids/assignment/probe, residual construction, residual-trained
+    codebook, encode, LUT + per-cell centroid-dot ADC, top-30 rerank)
+    bit-for-bit including the approximation error.
+    operators/similarity.py ivfpq_residual_topk."""
+    from cpx_etl_spark.operators.similarity import ivfpq_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", "label",
+        k=10, nprobe=2, m=8, k_codes=16, dim=_DIM, rerank=3,
+    )

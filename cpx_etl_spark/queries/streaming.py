@@ -295,3 +295,84 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 60 MINUTE
+                         ELSE INTERVAL 30 MINUTE END AS fin
+        FROM events),
+    m AS (
+        SELECT user_id, ts, fin,
+               MAX(fin) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_end
+        FROM e),
+    isl AS (
+        SELECT user_id, ts, fin,
+               SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, fin
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m),
+    s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(fin) AS fin,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM isl GROUP BY user_id, sid)
+    SELECT date_trunc('day', st) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events,
+           CAST(SUM(epoch_us(fin) - epoch_us(st)) // 1000000 AS BIGINT)
+               AS total_span_sec
+    FROM s GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session_window (the Spark 4 expression-gap form of
+    the native operator): each event extends its session by an
+    event-dependent timeout — purchases hold the session open 60
+    minutes, everything else 30 — the 'checkout keeps the visit alive'
+    semantics a fixed-gap sessionizer cannot express. Sessions merge
+    while an event starts before the running max of predecessors'
+    (ts + gap) ends; the oracle replays exactly that interval-merge as
+    a running-MAX window + cumsum islands (order-insensitive under any
+    ts ordering: same-ts events always overlap their predecessor's
+    >=30-min extension). Daily rollup: session count, event totals,
+    deepest session, exact integer-microsecond total span."""
+    ev = load_table(spark, sf_dir, "events")
+    # the dynamic-gap form wants CalendarIntervalType (string literals
+    # cast implicitly); DayTimeInterval literals are rejected
+    gap = F.expr(
+        "CASE WHEN event_type = 'purchase' THEN '60 minutes'"
+        " ELSE '30 minutes' END"
+    )
+    sw = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sw.groupBy(F.date_trunc("day", F.col("w.start")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+            F.sum(
+                F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+            )
+            .cast("long")
+            .alias("total_span_sec_us"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_events",
+            "max_session_events",
+            F.expr("total_span_sec_us DIV 1000000").alias("total_span_sec"),
+        )
+        .orderBy("day")
+    )

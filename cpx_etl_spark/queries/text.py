@@ -2805,3 +2805,137 @@ def q_bigram_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "rank")
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) ------
+
+_WIN_K = 4   # tokens per k-gram
+_WIN_W = 4   # k-gram hashes per selection window
+_WIN_DF = 64  # hot-fingerprint candidate cap (house df-cap)
+
+
+@register(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    kg AS (
+        SELECT doc_id, s.pos AS pos,
+               CAST(concat('0x', substr(md5(s.sh), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(tk) - {_WIN_K - 1}),
+                            i -> struct_pack(pos := i,
+                                             sh := tk[i] || ' ' || tk[i+1] || ' '
+                                                   || tk[i+2] || ' ' || tk[i+3]))) AS s
+              FROM t)),
+    sel AS (
+        SELECT doc_id, pos,
+               MIN(struct_pack(h := h, np := -pos)) OVER
+                 (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS m
+        FROM kg QUALIFY pos >= {_WIN_W}),
+    fps AS (SELECT DISTINCT doc_id, m.h AS h FROM sel),
+    cnt AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id),
+    hot AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) > {_WIN_DF}),
+    fpc AS (SELECT doc_id, h FROM fps WHERE h NOT IN (SELECT h FROM hot)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id),
+    shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+               FROM cand c
+               JOIN fps f1 ON f1.doc_id = c.doc_a
+               JOIN fps f2 ON f2.doc_id = c.doc_b AND f2.h = f1.h
+               GROUP BY c.doc_a, c.doc_b
+               HAVING COUNT(*) >= 2)
+    SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           ROUND(s.n_shared * 1.0 / LEAST(ca.nf, cb.nf) - 1e-9, 6) + 0
+               AS containment
+    FROM shared s
+    JOIN cnt ca ON ca.doc_id = s.doc_a
+    JOIN cnt cb ON cb.doc_id = s.doc_b
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer-Wilkerson-Aiken 2003
+    — the MOSS plagiarism-detection selector): per position, hash the
+    4-token k-gram (60-bit md5 prefix), then each window of w=4
+    consecutive hashes SELECTS its minimum (rightmost on ties — the
+    Moss rule, encoded as a lexicographic struct-min over (h, -pos)),
+    guaranteeing any shared run of >= k+w-1 tokens shares a selected
+    fingerprint while keeping the stored set a ~2/(w+1) fraction of
+    positions — the storage/recall contract shingle sets don't have.
+    Cross-doc report: candidate pairs from the df-capped (<= 64 docs)
+    fingerprint index, shared-fingerprint counts verified on the FULL
+    sets (house rule: caps gate candidates, never verification),
+    containment = shared / min(|fps|). One narrow projection + one
+    per-doc window + hash-keyed joins; the window is per-document
+    (session-scale partitions), never global."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    width = F.greatest(F.size(tk) - (_WIN_K - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(tk, i + 1, width) for i in range(_WIN_K)])
+    kg = docs.select(
+        "doc_id", F.posexplode(z).alias("pos0", "g")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.col(f"g.{i}") for i in range(_WIN_K)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), W.currentRow)
+    )
+    sel = (
+        kg.withColumn("m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win))
+        .filter(F.col("pos") >= _WIN_W)
+        .select("doc_id", F.col("m.h").alias("h"))
+        .distinct()
+    )
+    cnt = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    hot = sel.groupBy("h").count().filter(F.col("count") > _WIN_DF).select("h")
+    fpc = sel.join(hot, on="h", how="left_anti")
+    cand = (
+        fpc.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(fpc.select(F.col("doc_id").alias("doc_b"), "h"), on="h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    f1 = sel.select(F.col("doc_id").alias("doc_a"), "h")
+    f2 = sel.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        cand.join(f1, on="doc_a")
+        .join(f2, on=["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("_fa"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("_fb"))
+    return (
+        shared.join(ca, on="doc_a")
+        .join(cb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            fround(
+                F.col("n_shared") / F.least("_fa", "_fb"), 6
+            ).alias("containment"),
+        )
+    )
