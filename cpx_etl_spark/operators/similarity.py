@@ -1735,7 +1735,6 @@ def ivfpq_residual_topk(
     Every stage reuses the gated constructions (ivf_build, pq_train,
     pq_encode on the residual frame), rounds at 6dp and sums as
     DECIMAL, so the oracle replays the approximation bit-for-bit."""
-    sub = dim // m
     centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
     res = (
         assigned.join(F.broadcast(centroids), "cell")

@@ -126,10 +126,13 @@ def expectations_report(df: DataFrame, specs: list[dict]) -> DataFrame:
             aggs.append(F.max(col).cast("double").alias(tag))
             name = f"max_at_most_{col}_{spec['value']}"
         elif kind == "mean_between":
+            # count(col), not count(*): NULLs are excluded from the sum,
+            # so including them in the denominator biases the mean low
+            # (code-review r11)
             aggs.append(
                 (
                     F.sum(F.col(col).cast("decimal(20,4)")).cast("double")
-                    / F.count(F.lit(1))
+                    / F.count(F.col(col))
                 ).alias(tag)
             )
             name = f"mean_between_{col}"
@@ -150,7 +153,11 @@ def expectations_report(df: DataFrame, specs: list[dict]) -> DataFrame:
             F.struct(
                 F.lit(name).alias("expectation"),
                 (obs + 0).alias("observed"),
-                passed.alias("passed"),
+                # NULL observed (empty table / all-NULL column) must
+                # FAIL, not float through as neither-pass-nor-fail — an
+                # empty table cannot satisfy a data contract
+                # (code-review r11)
+                F.coalesce(passed, F.lit(False)).alias("passed"),
             )
         )
     return (

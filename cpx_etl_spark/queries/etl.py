@@ -2339,7 +2339,8 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
              AS DOUBLE) AS e3,
         CAST(MIN(o_totalprice) AS DOUBLE) AS e4,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS e5,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+             / COUNT(o_totalprice) AS e5,
         CAST(MAX(o_totalprice) AS DOUBLE) AS e6
       FROM orders)
     SELECT * FROM (

@@ -424,7 +424,11 @@ def sessionize_stream_tws_timeout(
             if last_us is None:
                 return
             n_types = len(self._carried_types())
-            self._state.clear()
+            # keep the session ORDINAL, clear only the open-session
+            # fields: a full state.clear() would restart numbering at 1
+            # when the user returns, emitting a duplicate (user_id,
+            # session_id) key (code-review r11)
+            self._state.update((ord_, None, 0, None))
             self._types.clear()
             yield pd.DataFrame(
                 [

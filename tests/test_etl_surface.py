@@ -856,3 +856,36 @@ def test_xslt_chain_document_lookup(spark, tmp_path):
     out = xslt_transform_column(df, "doc", "xml", [xsl], base_dir=str(tmp_path))
     got = sorted(r["xml"] for r in out.collect())
     assert got == ['<out v="alpha"/>', '<out v="alpha"/>', '<out v="beta"/>']
+
+
+def test_expectations_degenerate_inputs_fail_closed(spark):
+    """Empty tables / all-NULL columns must FAIL value expectations
+    (passed=False, never NULL), and mean_between must average over
+    non-NULL values only (code-review r11)."""
+    from cpx_etl_spark.operators.validation import expectations_report
+
+    empty = spark.createDataFrame([], "x double")
+    out = {
+        r["expectation"]: (r["observed"], r["passed"])
+        for r in expectations_report(
+            empty,
+            [
+                {"kind": "min_at_least", "col": "x", "value": 0},
+                {"kind": "max_at_most", "col": "x", "value": 10},
+                {"kind": "mean_between", "col": "x", "lo": 0, "hi": 1},
+                {"kind": "row_count_at_least", "value": 1},
+            ],
+        ).collect()
+    }
+    for name, (obs, passed) in out.items():
+        assert passed is False, f"{name}: passed={passed!r} (want False)"
+    # NULLs excluded from the mean: values (2.0, NULL, 4.0) -> mean 3.0
+    df = spark.createDataFrame([(2.0,), (None,), (4.0,)], "x double")
+    rows = {
+        r["expectation"]: r
+        for r in expectations_report(
+            df, [{"kind": "mean_between", "col": "x", "lo": 2.5, "hi": 3.5}]
+        ).collect()
+    }
+    r = rows["mean_between_x"]
+    assert r["observed"] == 3.0 and r["passed"] is True

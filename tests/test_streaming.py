@@ -156,14 +156,20 @@ def test_sessionize_tws_timeout_timers_flush_tails(spark, sf_dir):
         "t_tws_timeout", spark, "append",
     ).toPandas()
     assert len(stream) > 0
+    # session_id included: a timer-close must NOT reset the per-user
+    # ordinal (code-review r11 — state.clear() restarted numbering and
+    # emitted duplicate (user_id, session_id) keys)
     bkeys = {
-        (r.user_id, r.start_ts, r.end_ts, r.n_events, r.n_types)
+        (r.user_id, r.session_id, r.start_ts, r.end_ts, r.n_events, r.n_types)
         for r in batch.itertuples(index=False)
     }
     for r in stream.itertuples(index=False):
-        assert (r.user_id, r.start_ts, r.end_ts, r.n_events, r.n_types) in bkeys, (
+        key = (r.user_id, r.session_id, r.start_ts, r.end_ts, r.n_events,
+               r.n_types)
+        assert key in bkeys, (
             f"tws-timeout session not found in batch result: {r}"
         )
+    assert not stream.duplicated(["user_id", "session_id"]).any()
     # timers emitted sessions the gap-only variant cannot: strictly
     # more rows than the timer-less tws sessionizer on the same stream
     gap_only = _drain(

