@@ -184,3 +184,29 @@ def connected_components_star(
             F.coalesce("component", "u").alias("component"),
         )
     )
+
+
+def bfs_min_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Hop-synchronous BFS over directed ``edges`` (a, b) from the
+    ``seeds`` frame (node): k rounds of frontier JOIN edges with an
+    anti-join against the visited set — each node is claimed by its
+    MINIMUM hop exactly as BFS defines. Returns (node, hop), hop in
+    [0, k]. Each round is one hash join + distinct + anti-join, all
+    key-partitioned — the shape that walks a trillion-edge graph hop
+    by hop; a hypothesis property test pins equality with a
+    single-machine reference BFS on random graphs."""
+    from pyspark.sql import functions as F
+
+    visited = seeds.select("node").distinct().withColumn("hop", F.lit(0))
+    frontier = visited.select("node")
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited

@@ -693,3 +693,48 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 4, w: int = 4) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS selector): hash every k-token gram (60-bit md5 prefix),
+    slide a window of w consecutive hashes, select each window's
+    minimum — RIGHTMOST on ties, encoded as a lexicographic struct-min
+    over (h, -pos) — and return the distinct (id, h) fingerprint set.
+    The paper's guarantee, pinned by a hypothesis property test: any
+    two documents sharing a token run of length >= k + w - 1 share at
+    least one selected fingerprint, while only ~2/(w+1) of positions
+    are stored. Narrow projection + per-document window (session-scale
+    partitions, never a global sort)."""
+    from pyspark.sql import Window as W
+
+    tk = F.split(F.col(text_col), " ")
+    width = F.greatest(F.size(tk) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(tk, i + 1, width) for i in range(k)])
+    kg = df.select(
+        F.col(id_col), F.posexplode(z).alias("pos0", "g")
+    ).select(
+        F.col(id_col),
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(k)])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), W.currentRow)
+    return (
+        kg.withColumn(
+            "m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win)
+        )
+        .filter(F.col("pos") >= w)
+        .select(F.col(id_col), F.col("m.h").alias("h"))
+        .distinct()
+    )

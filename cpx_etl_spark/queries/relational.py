@@ -6295,24 +6295,15 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pr.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionByName(
         pr.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
     )
+    from cpx_etl_spark.operators.components import bfs_min_hop
+
     seeds = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .orderBy("node")
         .limit(_KHOP_SEEDS)
     )
-    visited = seeds.withColumn("hop", F.lit(0))
-    frontier = seeds
-    for h in range(1, _KHOP + 1):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["a"])
-            .select(F.col("b").alias("node"))
-            .distinct()
-            .join(visited.select("node"), on="node", how="left_anti")
-            .withColumn("hop", F.lit(h))
-        )
-        visited = visited.unionByName(nxt)
-        frontier = nxt.select("node")
+    visited = bfs_min_hop(edges, seeds, _KHOP)
     return (
         visited.groupBy("hop")
         .agg(

@@ -2868,44 +2868,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = shared / min(|fps|). One narrow projection + one
     per-doc window + hash-keyed joins; the window is per-document
     (session-scale partitions), never global."""
-    from pyspark.sql import Window as W
+    from cpx_etl_spark.operators.dedup import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split("text", " ")
-    width = F.greatest(F.size(tk) - (_WIN_K - 1), F.lit(0))
-    z = F.arrays_zip(*[F.slice(tk, i + 1, width) for i in range(_WIN_K)])
-    kg = docs.select(
-        "doc_id", F.posexplode(z).alias("pos0", "g")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", *[F.col(f"g.{i}") for i in range(_WIN_K)]
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    win = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WIN_W - 1), W.currentRow)
-    )
-    sel = (
-        kg.withColumn("m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win))
-        .filter(F.col("pos") >= _WIN_W)
-        .select("doc_id", F.col("m.h").alias("h"))
-        .distinct()
-    )
+    sel = winnow_fingerprints(docs, "doc_id", "text", k=_WIN_K, w=_WIN_W)
     cnt = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     hot = sel.groupBy("h").count().filter(F.col("count") > _WIN_DF).select("h")
     fpc = sel.join(hot, on="h", how="left_anti")

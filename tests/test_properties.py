@@ -252,3 +252,116 @@ def test_identity_transform_roundtrips_arbitrary_trees(data):
             eq(ca, cb)
 
     eq(root, got)
+
+
+# --- r11: winnowing guarantee, BFS reference equality, stats encoding --------
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=st.data())
+def test_winnowing_shared_run_guarantee(spark, data):
+    """The winnowing THEOREM (Schleimer et al. 2003 §3): two documents
+    sharing a token run of length >= k + w - 1 share at least one
+    selected fingerprint — for ANY surrounding context. Random unique
+    contexts around a random shared run; k=w=4 so runs of 7+ tokens
+    must collide."""
+    from cpx_etl_spark.operators.dedup import winnow_fingerprints
+
+    k = w = 4
+    run_len = data.draw(st.integers(k + w - 1, k + w + 4))
+    # token vocabularies are disjoint by construction: the shared run
+    # uses s*, doc-unique context uses a*/b* — no accidental k-grams
+    shared = [f"s{i}" for i in range(run_len)]
+    pre_a = [f"a{i}" for i in range(data.draw(st.integers(0, 6)))]
+    post_a = [f"ax{i}" for i in range(data.draw(st.integers(0, 6)))]
+    pre_b = [f"b{i}" for i in range(data.draw(st.integers(0, 6)))]
+    post_b = [f"bx{i}" for i in range(data.draw(st.integers(0, 6)))]
+    doc_a = " ".join(pre_a + shared + post_a)
+    doc_b = " ".join(pre_b + shared + post_b)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    a = {r["h"] for r in fps if r["doc_id"] == 1}
+    b = {r["h"] for r in fps if r["doc_id"] == 2}
+    assert a & b, (
+        f"no shared fingerprint for a {run_len}-token shared run "
+        f"(contexts {len(pre_a)}/{len(post_a)} vs {len(pre_b)}/{len(post_b)})"
+    )
+    # density: the stored set is a strict subset of all k-gram positions
+    n_grams_a = len(doc_a.split()) - k + 1
+    assert len(a) <= n_grams_a
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 4),
+)
+def test_bfs_min_hop_matches_reference(spark, edges, k):
+    """bfs_min_hop == single-machine reference BFS (min hop per node,
+    depth-capped) on random directed graphs; seeds = the two smallest
+    source nodes."""
+    from collections import deque
+
+    from cpx_etl_spark.operators.components import bfs_min_hop
+
+    seeds = sorted({a for a, _ in edges})[:2]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if want[u] >= k:
+            continue
+        for v in sorted(adj.get(u, ())):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    edf = spark.createDataFrame(edges, "a long, b long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_min_hop(edf, sdf, k).collect()}
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    digits=st.integers(1, 25),
+    sign=st.sampled_from([1, -1]),
+)
+def test_stats_value_decimal_bounds_contain(digits, sign):
+    """Decimal footer stats encode to floats that CONTAIN the true
+    value: encode(v, -1) <= v <= encode(v, +1) exactly — the widening
+    that keeps a >15-digit Decimal max from rounding below a live
+    file's true maximum (code-review r11)."""
+    import decimal
+    import random
+
+    from cpx_etl_spark.sources.sinks import _stats_value
+
+    rnd = random.Random(digits * 31 + sign)
+    v = decimal.Decimal(sign * rnd.randrange(10 ** (digits - 1), 10**digits))
+    v = v.scaleb(-rnd.randrange(0, 4))
+    lo, hi = _stats_value(v, -1), _stats_value(v, 1)
+    assert decimal.Decimal(lo) <= v <= decimal.Decimal(hi)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.datetimes(dt.datetime(1900, 1, 1), dt.datetime(2099, 12, 31)),
+    b=st.datetimes(dt.datetime(1900, 1, 1), dt.datetime(2099, 12, 31)),
+)
+def test_stats_value_temporal_order_preserved(a, b):
+    """ISO-string encoding of timestamps preserves ordering, so string
+    comparisons in prune_version_files are equivalent to temporal
+    comparisons (the overlap test stays exact for date/timestamp PKs)."""
+    from cpx_etl_spark.sources.sinks import _stats_value
+
+    ea, eb = _stats_value(a, -1), _stats_value(b, 1)
+    assert (a <= b) == (ea <= eb)
