@@ -194,10 +194,24 @@ def bfs_min_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     [0, k]. Each round is one hash join + distinct + anti-join, all
     key-partitioned — the shape that walks a trillion-edge graph hop
     by hop; a hypothesis property test pins equality with a
-    single-machine reference BFS on random graphs."""
+    single-machine reference BFS on random graphs.
+
+    Each round's frontier increment is localCheckpoint'ed (the CC
+    operators' pattern): without it, round h's anti-join re-evaluates
+    round h-1's plan on top of the frontier chain — lineage doubles per
+    hop and the edge derivation would be recomputed ~2^k times, a
+    silent exponential for deeper walks. Only the FRONTIER-sized
+    increments materialize; the visited set stays a lazy union of the
+    checkpointed leaves (k tiny scans, no per-round rewrite of the
+    growing set)."""
     from pyspark.sql import functions as F
 
-    visited = seeds.select("node").distinct().withColumn("hop", F.lit(0))
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
     frontier = visited.select("node")
     for h in range(1, k + 1):
         nxt = (
@@ -206,6 +220,7 @@ def bfs_min_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
             .distinct()
             .join(visited.select("node"), on="node", how="left_anti")
             .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
