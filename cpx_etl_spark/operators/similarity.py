@@ -1745,7 +1745,51 @@ def ivfpq_residual_topk(
     )
     cb = pq_train(res, "rid", "rvec", m=m, k_codes=k_codes, dim=dim)
     codes = pq_encode(res, "rid", "rvec", cb, m=m, dim=dim)
-    probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
+    )
+    return ivfpq_residual_serve(
+        queries,
+        centroids,
+        assigned.select(F.col("neighbor_id").alias("vid"), "cell"),
+        cb,
+        codes,
+        vectors,
+        id_col,
+        vec_col,
+        m=m,
+        dim=dim,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+    )
+
+
+def ivfpq_residual_serve(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned_cells: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 3,
+    probed: DataFrame | None = None,
+) -> DataFrame:
+    """Serving half over (possibly persisted) residual-IVFPQ artifacts:
+    ``centroids`` (cell, centroid), ``assigned_cells`` (vid, cell),
+    ``cb`` (j, code, cent — trained on residuals), ``codes`` (vid, j,
+    code), ``vectors`` (neighbor_id, v_c) for the exact rerank.
+    ``probed`` (query_id, v_q, cell) may be supplied by a caller that
+    already computed the probe assignment (the indexed variant collects
+    it for the literal pruning filter)."""
+    if probed is None:
+        probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
     qc = (
         probed.join(F.broadcast(centroids), "cell")
         .select(
@@ -1766,8 +1810,7 @@ def ivfpq_residual_topk(
         F.round(dot(F.col("qv"), F.col("cent")) - 1e-9, 6).alias("pdot"),
     )
     cellmates = (
-        assigned.select(F.col("neighbor_id").alias("vid"), "cell")
-        .join(probed.select("query_id", "cell"), on="cell")
+        assigned_cells.join(probed.select("query_id", "cell"), on="cell")
         .filter(F.col("vid") != F.col("query_id"))
     )
     ap = (
@@ -1787,9 +1830,6 @@ def ivfpq_residual_topk(
         .filter(F.col("_rn") <= rerank * k)
         .select("query_id", F.col("vid").alias("neighbor_id"))
     )
-    vectors = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
     )
@@ -1803,3 +1843,105 @@ def ivfpq_residual_topk(
         )
     )
     return _ranked(pairs, k)
+
+
+_IVFPQR_META = "_IVFPQR_META.json"
+
+
+def write_ivfpq_residual_index(
+    corpus: DataFrame, path: str, id_col: str, vec_col: str, cell_col: str,
+    m: int = 8, k_codes: int = 16, dim: int = 64,
+) -> None:
+    """Train and persist the residual-IVFPQ index (the FAISS-default
+    sibling of write_ivfpq_index): centroids/ + residual-trained
+    codebook/ (both tiny), cells/ (vid, cell, codes[m]) clustered by
+    cell so a probed-cell ADC scan prunes to its row groups, vectors/
+    for the rerank. Training, residual construction, assignment and
+    encoding run ONCE — serve many."""
+    import json
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    res = (
+        assigned.join(F.broadcast(centroids), "cell")
+        .select(
+            F.col("neighbor_id").alias("rid"),
+            F.zip_with("v_c", "centroid", lambda a, b: a - b).alias("rvec"),
+        )
+    )
+    cb = pq_train(res, "rid", "rvec", m=m, k_codes=k_codes, dim=dim)
+    codes = pq_encode(res, "rid", "rvec", cb, m=m, dim=dim)
+    packed = codes.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    cells = assigned.select(
+        F.col("neighbor_id").alias("vid"), "cell"
+    ).join(packed, on="vid")
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    )
+    os.makedirs(path, exist_ok=True)
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    write_clustered_parquet(cells, os.path.join(path, "cells"), ["cell"])
+    vectors.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    meta = {"id_col": id_col, "vec_col": vec_col, "cell_col": cell_col,
+            "m": m, "k_codes": k_codes, "dim": dim, "by_residual": True}
+    tmp = os.path.join(path, f"{_IVFPQR_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _IVFPQR_META))
+
+
+def read_ivfpq_residual_index(spark, path: str) -> IvfPqIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, _IVFPQR_META)) as f:
+        meta = json.load(f)
+    return IvfPqIndex(spark, path, meta)
+
+
+def ivfpq_residual_topk_indexed(
+    queries: DataFrame, index: IvfPqIndex, id_col: str, vec_col: str,
+    k: int = 10, nprobe: int = 2, rerank: int = 3,
+) -> DataFrame:
+    """ANN serving against the persisted residual-IVFPQ index: same
+    literal probed-cell pruning + single-probe-computation contract as
+    ivfpq_topk_indexed, with the residual ADC decomposition (per-cell
+    centroid dot + cell-independent residual LUT). Pytest pins indexed
+    == one-shot on the same corpus."""
+    m, dim = index.meta["m"], index.meta["dim"]
+    probe_frame = _probe_cells(
+        queries, index.centroids_df, id_col, vec_col, nprobe
+    )
+    probe_rows = probe_frame.collect()
+    probed_cells = sorted({r["cell"] for r in probe_rows})
+    probed = queries.sparkSession.createDataFrame(
+        probe_rows, schema=probe_frame.schema
+    )
+    cells = index.cells_df.filter(F.col("cell").isin(probed_cells))
+    codes = cells.select("vid", F.posexplode("codes").alias("j", "code"))
+    return ivfpq_residual_serve(
+        queries,
+        index.centroids_df,
+        cells.select("vid", "cell"),
+        index.codebook_df,
+        codes,
+        index.vectors_df.select("neighbor_id", F.col("v").alias("v_c")),
+        id_col,
+        vec_col,
+        m=m,
+        dim=dim,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        probed=probed,
+    )

@@ -1092,3 +1092,67 @@ def test_image_tiles_layout_and_size_guard(spark):
     )
     with pytest.raises(Exception, match="100 bytes, expected 256"):
         image_tiles(short, "doc_id").collect()
+
+
+def test_ivfpq_residual_index_roundtrip_and_recall(spark, sf_dir, tmp_path):
+    """The persisted residual-IVFPQ index (by_residual=TRUE, the FAISS
+    default) serves the IDENTICAL result as the one-shot plan —
+    train-once/serve-many is the production path — and the residual ADC
+    stage reaches the IVF ceiling at a generous rerank, like the
+    non-residual sibling."""
+    from cpx_etl_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_residual_topk,
+        ivfpq_residual_topk_indexed,
+        read_ivfpq_residual_index,
+        write_ivfpq_residual_index,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def _recall(rows, truth):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ) / len(truth)
+
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_ceiling = _recall(
+        ivf_topk(emb, queries, "vec_id", "embedding", "label",
+                 k=10, nprobe=2).collect(),
+        truth,
+    )
+    res_recall = _recall(
+        ivfpq_residual_topk(
+            emb, queries, "vec_id", "embedding", "label",
+            k=10, nprobe=2, m=8, k_codes=16, dim=64, rerank=10,
+        ).collect(),
+        truth,
+    )
+    assert res_recall >= 0.9 * ivf_ceiling, (
+        f"residual ADC lost recall below the IVF ceiling: "
+        f"{res_recall:.2f} vs {ivf_ceiling:.2f}"
+    )
+
+    one_shot = ivfpq_residual_topk(
+        emb, queries, "vec_id", "embedding", "label",
+        k=10, nprobe=2, m=8, k_codes=16, dim=64, rerank=3,
+    )
+    path = str(tmp_path / "ivfpqr")
+    write_ivfpq_residual_index(emb, path, "vec_id", "embedding", "label",
+                               m=8, k_codes=16, dim=64)
+    idx = read_ivfpq_residual_index(spark, path)
+    assert idx.meta["by_residual"] is True
+    served = ivfpq_residual_topk_indexed(
+        queries, idx, "vec_id", "embedding", k=10, nprobe=2, rerank=3
+    )
+    a = sorted(map(tuple, one_shot.collect()))
+    b = sorted(map(tuple, served.collect()))
+    assert a == b
