@@ -203,9 +203,15 @@ def bfs_min_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     silent exponential for deeper walks. Only the FRONTIER-sized
     increments materialize; the visited set stays a lazy union of the
     checkpointed leaves (k tiny scans, no per-round rewrite of the
-    growing set)."""
+    growing set). The EDGE LIST is checkpointed once up front: with the
+    rounds split into separate jobs, the single-plan ReusedExchange
+    dedup that used to share one edge-derivation shuffle across the
+    lazy rounds no longer applies, so an un-materialized edge frame
+    would be rebuilt from source every round (measured 4x on the sf1
+    co-purchase graph)."""
     from pyspark.sql import functions as F
 
+    edges = edges.localCheckpoint(eager=True)
     visited = (
         seeds.select("node")
         .distinct()
