@@ -307,7 +307,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE INTERVAL 30 MINUTE END AS fin
         FROM events),
     m AS (
-        SELECT user_id, ts, fin,
+        SELECT user_id, event_id, ts, fin,
                MAX(fin) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING) AS prev_end
@@ -316,7 +316,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, fin,
                SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
                         THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY ts, fin
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS sid
         FROM m),
     s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(fin) AS fin,
@@ -340,9 +340,11 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics a fixed-gap sessionizer cannot express. Sessions merge
     while an event starts before the running max of predecessors'
     (ts + gap) ends; the oracle replays exactly that interval-merge as
-    a running-MAX window + cumsum islands (order-insensitive under any
-    ts ordering: same-ts events always overlap their predecessor's
-    >=30-min extension). Daily rollup: session count, event totals,
+    a running-MAX window + cumsum islands. BOTH windows order by
+    (ts, event_id) — the cumsum must walk rows in the same order the
+    prev_end flags were computed in, or a same-ts click/purchase pair
+    at a session start re-sorts by fin and splits the merged session
+    (r11 ADVICE finding). Daily rollup: session count, event totals,
     deepest session, exact integer-microsecond total span."""
     ev = load_table(spark, sf_dir, "events")
     # the dynamic-gap form wants CalendarIntervalType (string literals
