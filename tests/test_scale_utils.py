@@ -381,6 +381,137 @@ def test_upsert_gc_retention_property(spark, tmp_path):
     run()
 
 
+def test_upsert_concurrent_commit_cas_conflict(spark, tmp_path):
+    """Optimistic-concurrency commit (VERDICT r12 item 2), deterministic
+    interleaving: writer A merges from base v1 and stages its snapshot;
+    writer B commits a full upsert on the SAME base underneath it. A's
+    compare-and-swap must then REFUSE (pointer moved), and A's retry
+    must re-merge on B's head — both writers' rows survive; nothing is
+    silently lost. Also pins the slot-claim protocol: concurrent
+    writers get DISJOINT version directories."""
+    import os
+
+    from cpx_etl_spark.operators.relational import merge_upsert
+    from cpx_etl_spark.sources.sinks import (
+        _commit_manifest_cas,
+        _gc_and_claim_version,
+        _read_manifest,
+        _release_claim,
+        read_upsert_table,
+        upsert_parquet_table,
+        write_version_stats,
+    )
+
+    path = str(tmp_path / "cas")
+    upsert_parquet_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path, ["id"]
+    )
+    # writer A: claim a slot and stage a merge from base v1 ...
+    base_a, slot_a = _gc_and_claim_version(path, 2)
+    assert (base_a, slot_a) == ("v00000001", "v00000002")
+    staged_a = merge_upsert(
+        read_upsert_table(spark, path, base_a),
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        keys=["id"],
+    )
+    vdir_a = os.path.join(path, slot_a)
+    staged_a.write.mode("overwrite").parquet(vdir_a)
+    write_version_stats(vdir_a, ["id"])
+    # ... writer B runs a whole upsert on the same base underneath A.
+    # A's live claim forces B onto the NEXT slot (no dir collision, no
+    # GC of A's in-flight snapshot) and B commits first.
+    upsert_parquet_table(
+        spark.createDataFrame([(3, "c")], "id long, v string"), path, ["id"]
+    )
+    assert _read_manifest(path) == "v00000003"
+    assert os.path.isdir(vdir_a), "B's GC collected A's claimed in-flight dir"
+    # A's CAS must refuse: its base moved
+    assert not _commit_manifest_cas(path, slot_a, expected_base=base_a)
+    assert _read_manifest(path) == "v00000003"  # B's commit intact
+    import shutil
+
+    shutil.rmtree(vdir_a)
+    _release_claim(path, slot_a)
+    # A's retry path = a plain upsert on the new head
+    upsert_parquet_table(
+        spark.createDataFrame([(2, "b")], "id long, v string"), path, ["id"]
+    )
+    got = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # both commits survive
+    # protocol residue fully cleaned: no claims, no lock, no tmp
+    leftovers = [e for e in os.listdir(path)
+                 if e.startswith("_CLAIM.") or e.endswith((".tmp", ".lock"))]
+    assert not leftovers
+
+
+def test_upsert_concurrent_writers_threaded(spark, tmp_path):
+    """End-to-end two-writer race: two threads upsert disjoint rows
+    into the same table simultaneously, repeatedly. Whatever the
+    interleaving, the CAS commit loop guarantees the final table holds
+    EVERY row from BOTH writers (the lost-update anomaly the raw
+    os.replace commit allowed)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cpx_etl_spark.sources.sinks import (
+        _read_manifest,
+        list_upsert_versions,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "race")
+    upsert_parquet_table(
+        spark.createDataFrame([(0, "base")], "id long, v string"), path, ["id"]
+    )
+
+    def writer(ids):
+        for i in ids:
+            upsert_parquet_table(
+                spark.createDataFrame([(i, f"w{i}")], "id long, v string"),
+                path, ["id"], retain_versions=4,
+            )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(writer, [1, 3, 5]), ex.submit(writer, [2, 4, 6])]
+        for f in futs:
+            f.result()  # surface any commit-contention failure
+
+    got = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {0: "base", **{i: f"w{i}" for i in range(1, 7)}}
+    assert _read_manifest(path) == list_upsert_versions(path)[-1]
+    leftovers = [e for e in os.listdir(path)
+                 if e.startswith("_CLAIM.") or e.endswith((".tmp", ".lock"))]
+    assert not leftovers
+
+
+def test_upsert_commit_breaks_stale_pointer_lock(spark, tmp_path):
+    """A committer that crashed INSIDE the pointer swap leaves the lock
+    file behind; the next commit must break it by age instead of
+    deadlocking."""
+    import os
+    import time
+
+    from cpx_etl_spark.sources.sinks import (
+        _PTRLOCK,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "stale")
+    os.makedirs(path)
+    lock = os.path.join(path, _PTRLOCK)
+    with open(lock, "w"):
+        pass
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    upsert_parquet_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path, ["id"]
+    )
+    assert not os.path.exists(lock)
+    assert {tuple(r) for r in read_upsert_table(spark, path).collect()} == {(1, "a")}
+
+
 def test_zorder_write_two_dim_locality(spark, tmp_path):
     """Morton-key clustering: every output file covers a small
     hyper-rectangle of the (x, y) space, so the summed per-file
