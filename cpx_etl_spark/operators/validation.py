@@ -89,10 +89,17 @@ def expectations_report(df: DataFrame, specs: list[dict]) -> DataFrame:
     accepted_values(col, values: observed = violations, NULL counts as
     a violation) / min_at_least(col, value) / max_at_most(col, value) /
     mean_between(col, lo, hi: DECIMAL-exact mean).
+
+    Verdict names are UNIQUE within a report (ADVICE r11): a spec may
+    carry an explicit ``name``, and otherwise a repeated derived name
+    (two same-kind+col specs, e.g. two mean_between bands on one
+    column) gets a ``#<spec index>`` suffix so its rows stay
+    distinguishable and joinable back to their spec.
     """
     EPS = 1e-9
     aggs = []
     rows = []
+    seen_names: set[str] = set()
     for i, spec in enumerate(specs):
         kind, col, tag = spec["kind"], spec.get("col"), f"_e{i}"
         if kind == "row_count_at_least":
@@ -138,6 +145,10 @@ def expectations_report(df: DataFrame, specs: list[dict]) -> DataFrame:
             name = f"mean_between_{col}"
         else:
             raise ValueError(f"unknown expectation kind {kind!r}")
+        name = spec.get("name", name)
+        if name in seen_names:
+            name = f"{name}#{i}"
+        seen_names.add(name)
         obs = F.round(F.col(tag) - EPS, 4)
         if kind in ("unique",):
             passed = obs == 0

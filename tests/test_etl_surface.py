@@ -889,3 +889,26 @@ def test_expectations_degenerate_inputs_fail_closed(spark):
     }
     r = rows["mean_between_x"]
     assert r["observed"] == 3.0 and r["passed"] is True
+
+
+def test_expectations_names_unique_and_overridable(spark):
+    """Two same-kind+col specs must emit DISTINGUISHABLE verdict rows
+    (ADVICE r11): repeated derived names get a #<spec-index> suffix,
+    and an explicit spec name wins outright."""
+    from cpx_etl_spark.operators.validation import expectations_report
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    rows = expectations_report(
+        df,
+        [
+            {"kind": "mean_between", "col": "x", "lo": 0, "hi": 10},
+            {"kind": "mean_between", "col": "x", "lo": 5, "hi": 6},
+            {"kind": "unique", "col": "x", "name": "x_is_pk"},
+        ],
+    ).collect()
+    names = [r["expectation"] for r in rows]
+    assert len(names) == len(set(names)) == 3
+    by = {r["expectation"]: r["passed"] for r in rows}
+    assert by["mean_between_x"] is True        # mean 2.0 in [0, 10]
+    assert by["mean_between_x#1"] is False     # 2.0 not in [5, 6]
+    assert by["x_is_pk"] is True

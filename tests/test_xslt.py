@@ -1111,3 +1111,34 @@ def test_anchored_patterns_see_stylesheet_document_structure():
     out = _run_xsl(xsl, "<doc/>")
     assert 'a="0"' in out            # nothing sits directly under the doc root
     assert 'd1="A"' in out and 'd2="B"' in out
+
+
+def test_unanchored_default_priority_tie_refused():
+    """Widened 0.5-tie guard (ADVICE r12): two UNANCHORED non-trivial
+    patterns (both XSLT 1.0 default priority 0.5) matching one node are
+    refused when the house specificity winner is NOT the latest
+    declaration (libxslt resolves by declaration order); when the
+    later declaration IS the winner the outcomes agree and the
+    transform proceeds."""
+    import pytest
+
+    from cpx_etl_spark.functions.xslt import XsltUnsupported
+
+    head = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="r"><xsl:apply-templates/></xsl:template>
+      <xsl:template match="text()"/>
+      <xsl:template match="x"><o><xsl:apply-templates/></o></xsl:template>
+      {rules}
+    </xsl:stylesheet>"""
+    xml = "<r><x><y>v</y></x></r>"
+    multi = '<xsl:template match="x/y"><a/></xsl:template>'
+    pred = "<xsl:template match=\"y[.='v']\"><b/></xsl:template>"
+    # 'x/y' (multi-step) outscores the later-declared predicated rule
+    # on the house (depth, preds) key — libxslt would pick the later
+    # declaration: refuse
+    with pytest.raises(XsltUnsupported, match="default\\s*priority"):
+        _run_xsl(head.format(rules=multi + pred), xml)
+    # declaration order flipped: the house winner is ALSO the latest
+    # declaration — agreement, no refusal
+    assert _run_xsl(head.format(rules=pred + multi), xml) == "<o><a/></o>"
