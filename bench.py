@@ -124,6 +124,16 @@ HEADLINE = [
     "ann_ivfpq_topk_indexed",
     "q_label_noise_audit",
     "ann_range_search",
+    # r13 additions: the rotated-ADC serving shape against the
+    # persisted OPQ index (bench pre-builds it — queries pay one Arrow
+    # matmul rotation + the packed-code scan, matching the other
+    # indexed entries; the unindexed ann_opq_topk, like ann_pq_topk,
+    # carries the one-time train cost and is gate-verified instead),
+    # the paragraph exact+near-dup -> per-doc keep/trim/drop rollup,
+    # and the persisted winnowing-index probe
+    "ann_opq_topk_indexed",
+    "dedup_doc_fuzzy_verdict",
+    "q_winnow_incremental",
 ]
 
 
@@ -149,10 +159,16 @@ def main() -> None:
         build_pq_standing_index,
     )
 
+    from cpx_etl_spark.queries.text import build_winnow_index
+
+    from cpx_etl_spark.queries.similarity import build_opq_standing_index
+
     build_standing_index(spark, sf_dir)
     build_ivf_standing_index(spark, sf_dir)
     build_pq_standing_index(spark, sf_dir)
     build_ivfpq_standing_index(spark, sf_dir)
+    build_opq_standing_index(spark, sf_dir)
+    build_winnow_index(spark, sf_dir)
 
     # Warm the JVM + per-plan codegen caches with one pass at the
     # smallest sf so the timed run measures steady-state execution.

@@ -1261,17 +1261,47 @@ def opq_rotation(dim: int, tag: str = "opq") -> list[list[int]]:
 
 
 def rotate_vectors(df: DataFrame, id_col: str, vec_col: str,
-                   rot: list[list[int]], dim: int) -> DataFrame:
+                   rot: list[list[int]], dim: int,
+                   use_arrow: bool = True) -> DataFrame:
     """Apply the ±1 scaled-orthogonal rotation in EXACT integer
     arithmetic: quantize at 1e-6 (the house embedding quantization),
-    fold each output component as an int64 dot against a ±1 literal
-    column (|y| <= dim · 1e7 — far from overflow), normalize by the
-    integer sqrt(dim) with an exact floor (y/root is exactly
-    representable: integer / power-of-two), and return to doubles at
-    the same 1e-6 grid. Cosines are preserved exactly up to that
-    quantization, and every step is IEEE-identical cross-engine.
-    Pure per-row expression work — no shuffle, no UDF."""
+    fold each output component as an int64 dot against the ±1 matrix
+    (|y| <= dim · 1e7 — far from overflow), normalize by the integer
+    sqrt(dim) with an exact floor (y/root is exactly representable:
+    integer with < 2^53 magnitude divided by a power of two), and
+    return to doubles at the same 1e-6 grid. Cosines are preserved
+    exactly up to that quantization, and every step is IEEE-identical
+    cross-engine.
+
+    Two bit-identical execution paths (the lsh_index precedent — a
+    pytest pins their equality): the default Arrow path evaluates the
+    fold as ONE numpy int64 matmul per record batch (vectorized,
+    exact — the dim² higher-order-function expressions the JVM path
+    builds are interpreted per element and cost seconds of driver
+    codegen/eval at any corpus size); use_arrow=False keeps the pure
+    column-expression formulation the DuckDB oracle mirrors."""
     root = int(math.isqrt(dim))
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        R = np.array(rot, dtype=np.int64)
+        out_schema = f"{id_col} long, {vec_col} array<double>"
+
+        def rotate(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                XQ = np.floor(X * 1e6).astype(np.int64)
+                Y = np.floor((XQ @ R) / float(root)) / 1e6
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), vec_col: list(Y)}
+                )
+
+        return df.select(
+            F.col(id_col), as_double(vec_col).alias(vec_col)
+        ).mapInPandas(rotate, out_schema)
     xq = quantize_vec(vec_col)
     comps = []
     for j in range(dim):
@@ -1600,6 +1630,80 @@ def pq_topk_indexed(
     return _pq_serve(
         queries, index.codebook_df, codes, vectors, id_col, vec_col,
         m=m, dim=dim, k=k, rerank=rerank,
+    )
+
+
+_OPQ_META = "_OPQ_META.json"
+
+
+def write_opq_index(
+    corpus: DataFrame, path: str, id_col: str, vec_col: str,
+    m: int = 8, k_codes: int = 16, dim: int = 64, tag: str = "opq",
+) -> None:
+    """Train and persist the OPQ index: the PQ index layout with
+    codebook/ and codes/ living in ROTATED space and vectors/ kept
+    ORIGINAL for the exact rerank. The rotation itself is seeded and
+    parameter-free (opq_rotation), so the index stores only its tag —
+    serving re-derives the identical ±1 matrix; nothing float-trained
+    leaves the engine."""
+    import json
+    import os
+
+    rot = opq_rotation(dim, tag=tag)
+    rcorpus = rotate_vectors(corpus, id_col, vec_col, rot, dim)
+    cb = pq_train(rcorpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
+    codes = pq_encode(rcorpus, id_col, vec_col, cb, m=m, dim=dim)
+    packed = codes.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    )
+    os.makedirs(path, exist_ok=True)
+    cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    packed.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    vectors.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    meta = {"id_col": id_col, "vec_col": vec_col, "m": m,
+            "k_codes": k_codes, "dim": dim, "tag": tag}
+    tmp = os.path.join(path, f"{_OPQ_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _OPQ_META))
+
+
+def read_opq_index(spark, path: str) -> PqIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, _OPQ_META)) as f:
+        meta = json.load(f)
+    return PqIndex(spark, path, meta)
+
+
+def opq_topk_indexed(
+    queries: DataFrame, index: PqIndex, id_col: str, vec_col: str,
+    k: int = 10, rerank: int = 3,
+) -> DataFrame:
+    """ANN serving against the persisted OPQ index: queries rotate
+    through the seeded matrix (re-derived from the stored tag), the
+    ADC scan reads only the packed rotated-space codes, and the
+    rerank*k candidates rerank on the ORIGINAL vectors — reported
+    cosines stay directly comparable to the plain-PQ ladder."""
+    m, dim = index.meta["m"], index.meta["dim"]
+    rot = opq_rotation(dim, tag=index.meta.get("tag", "opq"))
+    rq = rotate_vectors(queries, id_col, vec_col, rot, dim)
+    codes = index.codes_df.select(
+        "vid", F.posexplode("codes").alias("j", "code")
+    )
+    vectors = index.vectors_df.select(
+        "neighbor_id", F.col("v").alias("v_c")
+    )
+    return _pq_serve(
+        rq, index.codebook_df, codes, vectors, id_col, vec_col,
+        m=m, dim=dim, k=k, rerank=rerank, rerank_queries=queries,
     )
 
 

@@ -659,6 +659,63 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _opq_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted OPQ index (same size+mtime
+    invalidation convention as the other standing indexes)."""
+    import hashlib
+    import os
+
+    parts = [os.path.abspath(sf_dir), "opq-m8-k16", f"dim{_DIM}", "v1"]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(os.path.join(src, e) for e in os.listdir(src))
+        if os.path.isdir(src) else [src]
+    )
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    from cpx_etl_spark.scratch import user_cache_root
+
+    return os.path.join(user_cache_root(), f"cpx_opqindex_{digest}")
+
+
+def build_opq_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted OPQ index exists for sf_dir; returns its
+    path. Rotates/trains/encodes once per (corpus, params)."""
+    import os
+
+    from cpx_etl_spark.operators.similarity import _OPQ_META, write_opq_index
+
+    path = _opq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, _OPQ_META)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_opq_index(emb, path, "vec_id", "embedding",
+                        m=8, k_codes=16, dim=_DIM)
+    return path
+
+
+@register("ann_opq_topk_indexed", oracle=_opq_oracle())
+def ann_opq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against the PERSISTED OPQ index (rotate/train/
+    encode once, serve many): fresh queries rotate through the seeded
+    matrix re-derived from the stored tag, ADC-scan the packed
+    rotated-space codes, and rerank on the stored ORIGINAL vectors.
+    Same oracle as ann_opq_topk — the stored index is the identical
+    derivation, so the parquet round trip is itself hash-verified."""
+    from cpx_etl_spark.operators.similarity import (
+        opq_topk_indexed,
+        read_opq_index,
+    )
+
+    idx = read_opq_index(spark, build_opq_standing_index(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return opq_topk_indexed(
+        emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
+        k=10, rerank=3,
+    )
+
+
 # Deterministic unbalanced-energy regime for the distortion audit: the
 # first 8 components (= the first PQ subspace) amplified 5x. On THIS
 # corpus per-subspace energies are already balanced (the honest

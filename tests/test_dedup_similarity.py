@@ -1289,3 +1289,39 @@ def test_opq_recall_not_below_pq(spark, sf_dir):
     # relative way), and must stay above the corpus's observed floor
     assert r_opq >= r_pq - 1e-9, (r_opq, r_pq)
     assert r_opq >= 0.35, r_opq
+
+
+def test_opq_index_roundtrip_and_arrow_path_equality(spark, sf_dir, tmp_path):
+    """The persisted OPQ index serves the IDENTICAL result as the
+    one-shot rotated pipeline, and the Arrow matmul rotation is
+    bit-identical to the pure column-expression fold (the lsh_index
+    dual-path contract)."""
+    from cpx_etl_spark.operators.similarity import (
+        opq_rotation,
+        opq_topk_indexed,
+        read_opq_index,
+        rotate_vectors,
+        write_opq_index,
+    )
+    from cpx_etl_spark.queries.similarity import ann_opq_topk
+    from cpx_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rot = opq_rotation(64)
+    fast = {r["vec_id"]: tuple(r["embedding"]) for r in
+            rotate_vectors(emb, "vec_id", "embedding", rot, 64).collect()}
+    slow = {r["vec_id"]: tuple(r["embedding"]) for r in
+            rotate_vectors(emb, "vec_id", "embedding", rot, 64,
+                           use_arrow=False).collect()}
+    assert fast == slow and len(fast) == emb.count()
+
+    path = str(tmp_path / "opq")
+    write_opq_index(emb, path, "vec_id", "embedding", m=8, k_codes=16, dim=64)
+    idx = read_opq_index(spark, path)
+    served = opq_topk_indexed(
+        emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
+        k=10, rerank=3,
+    )
+    one_shot = ann_opq_topk(spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, one_shot.collect()))
