@@ -938,10 +938,9 @@ class MiniXslt:
         (§2.6.2): the comparison key leads with prec."""
         best = None
         track = self._mode_tracks_ties.get(mode, False)
+        rules = self._compiled_by_mode.get(mode, ())
         matched: list[tuple[int, tuple, int]] = []
-        for idx, (pattern, prec, telem) in enumerate(
-            self._compiled_by_mode.get(mode, ())
-        ):
+        for idx, (pattern, prec, telem) in enumerate(rules):
             if max_prec is not None and prec >= max_prec:
                 continue
             score = self._match_score(pattern, node)
@@ -971,6 +970,10 @@ class MiniXslt:
                     and not msc[3]
                     and msc[4]
                     and msc[:3] == (d - 1, n, s)
+                    # union alternatives of the SAME template can't
+                    # diverge: either way the identical template runs
+                    # (code-review r13)
+                    and rules[_midx][2] is not best[2]
                 ):
                     raise XsltUnsupported(
                         "anchored and unanchored match patterns tie on "
@@ -992,7 +995,11 @@ class MiniXslt:
             # below does not.
             widx, wprec = best[0][-1], best[1]
             for mprec, msc, midx in matched:
-                if mprec == wprec and msc[4] and midx > widx:
+                # a later-declared alternative of the SAME template is
+                # not a divergence — declaration-order resolution runs
+                # the identical template (code-review r13)
+                if (mprec == wprec and msc[4] and midx > widx
+                        and rules[midx][2] is not best[2]):
                     raise XsltUnsupported(
                         "two match patterns share XSLT 1.0 default "
                         "priority (0.5) for the same node and the "

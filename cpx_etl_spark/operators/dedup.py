@@ -801,13 +801,21 @@ def write_winnow_index(df: DataFrame, path: str, id_col: str,
 
 
 def append_to_winnow_index(df: DataFrame, path: str,
-                           validate_unique: bool = False) -> None:
+                           validate_unique: bool = True) -> None:
     """Add a new batch (e.g. the crawl docs that SURVIVED the dedup
     decision) to an existing winnowing index — fingerprint once on
     ingestion, never re-derive. Parameters come from the stored meta;
     ids must not already exist (a doc appended twice double-counts its
-    fingerprints); ``validate_unique=True`` pays one semi-join against
-    the stored counts to enforce that before writing."""
+    fingerprints and inflates n_shared/containment).
+
+    Crash contract (code-review r13): counts append BEFORE fps, and
+    ``validate_unique`` (default ON — one cheap semi-join against the
+    stored counts) refuses already-present ids. A crash between the
+    two appends leaves the batch's counts without its fps — its pairs
+    are simply absent until re-ingested — and the at-least-once RETRY
+    of that batch then fails the uniqueness check LOUDLY instead of
+    silently double-appending fingerprints. Recovery: rebuild via
+    write_winnow_index (idempotent overwrite)."""
     import os
 
     meta = read_winnow_meta(path)
@@ -828,8 +836,8 @@ def append_to_winnow_index(df: DataFrame, path: str,
     fps, counts = _winnow_frames(
         df, meta["id_col"], meta["text_col"], meta["k"], meta["w"]
     )
-    fps.write.mode("append").parquet(os.path.join(path, "fps"))
     counts.write.mode("append").parquet(os.path.join(path, "counts"))
+    fps.write.mode("append").parquet(os.path.join(path, "fps"))
 
 
 def read_winnow_meta(path: str) -> dict:
@@ -865,7 +873,10 @@ def cross_corpus_winnow_pairs_indexed(
     )
     ref_ok = (
         index.fps_df.groupBy("h").count()
-        .filter(F.col("count") <= (max_ref_df if max_ref_df else 1 << 62))
+        .filter(
+            F.col("count")
+            <= (1 << 62 if max_ref_df is None else max_ref_df)
+        )
         .select("h")
     )
     cand = (

@@ -804,27 +804,14 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sig_index_dir(sf_dir: str) -> str:
-    """Deterministic per-(corpus, params) cache location for the
-    persisted standing-corpus index. The digest covers the documents
-    parquet's size+mtime, so regenerated testdata invalidates the
-    cache instead of serving a stale index."""
-    import hashlib
-    import os
+    """Cache location for the persisted signature index (size+mtime
+    invalidation: scratch.corpus_index_dir)."""
+    from cpx_etl_spark.scratch import corpus_index_dir
 
-    parts = [os.path.abspath(sf_dir), f"n{_NGRAM}", f"k{_MH_K}",
-             f"b{_MH_BANDS}", "refpred-md5-7", "v1"]
-    doc = os.path.join(sf_dir, "documents.parquet")
-    files = (
-        sorted(os.path.join(doc, e) for e in os.listdir(doc))
-        if os.path.isdir(doc) else [doc]
+    return corpus_index_dir(
+        sf_dir, "documents.parquet", "cpx_sigindex_",
+        [f"n{_NGRAM}", f"k{_MH_K}", f"b{_MH_BANDS}", "refpred-md5-7", "v1"],
     )
-    for p in files:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
-    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    from cpx_etl_spark.scratch import user_cache_root
-
-    return os.path.join(user_cache_root(), f"cpx_sigindex_{digest}")
 
 
 def build_standing_index(spark: SparkSession, sf_dir: str) -> str:
@@ -919,23 +906,12 @@ def _sql_emb_cross_indexed(threshold: float) -> str:
 
 
 def _emb_index_dir(sf_dir: str) -> str:
-    import hashlib
-    import os
+    from cpx_etl_spark.scratch import corpus_index_dir
 
-    parts = [os.path.abspath(sf_dir), f"t{_EMBS_THRESHOLD}", f"d{_EMB_DIM}",
-             "refpred-md5-7", "v1"]
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        sorted(os.path.join(src, e) for e in os.listdir(src))
-        if os.path.isdir(src) else [src]
+    return corpus_index_dir(
+        sf_dir, "embeddings.parquet", "cpx_embindex_",
+        [f"t{_EMBS_THRESHOLD}", f"d{_EMB_DIM}", "refpred-md5-7", "v1"],
     )
-    for p in files:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
-    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    from cpx_etl_spark.scratch import user_cache_root
-
-    return os.path.join(user_cache_root(), f"cpx_embindex_{digest}")
 
 
 def build_embedding_standing_index(spark: SparkSession, sf_dir: str) -> str:

@@ -216,26 +216,14 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
-    """Deterministic cache location for the persisted IVF index; the
-    digest covers the embeddings parquet's size+mtime so regenerated
-    testdata invalidates it (same convention as the dedup signature
-    index)."""
-    import hashlib
-    import os
+    """Cache location for the persisted IVF index (size+mtime
+    invalidation: scratch.corpus_index_dir)."""
+    from cpx_etl_spark.scratch import corpus_index_dir
 
-    parts = [os.path.abspath(sf_dir), "label-cells", f"dim{_DIM}", "v1"]
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        sorted(os.path.join(src, e) for e in os.listdir(src))
-        if os.path.isdir(src) else [src]
+    return corpus_index_dir(
+        sf_dir, "embeddings.parquet", "cpx_ivfindex_",
+        ["label-cells", f"dim{_DIM}", "v1"],
     )
-    for p in files:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
-    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    from cpx_etl_spark.scratch import user_cache_root
-
-    return os.path.join(user_cache_root(), f"cpx_ivfindex_{digest}")
 
 
 def build_ivf_standing_index(spark: SparkSession, sf_dir: str) -> str:
@@ -496,24 +484,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_index_dir(sf_dir: str) -> str:
-    """Cache location for the persisted PQ index (same size+mtime
-    invalidation convention as the IVF / signature indexes)."""
-    import hashlib
-    import os
+    """Cache location for the persisted PQ index (size+mtime
+    invalidation: scratch.corpus_index_dir)."""
+    from cpx_etl_spark.scratch import corpus_index_dir
 
-    parts = [os.path.abspath(sf_dir), "pq-m8-k16", f"dim{_DIM}", "v1"]
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        sorted(os.path.join(src, e) for e in os.listdir(src))
-        if os.path.isdir(src) else [src]
+    return corpus_index_dir(
+        sf_dir, "embeddings.parquet", "cpx_pqindex_",
+        ["pq-m8-k16", f"dim{_DIM}", "v1"],
     )
-    for p in files:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
-    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    from cpx_etl_spark.scratch import user_cache_root
-
-    return os.path.join(user_cache_root(), f"cpx_pqindex_{digest}")
 
 
 def build_pq_standing_index(spark: SparkSession, sf_dir: str) -> str:
@@ -660,24 +638,14 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _opq_index_dir(sf_dir: str) -> str:
-    """Cache location for the persisted OPQ index (same size+mtime
-    invalidation convention as the other standing indexes)."""
-    import hashlib
-    import os
+    """Cache location for the persisted OPQ index (size+mtime
+    invalidation: scratch.corpus_index_dir)."""
+    from cpx_etl_spark.scratch import corpus_index_dir
 
-    parts = [os.path.abspath(sf_dir), "opq-m8-k16", f"dim{_DIM}", "v1"]
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        sorted(os.path.join(src, e) for e in os.listdir(src))
-        if os.path.isdir(src) else [src]
+    return corpus_index_dir(
+        sf_dir, "embeddings.parquet", "cpx_opqindex_",
+        ["opq-m8-k16", f"dim{_DIM}", "v1"],
     )
-    for p in files:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
-    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    from cpx_etl_spark.scratch import user_cache_root
-
-    return os.path.join(user_cache_root(), f"cpx_opqindex_{digest}")
 
 
 def build_opq_standing_index(spark: SparkSession, sf_dir: str) -> str:
@@ -909,24 +877,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_index_dir(sf_dir: str) -> str:
-    """Cache location for the persisted IVFPQ index (same size+mtime
-    invalidation convention as the IVF / PQ / signature indexes)."""
-    import hashlib
-    import os
+    """Cache location for the persisted IVFPQ index (size+mtime
+    invalidation: scratch.corpus_index_dir)."""
+    from cpx_etl_spark.scratch import corpus_index_dir
 
-    parts = [os.path.abspath(sf_dir), "ivfpq-label-m8-k16", f"dim{_DIM}", "v1"]
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    files = (
-        sorted(os.path.join(src, e) for e in os.listdir(src))
-        if os.path.isdir(src) else [src]
+    return corpus_index_dir(
+        sf_dir, "embeddings.parquet", "cpx_ivfpqindex_",
+        ["ivfpq-label-m8-k16", f"dim{_DIM}", "v1"],
     )
-    for p in files:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
-    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    from cpx_etl_spark.scratch import user_cache_root
-
-    return os.path.join(user_cache_root(), f"cpx_ivfpqindex_{digest}")
 
 
 def build_ivfpq_standing_index(spark: SparkSession, sf_dir: str) -> str:

@@ -2915,28 +2915,14 @@ _WIN_REF_PRED = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'"
 
 
 def _winnow_index_dir(sf_dir: str) -> str:
-    """Deterministic per-(corpus, params) cache location for the
-    persisted standing-corpus winnowing index (same idiom as
-    queries/dedup.py's _sig_index_dir: the digest covers the documents
-    parquet's size+mtime, so regenerated testdata invalidates the
-    cache instead of serving a stale index)."""
-    import hashlib
-    import os
+    """Cache location for the persisted winnowing index (size+mtime
+    invalidation: scratch.corpus_index_dir)."""
+    from cpx_etl_spark.scratch import corpus_index_dir
 
-    parts = [os.path.abspath(sf_dir), f"k{_WIN_K}", f"w{_WIN_W}",
-             "refpred-md5-7", "v1"]
-    doc = os.path.join(sf_dir, "documents.parquet")
-    files = (
-        sorted(os.path.join(doc, e) for e in os.listdir(doc))
-        if os.path.isdir(doc) else [doc]
+    return corpus_index_dir(
+        sf_dir, "documents.parquet", "cpx_winnowidx_",
+        [f"k{_WIN_K}", f"w{_WIN_W}", "refpred-md5-7", "v1"],
     )
-    for p in files:
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
-    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    from cpx_etl_spark.scratch import user_cache_root
-
-    return os.path.join(user_cache_root(), f"cpx_winnowidx_{digest}")
 
 
 def build_winnow_index(spark: SparkSession, sf_dir: str) -> str:

@@ -61,3 +61,27 @@ def user_cache_root() -> str:
             "and mode 0700"
         )
     return d
+
+
+def corpus_index_dir(sf_dir: str, source: str, prefix: str,
+                     tag_parts: list[str]) -> str:
+    """Deterministic per-(corpus, params) cache location for a
+    persisted standing index under user_cache_root(): the digest
+    covers ``tag_parts`` plus the source parquet's per-file
+    size+mtime, so regenerated testdata invalidates the cache instead
+    of serving a stale artifact. The single home of the convention
+    every build_*_standing_index shares (extracted from seven
+    hand-copies, code-review r13)."""
+    import hashlib
+
+    parts = [os.path.abspath(sf_dir), *tag_parts]
+    src = os.path.join(sf_dir, source)
+    files = (
+        sorted(os.path.join(src, e) for e in os.listdir(src))
+        if os.path.isdir(src) else [src]
+    )
+    for p in files:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(user_cache_root(), f"{prefix}{digest}")

@@ -83,9 +83,14 @@ def read_jsonl(
 _MANIFEST = "_MANIFEST"
 
 
-def _read_manifest(path: str) -> str | None:
-    """Current committed version name, or None (no table / legacy flat
-    parquet dir without a manifest)."""
+def _read_manifest_entry(path: str) -> str | None:
+    """Raw manifest line: ``<version> <commit-token>`` (legacy
+    manifests hold just the version). The token makes every commit
+    UNIQUE, which is what the CAS compares — version NAMES are
+    recycled after rollback GC, so comparing names alone is an ABA
+    hazard: a stale writer's base name could match a RECYCLED slot
+    holding different content and its commit would resurrect
+    rolled-back rows (code-review r13)."""
     import os
 
     try:
@@ -94,6 +99,13 @@ def _read_manifest(path: str) -> str | None:
         return v or None
     except OSError:
         return None
+
+
+def _read_manifest(path: str) -> str | None:
+    """Current committed version name, or None (no table / legacy flat
+    parquet dir without a manifest)."""
+    entry = _read_manifest_entry(path)
+    return entry.split()[0] if entry else None
 
 
 def has_committed_version(path: str) -> bool:
@@ -208,15 +220,39 @@ def _stats_value(v, direction: int):
 
 
 _BLOOM_K = 4
+_BLOOM_DIR = "_BLOOM"
 
 
-def _bloom_positions(value: str, k: int, m_bits: int) -> list[int]:
+def _bloom_key(v) -> str | None:
+    """Canonical hash key for a bloom value — applied identically at
+    BUILD (pyarrow-decoded column values) and PROBE (the caller's raw
+    point value), so type-representation differences (int 5 vs double
+    5.0 vs Decimal('5.0')) can never produce a false NEGATIVE that
+    skips a live file (code-review r13). Numerics canonicalize through
+    float repr; integers beyond float precision collide only INTO the
+    same key — a false-positive direction, which merely keeps an extra
+    file."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return repr(float(v))
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    return str(v)
+
+
+def _bloom_positions(key: str, k: int, m_bits: int) -> list[int]:
     """Deterministic md5-derived bit positions — no RNG state, the
     same convention as the sketch operators."""
     import hashlib
 
     return [
-        int(hashlib.md5(f"{s}:{value}".encode()).hexdigest()[:8], 16) % m_bits
+        int(hashlib.md5(f"{s}:{key}".encode()).hexdigest()[:8], 16) % m_bits
         for s in range(k)
     ]
 
@@ -224,18 +260,55 @@ def _bloom_positions(value: str, k: int, m_bits: int) -> list[int]:
 def _bloom_build_bytes(values, m_bits: int, k: int = _BLOOM_K) -> bytes:
     bits = bytearray(m_bits // 8)
     for v in values:
-        if v is None:
+        key = _bloom_key(v)
+        if key is None:
             continue
-        for pos in _bloom_positions(str(v), k, m_bits):
+        for pos in _bloom_positions(key, k, m_bits):
             bits[pos // 8] |= 1 << (pos % 8)
     return bytes(bits)
 
 
-def _bloom_maybe_contains(hexbits: str, m_bits: int, k: int, value) -> bool:
-    bits = bytes.fromhex(hexbits)
+def _bloom_blob_path(vdir: str, col: str, fname: str) -> str:
+    import os
+
+    return os.path.join(vdir, _BLOOM_DIR, col, fname + ".bloom")
+
+
+def _bloom_write_blob(path: str, m_bits: int, k: int, bits: bytes) -> None:
+    """8-byte header (m_bits, k as uint32 LE) + bitmap, one small blob
+    per (file, column) — the Iceberg-puffin shape: point reads load
+    ONLY the probed files' bitmaps lazily, and the _STATS.json sidecar
+    stays a tiny range manifest regardless of column cardinality
+    (code-review r13: hex-in-JSON made every pruned read parse every
+    bitmap)."""
+    import os
+    import struct
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(struct.pack("<II", m_bits, k))
+        f.write(bits)
+    os.replace(tmp, path)
+
+
+def _bloom_maybe_contains(blob_path: str, value) -> bool:
+    """Probe one per-file bloom blob; a missing/unreadable blob reads
+    as maybe-present (never skips a live file)."""
+    import struct
+
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    try:
+        with open(blob_path, "rb") as f:
+            m_bits, k = struct.unpack("<II", f.read(8))
+            bits = f.read()
+    except (OSError, struct.error):
+        return True
     return all(
         bits[pos // 8] & (1 << (pos % 8))
-        for pos in _bloom_positions(str(value), k, m_bits)
+        for pos in _bloom_positions(key, k, m_bits)
     )
 
 
@@ -259,9 +332,11 @@ def write_version_stats(version_dir: str, cols: list[str],
     column (a column-pruned scan of the file just written — the same
     write-time cost Delta pays for its add-file blooms); bitmap size
     adapts per (file, column) to ~16 bits/distinct value (FP ~0.4% at
-    k=4), so the sidecar stays KB-scale per file. At 100 TB these
-    bitmaps live in the manifest exactly like Iceberg puffin /
-    Delta bloom sidecars."""
+    k=4). Bitmaps are SEPARATE per-(file, column) blobs under
+    ``_BLOOM/`` (the Iceberg-puffin shape), loaded lazily one probed
+    file at a time — _STATS.json stays a tiny range manifest no matter
+    the column cardinality, and a point read never deserializes
+    bitmaps for files it isn't considering (code-review r13)."""
     import json
     import os
 
@@ -301,18 +376,18 @@ def write_version_stats(version_dir: str, cols: list[str],
                 entry["min"][c] = mins[c]
                 entry["max"][c] = maxs[c]
         if bloom_cols:
-            entry["bloom"] = {}
+            entry["bloom_cols"] = list(bloom_cols)
             tbl = pf.read(columns=list(bloom_cols))
             for c in bloom_cols:
                 vals = {v for v in tbl.column(c).to_pylist() if v is not None}
                 m_bits = 64
                 while m_bits < 16 * max(len(vals), 4):
                     m_bits *= 2
-                entry["bloom"][c] = {
-                    "m": m_bits,
-                    "k": _BLOOM_K,
-                    "bits": _bloom_build_bytes(vals, m_bits).hex(),
-                }
+                _bloom_write_blob(
+                    _bloom_blob_path(version_dir, c, fname),
+                    m_bits, _BLOOM_K,
+                    _bloom_build_bytes(vals, m_bits),
+                )
         entries.append(entry)
     tmp = os.path.join(version_dir, f"{_STATS}.tmp")
     with open(tmp, "w") as f:
@@ -366,9 +441,12 @@ def prune_version_files(
     selected = []
     for fname in files:
         e = by_file.get(fname)
-        bl = (e or {}).get("bloom", {}).get(col)
-        if point and bl is not None and not _bloom_maybe_contains(
-            bl["bits"], bl["m"], bl["k"], raw_point
+        if (
+            point
+            and col in (e or {}).get("bloom_cols", ())
+            and not _bloom_maybe_contains(
+                _bloom_blob_path(vdir, col, fname), raw_point
+            )
         ):
             continue  # definite miss: skip even if the range overlaps
         if e is None or col not in e.get("min", {}):
@@ -425,19 +503,31 @@ _PTRLOCK_TIMEOUT_SECS = 30.0
 
 
 def _claim_is_live(path: str, version: str) -> bool:
+    """A claim is live while the claim marker OR the claimed version
+    directory itself shows recent activity — the directory's mtime
+    advances as the writer's output files land, so a long merge+write
+    (far past the claim marker's creation mtime) is never mistaken for
+    a crash and reclaimed mid-write (code-review r13). Writers also
+    re-touch the marker when their data write completes."""
     import os
     import time
 
     claim = os.path.join(path, _CLAIM_PREFIX + version)
-    try:
-        return (time.time() - os.path.getmtime(claim)) < _CLAIM_GRACE_SECS
-    except OSError:
-        return False
+    if not os.path.exists(claim):
+        return False  # unclaimed dirs (crash leftovers) are always dead
+    now = time.time()
+    for p in (claim, os.path.join(path, version)):
+        try:
+            if (now - os.path.getmtime(p)) < _CLAIM_GRACE_SECS:
+                return True
+        except OSError:
+            continue
+    return False
 
 
 def _gc_and_claim_version(
     path: str, retain_versions: int
-) -> tuple[str | None, str]:
+) -> tuple[str | None, str | None, str]:
     """Shared head of the snapshot-commit protocol: validate retention,
     ensure the table dir, GC dead version directories, and CLAIM the
     next version slot. Two classes of dead directory:
@@ -454,7 +544,8 @@ def _gc_and_claim_version(
     past taken slots, so concurrent writers always write DISJOINT
     version directories (the commit itself is separately CAS-guarded
     by _commit_manifest_cas). Returns (current committed version or
-    None, claimed version name)."""
+    None, the full manifest entry to CAS against, claimed version
+    name)."""
     import contextlib
     import os
     import shutil
@@ -462,25 +553,28 @@ def _gc_and_claim_version(
     if retain_versions < 2:
         raise ValueError("retain_versions must be >= 2 (new version + its source)")
     os.makedirs(path, exist_ok=True)
-    current = _read_manifest(path)
+    entry = _read_manifest_entry(path)
+    current = entry.split()[0] if entry else None
     committed = sorted(
         e
         for e in os.listdir(path)
         if e.startswith("v") and current is not None and e <= current
     )
     keep = set(committed[-(retain_versions - 1):])
-    for entry in os.listdir(path):
-        if entry.startswith("v") and entry not in keep:
-            if _claim_is_live(path, entry):
+    for item in os.listdir(path):
+        if item.startswith("v") and item not in keep:
+            if _claim_is_live(path, item):
                 continue  # concurrent writer's in-flight snapshot
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
-        elif entry.startswith(_CLAIM_PREFIX):
-            v = entry[len(_CLAIM_PREFIX):]
-            released = current is not None and v <= current
-            if released or not _claim_is_live(path, v):
-                # claim already committed/superseded, or crashed stale
+            shutil.rmtree(os.path.join(path, item), ignore_errors=True)
+        elif item.startswith(_CLAIM_PREFIX):
+            # only AGE-stale claims are reaped — never "slot number
+            # below the committed head": concurrent writers commit out
+            # of slot order, so a live writer's claim can legitimately
+            # sit below current while it still merges (the r13 threaded
+            # race caught a <=-current heuristic deleting it mid-write)
+            if not _claim_is_live(path, item[len(_CLAIM_PREFIX):]):
                 with contextlib.suppress(OSError):
-                    os.unlink(os.path.join(path, entry))
+                    os.unlink(os.path.join(path, item))
     n = int(current[1:]) + 1 if current else 1
     while True:
         name = f"v{n:08d}"
@@ -491,7 +585,7 @@ def _gc_and_claim_version(
             )
             os.close(fd)
             if not os.path.exists(os.path.join(path, name)):
-                return current, name
+                return current, entry, name
             # slot dir exists under someone's spared claim we raced
             os.unlink(os.path.join(path, _CLAIM_PREFIX + name))
         except FileExistsError:
@@ -513,34 +607,50 @@ def _pointer_lock(path: str):
     makes compare-and-swap of the pointer genuinely atomic: without
     it, two committers can interleave read-check-replace and both
     conclude they won (TOCTOU), silently dropping one merge. Stale
-    locks (a committer crashed inside the swap) are broken by age."""
+    locks (a committer crashed inside the swap) are broken by age —
+    via an atomic RENAME to a unique name, so exactly ONE waiter
+    claims the break (a raw stat-then-unlink would let two waiters
+    both 'break' one stale lock and both acquire, code-review r13);
+    release verifies by inode that the lock file is still OURS before
+    unlinking, so an (implausibly) age-broken live holder can't delete
+    its successor's fresh lock."""
     import contextlib
     import os
     import time
+    import uuid
 
     lock = os.path.join(path, _PTRLOCK)
     deadline = time.monotonic() + _PTRLOCK_TIMEOUT_SECS
 
     @contextlib.contextmanager
     def held(fd):
+        ino = os.fstat(fd).st_ino
         try:
             yield
         finally:
             os.close(fd)
             with contextlib.suppress(OSError):
-                os.unlink(lock)
+                if os.stat(lock).st_ino == ino:
+                    os.unlink(lock)
 
     while True:
         try:
             return held(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
         except FileExistsError:
             try:
-                if (time.time() - os.path.getmtime(lock)) > _PTRLOCK_STALE_SECS:
-                    with contextlib.suppress(OSError):
-                        os.unlink(lock)  # break a crashed committer's lock
-                    continue
+                stale = (
+                    time.time() - os.path.getmtime(lock)
+                ) > _PTRLOCK_STALE_SECS
             except OSError:
                 continue  # holder released between open and stat
+            if stale:
+                # atomic break claim: only the waiter whose rename
+                # succeeds removes the corpse; everyone else loops
+                broken = lock + f".broken.{uuid.uuid4().hex}"
+                with contextlib.suppress(OSError):
+                    os.rename(lock, broken)
+                    os.unlink(broken)
+                continue
             if time.monotonic() > deadline:
                 raise TimeoutError(f"manifest pointer lock stuck at {path}")
             time.sleep(0.005)
@@ -548,10 +658,11 @@ def _pointer_lock(path: str):
 
 def _write_pointer(path: str, version: str) -> None:
     import os
+    import uuid
 
     tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
     with open(tmp_mf, "w") as f:
-        f.write(version + "\n")
+        f.write(f"{version} {uuid.uuid4().hex}\n")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_mf, os.path.join(path, _MANIFEST))
@@ -566,18 +677,22 @@ def _commit_manifest(path: str, version: str) -> None:
         _write_pointer(path, version)
 
 
-def _commit_manifest_cas(path: str, version: str, expected_base: str | None) -> bool:
+def _commit_manifest_cas(path: str, version: str,
+                         expected_entry: str | None) -> bool:
     """Optimistic-concurrency commit: atomically swing the manifest
-    pointer to ``version`` ONLY IF it still reads ``expected_base`` —
-    the compare-and-swap that turns write-tmp+os.replace into a real
-    commit protocol. Returns False on conflict (a concurrent committer
-    moved the pointer since the caller merged), in which case the
-    caller must re-read the new base and redo its merge; no snapshot
-    is ever silently lost. The compare and the replace are serialized
-    by the pointer lock, closing the read-check-replace TOCTOU window
-    two raw os.replace committers would race through."""
+    pointer to ``version`` ONLY IF the manifest still reads
+    ``expected_entry`` — the FULL ``<version> <token>`` line the
+    caller captured when it resolved its merge base, so the compare
+    matches one specific COMMIT, never a recycled version name (ABA
+    after rollback GC, code-review r13). Returns False on conflict (a
+    concurrent committer or rollback moved the pointer since the
+    caller merged), in which case the caller must re-read the new base
+    and redo its merge; no snapshot is ever silently lost. The compare
+    and the replace are serialized by the pointer lock, closing the
+    read-check-replace TOCTOU window two raw os.replace committers
+    would race through."""
     with _pointer_lock(path):
-        if _read_manifest(path) != expected_base:
+        if _read_manifest_entry(path) != expected_entry:
             return False
         _write_pointer(path, version)
         return True
@@ -647,7 +762,7 @@ def upsert_parquet_table(
 
     spark = df.sparkSession
     for _attempt in range(5):
-        current, next_v = _gc_and_claim_version(path, retain_versions)
+        current, base_entry, next_v = _gc_and_claim_version(path, retain_versions)
         if current is not None:
             existing = spark.read.parquet(
                 os.path.join(path, current)
@@ -667,9 +782,18 @@ def upsert_parquet_table(
             ).sortWithinPartitions(*keys)
         vdir = os.path.join(path, next_v)
         merged.write.mode("overwrite").parquet(vdir)
+        try:
+            # re-touch the claim: a merge+write longer than the claim
+            # grace must not read as crashed to a concurrent writer's GC
+            os.utime(os.path.join(path, _CLAIM_PREFIX + next_v))
+        except OSError:
+            # our claim was reaped (presumed crashed past the grace):
+            # slot ownership is no longer exclusive — abandon the
+            # attempt without touching the possibly-contested directory
+            continue
         write_version_stats(vdir, keys + list(stats_cols or []),
                             bloom_cols=bloom_cols)
-        if _commit_manifest_cas(path, next_v, expected_base=current):
+        if _commit_manifest_cas(path, next_v, expected_entry=base_entry):
             _release_claim(path, next_v)
             return
         # conflict: a concurrent upsert committed on our base — drop
@@ -724,13 +848,17 @@ def commit_versioned_parquet(
     half-lost commit). Returns the committed version name."""
     import os
 
-    base, next_v = _gc_and_claim_version(path, retain_versions)
+    import contextlib
+
+    _, base_entry, next_v = _gc_and_claim_version(path, retain_versions)
     vdir = os.path.join(path, next_v)
     df.write.mode("overwrite").parquet(vdir)
+    with contextlib.suppress(OSError):
+        os.utime(os.path.join(path, _CLAIM_PREFIX + next_v))
     if stats_cols:
         write_version_stats(vdir, stats_cols)
-    while not _commit_manifest_cas(path, next_v, expected_base=base):
-        base = _read_manifest(path)
+    while not _commit_manifest_cas(path, next_v, expected_entry=base_entry):
+        base_entry = _read_manifest_entry(path)
     _release_claim(path, next_v)
     return next_v
 

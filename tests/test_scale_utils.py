@@ -407,8 +407,9 @@ def test_upsert_concurrent_commit_cas_conflict(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "id long, v string"), path, ["id"]
     )
     # writer A: claim a slot and stage a merge from base v1 ...
-    base_a, slot_a = _gc_and_claim_version(path, 2)
+    base_a, entry_a, slot_a = _gc_and_claim_version(path, 2)
     assert (base_a, slot_a) == ("v00000001", "v00000002")
+    assert entry_a.split()[0] == base_a  # entry carries the commit token
     staged_a = merge_upsert(
         read_upsert_table(spark, path, base_a),
         spark.createDataFrame([(2, "b")], "id long, v string"),
@@ -426,7 +427,7 @@ def test_upsert_concurrent_commit_cas_conflict(spark, tmp_path):
     assert _read_manifest(path) == "v00000003"
     assert os.path.isdir(vdir_a), "B's GC collected A's claimed in-flight dir"
     # A's CAS must refuse: its base moved
-    assert not _commit_manifest_cas(path, slot_a, expected_base=base_a)
+    assert not _commit_manifest_cas(path, slot_a, expected_entry=entry_a)
     assert _read_manifest(path) == "v00000003"  # B's commit intact
     import shutil
 
@@ -721,3 +722,53 @@ def test_upsert_bloom_point_read_skips_files(spark, tmp_path):
     )
     assert n_none == 0 and empty.count() == 0
     assert set(empty.columns) == {"id", "ext_id", "v"}
+
+
+def test_upsert_cas_aba_rollback_slot_reuse_refused(spark, tmp_path):
+    """ABA guard (code-review r13): after a rollback, GC recycles the
+    abandoned successor's version NAME — a stale writer whose merge
+    base was the OLD occupant of that name must still be refused. The
+    CAS compares the full (version, commit-token) entry, so a recycled
+    name with different content can never satisfy a stale writer's
+    expectation."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import (
+        _commit_manifest_cas,
+        _gc_and_claim_version,
+        _read_manifest,
+        _read_manifest_entry,
+        _release_claim,
+        read_upsert_table,
+        rollback_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "aba")
+    upsert_parquet_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path, ["id"],
+        retain_versions=3,
+    )
+    upsert_parquet_table(
+        spark.createDataFrame([(2, "BAD")], "id long, v string"), path, ["id"],
+        retain_versions=3,
+    )
+    # stale writer B resolves its base at the old v2 head ...
+    base_b, entry_b, slot_b = _gc_and_claim_version(path, 3)
+    assert base_b == "v00000002"
+    stage = spark.createDataFrame([(3, "stale")], "id long, v string")
+    stage.write.mode("overwrite").parquet(os.path.join(path, slot_b))
+    # ... the table rolls back, and writer C reuses the freed v2 slot
+    rollback_upsert_table(path, "v00000001")
+    upsert_parquet_table(
+        spark.createDataFrame([(4, "fresh")], "id long, v string"), path, ["id"],
+        retain_versions=3,
+    )
+    assert _read_manifest(path) == "v00000002"  # same NAME, new commit
+    # B's CAS must refuse even though the version NAME matches its base
+    assert entry_b.split()[0] == _read_manifest(path)
+    assert not _commit_manifest_cas(path, slot_b, expected_entry=entry_b)
+    _release_claim(path, slot_b)
+    got = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: "a", 4: "fresh"}  # BAD rolled back, stale refused
+    assert _read_manifest_entry(path) != entry_b

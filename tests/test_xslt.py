@@ -1142,3 +1142,17 @@ def test_unanchored_default_priority_tie_refused():
     # declaration order flipped: the house winner is ALSO the latest
     # declaration — agreement, no refusal
     assert _run_xsl(head.format(rules=pred + multi), xml) == "<o><a/></o>"
+
+
+def test_union_alternatives_of_same_template_not_a_tie():
+    """Two 0.5-priority union alternatives of the SAME template both
+    matching a node is NOT a conflict — declaration order would run
+    the identical template either way (code-review r13)."""
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="a"><xsl:apply-templates/></xsl:template>
+      <xsl:template match="b"><xsl:apply-templates/></xsl:template>
+      <xsl:template match="text()"/>
+      <xsl:template match="a/b/y | */y"><hit/></xsl:template>
+    </xsl:stylesheet>"""
+    assert _run_xsl(xsl, "<a><b><y>v</y></b></a>") == "<hit/>"
