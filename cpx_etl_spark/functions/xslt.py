@@ -167,6 +167,7 @@ def _parse_step(step: str) -> tuple[str, tuple[str, ...]]:
     return step, tuple(preds)
 
 
+@functools.lru_cache(maxsize=4096)
 def _split_union(expr: str) -> tuple[str, ...]:
     """Split on top-level '|' (pattern alternation), quote/bracket
     aware."""
@@ -249,6 +250,34 @@ def _split_args(inner: str) -> tuple[str, ...]:
                 start = i + 1
     parts.append(inner[start:])
     return tuple(p.strip() for p in parts if p.strip())
+
+
+@functools.lru_cache(maxsize=8192)
+def _select_plan(path: str) -> tuple:
+    """Classify a select expression once (selects are
+    stylesheet-static): the per-call string scans that dominated
+    _select's dispatch — strip, endswith/index, isalnum — run here a
+    single time per distinct expression. Returns (tag, payload,
+    stripped_path); tags: 0 '.', 1 position()/last(), 2 function call
+    (payload = (fname, inner)), 3 bare @attr, 4 bare name, 5 $var
+    (payload = the name), 6 general path."""
+    p = path.strip()
+    if p == ".":
+        return (0, None, p)
+    if p in ("position()", "last()"):
+        return (1, None, p)
+    if p.endswith(")") and "(" in p:
+        i = p.index("(")
+        return (2, (p[:i], p[i + 1 : -1]), p)
+    if p.startswith("@") and "[" not in p and "/" not in p:
+        return (3, p[1:], p)
+    if (
+        p.isalnum() or p.replace("-", "").replace("_", "").isalnum()
+    ) and not p.startswith("$"):
+        return (4, None, p)
+    if p.startswith("$"):
+        return (5, p[1:], p)
+    return (6, None, p)
 
 
 @functools.lru_cache(maxsize=4096)
@@ -340,6 +369,32 @@ def _literal(token: str):
         return float(token)
     except ValueError:
         return None
+
+
+@functools.lru_cache(maxsize=8192)
+def _test_plan(expr: str) -> tuple:
+    """Classify a test expression once (tests are stylesheet-static).
+    Returns (kind, payload): 0 empty, 1 or-list, 2 and-list,
+    3 parenthesized group, 4 not(...), 5 existence select,
+    6 comparison (payload = (lhs, op, rhs)). XPath precedence: or
+    lowest, then and, then grouping, then comparison."""
+    e = expr.strip()
+    if not e:
+        return (0, None)
+    ors = _split_bool(e, "or")
+    if len(ors) > 1:
+        return (1, ors)
+    ands = _split_bool(e, "and")
+    if len(ands) > 1:
+        return (2, ands)
+    if e.startswith("(") and _close_paren(e, 0) == len(e) - 1:
+        return (3, e[1:-1])
+    if e.startswith("not(") and e.endswith(")"):
+        return (4, e[4:-1])
+    cmp = _split_comparison(e)
+    if cmp is None:
+        return (5, e)
+    return (6, cmp)
 
 
 @functools.lru_cache(maxsize=4096)
@@ -828,6 +883,132 @@ class MiniXslt:
             self._dynattrs[id(elem)] = tuple(
                 c for c in elem if _is_xsl(c, "attribute")
             )
+        # per-container instruction lists + per-element markup statics:
+        # the stylesheet tree is immutable across rows, so everything
+        # derivable from it alone (child kinds, whitespace-significant
+        # text/tails, literal attributes without AVT expressions,
+        # use-attribute-sets / attr-copy presence) compiles ONCE here
+        # instead of being re-derived on every rendered node — ~25% of
+        # apply() time at the q_xsl_execute row shape went to exactly
+        # these re-derivations (profiled r13)
+        self._ops: dict[int, tuple] = {}
+        self._emeta: dict[int, tuple] = {}
+        self._lattrs: dict[int, tuple] = {}
+        for elem in (e for r in self._sheet_roots for e in r.iter()):
+            if not isinstance(elem.tag, str):
+                continue
+            kind = self._kind.get(id(elem))
+            use_sets = (
+                elem.get("use-attribute-sets")
+                if kind in ("element", "copy")
+                else elem.get("{" + XSL_NS + "}use-attribute-sets")
+            )
+            has_copy = any(
+                self._kind.get(id(c)) == "#attr-copy" for c in elem
+            )
+            self._emeta[id(elem)] = (use_sets, has_copy)
+            if kind is None:
+                # literal result element: pre-render the attribute
+                # string when no value carries an AVT expression
+                pairs = tuple(
+                    (_local(k), v)
+                    for k, v in elem.attrib.items()
+                    if not k.startswith("{" + XSL_NS + "}")
+                )
+                tag = _local(elem.tag)
+                if all(
+                    len(_avt_segments(v)) == 1
+                    and _avt_segments(v)[0][0] == "lit"
+                    for _k, v in pairs
+                ):
+                    static = "".join(
+                        f" {k}={quoteattr(_avt_segments(v)[0][1])}"
+                        for k, v in pairs
+                    )
+                    self._lattrs[id(elem)] = (tag, static, None)
+                else:
+                    self._lattrs[id(elem)] = (tag, None, pairs)
+        # ops LAST: specializing a parent's child ops reads the
+        # children's _emeta/_lattrs, and iter() is preorder
+        for elem in (e for r in self._sheet_roots for e in r.iter()):
+            self._ops[id(elem)] = self._compile_ops(elem)
+
+    # op tags for the precompiled _run_children lists
+    (_OP_TEXT, _OP_VAR, _OP_PARAM, _OP_NODE, _OP_BADCOPY, _OP_VALUEOF,
+     _OP_IF, _OP_LITELEM, _OP_APPLYT, _OP_CHOOSE) = range(10)
+
+    def _compile_ops(self, container: ET.Element) -> tuple:
+        """Compile a container's children into a flat instruction list
+        mirroring _run_children's dispatch — static text/tails are
+        escaped here, consumed-by-parent children (sort / with-param /
+        attribute / comments) are dropped, and a stray attr-copy keeps
+        its RENDER-time failure (emitted as a raising op) so behavior
+        matches the interpreted path exactly. The kinds that dominate
+        row stylesheets (value-of, xsl:text, xsl:if, choose,
+        apply-templates, literal elements with static attributes)
+        specialize to dedicated ops with their static payloads
+        extracted, skipping the generic _run_node dispatch; everything
+        else stays on the generic (_OP_NODE) path."""
+        ops: list[tuple] = []
+        t = container.text
+        if t and t.strip():
+            ops.append((self._OP_TEXT, escape(t)))
+        ckind = self._kind.get(id(container))
+        for child in container:
+            kind = self._kind.get(id(child), None)
+            if kind is None:
+                la = self._lattrs.get(id(child))
+                if (
+                    la is not None
+                    and la[1] is not None
+                    and self._emeta.get(id(child)) == (None, False)
+                    and not self._dynattrs.get(id(child))
+                ):
+                    ops.append((self._OP_LITELEM, la[0], la[1], child))
+                else:
+                    ops.append((self._OP_NODE, child, None))
+            elif kind == "value-of":
+                ops.append((self._OP_VALUEOF, child.get("select", ".")))
+            elif kind == "text":
+                txt = escape(child.text or "")
+                if txt:
+                    ops.append((self._OP_TEXT, txt))
+            elif kind == "if":
+                ops.append((self._OP_IF, child.get("test", ""), child))
+            elif kind == "choose":
+                whens = tuple(
+                    (b.get("test", ""), b)
+                    for b in child
+                    if _is_xsl(b, "when")
+                )
+                otherw = next(
+                    (b for b in child if _is_xsl(b, "otherwise")), None
+                )
+                ops.append((self._OP_CHOOSE, whens, otherw))
+            elif kind == "apply-templates":
+                ops.append((
+                    self._OP_APPLYT,
+                    child.get("select"),
+                    child.get("mode"),
+                    child,
+                    bool(self._sorts.get(id(child))),
+                    bool(self._wparams.get(id(child))),
+                ))
+            elif kind == "variable":
+                ops.append((self._OP_VAR, child))
+            elif kind == "param":
+                ops.append((self._OP_PARAM, child))
+            elif kind in ("sort", "with-param", "attribute", "#comment"):
+                pass  # consumed by the enclosing instruction/element
+            elif kind == "#attr-copy":
+                if ckind not in (None, "element", "copy"):
+                    ops.append((self._OP_BADCOPY, child))
+            else:
+                ops.append((self._OP_NODE, child, kind))
+            tl = child.tail
+            if tl and tl.strip():
+                ops.append((self._OP_TEXT, escape(tl)))
+        return tuple(ops)
 
     # -- whitespace stripping (xsl:strip-space / xsl:preserve-space) -------
 
@@ -1144,32 +1325,72 @@ class MiniXslt:
         if scoped:
             self._scopes.append(dict(params) if params else {})
         try:
+            ops = self._ops.get(id(container))
+            if ops is None:  # element outside the compiled sheet trees
+                ops = self._ops[id(container)] = self._compile_ops(container)
             frags: list[str] = []
-            if container.text and container.text.strip():
-                frags.append(escape(container.text))
-            kinds = self._kind
-            for child in container:
-                kind = kinds.get(id(child), None)
-                if kind == "variable":
-                    self._scopes[-1][child.get("name", "")] = self._eval_binding(child, ctx)
-                elif kind == "param":
-                    pname = child.get("name", "")
-                    if pname not in self._scopes[-1]:  # caller's with-param wins
-                        self._scopes[-1][pname] = self._eval_binding(child, ctx)
-                elif kind in ("sort", "with-param", "attribute", "#comment"):
-                    pass  # consumed by the enclosing instruction/element
-                elif kind == "#attr-copy":
-                    # consumed by _element_markup when the container is
-                    # an element constructor; anywhere else there is no
-                    # element to attach attributes to — fail fast
-                    if self._kind.get(id(container)) not in (None, "element", "copy"):
-                        raise XsltUnsupported(
-                            'copy-of select="@*" outside an element constructor'
-                        )
-                else:
-                    frags.append(self._run_node(child, ctx, kind))
-                if child.tail and child.tail.strip():
-                    frags.append(escape(child.tail))
+            run_node = self._run_node
+            select = self._select
+            for op in ops:
+                tag = op[0]
+                if tag == 5:  # _OP_VALUEOF
+                    items = select(ctx, op[1])
+                    if items:
+                        frags.append(escape(_string(items[0])))
+                elif tag == 7:  # _OP_LITELEM (static attrs, no dynattrs)
+                    inner = self._run_children(op[3], ctx)
+                    t, a = op[1], op[2]
+                    frags.append(
+                        f"<{t}{a}>{inner}</{t}>" if inner else f"<{t}{a}/>"
+                    )
+                elif tag == 0:  # _OP_TEXT
+                    frags.append(op[1])
+                elif tag == 8:  # _OP_APPLYT
+                    _, sel, mode, elem2, has_sorts, has_wp = op
+                    if sel is not None:
+                        nodes = select(ctx, sel)
+                    elif isinstance(ctx, _Doc):
+                        nodes = [ctx.root]
+                    elif isinstance(ctx, ET.Element):
+                        nodes = self._node_children(ctx)
+                    else:
+                        nodes = []
+                    if has_sorts:
+                        nodes = self._sorted_nodes(nodes, elem2, ctx)
+                    params = (
+                        (self._gather_params(elem2, ctx) or None)
+                        if has_wp else None
+                    )
+                    frags.append(self._iterate(
+                        nodes,
+                        lambda n, _p=params, _m=mode: self._apply_one(n, _p, _m),
+                    ))
+                elif tag == 6:  # _OP_IF
+                    if self._test(ctx, op[1]):
+                        frags.append(self._run_children(op[2], ctx))
+                elif tag == 9:  # _OP_CHOOSE
+                    for tst, br in op[1]:
+                        if self._test(ctx, tst):
+                            frags.append(self._run_children(br, ctx))
+                            break
+                    else:
+                        if op[2] is not None:
+                            frags.append(self._run_children(op[2], ctx))
+                elif tag == 3:  # _OP_NODE — generic dispatch
+                    frags.append(run_node(op[1], ctx, op[2]))
+                elif tag == 1:  # _OP_VAR
+                    self._scopes[-1][op[1].get("name", "")] = (
+                        self._eval_binding(op[1], ctx)
+                    )
+                elif tag == 2:  # _OP_PARAM
+                    pname = op[1].get("name", "")
+                    if pname not in self._scopes[-1]:  # with-param wins
+                        self._scopes[-1][pname] = self._eval_binding(op[1], ctx)
+                else:  # _OP_BADCOPY: attr-copy outside an element
+                    # constructor — no element to attach to; fail fast
+                    raise XsltUnsupported(
+                        'copy-of select="@*" outside an element constructor'
+                    )
             return "".join(frags)
         finally:
             if scoped:
@@ -1301,12 +1522,20 @@ class MiniXslt:
             raise XsltUnsupported(f"xsl:{name}")
         # literal result element; XSL-namespaced attributes
         # (xsl:use-attribute-sets) are instructions, not output
-        attrs = "".join(
-            f" {k}={quoteattr(self._avt(v, ctx))}"
-            for k, v in elem.attrib.items()
-            if not k.startswith("{" + XSL_NS + "}")
-        )
-        return self._element_markup(_local(elem.tag), elem, ctx, attrs)
+        la = self._lattrs.get(id(elem))
+        if la is None:  # element outside the compiled sheet trees
+            attrs = "".join(
+                f" {k}={quoteattr(self._avt(v, ctx))}"
+                for k, v in elem.attrib.items()
+                if not k.startswith("{" + XSL_NS + "}")
+            )
+            return self._element_markup(_local(elem.tag), elem, ctx, attrs)
+        tag, static, pairs = la
+        if static is None:
+            static = "".join(
+                f" {k}={quoteattr(self._avt(v, ctx))}" for k, v in pairs
+            )
+        return self._element_markup(tag, elem, ctx, static)
 
     def _iterate(self, nodes: list, render) -> str:
         """Run ``render`` per node with (position, last) context pushed,
@@ -1367,14 +1596,15 @@ class MiniXslt:
         ones per XSLT 1.0 §7.1.3/§7.1.4: attribute sets, then literal
         attrs, then copied, then xsl:attribute."""
         kind = self._kind.get(id(elem))
-        use_sets = (
-            elem.get("use-attribute-sets")
-            if kind in ("element", "copy")
-            else elem.get("{" + XSL_NS + "}use-attribute-sets")
-        )
-        has_copy = any(
-            self._kind.get(id(c)) == "#attr-copy" for c in elem
-        )
+        meta = self._emeta.get(id(elem))
+        if meta is None:  # element outside the compiled sheet trees
+            meta = self._emeta[id(elem)] = (
+                elem.get("use-attribute-sets")
+                if kind in ("element", "copy")
+                else elem.get("{" + XSL_NS + "}use-attribute-sets"),
+                any(self._kind.get(id(c)) == "#attr-copy" for c in elem),
+            )
+        use_sets, has_copy = meta
         if has_copy or use_sets:
             merged: dict[str, str] = {}
             if use_sets:
@@ -1566,17 +1796,31 @@ class MiniXslt:
     # -- path / test evaluation -------------------------------------------
 
     def _select(self, ctx, path: str) -> list:
-        path = path.strip()
-        if path == ".":
+        tag, payload, path = _select_plan(path)
+        if tag == 0:  # '.'
             return [ctx]
-        if path == "position()" or path == "last()":
+        if tag == 3:  # bare @attr — hot fast path
+            if isinstance(ctx, ET.Element):
+                v = ctx.attrib.get(payload)
+                return [v] if v is not None else []
+            return []
+        if tag == 4:  # bare element name — hot fast path
+            if isinstance(ctx, ET.Element):
+                return [c for c in ctx if _local(c.tag) == path]
+            if isinstance(ctx, _Doc):
+                return [ctx.root] if _local(ctx.root.tag) == path else []
+            return []
+        if tag == 1:  # position() / last()
             if not self._ctx_pos:
                 raise XsltUnsupported(f"{path} outside an iteration context")
             pos, size = self._ctx_pos[-1]
             return [str(pos if path == "position()" else size)]
-        if path.endswith(")") and "(" in path:
-            fname = path[: path.index("(")]
-            inner = path[path.index("(") + 1 : -1]
+        if tag == 5:  # $var reference
+            if "/" in payload or "[" in payload:
+                raise XsltUnsupported(f"path into variable {path!r}")
+            return [self._lookup_var(payload)]
+        if tag == 2:
+            fname, inner = payload
             if fname == "count":
                 return [str(len(self._select(ctx, inner)))]
             if fname == "key":
@@ -1672,26 +1916,8 @@ class MiniXslt:
                 return [self._test(ctx, inner)]
             # text() falls through to step parsing; anything else is an
             # unsupported XPath function and fails fast there too
-        # fast paths for the two step shapes that dominate row
-        # stylesheets (profiled: _select is ~36% of apply time)
-        if path.startswith("@") and "[" not in path and "/" not in path:
-            if isinstance(ctx, ET.Element):
-                v = ctx.attrib.get(path[1:])
-                return [v] if v is not None else []
-            return []
-        if (
-            path.isalnum() or (path.replace("-", "").replace("_", "").isalnum())
-        ) and not path.startswith("$"):
-            if isinstance(ctx, ET.Element):
-                return [c for c in ctx if _local(c.tag) == path]
-            if isinstance(ctx, _Doc):
-                return [ctx.root] if _local(ctx.root.tag) == path else []
-            return []
-        if path.startswith("$"):
-            rest = path[1:]
-            if "/" in rest or "[" in rest:
-                raise XsltUnsupported(f"path into variable {path!r}")
-            return [self._lookup_var(rest)]
+            # (the bare-@attr / bare-name / $var fast paths moved into
+            # the _select_plan dispatch above)
         if path.startswith(("key(", "document(")):
             # key(...)/<steps> or document(...)/<steps>: the node-set
             # result is the path head (the whole-expression forms are
@@ -1990,28 +2216,28 @@ class MiniXslt:
         return seq
 
     def _test(self, ctx, expr: str) -> bool:
-        expr = expr.strip()
-        if not expr:
+        # the structural parse (bool-operator split, group unwrap,
+        # comparison split) is stylesheet-static — classified once per
+        # distinct expression by _test_plan; only operand evaluation
+        # runs per node
+        kind, payload = _test_plan(expr)
+        if kind == 0:  # empty
             return False
-        # XPath boolean operators, lowest precedence first: or, and;
-        # a fully-parenthesized group unwraps and recurses
-        ors = _split_bool(expr, "or")
-        if len(ors) > 1:
-            return any(self._test(ctx, p) for p in ors)
-        ands = _split_bool(expr, "and")
-        if len(ands) > 1:
-            return all(self._test(ctx, p) for p in ands)
-        if expr.startswith("(") and _close_paren(expr, 0) == len(expr) - 1:
-            return self._test(ctx, expr[1:-1])
-        if expr.startswith("not(") and expr.endswith(")"):
-            return not self._test(ctx, expr[4:-1])
-        cmp = _split_comparison(expr)
-        if cmp is None:
-            items = self._select(ctx, expr)
+        if kind == 1:  # or
+            return any(self._test(ctx, p) for p in payload)
+        if kind == 2:  # and
+            return all(self._test(ctx, p) for p in payload)
+        if kind == 3:  # parenthesized group
+            return self._test(ctx, payload)
+        if kind == 4:  # not(...)
+            return not self._test(ctx, payload)
+        if kind == 5:  # existence / boolean-function select
+            items = self._select(ctx, payload)
             if len(items) == 1 and isinstance(items[0], bool):
                 return items[0]  # boolean function result, not a node-set
             return bool(items)
-        lhs, op, rhs = cmp
+        lhs, op, rhs = payload
+        expr = expr.strip()
 
         def operand_literal(tok: str):
             # a $var operand compares as a numeric literal when its
