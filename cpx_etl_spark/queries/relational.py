@@ -6402,3 +6402,144 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_skyline_pareto",
+    oracle="""
+    SELECT p.p_partkey AS partkey, p.p_name AS name,
+           p.p_retailprice AS price, p.p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY price, partkey
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: the parts no other part
+    dominates on (minimize retailprice, maximize size) — the classic
+    multi-criteria shortlist the optimizer literature calls SKYLINE OF
+    (Borzsony et al., ICDE 2001). The naive plan is the oracle's
+    O(n^2) NOT-EXISTS self-join; the 2-D case collapses to a
+    prefix-max scan, done here DISTRIBUTED: (1) per-price max size — a
+    plain shuffle agg, same-price rows can only survive at the max;
+    (2) repartitionByRange on price makes partitions price-contiguous,
+    so a per-partition running max plus a ~P-row cross-partition
+    prefix-max frame (broadcast back) decides global dominance without
+    ever materializing a single-partition sort of the full frame. A
+    pair survives iff its size strictly exceeds every size at a
+    strictly cheaper price. Survivors broadcast-join back to part so
+    same-(price,size) duplicates (mutually non-dominating) all emit.
+    Scale: both shuffles key on price; the only driver-sized frame is
+    one row per range partition."""
+    part = _t(spark, sf_dir, "part")
+    pairs = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    ranged = pairs.repartitionByRange(32, "p_retailprice").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("prev_local", F.max("best_size").over(w_local))
+    pid_stats = ranged.groupBy("pid").agg(F.max("best_size").alias("pid_max"))
+    w_pid = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pid_prefix = pid_stats.withColumn(
+        "prev_pid", F.max("pid_max").over(w_pid)
+    ).select("pid", "prev_pid")
+    survivors = (
+        local.join(F.broadcast(pid_prefix), "pid")
+        .withColumn(
+            "prev_max",
+            F.greatest(
+                F.coalesce("prev_local", F.lit(-(2**31))),
+                F.coalesce("prev_pid", F.lit(-(2**31))),
+            ),
+        )
+        .filter(F.col("best_size") > F.col("prev_max"))
+        .select("p_retailprice", F.col("best_size").alias("p_size"))
+    )
+    return (
+        part.join(F.broadcast(survivors), ["p_retailprice", "p_size"])
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .orderBy("price", "partkey")
+    )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH counts AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               COUNT(*) AS cnt
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT nation, CAST(SUM(cnt) AS BIGINT) AS total FROM counts GROUP BY 1
+    )
+    SELECT c.nation, c.segment AS modal_segment, c.cnt AS modal_count,
+           t.total AS group_total,
+           ROUND(CAST(c.cnt AS DOUBLE) / t.total - 1e-9, 6) + 0 AS modal_share
+    FROM counts c JOIN totals t USING (nation)
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY c.nation ORDER BY c.cnt DESC, c.segment
+    ) = 1
+    ORDER BY c.nation
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE (most frequent value) with a deterministic
+    tie-break — the categorical argmax SQL lacks as a builtin
+    aggregate. Two distributed aggs: (nation, segment) counts with
+    map-side partials, then a per-nation max_by over a packed
+    (count, reverse-lex segment) ordering key so equal counts resolve
+    to the LEXICALLY SMALLEST segment identically in both engines —
+    no window over the fact table, the argmax runs on the
+    group-cardinality frame. Scale: both shuffles key on the group;
+    the mode pick is a 125-row agg at any SF."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    counts = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # max_by ordering: higher count wins; on ties the lexically
+    # smaller segment must win, so negate the segment ordering by
+    # using a struct of (cnt, neg) where neg flips each byte — a
+    # window row_number is simpler and the frame is group-cardinality
+    w = Window.partitionBy("nation").orderBy(
+        F.col("cnt").desc(), F.col("segment").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy("nation"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "nation",
+            F.col("segment").alias("modal_segment"),
+            F.col("cnt").alias("modal_count"),
+            F.col("total").alias("group_total"),
+            fround(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "modal_share"
+            ),
+        )
+        .orderBy("nation")
+    )

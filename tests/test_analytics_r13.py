@@ -1,0 +1,107 @@
+"""Semantic tests for the r13 analytics additions — properties the
+oracle hash cannot express (equivalence of the distributed skyline to
+the quadratic dominance definition on adversarial data, mode tie
+determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cpx_etl_spark.queries import load_registry
+
+QUERIES, _ = load_registry()
+
+
+def _naive_skyline(pairs):
+    """Quadratic dominance reference: (price, size) survives iff no
+    other point has price<=, size>= with one strict."""
+    out = []
+    for i, (p, s) in enumerate(pairs):
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s))
+            for j, (q, t) in enumerate(pairs)
+            if j != i
+        )
+        if not dominated:
+            out.append((p, s))
+    return sorted(set(out))
+
+
+def test_skyline_matches_naive_dominance(spark, sf_dir):
+    res = QUERIES["q_skyline_pareto"](spark, sf_dir)
+    got = sorted({(r["price"], r["size"]) for r in res.collect()})
+    from cpx_etl_spark.sources import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = [
+        (r["p_retailprice"], r["p_size"])
+        for r in part.select("p_retailprice", "p_size").collect()
+    ]
+    assert got == _naive_skyline(pairs)
+
+
+def test_skyline_distributed_pruning_on_adversarial_frames(spark):
+    """The two-phase (range-partition + cross-partition prefix max)
+    formulation must agree with the quadratic definition on frames
+    engineered to stress partition boundaries: a strictly ascending
+    staircase (every point on the skyline), a strictly descending one
+    (only the first survives), all-equal points, and same-price
+    multi-size clusters."""
+    from cpx_etl_spark.queries.relational import q_skyline_pareto
+
+    cases = [
+        # staircase up: price up, size up -> every point survives
+        [(float(i), i) for i in range(100)],
+        # staircase down: cheapest has biggest size -> one survivor
+        [(float(i), 100 - i) for i in range(100)],
+        # all identical: mutually non-dominating
+        [(5.0, 7)] * 16,
+        # same-price clusters: only the max size per price can survive
+        [(float(i // 8), i % 8) for i in range(128)],
+    ]
+    import os
+    import tempfile
+
+    for pts in cases:
+        with tempfile.TemporaryDirectory() as d:
+            part = spark.createDataFrame(
+                [
+                    (i, f"part{i}", "B", "T", s, p)
+                    for i, (p, s) in enumerate(pts)
+                ],
+                "p_partkey long, p_name string, p_brand string,"
+                " p_type string, p_size int, p_retailprice double",
+            )
+            part.write.parquet(os.path.join(d, "part.parquet"))
+            got = sorted(
+                {
+                    (r["price"], r["size"])
+                    for r in q_skyline_pareto(spark, d).collect()
+                }
+            )
+            assert got == _naive_skyline(pts), pts[:4]
+
+
+def test_mode_tie_breaks_to_lexically_smallest(spark, tmp_path):
+    """Equal counts must resolve to the lexically smallest segment —
+    the determinism contract the oracle relies on."""
+    import os
+
+    from cpx_etl_spark.queries.relational import q_mode_per_group
+
+    d = str(tmp_path)
+    cust = spark.createDataFrame(
+        [(1, "ZEBRA", 0), (2, "APPLE", 0), (3, "APPLE", 1), (4, "ZEBRA", 1)],
+        "c_custkey long, c_mktsegment string, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    cust.write.parquet(os.path.join(d, "customer.parquet"))
+    nation.write.parquet(os.path.join(d, "nation.parquet"))
+    rows = {
+        r["nation"]: r["modal_segment"]
+        for r in q_mode_per_group(spark, d).collect()
+    }
+    assert rows == {"ALPHA": "APPLE", "BETA": "APPLE"}

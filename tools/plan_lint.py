@@ -85,6 +85,13 @@ _ALLOW_FUNNELS: dict[str, list[tuple[str, str]]] = {
         "frame (the projected child derives R/F/M from the per-customer "
         "agg) — same posture as q_user_value_deciles",
     )],
+    "q_skyline_pareto": [(
+        "HashAggregate(keys=[pid",
+        "funnels the per-RANGE-PARTITION max frame (one row per range "
+        "partition, ~32 rows at any SF) for the cross-partition "
+        "prefix-max — the bounded carry frame of the distributed "
+        "skyline; the corpus-sized passes are keyed on price",
+    )],
     "stream_late_data_audit": [(
         "Project [cast(ts",
         "documented one-shard arrival-order diagnostic; production path "
