@@ -1595,3 +1595,114 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", "label",
         k=10, nprobe=2, m=8, k_codes=16, dim=_DIM, rerank=3,
     )
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    cent AS (
+        SELECT label AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY label, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    ascore AS (
+        SELECT e.vec_id, c.cell,
+               ROUND({sql_cosine('e.embedding', 'c.centroid', _DIM)} - 1e-9, 6) + 0 AS c_cos
+        FROM embeddings e CROSS JOIN centv c),
+    assigned AS (
+        SELECT vec_id, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) = 1),
+    pairs AS (
+        SELECT a.vec_id AS a, a.cell AS cell, b.vec_id AS b,
+               ROUND({sql_cosine('ea.embedding', 'eb.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    top AS (
+        SELECT a, cell, b, cos,
+               ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
+        FROM pairs QUALIFY rn <= 3),
+    mut AS (
+        SELECT t.a, COUNT(*) AS mutual_cnt
+        FROM top t JOIN top r ON t.a = r.b AND t.b = r.a
+        GROUP BY t.a)
+    SELECT t.a AS vec_id, MIN(t.cell) AS cell,
+           MAX(CASE WHEN rn = 1 THEN b END) AS n1,
+           MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+           MAX(CASE WHEN rn = 2 THEN b END) AS n2,
+           MAX(CASE WHEN rn = 2 THEN cos END) AS c2,
+           MAX(CASE WHEN rn = 3 THEN b END) AS n3,
+           MAX(CASE WHEN rn = 3 THEN cos END) AS c3,
+           CAST(COALESCE(MIN(m.mutual_cnt), 0) AS BIGINT) AS mutual_cnt
+    FROM top t LEFT JOIN mut m ON m.a = t.a
+    GROUP BY t.a
+    ORDER BY vec_id
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH construction — the all-vectors nearest-neighbor graph
+    that seeds spectral/graph clustering, UMAP, HNSW bootstrap, and
+    SemDeDup-style curation. Exact top-3 cosine neighbors per vector
+    WITHIN its IVF cell (the standard blocked formulation: pair volume
+    is sum of n_c^2 over cells, never N^2 — cell count k tunes the
+    bound, here the 10 label-seeded exact-decimal centroids shared
+    with ann_ivf_topk), plus the per-vector MUTUAL-edge count — the
+    symmetry audit that separates hub-dominated graphs from usable
+    ones. Ranking runs on the pre-rounded cosine with an id tiebreak
+    so the selected edge set is engine-deterministic; the per-vector
+    window sorts cell-bounded candidate lists, not the corpus."""
+    from cpx_etl_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _cents, assigned = ivf_build(emb, "vec_id", "embedding", "label")
+    a = assigned.select(
+        F.col("neighbor_id").alias("a"), F.col("v_c").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("b"), F.col("v_c").alias("eb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("cos", fround(cosine(F.col("ea"), F.col("eb")), 6))
+        .select("a", "cell", "b", "cos")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b").asc())
+    # the edge frame feeds three consumers (reverse probe, mutual
+    # count, final pivot) — checkpoint so the cell self-join + window
+    # runs ONCE, not once per branch; <= 3N narrow rows at any SF
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .localCheckpoint(eager=False)
+    )
+    rev = top.select(F.col("a").alias("rb"), F.col("b").alias("ra"))
+    mut = (
+        top.join(rev, (top.a == rev.ra) & (top.b == rev.rb), "left_semi")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("mutual_cnt"))
+    )
+    agg = top.groupBy("a").agg(
+        F.min("cell").alias("cell"),
+        F.max(F.when(F.col("rn") == 1, F.col("b"))).alias("n1"),
+        F.max(F.when(F.col("rn") == 1, F.col("cos"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("b"))).alias("n2"),
+        F.max(F.when(F.col("rn") == 2, F.col("cos"))).alias("c2"),
+        F.max(F.when(F.col("rn") == 3, F.col("b"))).alias("n3"),
+        F.max(F.when(F.col("rn") == 3, F.col("cos"))).alias("c3"),
+    )
+    return (
+        agg.join(mut, "a", "left")
+        .select(
+            F.col("a").alias("vec_id"), "cell",
+            "n1", "c1", "n2", "c2", "n3", "c3",
+            F.coalesce("mutual_cnt", F.lit(0)).cast("long").alias("mutual_cnt"),
+        )
+        .orderBy("vec_id")
+    )

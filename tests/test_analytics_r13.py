@@ -105,3 +105,21 @@ def test_mode_tie_breaks_to_lexically_smallest(spark, tmp_path):
         for r in q_mode_per_group(spark, d).collect()
     }
     assert rows == {"ALPHA": "APPLE", "BETA": "APPLE"}
+
+
+def test_knn_graph_invariants(spark, sf_dir):
+    """Structural invariants of the kNN graph: per-vector neighbor
+    lists are distinct and ordered by descending cosine, mutual edges
+    come in pairs (the global mutual count is even), and mutual_cnt
+    never exceeds the out-degree."""
+    rows = QUERIES["q_knn_graph"](spark, sf_dir).collect()
+    total_mutual = 0
+    for r in rows:
+        nbrs = [n for n in (r["n1"], r["n2"], r["n3"]) if n is not None]
+        assert len(set(nbrs)) == len(nbrs)
+        assert r["vec_id"] not in nbrs
+        coss = [c for c in (r["c1"], r["c2"], r["c3"]) if c is not None]
+        assert coss == sorted(coss, reverse=True)
+        assert 0 <= r["mutual_cnt"] <= len(nbrs)
+        total_mutual += r["mutual_cnt"]
+    assert total_mutual % 2 == 0 and total_mutual > 0
