@@ -6543,3 +6543,117 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0,
+               MAX(CAST(ts AS DATE)) AS d1
+        FROM events),
+    days AS (
+        SELECT unnest(generate_series(0,
+            (SELECT datediff('day', d0, d1) FROM bounds))) AS day_idx),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnts AS (
+        SELECT event_type, datediff('day', b.d0, CAST(ts AS DATE)) AS day_idx,
+               COUNT(*) AS cnt
+        FROM events, bounds b GROUP BY 1, 2),
+    grid AS (
+        SELECT t.event_type, d.day_idx,
+               CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS v
+        FROM types t CROSS JOIN days d
+        LEFT JOIN cnts c ON c.event_type = t.event_type
+                        AND c.day_idx = d.day_idx),
+    rec AS (
+        SELECT event_type, day_idx AS t, v AS level, CAST(0 AS DOUBLE) AS trend
+        FROM grid WHERE day_idx = 0
+        UNION ALL
+        SELECT g.event_type, r.t + 1,
+               (g.v + (r.level + r.trend)) * 0.5,
+               (((g.v + (r.level + r.trend)) * 0.5 - r.level) + r.trend) * 0.5
+        FROM rec r JOIN grid g ON g.event_type = r.event_type
+                              AND g.day_idx = r.t + 1)
+    SELECT event_type, t AS day_idx,
+           ROUND(level - 1e-9, 6) + 0 AS level,
+           ROUND(trend - 1e-9, 6) + 0 AS trend,
+           ROUND((level + trend) - 1e-9, 6) + 0 AS forecast_1
+    FROM rec ORDER BY event_type, day_idx
+    """,
+)
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt LINEAR-TREND double exponential smoothing (alpha = beta =
+    1/2) of the daily event-count series per type — EWMA's big sibling
+    that tracks a drifting level AND its slope, the standard
+    short-horizon forecaster for pipeline-volume monitoring. The
+    recurrence l_t = (v_t + (l_{t-1} + b_{t-1})) * 0.5, b_t = ((l_t -
+    l_{t-1}) + b_{t-1}) * 0.5 is inherently sequential per series, so
+    this is the legitimate grouped-map path: one applyInPandas over
+    day-dense zero-filled series (series count = parallelism; each
+    series is day-domain-bounded, never corpus-sized). Both engines
+    evaluate the IDENTICALLY-PARENTHESIZED IEEE double expression
+    sequence (the oracle replays it as a recursive CTE), so level /
+    trend / one-step forecast agree bit-exactly before the output
+    rounding. forecast_1 = l + b is tomorrow's volume estimate."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("day_idx")
+    )
+    cnts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(days))
+        .join(cnts, ["event_type", "day_idx"], "left")
+        .select(
+            "event_type", "day_idx",
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("v"),
+        )
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_idx")
+        vs = [float(x) for x in pdf["v"]]
+        levels, trends = [], []
+        level = vs[0]
+        trend = 0.0
+        levels.append(level)
+        trends.append(trend)
+        for v in vs[1:]:
+            new_level = (v + (level + trend)) * 0.5
+            trend = ((new_level - level) + trend) * 0.5
+            level = new_level
+            levels.append(level)
+            trends.append(trend)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "day_idx": pdf["day_idx"].to_numpy(),
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    smoothed = grid.groupBy("event_type").applyInPandas(
+        holt, "event_type string, day_idx int, level double, trend double"
+    )
+    return smoothed.select(
+        "event_type", "day_idx",
+        fround(F.col("level"), 6).alias("level"),
+        fround(F.col("trend"), 6).alias("trend"),
+        fround(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
+    ).orderBy("event_type", "day_idx")

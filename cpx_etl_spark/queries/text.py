@@ -3007,3 +3007,137 @@ def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_winnow_pairs_indexed(
         docs.filter(~is_ref), idx, min_shared=2, max_ref_df=_WIN_DF
     )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+    binned AS (
+        SELECT source,
+               LEAST(CAST(FLOOR((n_chars - lo) * 10.0 / (hi - lo)) AS INTEGER),
+                     9) AS bin
+        FROM documents, bounds),
+    src AS (SELECT DISTINCT source FROM documents),
+    grid AS (
+        SELECT s.source, gs.b AS bin
+        FROM src s, generate_series(0, 9) gs(b)),
+    cnts AS (
+        SELECT g.source, g.bin,
+               CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        FROM grid g LEFT JOIN (
+            SELECT source, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+        ) c ON c.source = g.source AND c.bin = g.bin),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+    gbin AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS gcnt FROM binned GROUP BY 1),
+    nsrc AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_src
+        FROM cnts GROUP BY 1),
+    terms AS (
+        SELECT c.source, c.bin, n.n_src,
+               GREATEST(CAST(c.cnt AS DOUBLE) / n.n_src, 1e-6) AS p,
+               GREATEST(CAST(g.gcnt - c.cnt AS DOUBLE) / (t.n_all - n.n_src),
+                        1e-6) AS q
+        FROM cnts c
+        JOIN nsrc n USING (source)
+        JOIN gbin g USING (bin)
+        CROSS JOIN tot t),
+    scored AS (
+        SELECT source, bin, n_src,
+               ROUND((p - q) * LN(p / q) - 1e-9, 8) + 0 AS term
+        FROM terms),
+    agg AS (
+        SELECT source, MIN(n_src) AS n_docs,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS DOUBLE) - 1e-9,
+                     6) + 0 AS psi
+        FROM scored GROUP BY source),
+    top AS (
+        SELECT source, CAST(bin AS INTEGER) AS top_bin FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY term DESC, bin) = 1)
+    SELECT a.source, a.n_docs, a.psi, t.top_bin
+    FROM agg a JOIN top t USING (source) ORDER BY a.source
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source — the model-monitoring
+    drift score (PSI = sum (p_i - q_i) ln(p_i/q_i)) of each source's
+    length distribution against the REST of the corpus, over 10
+    equal-width n_chars bins between global min/max (1-row broadcast
+    bounds). Zero-count bins are clamped at 1e-6 (the standard
+    epsilon) so the log stays finite; each bin term is rounded to 8
+    decimals and summed in the exact DECIMAL domain so the 10-term sum
+    is order-independent cross-engine (the dsum posture); top_bin is
+    the bin contributing the largest term (smallest-bin tiebreak) —
+    where the drift lives. PSI > 0.25 is the conventional
+    repartition-your-training-mix alarm. Scale: two keyed aggs plus a
+    (sources x 10)-row grid; nothing corpus-sized leaves the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    binned = docs.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        F.least(
+            F.floor(
+                (F.col("n_chars") - F.col("lo")) * 10.0
+                / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = (
+        docs.select("source").distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+    )
+    cnts = (
+        grid.join(counts, ["source", "bin"], "left")
+        .select("source", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    glob = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("gcnt"))
+    nsrc = cnts.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    terms = (
+        cnts.join(nsrc, "source")
+        .join(F.broadcast(glob), "bin")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "bin", "n_src",
+            F.greatest(
+                F.col("cnt").cast("double") / F.col("n_src"), F.lit(1e-6)
+            ).alias("p"),
+            F.greatest(
+                (F.col("gcnt") - F.col("cnt")).cast("double")
+                / (F.col("n_all") - F.col("n_src")),
+                F.lit(1e-6),
+            ).alias("q"),
+        )
+    )
+    scored = terms.select(
+        "source", "bin", "n_src",
+        fround((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 8)
+        .alias("term"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.min("n_src").alias("n_docs"),
+        fround(
+            F.sum(F.col("term").cast("decimal(20,8)")).cast("double"), 6
+        ).alias("psi"),
+    )
+    from pyspark.sql import Window as _W
+
+    w_top = _W.partitionBy("source").orderBy(
+        F.col("term").desc(), F.col("bin").asc()
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("bin").cast("int").alias("top_bin"))
+    )
+    return agg.join(top, "source").orderBy("source")
