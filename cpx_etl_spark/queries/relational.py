@@ -6657,3 +6657,285 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("trend"), 6).alias("trend"),
         fround(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
     ).orderBy("event_type", "day_idx")
+
+
+_MKV_CHANNELS = ["click", "error", "signup", "view"]
+_MKV_SRCS = ["START"] + _MKV_CHANNELS  # transient-state index order
+_MKV_ITERS = 8
+
+
+def _mkv_sql() -> str:
+    srcs = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(_MKV_SRCS)
+    )
+    dsts = ", ".join(
+        f"({j + 1}, '{c}')" for j, c in enumerate(_MKV_CHANNELS)
+    )
+    rms = ", ".join(f"('{r}')" for r in ["none"] + _MKV_CHANNELS)
+    chans = ", ".join(f"('{c}')" for c in _MKV_CHANNELS)
+    n_s = len(_MKV_SRCS)
+    n_d = len(_MKV_CHANNELS)
+    return f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    firstp AS (
+        SELECT user_id, MIN(rn) AS prn FROM ordered
+        WHERE event_type = 'purchase' GROUP BY 1),
+    pfx AS (
+        SELECT o.user_id, o.rn,
+               CASE WHEN o.event_type = 'purchase' THEN 'CONV'
+                    ELSE o.event_type END AS st
+        FROM ordered o LEFT JOIN firstp f USING (user_id)
+        WHERE f.prn IS NULL OR o.rn <= f.prn),
+    hops AS (
+        SELECT user_id, rn, st,
+               LEAD(st) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+        FROM pfx),
+    trans_raw AS (
+        SELECT 'START' AS src, st AS dst FROM hops WHERE rn = 1
+        UNION ALL
+        SELECT st, COALESCE(nxt, 'NULL') FROM hops WHERE st <> 'CONV'),
+    cnts AS (SELECT src, dst, COUNT(*) AS cnt FROM trans_raw GROUP BY 1, 2),
+    tots AS (SELECT src, SUM(cnt) AS tot FROM cnts GROUP BY 1),
+    probs AS (
+        SELECT c.src, c.dst, CAST(c.cnt AS DOUBLE) / t.tot AS p
+        FROM cnts c JOIN tots t USING (src)),
+    srcs(i, sname) AS (VALUES {srcs}),
+    dsts(j, dname) AS (VALUES {dsts}),
+    rms(rm) AS (VALUES {rms}),
+    cells AS (
+        SELECT r.rm, s.i AS si, d.j AS dj,
+               CASE WHEN d.dname = r.rm THEN CAST(0 AS DOUBLE)
+                    ELSE COALESCE(p.p, CAST(0 AS DOUBLE)) END AS v
+        FROM rms r CROSS JOIN srcs s CROSS JOIN dsts d
+        LEFT JOIN probs p ON p.src = s.sname AND p.dst = d.dname),
+    trows AS (
+        SELECT rm, si, list(v ORDER BY dj) AS trow
+        FROM cells GROUP BY rm, si),
+    convs AS (
+        SELECT r.rm, s.i AS si,
+               COALESCE(p.p, CAST(0 AS DOUBLE)) AS convp
+        FROM rms r CROSS JOIN srcs s
+        LEFT JOIN probs p ON p.src = s.sname AND p.dst = 'CONV'),
+    tmat AS (
+        SELECT t.rm, list(t.trow ORDER BY t.si) AS T,
+               list(c.convp ORDER BY c.si) AS cp
+        FROM trows t JOIN convs c ON c.rm = t.rm AND c.si = t.si
+        GROUP BY t.rm),
+    rec AS (
+        SELECT rm,
+               0 AS it,
+               list_transform(generate_series(1, {n_s}),
+                              i -> CAST(0 AS DOUBLE)) AS p
+        FROM tmat
+        UNION ALL
+        SELECT r.rm, r.it + 1,
+               list_transform(generate_series(1, {n_s}), i ->
+                   m.cp[i] + list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(generate_series(1, {n_d}),
+                                          j -> m.T[i][j] * r.p[j + 1])),
+                       (a, b) -> a + b))
+        FROM rec r JOIN tmat m USING (rm) WHERE r.it < {_MKV_ITERS}),
+    absorbed AS (
+        SELECT rm, p[1] AS conv_p FROM rec WHERE it = {_MKV_ITERS}),
+    base AS (SELECT conv_p AS base_p FROM absorbed WHERE rm = 'none'),
+    chans(channel) AS (VALUES {chans}),
+    eff AS (
+        SELECT c.channel, b.base_p, a.conv_p AS removal_p,
+               1 - a.conv_p / b.base_p AS re
+        FROM chans c
+        JOIN absorbed a ON a.rm = c.channel
+        CROSS JOIN base b),
+    tot_re AS (
+        SELECT list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(re ORDER BY channel)),
+                   (a, b) -> a + b) AS sum_re
+        FROM eff)
+    SELECT e.channel,
+           ROUND(e.base_p - 1e-9, 6) + 0 AS base_conv,
+           ROUND(e.removal_p - 1e-9, 6) + 0 AS removal_conv,
+           ROUND(e.re - 1e-9, 6) + 0 AS removal_effect,
+           ROUND(e.re / t.sum_re - 1e-9, 6) + 0 AS attribution_share
+    FROM eff e CROSS JOIN tot_re t
+    ORDER BY e.channel
+    """
+
+
+@register("q_markov_attribution", oracle=_mkv_sql())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN attribution (removal effect): user journeys
+    (events ordered per user, cut at the first purchase) become a
+    first-order chain over channel states with absorbing CONV/NULL;
+    each channel's credit is its REMOVAL EFFECT — how much the
+    absorption probability from START drops when every hop into the
+    channel is redirected to NULL — normalized into attribution
+    shares. The standard data-driven alternative to last-touch /
+    linear heuristics (both already registered). Absorption
+    probabilities come from {it} fixed matrix-vector iterations over
+    the (removal x state) frame — 25 rows at ANY corpus size; the
+    distributed work is journey derivation (user-partitioned windows)
+    and the (src, dst) count shuffle. Cross-engine exactness without
+    mid-iteration rounding: both engines fold the dense per-row term
+    list in ascending state order (F.aggregate over a fixed-order
+    array == DuckDB list_reduce), the PageRank posture.""".format(
+        it=_MKV_ITERS
+    )
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    pfx = (
+        ordered.join(firstp, "user_id", "left")
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id", "rn",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type")).alias("st"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    hops = pfx.withColumn("nxt", F.lead("st").over(w2))
+    trans = (
+        hops.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("src"), F.col("st").alias("dst"))
+        .unionByName(
+            hops.filter(F.col("st") != "CONV").select(
+                F.col("st").alias("src"),
+                F.coalesce("nxt", F.lit("NULL")).alias("dst"),
+            )
+        )
+    )
+    cnts = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    tots = cnts.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    probs = cnts.join(tots, "src").select(
+        "src", "dst", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
+    )
+    # literal state/removal frames collapse to ONE partition each —
+    # parallelize() defaults to 8, and the triple crossJoin otherwise
+    # fans out to hundreds of near-empty tasks (measured 29s of pure
+    # scheduling on a 100-row grid)
+    srcs = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(_MKV_SRCS)], "i int, sname string"
+    ).coalesce(1)
+    dsts = spark.createDataFrame(
+        [(j + 1, c) for j, c in enumerate(_MKV_CHANNELS)], "j int, dname string"
+    ).coalesce(1)
+    rms = spark.createDataFrame(
+        [(r,) for r in ["none"] + _MKV_CHANNELS], "rm string"
+    ).coalesce(1)
+    cells = (
+        rms.crossJoin(srcs).crossJoin(dsts)
+        .join(
+            F.broadcast(probs),
+            (F.col("src") == F.col("sname")) & (F.col("dst") == F.col("dname")),
+            "left",
+        )
+        .select(
+            "rm", F.col("i").alias("si"), F.col("j").alias("dj"),
+            F.when(F.col("dname") == F.col("rm"), F.lit(0.0))
+            .otherwise(F.coalesce("p", F.lit(0.0))).alias("v"),
+        )
+    )
+    trows = cells.groupBy("rm", "si").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dj", "v"))), lambda x: x["v"]
+        ).alias("trow")
+    )
+    convs = (
+        rms.crossJoin(srcs)
+        .join(
+            F.broadcast(probs.filter(F.col("dst") == "CONV")),
+            F.col("src") == F.col("sname"),
+            "left",
+        )
+        .select(
+            "rm", F.col("i").alias("si"),
+            F.coalesce("p", F.lit(0.0)).alias("convp"),
+        )
+    )
+    tmat = (
+        trows.join(convs, ["rm", "si"])
+        .groupBy("rm")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("si", "trow"))),
+                lambda x: x["trow"],
+            ).alias("T"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("si", "convp"))),
+                lambda x: x["convp"],
+            ).alias("cp"),
+        )
+    )
+    n_s = len(_MKV_SRCS)
+    n_d = len(_MKV_CHANNELS)
+    pvec = tmat.select(
+        "rm", "T", "cp",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_s)), lambda i: F.lit(0.0)
+        ).alias("p"),
+    )
+    for _ in range(_MKV_ITERS):
+        pvec = pvec.select(
+            "rm", "T", "cp",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_s)),
+                lambda i: F.element_at("cp", i)
+                + F.aggregate(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(n_d)),
+                        lambda j: F.element_at(F.element_at("T", i), j)
+                        * F.element_at("p", j + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias("p"),
+            # break the expression chain per iteration: 8 composed
+            # nested-HOF trees otherwise explode catalyst/eval cost;
+            # the frame is (removals x 1) = 5 rows at any SF
+        ).localCheckpoint(eager=True)
+    absorbed = pvec.select("rm", F.element_at("p", 1).alias("conv_p"))
+    base = absorbed.filter(F.col("rm") == "none").select(
+        F.col("conv_p").alias("base_p")
+    )
+    chans = spark.createDataFrame(
+        [(c,) for c in _MKV_CHANNELS], "channel string"
+    ).coalesce(1)
+    eff = (
+        chans.join(absorbed, chans.channel == absorbed.rm)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "channel", "base_p", F.col("conv_p").alias("removal_p"),
+            (F.lit(1.0) - F.col("conv_p") / F.col("base_p")).alias("re"),
+        )
+    )
+    tot_re = eff.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("channel", "re"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["re"],
+        ).alias("sum_re")
+    )
+    return (
+        eff.crossJoin(F.broadcast(tot_re))
+        .select(
+            "channel",
+            fround(F.col("base_p"), 6).alias("base_conv"),
+            fround(F.col("removal_p"), 6).alias("removal_conv"),
+            fround(F.col("re"), 6).alias("removal_effect"),
+            fround(F.col("re") / F.col("sum_re"), 6).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

@@ -123,3 +123,20 @@ def test_knn_graph_invariants(spark, sf_dir):
         assert 0 <= r["mutual_cnt"] <= len(nbrs)
         total_mutual += r["mutual_cnt"]
     assert total_mutual % 2 == 0 and total_mutual > 0
+
+
+def test_markov_attribution_invariants(spark, sf_dir):
+    """Removal can only delete conversion paths (T entries are only
+    zeroed), so every removal effect is in [0, 1], removal_conv never
+    exceeds base_conv, and the shares are a proper normalization."""
+    rows = QUERIES["q_markov_attribution"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    base = rows[0]["base_conv"]
+    assert 0 < base <= 1
+    share_sum = 0.0
+    for r in rows:
+        assert r["base_conv"] == base
+        assert 0 <= r["removal_conv"] <= base + 1e-9
+        assert 0 <= r["removal_effect"] <= 1
+        share_sum += r["attribution_share"]
+    assert abs(share_sum - 1.0) < 1e-4
