@@ -134,6 +134,15 @@ HEADLINE = [
     "ann_opq_topk_indexed",
     "dedup_doc_fuzzy_verdict",
     "q_winnow_incremental",
+    # late-r13 additions: the cell-blocked all-pairs kNN-graph (pair
+    # volume is the honest scale stressor; window + three-consumer
+    # checkpoint), the range-partitioned prefix-max skyline scan, the
+    # grouped-map Holt recurrence over day-dense series, and the
+    # checkpointed fixed-iteration Markov absorption loop
+    "q_knn_graph",
+    "q_skyline_pareto",
+    "q_holt_smoothing",
+    "q_markov_attribution",
 ]
 
 

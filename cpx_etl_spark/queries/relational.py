@@ -6820,20 +6820,32 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = cnts.groupBy("src").agg(F.sum("cnt").alias("tot"))
     probs = cnts.join(tots, "src").select(
         "src", "dst", (F.col("cnt").cast("double") / F.col("tot")).alias("p")
+    ).localCheckpoint(eager=False)
+    # ^ the transition-probability frame (at most a few dozen rows) is
+    # consumed by TWO broadcast builds (cells and convs); without the
+    # checkpoint each build re-runs the whole journey pipeline
+    # (measured 2.9s x2 at sf0.1)
+    # literal state/removal frames as JVM-side VALUES local relations:
+    # createDataFrame() parallelizes through python workers (each tiny
+    # frame cost ~4s of sequential worker roundtrips under coalesce,
+    # hundreds of near-empty tasks without it — measured both), while
+    # a LocalRelation is a single in-JVM partition that broadcasts for
+    # free
+    srcs = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(_MKV_SRCS))
+        + " AS t(i, sname)"
     )
-    # literal state/removal frames collapse to ONE partition each —
-    # parallelize() defaults to 8, and the triple crossJoin otherwise
-    # fans out to hundreds of near-empty tasks (measured 29s of pure
-    # scheduling on a 100-row grid)
-    srcs = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(_MKV_SRCS)], "i int, sname string"
-    ).coalesce(1)
-    dsts = spark.createDataFrame(
-        [(j + 1, c) for j, c in enumerate(_MKV_CHANNELS)], "j int, dname string"
-    ).coalesce(1)
-    rms = spark.createDataFrame(
-        [(r,) for r in ["none"] + _MKV_CHANNELS], "rm string"
-    ).coalesce(1)
+    dsts = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({j + 1}, '{c}')" for j, c in enumerate(_MKV_CHANNELS))
+        + " AS t(j, dname)"
+    )
+    rms = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{r}')" for r in ["none"] + _MKV_CHANNELS)
+        + " AS t(rm)"
+    )
     cells = (
         rms.crossJoin(srcs).crossJoin(dsts)
         .join(
@@ -6910,9 +6922,11 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = absorbed.filter(F.col("rm") == "none").select(
         F.col("conv_p").alias("base_p")
     )
-    chans = spark.createDataFrame(
-        [(c,) for c in _MKV_CHANNELS], "channel string"
-    ).coalesce(1)
+    chans = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{c}')" for c in _MKV_CHANNELS)
+        + " AS t(channel)"
+    )
     eff = (
         chans.join(absorbed, chans.channel == absorbed.rm)
         .crossJoin(F.broadcast(base))
@@ -6938,4 +6952,77 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("re") / F.col("sum_re"), 6).alias("attribution_share"),
         )
         .orderBy("channel")
+    )
+
+
+@register(
+    "q_itemsets3",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    triples AS (
+        SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3, COUNT(*) AS support
+        FROM basket a
+        JOIN basket b ON b.ok = a.ok AND b.pk > a.pk
+        JOIN basket c ON c.ok = a.ok AND c.pk > b.pk
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+    SELECT p1, p2, p3, support FROM triples
+    ORDER BY support DESC, p1, p2, p3
+    """,
+)
+def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-ITEMSETS with the Apriori candidate prune (Agrawal &
+    Srikant 1994) — the level the pair-mining queries
+    (q_copurchase_pairs / q_recommend_also_bought) stop at. The oracle
+    counts all same-order triples directly; the Spark plan is the
+    Apriori algorithm: frequent PAIRS (support >= 2) generate
+    candidate triples by joining pairs sharing their first item
+    ((a,b) + (a,c), b < c), the downward-closure prune keeps only
+    candidates whose third face (b,c) is also frequent (a broadcast
+    semi join against the pair frame — at minsup 2 the frequent-pair
+    frame is orders of magnitude smaller than raw triples), and only
+    surviving candidates count support against baskets. Scale: triple
+    enumeration never touches infrequent combinations, the classic
+    candidate-bound; every join keys on item ids or order keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    b2 = basket.select(F.col("ok"), F.col("pk").alias("pk2"))
+    pairs = (
+        basket.join(b2, "ok")
+        .filter(F.col("pk2") > F.col("pk"))
+        .groupBy("pk", "pk2")
+        .agg(F.count(F.lit(1)).alias("sup2"))
+        .filter(F.col("sup2") >= 2)
+        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+    )
+    # candidate generation: join frequent pairs on the shared first
+    # item — (a,b) x (a,c) with b < c — then downward-closure prune on
+    # the (b,c) face
+    p1 = pairs
+    p2 = pairs.select(F.col("a"), F.col("b").alias("c"))
+    cand = (
+        p1.join(p2, "a")
+        .filter(F.col("c") > F.col("b"))
+        .join(
+            pairs.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    ba = basket.select("ok", F.col("pk").alias("a"))
+    bb = basket.select("ok", F.col("pk").alias("b"))
+    bc = basket.select("ok", F.col("pk").alias("c"))
+    return (
+        cand.join(ba, "a")
+        .join(bb, ["ok", "b"])
+        .join(bc, ["ok", "c"])
+        .groupBy(
+            F.col("a").alias("p1"), F.col("b").alias("p2"),
+            F.col("c").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "p1", "p2", "p3")
     )

@@ -3141,3 +3141,106 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("bin").cast("int").alias("top_bin"))
     )
     return agg.join(top, "source").orderBy("source")
+
+
+@register(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, length(text)),
+                                     i -> text[i])) AS ch
+        FROM documents WHERE length(text) > 0),
+    cc AS (
+        SELECT doc_id, source, ch, COUNT(*) AS cnt
+        FROM chars GROUP BY 1, 2, 3),
+    tot AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM cc GROUP BY 1),
+    docent AS (
+        SELECT c.doc_id, MIN(c.source) AS source,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list((-(CAST(c.cnt AS DOUBLE) / t.n)
+                             * log2(CAST(c.cnt AS DOUBLE) / t.n))
+                            ORDER BY c.ch)),
+                   (a, b) -> a + b) - 1e-9, 6) + 0 AS ent
+        FROM cc c JOIN tot t USING (doc_id)
+        GROUP BY c.doc_id, t.n)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(ent AS DECIMAL(20,6))) AS DOUBLE)
+                 / COUNT(*) - 1e-9, 4) + 0 AS avg_entropy,
+           ROUND(MIN(ent) - 1e-9, 4) + 0 AS min_entropy,
+           CAST(COUNT(CASE WHEN ent < 3.5 THEN 1 END) AS BIGINT)
+               AS n_low_entropy
+    FROM docent GROUP BY source ORDER BY source
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon CHARACTER entropy rolled up per source —
+    the repetitive-garbage screen (low entropy = mode-collapsed or
+    boilerplate text) the Gopher/C4 heuristic family uses beside
+    length and punctuation rules. One explode-to-chars shuffle
+    (corpus-chars-sized, the same posture as the shingle queries),
+    per-(doc, char) counts with map-side partials, then the per-doc
+    -sum p log2 p folds over the CHARACTER-SORTED term list so both
+    engines add in the identical IEEE order; per-doc entropies round
+    to 6dp and aggregate per source in the exact DECIMAL domain.
+    n_low_entropy counts docs under 3.5 bits/char — printable-ASCII
+    prose sits near 4.2."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    chars = docs.select(
+        "doc_id", "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cc.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    docent = (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.min("source").alias("source"),
+            fround(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ch",
+                                (
+                                    -(F.col("cnt").cast("double") / F.col("n"))
+                                    * F.log2(
+                                        F.col("cnt").cast("double") / F.col("n")
+                                    )
+                                ).alias("term"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                6,
+            ).alias("ent"),
+        )
+    )
+    return (
+        docent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fround(
+                F.sum(F.col("ent").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_entropy"),
+            fround(F.min("ent"), 4).alias("min_entropy"),
+            F.count(F.when(F.col("ent") < 3.5, 1)).alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

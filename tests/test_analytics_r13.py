@@ -140,3 +140,53 @@ def test_markov_attribution_invariants(spark, sf_dir):
         assert 0 <= r["removal_effect"] <= 1
         share_sum += r["attribution_share"]
     assert abs(share_sum - 1.0) < 1e-4
+
+
+def test_itemsets3_prune_is_lossless(spark, sf_dir):
+    """Downward closure: the Apriori-pruned triple set must equal the
+    naive all-triples count (recomputed here without pruning)."""
+    from cpx_etl_spark.sources import load_table
+
+    got = {
+        (r["p1"], r["p2"], r["p3"], r["support"])
+        for r in QUERIES["q_itemsets3"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    from collections import Counter
+    from itertools import combinations
+
+    naive = Counter()
+    for items in baskets.values():
+        for t in combinations(sorted(items), 3):
+            naive[t] += 1
+    want = {(a, b, c, n) for (a, b, c), n in naive.items() if n >= 2}
+    assert got == want
+
+
+def test_char_entropy_analytic_cases(spark, tmp_path):
+    """Uniform text over 2^k distinct characters has entropy exactly k
+    bits; a constant character has entropy 0."""
+    import os
+
+    from cpx_etl_spark.queries.text import q_char_entropy
+
+    d = str(tmp_path)
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh" * 4, "en", "uniform8", 32),
+            (2, "aaaaaaaa", "en", "const", 8),
+            (3, "ab" * 16, "en", "uniform2", 32),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {
+        r["source"]: r for r in q_char_entropy(spark, d).collect()
+    }
+    assert rows["uniform8"]["avg_entropy"] == 3.0
+    assert rows["const"]["avg_entropy"] == 0.0
+    assert rows["uniform2"]["avg_entropy"] == 1.0
+    assert rows["const"]["n_low_entropy"] == 1
