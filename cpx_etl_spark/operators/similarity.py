@@ -1934,11 +1934,12 @@ def ivfpq_topk_indexed(
     probe_frame = _probe_cells(
         queries, index.centroids_df, id_col, vec_col, nprobe
     ).select("query_id", "cell")
-    probe_rows = probe_frame.collect()
-    probed_cells = sorted({r["cell"] for r in probe_rows})
-    probed = queries.sparkSession.createDataFrame(
-        probe_rows, schema=probe_frame.schema
-    )
+    # checkpoint instead of collect+createDataFrame: the frame stays
+    # JVM-side (re-parallelizing collected rows pays a python-worker
+    # roundtrip per partition), and the bounded collect for the cell
+    # pruning list reads the checkpoint without re-deriving the probe
+    probed = probe_frame.localCheckpoint(eager=True)
+    probed_cells = sorted({r["cell"] for r in probed.collect()})
     cells = index.cells_df.filter(F.col("cell").isin(probed_cells))
     codes = cells.select("vid", F.posexplode("codes").alias("j", "code"))
     return ivfpq_serve(
@@ -2173,11 +2174,10 @@ def ivfpq_residual_topk_indexed(
     probe_frame = _probe_cells(
         queries, index.centroids_df, id_col, vec_col, nprobe
     )
-    probe_rows = probe_frame.collect()
-    probed_cells = sorted({r["cell"] for r in probe_rows})
-    probed = queries.sparkSession.createDataFrame(
-        probe_rows, schema=probe_frame.schema
-    )
+    # JVM-side checkpoint, not collect+createDataFrame (see
+    # ivfpq_topk_indexed above)
+    probed = probe_frame.localCheckpoint(eager=True)
+    probed_cells = sorted({r["cell"] for r in probed.collect()})
     cells = index.cells_df.filter(F.col("cell").isin(probed_cells))
     codes = cells.select("vid", F.posexplode("codes").alias("j", "code"))
     return ivfpq_residual_serve(
