@@ -7026,3 +7026,277 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .orderBy(F.col("support").desc(), "p1", "p2", "p3")
     )
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS tp
+        FROM events GROUP BY 1),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+    spans AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL THEN datediff('day', t0, tp)
+                    ELSE datediff('day', t0, hmax) END AS dur,
+               (tp IS NOT NULL) AS observed
+        FROM u, horizon),
+    daily AS (
+        SELECT dur AS day,
+               CAST(COUNT(CASE WHEN observed THEN 1 END) AS DOUBLE) AS d,
+               CAST(COUNT(CASE WHEN NOT observed THEN 1 END) AS DOUBLE) AS c
+        FROM spans GROUP BY 1),
+    packed AS (
+        SELECT list(struct_pack(day := day, d := d, c := c)
+                    ORDER BY day) AS arr,
+               CAST((SELECT COUNT(*) FROM spans) AS DOUBLE) AS tot
+        FROM daily)
+    SELECT p.arr[gs.i].day AS day,
+           CAST(list_reduce(
+               list_prepend([p.tot, CAST(1 AS DOUBLE)],
+                   list_transform(p.arr[1:gs.i - 1], e -> [e.d, e.c])),
+               (a, x) -> [a[1] - x[1] - x[2],
+                          a[2] * (1 - x[1] / a[1])])[1] AS BIGINT)
+               AS n_risk,
+           CAST(p.arr[gs.i].d AS BIGINT) AS d_events,
+           ROUND(list_reduce(
+               list_prepend([p.tot, CAST(1 AS DOUBLE)],
+                   list_transform(p.arr[1:gs.i], e -> [e.d, e.c])),
+               (a, x) -> [a[1] - x[1] - x[2],
+                          a[2] * (1 - x[1] / a[1])])[2] - 1e-9, 6) + 0
+               AS survival
+    FROM packed p
+    CROSS JOIN (SELECT unnest(generate_series(1,
+        (SELECT len(arr) FROM packed))) AS i) gs
+    ORDER BY day
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimator of time-to-first-purchase with
+    right censoring — the churn/conversion-latency curve survival
+    analysis runs (each user enters at their first event; users with
+    no purchase censor at the corpus horizon). At each observed day:
+    n_at_risk, event count, and S(t) = prod(1 - d_i/n_i). The
+    distributed work is the per-user span derivation and the per-day
+    (d, c) counts; the estimator itself folds the DAY-SORTED term list
+    with a [n_remaining, product] accumulator — both engines execute
+    the identical IEEE multiply/divide sequence (the PageRank
+    fixed-order-fold posture), so no mid-fold rounding is needed. The
+    day-domain-bounded packed frame is the only single-row funnel
+    (documented, the q_max_concurrency posture)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("tp"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("hmax"))
+    spans = u.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull(), F.datediff("tp", "t0")
+        ).otherwise(F.datediff("hmax", "t0")).alias("dur"),
+        F.col("tp").isNotNull().alias("observed"),
+    )
+    daily = spans.groupBy(F.col("dur").alias("day")).agg(
+        F.count(F.when(F.col("observed"), 1)).cast("double").alias("d"),
+        F.count(F.when(~F.col("observed"), 1)).cast("double").alias("c"),
+    )
+    packed = daily.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("day", "d", "c"))).alias("arr"),
+        F.sum(F.col("d") + F.col("c")).alias("tot"),
+    )
+    idx = packed.select(
+        "arr", "tot",
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
+    )
+
+    def _fold(arr_slice, tot):
+        return F.aggregate(
+            F.transform(arr_slice, lambda e: F.array(e["d"], e["c"])),
+            F.array(tot, F.lit(1.0)),
+            lambda a, x: F.array(
+                a[0] - x[0] - x[1], a[1] * (F.lit(1.0) - x[0] / a[0])
+            ),
+        )
+
+    return idx.select(
+        F.element_at("arr", F.col("i"))["day"].alias("day"),
+        _fold(F.slice("arr", F.lit(1), F.col("i") - 1), F.col("tot"))[0]
+        .cast("long").alias("n_risk"),
+        F.element_at("arr", F.col("i"))["d"].cast("long").alias("d_events"),
+        fround(
+            _fold(F.slice("arr", F.lit(1), F.col("i")), F.col("tot"))[1], 6
+        ).alias("survival"),
+    ).orderBy("day")
+
+
+@register(
+    "q_diff_in_diff",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    m AS (
+        SELECT (length(md5(CAST(user_id AS VARCHAR))) -
+                length(replace(md5(CAST(user_id AS VARCHAR)), 'a', '')))
+               % 2 = 0 AS treated,
+               datediff('day', b.d0, CAST(ts AS DATE)) >= 15 AS post,
+               CAST(value AS DECIMAL(20,4)) AS v
+        FROM events, bounds b WHERE event_type = 'purchase'),
+    g AS (
+        SELECT treated, post,
+               CAST(SUM(v) AS DOUBLE) AS s, COUNT(*) AS n
+        FROM m GROUP BY 1, 2),
+    w AS (
+        SELECT
+          MAX(CASE WHEN treated AND post THEN s / n END) AS m_tp,
+          MAX(CASE WHEN treated AND NOT post THEN s / n END) AS m_tr,
+          MAX(CASE WHEN NOT treated AND post THEN s / n END) AS m_cp,
+          MAX(CASE WHEN NOT treated AND NOT post THEN s / n END) AS m_cr,
+          CAST(SUM(n) AS BIGINT) AS n_purchases
+        FROM g)
+    SELECT ROUND(m_tr - 1e-9, 4) + 0 AS treat_pre,
+           ROUND(m_tp - 1e-9, 4) + 0 AS treat_post,
+           ROUND(m_cr - 1e-9, 4) + 0 AS ctrl_pre,
+           ROUND(m_cp - 1e-9, 4) + 0 AS ctrl_post,
+           ROUND((m_tp - m_tr) - (m_cp - m_cr) - 1e-9, 4) + 0 AS did,
+           n_purchases
+    FROM w
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimator: purchase value means in a
+    2x2 (treated x pre/post) design — treatment arm from the md5
+    'a'-count parity of user_id (the q_ab_test deterministic split),
+    the post period from day 15 of the corpus window. DID =
+    (post_T - pre_T) - (post_C - pre_C), the causal-impact readout
+    when treatment wasn't randomly assigned in time. Means derive
+    from exact DECIMAL sums over doubles counts (order-independent);
+    the 2x2 pivot is a 4-row frame. Scale: one filtered scan + one
+    keyed agg."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    m = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                (
+                    F.length(F.md5(F.col("user_id").cast("string")))
+                    - F.length(
+                        F.replace(
+                            F.md5(F.col("user_id").cast("string")),
+                            F.lit("a"), F.lit(""),
+                        )
+                    )
+                ) % 2 == 0
+            ).alias("treated"),
+            (F.datediff(F.to_date("ts"), F.col("d0")) >= 15).alias("post"),
+            F.col("value").cast("decimal(20,4)").alias("v"),
+        )
+    )
+    g = m.groupBy("treated", "post").agg(
+        F.sum("v").cast("double").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cell = F.col("s") / F.col("n")
+    w = g.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), cell)).alias("m_tp"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), cell)).alias("m_tr"),
+        F.max(F.when(~F.col("treated") & F.col("post"), cell)).alias("m_cp"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), cell)).alias("m_cr"),
+        F.sum("n").alias("n_purchases"),
+    )
+    return w.select(
+        fround(F.col("m_tr"), 4).alias("treat_pre"),
+        fround(F.col("m_tp"), 4).alias("treat_post"),
+        fround(F.col("m_cr"), 4).alias("ctrl_pre"),
+        fround(F.col("m_cp"), 4).alias("ctrl_post"),
+        fround(
+            (F.col("m_tp") - F.col("m_tr")) - (F.col("m_cp") - F.col("m_cr")),
+            4,
+        ).alias("did"),
+        F.col("n_purchases"),
+    )
+
+
+@register(
+    "q_acf_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1),
+    packed AS (
+        SELECT list(x ORDER BY day) AS xs,
+               CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*) AS m,
+               COUNT(*) AS n
+        FROM daily)
+    SELECT gs.k AS lag,
+           ROUND(
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1,
+                     CAST(p.n AS INTEGER) - gs.k),
+                   t -> (p.xs[t] - p.m) * (p.xs[t + gs.k] - p.m))),
+                 (a, b) -> a + b)
+             / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, CAST(p.n AS INTEGER)),
+                   t -> (p.xs[t] - p.m) * (p.xs[t] - p.m))),
+                 (a, b) -> a + b)
+             - 1e-9, 6) + 0 AS acf
+    FROM packed p
+    CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) gs
+    ORDER BY lag
+    """,
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function (lags 1-7) of the daily event-count
+    series — the seasonality detector behind the STL decomposition
+    already registered (a weekly cycle shows as an r_7 peak). r_k =
+    c_k / c_0 with the standard biased autocovariance; the mean comes
+    from the exact DECIMAL sum, and both covariance sums fold the
+    DAY-SORTED series in identical IEEE order (fixed-order-fold
+    posture), so no intermediate rounding. The day-domain-bounded
+    packed row is the only funnel (documented); the distributed work
+    is the daily count shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    packed = daily.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda e: e["x"],
+        ).alias("xs"),
+        (
+            F.sum(F.col("x").cast("decimal(20,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def _cov(xs, m, upto, k):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), upto),
+                lambda t: (F.element_at(xs, t) - m)
+                * (F.element_at(xs, t + k) - m),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    lags = packed.select(
+        "xs", "m", "n", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag")
+    )
+    return lags.select(
+        "lag",
+        fround(
+            _cov(F.col("xs"), F.col("m"),
+                 F.col("n").cast("int") - F.col("lag"), F.col("lag"))
+            / _cov(F.col("xs"), F.col("m"),
+                   F.col("n").cast("int"), F.lit(0)),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")

@@ -190,3 +190,35 @@ def test_char_entropy_analytic_cases(spark, tmp_path):
     assert rows["const"]["avg_entropy"] == 0.0
     assert rows["uniform2"]["avg_entropy"] == 1.0
     assert rows["const"]["n_low_entropy"] == 1
+
+
+def test_survival_km_is_monotone_and_complete(spark, sf_dir):
+    """S(t) is non-increasing from <=1; the at-risk counts decrease;
+    total events across days equals the observed-user count."""
+    from cpx_etl_spark.sources import load_table
+
+    rows = QUERIES["q_survival_km"](spark, sf_dir).collect()
+    assert rows, "no event days"
+    prev_s, prev_n = 1.0 + 1e-9, None
+    total_events = 0
+    for r in rows:
+        assert r["survival"] <= prev_s + 1e-9
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_s, prev_n = r["survival"], r["n_risk"]
+        total_events += r["d_events"]
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as _F
+
+    n_obs = (
+        ev.filter(_F.col("event_type") == "purchase")
+        .select("user_id").distinct().count()
+    )
+    assert total_events == n_obs
+
+
+def test_acf_lag0_normalization(spark, sf_dir):
+    """All |r_k| <= 1 (Cauchy-Schwarz on the biased estimator)."""
+    rows = QUERIES["q_acf_daily"](spark, sf_dir).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in rows)
