@@ -3244,3 +3244,173 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RRF_K, _RRF_POOL, _RRF_TOP = 60, 50, 10
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT d.doc_id, d.text, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id <> 0),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
+    toks AS (
+        SELECT doc_id, tok FROM
+            (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM corpus)
+        WHERE tok != ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
+           FROM toks GROUP BY 1),
+    avgdl AS (SELECT CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS ad FROM dl),
+    q(tok) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY)}),
+    tf AS (
+        SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks t JOIN q ON q.tok = t.tok GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    terms AS (
+        SELECT tf.doc_id,
+               ((n1.n - df.df + 0.5) / (df.df + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B}
+                     * (CAST(dl.dlen AS DOUBLE) / av.ad))) AS w
+        FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN n1 CROSS JOIN avgdl av),
+    lex AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(ROUND(w - 1e-9, 6) AS DECIMAL(20,6)))
+                          AS DOUBLE) - 1e-9, 6) + 0 AS bm25
+        FROM terms GROUP BY doc_id),
+    lex_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        FROM lex QUALIFY r_lex <= {_RRF_POOL}),
+    sem AS (
+        SELECT c.doc_id,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(c.embedding[i] AS DOUBLE)
+                          * CAST(qv.qe[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(c.embedding[i] AS DOUBLE)
+                               * CAST(c.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(qv.qe[i] AS DOUBLE)
+                               * CAST(qv.qe[i] AS DOUBLE)))))
+                     - 1e-9, 6) + 0 AS cos
+        FROM corpus c CROSS JOIN qv),
+    sem_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+        FROM sem QUALIFY r_sem <= {_RRF_POOL}),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.r_lex, s.r_sem,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + l.r_lex), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + s.r_sem), 0)
+                     - 1e-9, 6) + 0 AS rrf
+        FROM lex_rank l FULL OUTER JOIN sem_rank s USING (doc_id))
+    SELECT doc_id, r_lex, r_sem, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009) — the standard lexical+semantic fusion serving stacks run:
+    BM25 ranks (the q_bm25_topk construction restricted to embedded
+    docs) fuse with cosine ranks against a query vector (vec_id 0),
+    score = sum 1/(60 + rank) over the rankers that retrieved the doc
+    in their top-{pool} pool. Both candidate pools come from
+    TakeOrderedAndProject (orderBy + limit, never a corpus-sized
+    single-partition sort); rank assignment windows run on the
+    {pool}-row pooled frames (constant-bounded, allowlisted). Missing-
+    from-one-ranker docs score with the single surviving term — the
+    property that makes RRF robust to score-scale mismatch. Scale:
+    both rankers are corpus-shuffles already proven by their parent
+    queries; the fusion is a {pool}-row full outer join.""".format(
+        pool=_RRF_POOL
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).filter(F.col("doc_id") != 0)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    n1 = corpus.agg(F.count(F.lit(1)).alias("n"))
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    avgdl = dl.agg(
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("ad")
+    )
+    qq = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{t}')" for t in _BM25_QUERY)
+        + " AS t(tok)"
+    )
+    tf = (
+        toks.join(F.broadcast(qq), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    w = (
+        ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * (tfd * F.lit(_BM25_K1 + 1.0))
+        / (
+            tfd
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(_BM25_B)
+                + F.lit(_BM25_B)
+                * (F.col("dlen").cast("double") / F.col("ad"))
+            )
+        )
+    )
+    lex = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(avgdl))
+        .select("doc_id", fround(w, 6).cast("decimal(20,6)").alias("w"))
+        .groupBy("doc_id")
+        .agg(fround(F.sum("w").cast("double"), 6).alias("bm25"))
+    )
+    lex_pool = lex.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_POOL)
+    from pyspark.sql import Window as _W
+
+    lex_rank = lex_pool.withColumn(
+        "r_lex",
+        F.row_number().over(_W.orderBy(F.col("bm25").desc(), "doc_id")),
+    ).select("doc_id", "r_lex")
+    from cpx_etl_spark.functions.vectors import as_double, cosine
+
+    sem = corpus.crossJoin(F.broadcast(qv)).select(
+        "doc_id",
+        fround(cosine(as_double("embedding"), as_double("qe")), 6).alias("cos"),
+    )
+    sem_pool = sem.orderBy(F.col("cos").desc(), "doc_id").limit(_RRF_POOL)
+    sem_rank = sem_pool.withColumn(
+        "r_sem",
+        F.row_number().over(_W.orderBy(F.col("cos").desc(), "doc_id")),
+    ).select("doc_id", "r_sem")
+    fused = lex_rank.join(sem_rank, "doc_id", "full_outer").select(
+        "doc_id", "r_lex", "r_sem",
+        fround(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_sem")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOP)
