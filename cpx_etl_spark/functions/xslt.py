@@ -1326,8 +1326,12 @@ class MiniXslt:
             self._scopes.append(dict(params) if params else {})
         try:
             ops = self._ops.get(id(container))
-            if ops is None:  # element outside the compiled sheet trees
-                ops = self._ops[id(container)] = self._compile_ops(container)
+            if ops is None:
+                # element outside the compiled sheet trees — compute
+                # WITHOUT memoizing: id() of a dead temporary can be
+                # reused by a different element, so caching by id is
+                # only sound for the immortal stylesheet nodes
+                ops = self._compile_ops(container)
             frags: list[str] = []
             run_node = self._run_node
             select = self._select
@@ -1597,8 +1601,10 @@ class MiniXslt:
         attrs, then copied, then xsl:attribute."""
         kind = self._kind.get(id(elem))
         meta = self._emeta.get(id(elem))
-        if meta is None:  # element outside the compiled sheet trees
-            meta = self._emeta[id(elem)] = (
+        if meta is None:
+            # element outside the compiled sheet trees — no memoizing
+            # (id() reuse hazard; see _run_children)
+            meta = (
                 elem.get("use-attribute-sets")
                 if kind in ("element", "copy")
                 else elem.get("{" + XSL_NS + "}use-attribute-sets"),
