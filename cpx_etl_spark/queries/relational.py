@@ -7300,3 +7300,155 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     ).orderBy("lag")
+
+
+@register(
+    "q_holt_winters",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0,
+               MAX(CAST(ts AS DATE)) AS d1
+        FROM events),
+    days AS (
+        SELECT unnest(generate_series(0,
+            (SELECT datediff('day', d0, d1) FROM bounds))) AS day_idx),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnts AS (
+        SELECT event_type, datediff('day', b.d0, CAST(ts AS DATE)) AS day_idx,
+               COUNT(*) AS cnt
+        FROM events, bounds b GROUP BY 1, 2),
+    grid AS (
+        SELECT t.event_type, d.day_idx,
+               CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS v
+        FROM types t CROSS JOIN days d
+        LEFT JOIN cnts c ON c.event_type = t.event_type
+                        AND c.day_idx = d.day_idx),
+    packed AS (
+        SELECT event_type, list(v ORDER BY day_idx) AS vs
+        FROM grid GROUP BY event_type),
+    init AS (
+        SELECT event_type, vs,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE), vs[1:7]),
+                           (a, b) -> a + b) / 7.0 AS l0,
+               (list_reduce(list_prepend(CAST(0 AS DOUBLE), vs[8:14]),
+                            (a, b) -> a + b) / 7.0
+                - list_reduce(list_prepend(CAST(0 AS DOUBLE), vs[1:7]),
+                              (a, b) -> a + b) / 7.0) / 7.0 AS b0
+        FROM packed),
+    rec AS (
+        SELECT event_type, vs, 7 AS t, l0 AS level, b0 AS trend,
+               CAST(NULL AS DOUBLE) AS seasonal,
+               list_transform(generate_series(1, 7),
+                              i -> vs[i] - l0) AS sbuf
+        FROM init
+        UNION ALL
+        SELECT r.event_type, r.vs, r.t + 1,
+               ((r.vs[r.t + 1] - r.sbuf[1]) + (r.level + r.trend)) * 0.5,
+               ((((r.vs[r.t + 1] - r.sbuf[1]) + (r.level + r.trend)) * 0.5
+                 - r.level) + r.trend) * 0.5,
+               ((r.vs[r.t + 1]
+                 - ((r.vs[r.t + 1] - r.sbuf[1]) + (r.level + r.trend)) * 0.5)
+                + r.sbuf[1]) * 0.5,
+               list_append(r.sbuf[2:7],
+                   ((r.vs[r.t + 1]
+                     - ((r.vs[r.t + 1] - r.sbuf[1])
+                        + (r.level + r.trend)) * 0.5)
+                    + r.sbuf[1]) * 0.5)
+        FROM rec r WHERE r.t < len(r.vs))
+    SELECT event_type, t - 1 AS day_idx,
+           ROUND(level - 1e-9, 6) + 0 AS level,
+           ROUND(trend - 1e-9, 6) + 0 AS trend,
+           ROUND(seasonal - 1e-9, 6) + 0 AS seasonal
+    FROM rec WHERE seasonal IS NOT NULL
+    ORDER BY event_type, day_idx
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive SEASONAL smoothing (alpha = beta = gamma
+    = 1/2, weekly period 7) of the daily event-count series per type —
+    the level + slope + day-of-week decomposition that completes the
+    EWMA -> Holt -> Holt-Winters ladder; the forecaster of record for
+    weekly-cyclic pipeline volume. Classic init: level = week-1 mean,
+    trend = (week-2 mean - week-1 mean)/7, seasonals = week-1
+    residuals; the recursion then updates (l, b, s) with the seasonal
+    BUFFER of the trailing 7 values carried through the fold. Same
+    posture as q_holt_smoothing: one applyInPandas over day-dense
+    zero-filled series, identically-parenthesized IEEE doubles both
+    engines (oracle = recursive CTE carrying the 7-slot list state),
+    bit-exact before output rounding. Emits days 7+ (post-warmup)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
+            "day_idx"
+        )
+    )
+    cnts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(days))
+        .join(cnts, ["event_type", "day_idx"], "left")
+        .select(
+            "event_type", "day_idx",
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("v"),
+        )
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_idx")
+        vs = [float(x) for x in pdf["v"]]
+        acc = 0.0
+        for x in vs[0:7]:
+            acc = acc + x
+        l0 = acc / 7.0
+        acc2 = 0.0
+        for x in vs[7:14]:
+            acc2 = acc2 + x
+        b0 = (acc2 / 7.0 - l0) / 7.0
+        sbuf = [vs[i] - l0 for i in range(7)]
+        level, trend = l0, b0
+        out_day, out_l, out_b, out_s = [], [], [], []
+        for t in range(7, len(vs)):
+            v = vs[t]
+            s_used = sbuf[0]
+            new_level = ((v - s_used) + (level + trend)) * 0.5
+            new_trend = ((new_level - level) + trend) * 0.5
+            new_s = ((v - new_level) + s_used) * 0.5
+            sbuf = sbuf[1:] + [new_s]
+            level, trend = new_level, new_trend
+            out_day.append(t)
+            out_l.append(level)
+            out_b.append(trend)
+            out_s.append(new_s)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "day_idx": out_day,
+                "level": out_l,
+                "trend": out_b,
+                "seasonal": out_s,
+            }
+        )
+
+    smoothed = grid.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, day_idx int, level double, trend double,"
+        " seasonal double",
+    )
+    return smoothed.select(
+        "event_type", "day_idx",
+        fround(F.col("level"), 6).alias("level"),
+        fround(F.col("trend"), 6).alias("trend"),
+        fround(F.col("seasonal"), 6).alias("seasonal"),
+    ).orderBy("event_type", "day_idx")
