@@ -6983,7 +6983,12 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is orders of magnitude smaller than raw triples), and only
     surviving candidates count support against baskets. Scale: triple
     enumeration never touches infrequent combinations, the classic
-    candidate-bound; every join keys on item ids or order keys."""
+    candidate-bound; every join keys on item ids or order keys. NOTE
+    on row counts: basket size is constant (~4 parts/order) while the
+    part space scales with SF, so shared-triple probability FALLS with
+    scale — 94 rows at sf0.001, 12 at sf0.01 (the gate), legitimately
+    0 at the sf1 smoke corpus; the Apriori prune is what keeps the
+    sparse regime cheap."""
     li = _t(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
@@ -7452,3 +7457,100 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("trend"), 6).alias("trend"),
         fround(F.col("seasonal"), 6).alias("seasonal"),
     ).orderBy("event_type", "day_idx")
+
+
+@register(
+    "q_skew_kurtosis",
+    oracle="""
+    WITH sums AS (
+        SELECT o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s1,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(24,4))
+                   * CAST(o_totalprice AS DECIMAL(12,2))) AS s3,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4))
+                   * CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(o_totalprice AS DECIMAL(18,2))
+                          AS DECIMAL(19,4))) AS s4
+        FROM orders GROUP BY 1),
+    mom AS (
+        SELECT pri, n,
+               CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+               CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+        FROM sums),
+    cent AS (
+        SELECT pri, n,
+               d1 / n AS m,
+               d2 / n - (d1 / n) * (d1 / n) AS m2,
+               d3 / n - 3 * (d1 / n) * (d2 / n)
+                 + 2 * (d1 / n) * (d1 / n) * (d1 / n) AS m3,
+               d4 / n - 4 * (d1 / n) * (d3 / n)
+                 + 6 * (d1 / n) * (d1 / n) * (d2 / n)
+                 - 3 * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n) AS m4
+        FROM mom)
+    SELECT pri, n,
+           ROUND(m - 1e-9, 4) + 0 AS mean,
+           ROUND(sqrt(m2) - 1e-9, 4) + 0 AS stddev_pop,
+           ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) - 1e-9, 6) + 0
+               AS skewness,
+           ROUND(m4 / (m2 * m2) - 3 - 1e-9, 6) + 0 AS excess_kurtosis
+    FROM cent ORDER BY pri
+    """,
+)
+def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution shape per group — SKEWNESS and
+    EXCESS KURTOSIS of order value by priority, the tail-shape audit
+    beyond mean/stddev (heavy-tailed revenue = a different sampling
+    strategy). The mergeable-sketch posture: the four raw power sums
+    accumulate in the EXACT DECIMAL domain (2dp source values make
+    every power exact; associative, so map-side partials and retries
+    can never drift), convert to double once, and the central-moment /
+    standardization algebra runs in identical scalar IEEE expressions
+    in both engines. Spark's builtin skewness()/kurtosis() are
+    float-accumulation-ordered (nondeterministic across partitionings)
+    — this formulation is the deterministic distributed replacement.
+    Headroom: the x^4 sum at the 10x smoke corpus peaks at 3.8e27
+    against DECIMAL(38,8)'s 1e30 integer capacity (~260x margin); a
+    further 100x corpus would need a per-group anchor shift."""
+    orders = _t(spark, sf_dir, "orders")
+    p2 = F.col("o_totalprice").cast("decimal(18,2)") * F.col(
+        "o_totalprice"
+    ).cast("decimal(18,2)")
+    sums = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s1"),
+        F.sum(p2).alias("s2"),
+        F.sum(
+            p2.cast("decimal(24,4)")
+            * F.col("o_totalprice").cast("decimal(12,2)")
+        ).alias("s3"),
+        # dec(18,4) x dec(19,4) -> precision 38 scale 8 EXACTLY in
+        # both engines (19x19 would be precision 39: Spark rounds the
+        # scale down and the engines drift on the last x^4 digit)
+        F.sum(p2.cast("decimal(18,4)") * p2.cast("decimal(19,4)")).alias("s4"),
+    )
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    n = F.col("n")
+    m = d1 / n
+    m2 = d2 / n - m * m
+    m3 = d3 / n - F.lit(3) * m * (d2 / n) + F.lit(2) * m * m * m
+    m4 = (
+        d4 / n
+        - F.lit(4) * m * (d3 / n)
+        + F.lit(6) * m * m * (d2 / n)
+        - F.lit(3) * m * m * m * m
+    )
+    return sums.select(
+        "pri", "n",
+        fround(m, 4).alias("mean"),
+        fround(F.sqrt(m2), 4).alias("stddev_pop"),
+        fround(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias(
+            "skewness"
+        ),
+        fround(m4 / (m2 * m2) - F.lit(3), 6).alias("excess_kurtosis"),
+    ).orderBy("pri")
