@@ -910,8 +910,13 @@ class MiniXslt:
             if kind is None:
                 # literal result element: pre-render the attribute
                 # string when no value carries an AVT expression
+                # raw keys, NOT _local(): the interpreted literal path
+                # has always rendered the ElementTree '{uri}name' form
+                # for namespaced attributes — the compiled path must
+                # match it (and the la-is-None fallback) byte-for-byte
+                # (code-review r13)
                 pairs = tuple(
-                    (_local(k), v)
+                    (k, v)
                     for k, v in elem.attrib.items()
                     if not k.startswith("{" + XSL_NS + "}")
                 )
@@ -1361,13 +1366,16 @@ class MiniXslt:
                         nodes = []
                     if has_sorts:
                         nodes = self._sorted_nodes(nodes, elem2, ctx)
-                    params = (
+                    # tparams, not params: rebinding the function
+                    # parameter would shadow the caller's with-param
+                    # dict for the rest of the loop (code-review r13)
+                    tparams = (
                         (self._gather_params(elem2, ctx) or None)
                         if has_wp else None
                     )
                     frags.append(self._iterate(
                         nodes,
-                        lambda n, _p=params, _m=mode: self._apply_one(n, _p, _m),
+                        lambda n, _p=tparams, _m=mode: self._apply_one(n, _p, _m),
                     ))
                 elif tag == 6:  # _OP_IF
                     if self._test(ctx, op[1]):

@@ -6545,6 +6545,38 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _day_dense_counts(ev: DataFrame) -> DataFrame:
+    """Day-dense zero-filled (event_type, day_idx, v) count series —
+    the shared input of the sequential smoothers (q_holt_smoothing /
+    q_holt_winters). One bounds broadcast, one keyed count agg, one
+    grid left join; day_idx counts from the corpus MIN date."""
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("day_idx")
+    )
+    cnts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(days))
+        .join(cnts, ["event_type", "day_idx"], "left")
+        .select(
+            "event_type", "day_idx",
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("v"),
+        )
+    )
+
+
 @register(
     "q_holt_smoothing",
     oracle="""
@@ -6598,32 +6630,7 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding. forecast_1 = l + b is tomorrow's volume estimate."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    days = bounds.select(
-        F.explode(
-            F.sequence(F.lit(0), F.datediff("d1", "d0"))
-        ).alias("day_idx")
-    )
-    cnts = (
-        ev.crossJoin(F.broadcast(bounds))
-        .groupBy(
-            "event_type",
-            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    grid = (
-        ev.select("event_type").distinct()
-        .crossJoin(F.broadcast(days))
-        .join(cnts, ["event_type", "day_idx"], "left")
-        .select(
-            "event_type", "day_idx",
-            F.coalesce("cnt", F.lit(0)).cast("double").alias("v"),
-        )
-    )
+    grid = _day_dense_counts(load_table(spark, sf_dir, "events"))
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day_idx")
@@ -6776,7 +6783,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel is redirected to NULL — normalized into attribution
     shares. The standard data-driven alternative to last-touch /
     linear heuristics (both already registered). Absorption
-    probabilities come from {it} fixed matrix-vector iterations over
+    probabilities come from 8 fixed matrix-vector iterations over
     the (removal x state) frame — 25 rows at ANY corpus size; the
     distributed work is journey derivation (user-partitioned windows)
     and the (src, dst) count shuffle. Cross-engine exactness without
@@ -7282,15 +7289,19 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _cov(xs, m, upto, k):
-        return F.aggregate(
+        # guard upto < 1: F.sequence(1, 0) would DESCEND (step -1) and
+        # element_at(xs, 0) throws, where the oracle's generate_series
+        # is simply empty — emit the same empty term list instead
+        # (code-review r13)
+        terms = F.when(
+            upto >= F.lit(1),
             F.transform(
                 F.sequence(F.lit(1), upto),
                 lambda t: (F.element_at(xs, t) - m)
                 * (F.element_at(xs, t + k) - m),
             ),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
+        ).otherwise(F.expr("CAST(array() AS array<double>)"))
+        return F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
 
     lags = packed.select(
         "xs", "m", "n", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag")
@@ -7383,36 +7394,25 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact before output rounding. Emits days 7+ (post-warmup)."""
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
-    )
-    days = bounds.select(
-        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias(
-            "day_idx"
-        )
-    )
-    cnts = (
-        ev.crossJoin(F.broadcast(bounds))
-        .groupBy(
-            "event_type",
-            F.datediff(F.to_date("ts"), F.col("d0")).alias("day_idx"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    grid = (
-        ev.select("event_type").distinct()
-        .crossJoin(F.broadcast(days))
-        .join(cnts, ["event_type", "day_idx"], "left")
-        .select(
-            "event_type", "day_idx",
-            F.coalesce("cnt", F.lit(0)).cast("double").alias("v"),
-        )
-    )
+    grid = _day_dense_counts(load_table(spark, sf_dir, "events"))
 
     def hw(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day_idx")
         vs = [float(x) for x in pdf["v"]]
+        out_day, out_l, out_b, out_s = [], [], [], []
+        if len(vs) < 7:
+            # series shorter than the seasonal warmup: no emittable
+            # days — the oracle's recursion guard yields the same
+            # empty result (code-review r13: vs[i] would IndexError)
+            return pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "day_idx": out_day,
+                    "level": out_l,
+                    "trend": out_b,
+                    "seasonal": out_s,
+                }
+            )
         acc = 0.0
         for x in vs[0:7]:
             acc = acc + x
@@ -7423,7 +7423,6 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         b0 = (acc2 / 7.0 - l0) / 7.0
         sbuf = [vs[i] - l0 for i in range(7)]
         level, trend = l0, b0
-        out_day, out_l, out_b, out_s = [], [], [], []
         for t in range(7, len(vs)):
             v = vs[t]
             s_used = sbuf[0]

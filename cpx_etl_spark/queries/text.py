@@ -25,6 +25,7 @@ from cpx_etl_spark.functions.text import (
     tokens,
     STOPWORDS,
 )
+from cpx_etl_spark.functions.vectors import sql_cosine
 from cpx_etl_spark.queries import fround, register
 from cpx_etl_spark.sources import load_table
 
@@ -1906,13 +1907,16 @@ _BM25_QUERY = ("system", "data", "market", "report", "analysis")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "q_bm25_topk",
-    oracle=f"""
-    WITH n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+def _bm25_sql_ctes(src: str) -> str:
+    """The BM25 scoring pipeline as a CTE chain over ``src`` (any
+    documents-shaped relation with doc_id + text), ending in
+    ``lexscore(doc_id, n_hit_terms, bm25)`` — ONE spelling of the
+    formula shared by q_bm25_topk and q_rrf_fusion (code-review r13:
+    two hand-copies had already appeared)."""
+    return f"""n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {src}),
     toks AS (
         SELECT doc_id, tok FROM
-            (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+            (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM {src})
         WHERE tok != ''),
     dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen FROM toks GROUP BY 1),
     avgdl AS (SELECT CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS ad FROM dl),
@@ -1933,30 +1937,20 @@ _BM25_K1, _BM25_B = 1.2, 0.75
         JOIN df USING (tok)
         JOIN dl ON dl.doc_id = tf.doc_id
         CROSS JOIN n1 CROSS JOIN avgdl av),
-    scored AS (
+    lexscore AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
                ROUND(CAST(SUM(CAST(ROUND(w - 1e-9, 6) AS DECIMAL(20,6)))
                           AS DOUBLE) - 1e-9, 6) + 0 AS bm25
-        FROM terms GROUP BY doc_id)
-    SELECT doc_id, n_hit_terms, bm25
-    FROM scored
-    ORDER BY bm25 DESC, doc_id
-    LIMIT 20
-    """,
-)
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval scoring of the corpus against a fixed query —
-    the search-engine ranking primitive (Robertson-Sparck Jones;
-    k1=1.2, b=0.75) with the house log-free rational idf.  Scale
-    shape: the query is a CONSTANT 5-term frame broadcast against the
-    token stream, so tf materializes only for query terms (a
-    query-sized frame, never the full vocabulary); doc lengths are
-    one per-doc aggregate; avgdl and N are 1-row frames; per-term
-    weights tie-round at 6dp BEFORE the per-doc sum (decimal addition
-    of rounded terms is order-independent, so the score
-    hash-verifies), and the top-20 is TakeOrderedAndProject on the
-    (score, doc_id) key."""
-    docs = load_table(spark, sf_dir, "documents")
+        FROM terms GROUP BY doc_id)"""
+
+
+def bm25_scores(docs) -> "DataFrame":
+    """Spark twin of _bm25_sql_ctes: (doc_id, n_hit_terms, bm25) for
+    the fixed _BM25_QUERY over any frame with doc_id + text. Per-term
+    weights tie-round at 6dp BEFORE the per-doc decimal sum so the
+    score is order-independent; the constant query frame is a JVM
+    VALUES relation (no python-worker parallelize)."""
+    spark = docs.sparkSession
     n1 = docs.agg(F.count(F.lit(1)).alias("n"))
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -1965,7 +1959,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl = dl.agg(
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("ad")
     )
-    q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "tok string")
+    q = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{t}')" for t in _BM25_QUERY)
+        + " AS t(tok)"
+    )
     tf = (
         toks.join(F.broadcast(q), "tok")  # constant 5-term frame
         .groupBy("doc_id", "tok")
@@ -1987,19 +1985,47 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    terms = (
+    return (
         tf.join(F.broadcast(dft), "tok")  # query-sized df frame
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(n1))
         .crossJoin(F.broadcast(avgdl))
         .select("doc_id", fround(w, 6).cast("decimal(20,6)").alias("w"))
-    )
-    return (
-        terms.groupBy("doc_id")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hit_terms"),
             fround(F.sum("w").cast("double"), 6).alias("bm25"),
         )
+    )
+
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_sql_ctes("documents")}
+    SELECT doc_id, n_hit_terms, bm25
+    FROM lexscore
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query —
+    the search-engine ranking primitive (Robertson-Sparck Jones;
+    k1=1.2, b=0.75) with the house log-free rational idf.  Scale
+    shape: the query is a CONSTANT 5-term frame broadcast against the
+    token stream, so tf materializes only for query terms (a
+    query-sized frame, never the full vocabulary); doc lengths are
+    one per-doc aggregate; avgdl and N are 1-row frames; per-term
+    weights tie-round at 6dp BEFORE the per-doc sum (decimal addition
+    of rounded terms is order-independent, so the score
+    hash-verifies), and the top-20 is TakeOrderedAndProject on the
+    (score, doc_id) key. Scoring construction shared with
+    q_rrf_fusion via bm25_scores/_bm25_sql_ctes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
@@ -3016,7 +3042,8 @@ def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
     binned AS (
         SELECT source,
-               LEAST(CAST(FLOOR((n_chars - lo) * 10.0 / (hi - lo)) AS INTEGER),
+               LEAST(CAST(FLOOR((n_chars - lo) * 10.0
+                                / GREATEST(hi - lo, 1)) AS INTEGER),
                      9) AS bin
         FROM documents, bounds),
     src AS (SELECT DISTINCT source FROM documents),
@@ -3029,13 +3056,13 @@ def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grid g LEFT JOIN (
             SELECT source, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
         ) c ON c.source = g.source AND c.bin = g.bin),
-    tot AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
     gbin AS (
-        SELECT bin, CAST(COUNT(*) AS BIGINT) AS gcnt FROM binned GROUP BY 1),
+        SELECT bin, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cnts GROUP BY 1),
     nsrc AS (
         SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_src
         FROM cnts GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(n_src) AS BIGINT) AS n_all FROM nsrc),
     terms AS (
         SELECT c.source, c.bin, n.n_src,
                GREATEST(CAST(c.cnt AS DOUBLE) / n.n_src, 1e-6) AS p,
@@ -3084,7 +3111,10 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.floor(
                 (F.col("n_chars") - F.col("lo")) * 10.0
-                / (F.col("hi") - F.col("lo"))
+                # zero-width guard: a single-valued domain makes
+                # hi == lo; both engines then bin everything at 0
+                # instead of dividing by zero (code-review r13)
+                / F.greatest(F.col("hi") - F.col("lo"), F.lit(1))
             ).cast("int"),
             F.lit(9),
         ).alias("bin"),
@@ -3100,9 +3130,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(counts, ["source", "bin"], "left")
         .select("source", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt"))
     )
-    glob = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("gcnt"))
+    # gbin and the corpus total derive from the zero-filled grid —
+    # re-aggregating `binned`/`docs` would re-scan the corpus twice
+    # for frames the keyed counts already determine (code-review r13)
+    glob = cnts.groupBy("bin").agg(F.sum("cnt").alias("gcnt"))
     nsrc = cnts.groupBy("source").agg(F.sum("cnt").alias("n_src"))
-    tot = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    tot = nsrc.agg(F.sum("n_src").alias("n_all"))
     terms = (
         cnts.join(nsrc, "source")
         .join(F.broadcast(glob), "bin")
@@ -3257,49 +3290,15 @@ _RRF_K, _RRF_POOL, _RRF_TOP = 60, 50, 10
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         WHERE d.doc_id <> 0),
     qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM corpus),
-    toks AS (
-        SELECT doc_id, tok FROM
-            (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM corpus)
-        WHERE tok != ''),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
-           FROM toks GROUP BY 1),
-    avgdl AS (SELECT CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS ad FROM dl),
-    q(tok) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY)}),
-    tf AS (
-        SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM toks t JOIN q ON q.tok = t.tok GROUP BY 1, 2),
-    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-    terms AS (
-        SELECT tf.doc_id,
-               ((n1.n - df.df + 0.5) / (df.df + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
-               / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
-                  * (1.0 - {_BM25_B} + {_BM25_B}
-                     * (CAST(dl.dlen AS DOUBLE) / av.ad))) AS w
-        FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN n1 CROSS JOIN avgdl av),
-    lex AS (
-        SELECT doc_id,
-               ROUND(CAST(SUM(CAST(ROUND(w - 1e-9, 6) AS DECIMAL(20,6)))
-                          AS DOUBLE) - 1e-9, 6) + 0 AS bm25
-        FROM terms GROUP BY doc_id),
+    {_bm25_sql_ctes("corpus")},
     lex_rank AS (
         SELECT doc_id,
                ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
-        FROM lex QUALIFY r_lex <= {_RRF_POOL}),
+        FROM lexscore QUALIFY r_lex <= {_RRF_POOL}),
     sem AS (
         SELECT c.doc_id,
-               ROUND(list_sum(list_transform(generate_series(1, 64),
-                     i -> CAST(c.embedding[i] AS DOUBLE)
-                          * CAST(qv.qe[i] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                          i -> CAST(c.embedding[i] AS DOUBLE)
-                               * CAST(c.embedding[i] AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(generate_series(1, 64),
-                          i -> CAST(qv.qe[i] AS DOUBLE)
-                               * CAST(qv.qe[i] AS DOUBLE)))))
-                     - 1e-9, 6) + 0 AS cos
+               ROUND({sql_cosine("c.embedding", "qv.qe", 64)} - 1e-9, 6) + 0
+                   AS cos
         FROM corpus c CROSS JOIN qv),
     sem_rank AS (
         SELECT doc_id,
@@ -3319,19 +3318,18 @@ _RRF_K, _RRF_POOL, _RRF_TOP = 60, 50, 10
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.
     2009) — the standard lexical+semantic fusion serving stacks run:
-    BM25 ranks (the q_bm25_topk construction restricted to embedded
-    docs) fuse with cosine ranks against a query vector (vec_id 0),
-    score = sum 1/(60 + rank) over the rankers that retrieved the doc
-    in their top-{pool} pool. Both candidate pools come from
-    TakeOrderedAndProject (orderBy + limit, never a corpus-sized
-    single-partition sort); rank assignment windows run on the
-    {pool}-row pooled frames (constant-bounded, allowlisted). Missing-
-    from-one-ranker docs score with the single surviving term — the
-    property that makes RRF robust to score-scale mismatch. Scale:
-    both rankers are corpus-shuffles already proven by their parent
-    queries; the fusion is a {pool}-row full outer join.""".format(
-        pool=_RRF_POOL
-    )
+    BM25 ranks (bm25_scores, the construction shared with
+    q_bm25_topk, restricted to embedded docs) fuse with cosine ranks
+    against a query vector (vec_id 0), score = sum 1/(60 + rank) over
+    the rankers that retrieved the doc in their top-50 pool. Both
+    candidate pools come from TakeOrderedAndProject (orderBy + limit,
+    never a corpus-sized single-partition sort); rank assignment
+    windows run on the 50-row pooled frames (constant-bounded,
+    allowlisted). Missing-from-one-ranker docs score with the single
+    surviving term — the property that makes RRF robust to
+    score-scale mismatch. Scale: both rankers are corpus-shuffles
+    already proven by their parent queries; the fusion is a 50-row
+    full outer join."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = docs.join(
@@ -3340,49 +3338,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
-    n1 = corpus.agg(F.count(F.lit(1)).alias("n"))
-    toks = corpus.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
-    avgdl = dl.agg(
-        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("ad")
-    )
-    qq = spark.sql(
-        "SELECT * FROM VALUES "
-        + ", ".join(f"('{t}')" for t in _BM25_QUERY)
-        + " AS t(tok)"
-    )
-    tf = (
-        toks.join(F.broadcast(qq), "tok")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    tfd = F.col("tf").cast("double")
-    w = (
-        ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-        * (tfd * F.lit(_BM25_K1 + 1.0))
-        / (
-            tfd
-            + F.lit(_BM25_K1)
-            * (
-                F.lit(1.0)
-                - F.lit(_BM25_B)
-                + F.lit(_BM25_B)
-                * (F.col("dlen").cast("double") / F.col("ad"))
-            )
-        )
-    )
-    lex = (
-        tf.join(F.broadcast(dft), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(avgdl))
-        .select("doc_id", fround(w, 6).cast("decimal(20,6)").alias("w"))
-        .groupBy("doc_id")
-        .agg(fround(F.sum("w").cast("double"), 6).alias("bm25"))
-    )
+    lex = bm25_scores(corpus.select("doc_id", "text"))
     lex_pool = lex.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_POOL)
     from pyspark.sql import Window as _W
 
