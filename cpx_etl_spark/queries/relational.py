@@ -7553,3 +7553,202 @@ def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fround(m4 / (m2 * m2) - F.lit(3), 6).alias("excess_kurtosis"),
     ).orderBy("pri")
+
+
+_PERM_N = 64
+
+
+@register(
+    "q_permutation_test",
+    oracle=f"""
+    WITH pur AS (
+        SELECT user_id, CAST(value AS DECIMAL(20,4)) AS v
+        FROM events WHERE event_type = 'purchase'),
+    obs AS (
+        SELECT CASE WHEN CAST(concat('0x',
+                   substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm, v
+        FROM pur),
+    obs_s AS (
+        SELECT
+          CAST(SUM(CASE WHEN arm = 'A' THEN v END) AS DOUBLE)
+            / COUNT(CASE WHEN arm = 'A' THEN 1 END)
+          - CAST(SUM(CASE WHEN arm = 'B' THEN v END) AS DOUBLE)
+            / COUNT(CASE WHEN arm = 'B' THEN 1 END) AS diff_obs
+        FROM obs),
+    perms AS (
+        SELECT gs.p, pur.user_id, pur.v,
+               CASE WHEN CAST(concat('0x',
+                   substr(md5(CAST(user_id AS VARCHAR) || ':'
+                              || CAST(gs.p AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM pur
+        CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_N - 1})) AS p) gs),
+    perm_s AS (
+        SELECT p,
+          CAST(SUM(CASE WHEN arm = 'A' THEN v END) AS DOUBLE)
+            / COUNT(CASE WHEN arm = 'A' THEN 1 END)
+          - CAST(SUM(CASE WHEN arm = 'B' THEN v END) AS DOUBLE)
+            / COUNT(CASE WHEN arm = 'B' THEN 1 END) AS diff_p
+        FROM perms GROUP BY p)
+    SELECT ROUND(o.diff_obs - 1e-9, 6) + 0 AS diff_obs,
+           CAST({_PERM_N} AS BIGINT) AS n_perms,
+           CAST(COUNT(CASE WHEN ABS(s.diff_p) >= ABS(o.diff_obs)
+                           THEN 1 END) AS BIGINT) AS n_ge,
+           ROUND((1.0 + COUNT(CASE WHEN ABS(s.diff_p) >= ABS(o.diff_obs)
+                                   THEN 1 END)) / (1.0 + {_PERM_N})
+                 - 1e-9, 6) + 0 AS p_value
+    FROM perm_s s CROSS JOIN obs_s o
+    GROUP BY o.diff_obs
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION TEST of the A/B mean difference — the
+    nonparametric significance engine that needs no normality
+    assumption (the Welch t in q_ab_test does): 64 md5-seeded
+    re-randomizations of the arm labels (md5(user:p) parity — every
+    permutation is deterministic and engine-replayable, the
+    q_dp_noisy_counts seeding posture), each permuted mean difference
+    from exact DECIMAL sums, p = (1 + #{|diff_p| >= |diff_obs|}) /
+    (1 + P), the add-one estimate that never returns zero. Scale: the
+    explode is purchases x 64 — one keyed agg with map-side partials;
+    the permutation frame is 64 rows."""
+    pur = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("value").cast("decimal(20,4)").alias("v"))
+    )
+
+    def parity_arm(col):
+        return F.when(
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % 2
+            == 0,
+            "A",
+        ).otherwise("B")
+
+    def mean_diff(df, keys):
+        g = df.groupBy(*keys, "arm").agg(
+            F.sum("v").cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        a = g.filter(F.col("arm") == "A").drop("arm")
+        b = g.filter(F.col("arm") == "B").drop("arm")
+        if keys:
+            j = a.join(
+                b.select(*keys, F.col("s").alias("sb"), F.col("n").alias("nb")),
+                list(keys),
+            )
+        else:
+            j = a.crossJoin(
+                b.select(F.col("s").alias("sb"), F.col("n").alias("nb"))
+            )
+        return j.select(
+            *keys,
+            (F.col("s") / F.col("n") - F.col("sb") / F.col("nb")).alias(
+                "diff"
+            ),
+        )
+
+    obs = mean_diff(
+        pur.select(
+            parity_arm(F.col("user_id").cast("string")).alias("arm"), "v"
+        ),
+        (),
+    ).select(F.col("diff").alias("diff_obs"))
+    perms = pur.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_N - 1))).alias("p"),
+        "user_id", "v",
+    ).select(
+        "p",
+        parity_arm(
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"),
+                F.col("p").cast("string"),
+            )
+        ).alias("arm"),
+        "v",
+    )
+    perm_s = mean_diff(perms, ("p",))
+    return (
+        perm_s.crossJoin(F.broadcast(obs))
+        .groupBy("diff_obs")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("diff")) >= F.abs(F.col("diff_obs")), 1)
+            ).alias("n_ge")
+        )
+        .select(
+            fround(F.col("diff_obs"), 6).alias("diff_obs"),
+            F.lit(_PERM_N).cast("long").alias("n_perms"),
+            F.col("n_ge"),
+            fround(
+                (F.lit(1.0) + F.col("n_ge")) / F.lit(1.0 + _PERM_N), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+@register(
+    "q_coverage_curve",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks WHERE tok != '' GROUP BY tok),
+    tot AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size
+        FROM vocab),
+    ranked AS (
+        SELECT tok, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+        FROM vocab),
+    ks(k) AS (VALUES (100), (1000), (10000))
+    SELECT k, t.vocab_size, t.n_tokens,
+           CAST(COALESCE(SUM(r.freq), 0) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(COALESCE(SUM(r.freq), 0) AS DOUBLE) / t.n_tokens
+                 - 1e-9, 6) + 0 AS coverage
+    FROM ks LEFT JOIN ranked r ON r.rnk <= ks.k
+    CROSS JOIN tot t
+    GROUP BY k, t.vocab_size, t.n_tokens
+    ORDER BY k
+    """,
+)
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE CURVE: the fraction of corpus tokens
+    covered by the top-k most frequent vocabulary entries, at k = 100
+    / 1k / 10k — the curve that sizes a tokenizer's vocab budget (and
+    quantifies the Zipf tail q_zipf_fit models). Each top-k pool
+    comes from orderBy+limit (TakeOrderedAndProject with the
+    (freq desc, token) tiebreak — never a vocab-sized single-partition
+    sort); the covered mass is one sum over the k-bounded pool, and
+    totals are a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = vocab.agg(
+        F.sum("freq").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    out = None
+    for k in (100, 1000, 10000):
+        pool = vocab.orderBy(F.col("freq").desc(), "tok").limit(k)
+        row = (
+            pool.agg(F.coalesce(F.sum("freq"), F.lit(0)).alias("covered"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(k).alias("k"),
+                F.col("vocab_size"),
+                F.col("n_tokens"),
+                F.col("covered").alias("covered_tokens"),
+                fround(
+                    F.col("covered").cast("double") / F.col("n_tokens"), 6
+                ).alias("coverage"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

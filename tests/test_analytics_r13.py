@@ -222,3 +222,24 @@ def test_acf_lag0_normalization(spark, sf_dir):
     rows = QUERIES["q_acf_daily"](spark, sf_dir).collect()
     assert [r["lag"] for r in rows] == list(range(1, 8))
     assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in rows)
+
+
+def test_permutation_test_bounds(spark, sf_dir):
+    """p-value in (0, 1], n_ge within [0, 64], and the add-one
+    identity p = (1 + n_ge) / 65 holds exactly."""
+    r = QUERIES["q_permutation_test"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_ge"] <= 64
+    assert 0 < r["p_value"] <= 1
+    assert abs(r["p_value"] - round((1 + r["n_ge"]) / 65.0 - 1e-9, 6)) < 1e-9
+
+
+def test_coverage_curve_is_monotone(spark, sf_dir):
+    """Coverage is non-decreasing in k and bounded by 1; covered
+    tokens never exceed the corpus total."""
+    rows = QUERIES["q_coverage_curve"](spark, sf_dir).collect()
+    assert [r["k"] for r in rows] == [100, 1000, 10000]
+    prev = -1.0
+    for r in rows:
+        assert prev <= r["coverage"] <= 1.0
+        assert r["covered_tokens"] <= r["n_tokens"]
+        prev = r["coverage"]
