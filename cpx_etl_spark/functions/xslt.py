@@ -910,11 +910,21 @@ class MiniXslt:
             if kind is None:
                 # literal result element: pre-render the attribute
                 # string when no value carries an AVT expression
-                # raw keys, NOT _local(): the interpreted literal path
-                # has always rendered the ElementTree '{uri}name' form
-                # for namespaced attributes — the compiled path must
-                # match it (and the la-is-None fallback) byte-for-byte
-                # (code-review r13)
+                # namespaced literal result attributes are OUT OF
+                # SUBSET: namespace serialization isn't implemented, so
+                # the engine used to emit the raw ElementTree
+                # '{uri}name' form on one path and _local(k) on the
+                # attribute-set merge path — two different malformed
+                # spellings of the same element (code-review r13).
+                # Refuse at compile time rather than silently diverge.
+                for k in elem.attrib:
+                    if k.startswith("{") and not k.startswith(
+                        "{" + XSL_NS + "}"
+                    ):
+                        raise XsltUnsupported(
+                            f"namespaced literal result attribute {k!r}"
+                            " — namespace serialization is out of subset"
+                        )
                 pairs = tuple(
                     (k, v)
                     for k, v in elem.attrib.items()

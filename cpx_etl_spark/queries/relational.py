@@ -7493,10 +7493,13 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mom)
     SELECT pri, n,
            ROUND(m - 1e-9, 4) + 0 AS mean,
-           ROUND(sqrt(m2) - 1e-9, 4) + 0 AS stddev_pop,
-           ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) - 1e-9, 6) + 0
-               AS skewness,
-           ROUND(m4 / (m2 * m2) - 3 - 1e-9, 6) + 0 AS excess_kurtosis
+           ROUND(sqrt(GREATEST(m2, 0)) - 1e-9, 4) + 0 AS stddev_pop,
+           CASE WHEN m2 > 0 THEN
+               ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) - 1e-9, 6) + 0
+           END AS skewness,
+           CASE WHEN m2 > 0 THEN
+               ROUND(m4 / (m2 * m2) - 3 - 1e-9, 6) + 0
+           END AS excess_kurtosis
     FROM cent ORDER BY pri
     """,
 )
@@ -7544,14 +7547,21 @@ def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(6) * m * m * (d2 / n)
         - F.lit(3) * m * m * m * m
     )
+    # degenerate guard (code-review r13): an all-equal group makes m2
+    # zero-or-tiny-negative in float — ANSI Spark would THROW on the
+    # division and BOTH engines error on sqrt(negative); clamp the
+    # stddev radicand and emit NULL shape stats when m2 <= 0
     return sums.select(
         "pri", "n",
         fround(m, 4).alias("mean"),
-        fround(F.sqrt(m2), 4).alias("stddev_pop"),
-        fround(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias(
-            "skewness"
-        ),
-        fround(m4 / (m2 * m2) - F.lit(3), 6).alias("excess_kurtosis"),
+        fround(F.sqrt(F.greatest(m2, F.lit(0.0))), 4).alias("stddev_pop"),
+        F.when(
+            m2 > 0,
+            fround(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6),
+        ).alias("skewness"),
+        F.when(
+            m2 > 0, fround(m4 / (m2 * m2) - F.lit(3), 6)
+        ).alias("excess_kurtosis"),
     ).orderBy("pri")
 
 
@@ -7572,9 +7582,9 @@ _PERM_N = 64
     obs_s AS (
         SELECT
           CAST(SUM(CASE WHEN arm = 'A' THEN v END) AS DOUBLE)
-            / COUNT(CASE WHEN arm = 'A' THEN 1 END)
+            / NULLIF(COUNT(CASE WHEN arm = 'A' THEN 1 END), 0)
           - CAST(SUM(CASE WHEN arm = 'B' THEN v END) AS DOUBLE)
-            / COUNT(CASE WHEN arm = 'B' THEN 1 END) AS diff_obs
+            / NULLIF(COUNT(CASE WHEN arm = 'B' THEN 1 END), 0) AS diff_obs
         FROM obs),
     perms AS (
         SELECT gs.p, pur.user_id, pur.v,
@@ -7587,9 +7597,9 @@ _PERM_N = 64
     perm_s AS (
         SELECT p,
           CAST(SUM(CASE WHEN arm = 'A' THEN v END) AS DOUBLE)
-            / COUNT(CASE WHEN arm = 'A' THEN 1 END)
+            / NULLIF(COUNT(CASE WHEN arm = 'A' THEN 1 END), 0)
           - CAST(SUM(CASE WHEN arm = 'B' THEN v END) AS DOUBLE)
-            / COUNT(CASE WHEN arm = 'B' THEN 1 END) AS diff_p
+            / NULLIF(COUNT(CASE WHEN arm = 'B' THEN 1 END), 0) AS diff_p
         FROM perms GROUP BY p)
     SELECT ROUND(o.diff_obs - 1e-9, 6) + 0 AS diff_obs,
            CAST({_PERM_N} AS BIGINT) AS n_perms,
@@ -7627,26 +7637,24 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise("B")
 
     def mean_diff(df, keys):
-        g = df.groupBy(*keys, "arm").agg(
-            F.sum("v").cast("double").alias("s"),
-            F.count(F.lit(1)).alias("n"),
+        # ONE conditional aggregation, mirroring the oracle's spelling
+        # exactly: no split/join, and the NULLIF guard keeps an
+        # absent arm NULL instead of ANSI-throwing on /0 or dropping
+        # the row (code-review r13)
+        g = df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("arm") == "A", F.col("v")))
+            .cast("double").alias("sa"),
+            F.count(F.when(F.col("arm") == "A", 1)).alias("na"),
+            F.sum(F.when(F.col("arm") == "B", F.col("v")))
+            .cast("double").alias("sb"),
+            F.count(F.when(F.col("arm") == "B", 1)).alias("nb"),
         )
-        a = g.filter(F.col("arm") == "A").drop("arm")
-        b = g.filter(F.col("arm") == "B").drop("arm")
-        if keys:
-            j = a.join(
-                b.select(*keys, F.col("s").alias("sb"), F.col("n").alias("nb")),
-                list(keys),
-            )
-        else:
-            j = a.crossJoin(
-                b.select(F.col("s").alias("sb"), F.col("n").alias("nb"))
-            )
-        return j.select(
+        return g.select(
             *keys,
-            (F.col("s") / F.col("n") - F.col("sb") / F.col("nb")).alias(
-                "diff"
-            ),
+            (
+                F.col("sa") / F.nullif(F.col("na"), F.lit(0))
+                - F.col("sb") / F.nullif(F.col("nb"), F.lit(0))
+            ).alias("diff"),
         )
 
     obs = mean_diff(
@@ -7686,69 +7694,3 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
-
-
-@register(
-    "q_coverage_curve",
-    oracle="""
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-    vocab AS (
-        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM toks WHERE tok != '' GROUP BY tok),
-    tot AS (
-        SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
-               CAST(COUNT(*) AS BIGINT) AS vocab_size
-        FROM vocab),
-    ranked AS (
-        SELECT tok, freq,
-               ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
-        FROM vocab),
-    ks(k) AS (VALUES (100), (1000), (10000))
-    SELECT k, t.vocab_size, t.n_tokens,
-           CAST(COALESCE(SUM(r.freq), 0) AS BIGINT) AS covered_tokens,
-           ROUND(CAST(COALESCE(SUM(r.freq), 0) AS DOUBLE) / t.n_tokens
-                 - 1e-9, 6) + 0 AS coverage
-    FROM ks LEFT JOIN ranked r ON r.rnk <= ks.k
-    CROSS JOIN tot t
-    GROUP BY k, t.vocab_size, t.n_tokens
-    ORDER BY k
-    """,
-)
-def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary COVERAGE CURVE: the fraction of corpus tokens
-    covered by the top-k most frequent vocabulary entries, at k = 100
-    / 1k / 10k — the curve that sizes a tokenizer's vocab budget (and
-    quantifies the Zipf tail q_zipf_fit models). Each top-k pool
-    comes from orderBy+limit (TakeOrderedAndProject with the
-    (freq desc, token) tiebreak — never a vocab-sized single-partition
-    sort); the covered mass is one sum over the k-bounded pool, and
-    totals are a 1-row broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    tot = vocab.agg(
-        F.sum("freq").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
-    )
-    out = None
-    for k in (100, 1000, 10000):
-        pool = vocab.orderBy(F.col("freq").desc(), "tok").limit(k)
-        row = (
-            pool.agg(F.coalesce(F.sum("freq"), F.lit(0)).alias("covered"))
-            .crossJoin(F.broadcast(tot))
-            .select(
-                F.lit(k).alias("k"),
-                F.col("vocab_size"),
-                F.col("n_tokens"),
-                F.col("covered").alias("covered_tokens"),
-                fround(
-                    F.col("covered").cast("double") / F.col("n_tokens"), 6
-                ).alias("coverage"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("k")

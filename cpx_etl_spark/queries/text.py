@@ -3066,7 +3066,8 @@ def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
         SELECT c.source, c.bin, n.n_src,
                GREATEST(CAST(c.cnt AS DOUBLE) / n.n_src, 1e-6) AS p,
-               GREATEST(CAST(g.gcnt - c.cnt AS DOUBLE) / (t.n_all - n.n_src),
+               GREATEST(CAST(g.gcnt - c.cnt AS DOUBLE)
+                        / GREATEST(t.n_all - n.n_src, 1),
                         1e-6) AS q
         FROM cnts c
         JOIN nsrc n USING (source)
@@ -3147,7 +3148,10 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
             F.greatest(
                 (F.col("gcnt") - F.col("cnt")).cast("double")
-                / (F.col("n_all") - F.col("n_src")),
+                # single-source corpus: rest-of-corpus size is 0 and
+                # ANSI Spark would throw on the division — clamp like
+                # the hi==lo bin guard (code-review r13)
+                / F.greatest(F.col("n_all") - F.col("n_src"), F.lit(1)),
                 F.lit(1e-6),
             ).alias("q"),
         )
@@ -3370,3 +3374,73 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOP)
+
+
+@register(
+    "q_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKENS_SQL}) AS tok FROM documents),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks WHERE tok != '' GROUP BY tok),
+    tot AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size
+        FROM vocab),
+    ranked AS (
+        SELECT tok, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+        FROM vocab),
+    ks(k) AS (VALUES (100), (1000), (10000))
+    SELECT k, t.vocab_size, t.n_tokens,
+           CAST(COALESCE(SUM(r.freq), 0) AS BIGINT) AS covered_tokens,
+           ROUND(CAST(COALESCE(SUM(r.freq), 0) AS DOUBLE) / t.n_tokens
+                 - 1e-9, 6) + 0 AS coverage
+    FROM ks LEFT JOIN ranked r ON r.rnk <= ks.k
+    CROSS JOIN tot t
+    GROUP BY k, t.vocab_size, t.n_tokens
+    ORDER BY k
+    """,
+)
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE CURVE: the fraction of corpus tokens
+    covered by the top-k most frequent vocabulary entries, at k = 100
+    / 1k / 10k — the curve that sizes a tokenizer's vocab budget (and
+    quantifies the Zipf tail q_zipf_fit models). Lives with the
+    token-family queries and shares their tokenization spelling
+    (code-review r13). The vocab frame checkpoints once so the three
+    top-k pools and the totals read it without re-tokenizing the
+    corpus (one corpus scan, was four); each pool comes from
+    orderBy+limit (TakeOrderedAndProject with the (freq desc, token)
+    tiebreak — never a vocab-sized single-partition sort), and the
+    covered mass is one sum over the k-bounded pool."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    tot = vocab.agg(
+        F.sum("freq").alias("n_tokens"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    out = None
+    for k in (100, 1000, 10000):
+        pool = vocab.orderBy(F.col("freq").desc(), "tok").limit(k)
+        row = (
+            pool.agg(F.coalesce(F.sum("freq"), F.lit(0)).alias("covered"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(k).alias("k"),
+                F.col("vocab_size"),
+                F.col("n_tokens"),
+                F.col("covered").alias("covered_tokens"),
+                fround(
+                    F.col("covered").cast("double") / F.col("n_tokens"), 6
+                ).alias("coverage"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")

@@ -243,3 +243,52 @@ def test_coverage_curve_is_monotone(spark, sf_dir):
         assert prev <= r["coverage"] <= 1.0
         assert r["covered_tokens"] <= r["n_tokens"]
         prev = r["coverage"]
+
+
+def test_holt_winters_warmup_and_start(spark, sf_dir, tmp_path):
+    """Output days start at 7 (post-warmup); a sub-warmup series
+    yields an empty frame instead of crashing inside the grouped map
+    (the oracle's recursion guard does the same)."""
+    import os
+
+    from cpx_etl_spark.queries.relational import q_holt_winters
+
+    rows = QUERIES["q_holt_winters"](spark, sf_dir).collect()
+    assert rows and min(r["day_idx"] for r in rows) == 7
+    d = str(tmp_path)
+    short = spark.createDataFrame(
+        [(i, f"2024-01-0{i+1} 00:00:00", i, "click", 1.0, "{}")
+         for i in range(3)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                 "event_type", "value", "props")
+    short.write.parquet(os.path.join(d, "events.parquet"))
+    assert q_holt_winters(spark, d).count() == 0
+
+
+def test_skew_kurtosis_degenerate_group_is_null(spark, tmp_path):
+    """An all-equal group emits NULL shape stats and zero stddev
+    instead of an ANSI divide-by-zero / sqrt(negative) crash."""
+    import os
+
+    from cpx_etl_spark.queries.relational import q_skew_kurtosis
+
+    d = str(tmp_path)
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 100.0, "1995-01-01", "1-URGENT"),
+         (2, 2, "O", 100.0, "1995-01-02", "1-URGENT"),
+         (3, 3, "O", 100.0, "1995-01-03", "1-URGENT"),
+         (4, 4, "O", 50.0, "1995-01-04", "2-HIGH"),
+         (5, 5, "O", 150.0, "1995-01-05", "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "CAST(o_orderdate AS DATE) AS o_orderdate",
+                 "o_orderpriority")
+    orders.write.parquet(os.path.join(d, "orders.parquet"))
+    rows = {r["pri"]: r for r in q_skew_kurtosis(spark, d).collect()}
+    assert rows["1-URGENT"]["skewness"] is None
+    assert rows["1-URGENT"]["excess_kurtosis"] is None
+    assert rows["1-URGENT"]["stddev_pop"] == 0.0
+    assert rows["2-HIGH"]["skewness"] is not None
