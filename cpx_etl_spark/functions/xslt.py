@@ -1350,21 +1350,29 @@ class MiniXslt:
             frags: list[str] = []
             run_node = self._run_node
             select = self._select
+            # local bindings of the named opcodes: the dispatcher must
+            # track _compile_ops through any reorder of the constants
+            _OP_TEXT, _OP_VAR, _OP_PARAM, _OP_NODE, _OP_BADCOPY = (
+                self._OP_TEXT, self._OP_VAR, self._OP_PARAM,
+                self._OP_NODE, self._OP_BADCOPY)
+            _OP_VALUEOF, _OP_IF, _OP_LITELEM, _OP_APPLYT, _OP_CHOOSE = (
+                self._OP_VALUEOF, self._OP_IF, self._OP_LITELEM,
+                self._OP_APPLYT, self._OP_CHOOSE)
             for op in ops:
                 tag = op[0]
-                if tag == 5:  # _OP_VALUEOF
+                if tag == _OP_VALUEOF:
                     items = select(ctx, op[1])
                     if items:
                         frags.append(escape(_string(items[0])))
-                elif tag == 7:  # _OP_LITELEM (static attrs, no dynattrs)
+                elif tag == _OP_LITELEM:  # static attrs, no dynattrs
                     inner = self._run_children(op[3], ctx)
                     t, a = op[1], op[2]
                     frags.append(
                         f"<{t}{a}>{inner}</{t}>" if inner else f"<{t}{a}/>"
                     )
-                elif tag == 0:  # _OP_TEXT
+                elif tag == _OP_TEXT:
                     frags.append(op[1])
-                elif tag == 8:  # _OP_APPLYT
+                elif tag == _OP_APPLYT:
                     _, sel, mode, elem2, has_sorts, has_wp = op
                     if sel is not None:
                         nodes = select(ctx, sel)
@@ -1387,10 +1395,10 @@ class MiniXslt:
                         nodes,
                         lambda n, _p=tparams, _m=mode: self._apply_one(n, _p, _m),
                     ))
-                elif tag == 6:  # _OP_IF
+                elif tag == _OP_IF:
                     if self._test(ctx, op[1]):
                         frags.append(self._run_children(op[2], ctx))
-                elif tag == 9:  # _OP_CHOOSE
+                elif tag == _OP_CHOOSE:
                     for tst, br in op[1]:
                         if self._test(ctx, tst):
                             frags.append(self._run_children(br, ctx))
@@ -1398,13 +1406,13 @@ class MiniXslt:
                     else:
                         if op[2] is not None:
                             frags.append(self._run_children(op[2], ctx))
-                elif tag == 3:  # _OP_NODE — generic dispatch
+                elif tag == _OP_NODE:  # generic dispatch
                     frags.append(run_node(op[1], ctx, op[2]))
-                elif tag == 1:  # _OP_VAR
+                elif tag == _OP_VAR:
                     self._scopes[-1][op[1].get("name", "")] = (
                         self._eval_binding(op[1], ctx)
                     )
-                elif tag == 2:  # _OP_PARAM
+                elif tag == _OP_PARAM:
                     pname = op[1].get("name", "")
                     if pname not in self._scopes[-1]:  # with-param wins
                         self._scopes[-1][pname] = self._eval_binding(op[1], ctx)

@@ -6505,10 +6505,10 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group MODE (most frequent value) with a deterministic
     tie-break — the categorical argmax SQL lacks as a builtin
     aggregate. Two distributed aggs: (nation, segment) counts with
-    map-side partials, then a per-nation max_by over a packed
-    (count, reverse-lex segment) ordering key so equal counts resolve
-    to the LEXICALLY SMALLEST segment identically in both engines —
-    no window over the fact table, the argmax runs on the
+    map-side partials, then a per-nation
+    ROW_NUMBER pick ordered (count DESC, segment ASC) so equal counts
+    resolve to the LEXICALLY SMALLEST segment identically in both
+    engines — no window over the fact table, the argmax runs on the
     group-cardinality frame. Scale: both shuffles key on the group;
     the mode pick is a 125-row agg at any SF."""
     cust = _t(spark, sf_dir, "customer")
@@ -6519,10 +6519,9 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # max_by ordering: higher count wins; on ties the lexically
-    # smaller segment must win, so negate the segment ordering by
-    # using a struct of (cnt, neg) where neg flips each byte — a
-    # window row_number is simpler and the frame is group-cardinality
+    # per-nation argmax as a row_number over the group-cardinality
+    # counts frame: higher count wins, ties go to the lexically
+    # smaller segment (both engines order identically)
     w = Window.partitionBy("nation").orderBy(
         F.col("cnt").desc(), F.col("segment").asc()
     )
@@ -6789,9 +6788,7 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the (src, dst) count shuffle. Cross-engine exactness without
     mid-iteration rounding: both engines fold the dense per-row term
     list in ascending state order (F.aggregate over a fixed-order
-    array == DuckDB list_reduce), the PageRank posture.""".format(
-        it=_MKV_ITERS
-    )
+    array == DuckDB list_reduce), the PageRank posture."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
@@ -6939,7 +6936,11 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(base))
         .select(
             "channel", "base_p", F.col("conv_p").alias("removal_p"),
-            (F.lit(1.0) - F.col("conv_p") / F.col("base_p")).alias("re"),
+            # degenerate (purchase-free) corpus: base_p = 0 would throw
+            # DIVIDE_BY_ZERO under ANSI; emit NULL like the oracle
+            (F.lit(1.0)
+             - F.col("conv_p") / F.nullif(F.col("base_p"), F.lit(0.0))
+             ).alias("re"),
         )
     )
     tot_re = eff.agg(
@@ -6956,7 +6957,9 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("base_p"), 6).alias("base_conv"),
             fround(F.col("removal_p"), 6).alias("removal_conv"),
             fround(F.col("re"), 6).alias("removal_effect"),
-            fround(F.col("re") / F.col("sum_re"), 6).alias("attribution_share"),
+            fround(
+                F.col("re") / F.nullif(F.col("sum_re"), F.lit(0.0)), 6
+            ).alias("attribution_share"),
         )
         .orderBy("channel")
     )
@@ -7311,8 +7314,11 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(
             _cov(F.col("xs"), F.col("m"),
                  F.col("n").cast("int") - F.col("lag"), F.col("lag"))
-            / _cov(F.col("xs"), F.col("m"),
-                   F.col("n").cast("int"), F.lit(0)),
+            / F.nullif(
+                _cov(F.col("xs"), F.col("m"),
+                     F.col("n").cast("int"), F.lit(0)),
+                F.lit(0.0),
+            ),
             6,
         ).alias("acf"),
     ).orderBy("lag")
