@@ -6969,48 +6969,61 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_itemsets3",
     oracle="""
     WITH basket AS (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS bk
+        FROM lineitem JOIN part ON p_partkey = l_partkey),
     triples AS (
-        SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3, COUNT(*) AS support
+        SELECT a.bk AS p1, b.bk AS p2, c.bk AS p3, COUNT(*) AS support
         FROM basket a
-        JOIN basket b ON b.ok = a.ok AND b.pk > a.pk
-        JOIN basket c ON c.ok = a.ok AND c.pk > b.pk
-        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
-    SELECT p1, p2, p3, support FROM triples
+        JOIN basket b ON b.ok = a.ok AND b.bk > a.bk
+        JOIN basket c ON c.ok = a.ok AND c.bk > b.bk
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+    ms AS (SELECT GREATEST(CAST(2 AS BIGINT),
+                           CAST(CEIL(AVG(support)) AS BIGINT)) AS m
+           FROM triples)
+    SELECT p1, p2, p3, support FROM triples, ms
+    WHERE support >= m
     ORDER BY support DESC, p1, p2, p3
     """,
 )
 def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-ITEMSETS with the Apriori candidate prune (Agrawal &
     Srikant 1994) — the level the pair-mining queries
-    (q_copurchase_pairs / q_recommend_also_bought) stop at. The oracle
-    counts all same-order triples directly; the Spark plan is the
-    Apriori algorithm: frequent PAIRS (support >= 2) generate
+    (q_copurchase_pairs / q_recommend_also_bought) stop at. Items are
+    part BRANDS (the SF-invariant product vocabulary): r13's part-key
+    items starved support >= 2 at sf1 because basket size is constant
+    while the part space scales with SF (VERDICT r13 item 5) — brand
+    baskets instead DENSIFY with scale, so the mining threshold is
+    derived from the corpus: Apriori runs at minsup 2 (downward
+    closure holds for any final threshold >= 2), then only
+    ABOVE-AVERAGE-support triples are kept (m = max(2,
+    ceil(avg support)) over the support>=2 frame, a 1-row broadcast)
+    — provably non-empty whenever any triple repeats (max >= avg) and
+    selective at EVERY scale (sf0.001 m=3, sf0.01 m~26, sf1 m~2600).
+    The oracle counts all repeated triples directly; the Spark plan is
+    the Apriori algorithm: frequent PAIRS (support >= 2) generate
     candidate triples by joining pairs sharing their first item
     ((a,b) + (a,c), b < c), the downward-closure prune keeps only
-    candidates whose third face (b,c) is also frequent (a broadcast
-    semi join against the pair frame — at minsup 2 the frequent-pair
-    frame is orders of magnitude smaller than raw triples), and only
+    candidates whose third face (b,c) is also frequent, and only
     surviving candidates count support against baskets. Scale: triple
     enumeration never touches infrequent combinations, the classic
-    candidate-bound; every join keys on item ids or order keys. NOTE
-    on row counts: basket size is constant (~4 parts/order) while the
-    part space scales with SF, so shared-triple probability FALLS with
-    scale — 94 rows at sf0.001, 12 at sf0.01 (the gate), legitimately
-    0 at the sf1 smoke corpus; the Apriori prune is what keeps the
-    sparse regime cheap."""
+    candidate bound; every join keys on brand or order keys, and the
+    brand-triple space is capped at C(25,3) = 2300 rows regardless of
+    corpus size."""
     li = _t(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    b2 = basket.select(F.col("ok"), F.col("pk").alias("pk2"))
+    part = _t(spark, sf_dir, "part")
+    basket = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("bk"))
+        .distinct()
+    )
+    b2 = basket.select(F.col("ok"), F.col("bk").alias("bk2"))
     pairs = (
         basket.join(b2, "ok")
-        .filter(F.col("pk2") > F.col("pk"))
-        .groupBy("pk", "pk2")
+        .filter(F.col("bk2") > F.col("bk"))
+        .groupBy("bk", "bk2")
         .agg(F.count(F.lit(1)).alias("sup2"))
         .filter(F.col("sup2") >= 2)
-        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        .select(F.col("bk").alias("a"), F.col("bk2").alias("b"))
     )
     # candidate generation: join frequent pairs on the shared first
     # item — (a,b) x (a,c) with b < c — then downward-closure prune on
@@ -7026,10 +7039,10 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
-    ba = basket.select("ok", F.col("pk").alias("a"))
-    bb = basket.select("ok", F.col("pk").alias("b"))
-    bc = basket.select("ok", F.col("pk").alias("c"))
-    return (
+    ba = basket.select("ok", F.col("bk").alias("a"))
+    bb = basket.select("ok", F.col("bk").alias("b"))
+    bc = basket.select("ok", F.col("bk").alias("c"))
+    freq = (
         cand.join(ba, "a")
         .join(bb, ["ok", "b"])
         .join(bc, ["ok", "c"])
@@ -7039,6 +7052,19 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
+    )
+    # corpus-derived final threshold: above-average support among the
+    # repeated triples, never below the Apriori minsup
+    ms = freq.agg(
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.ceil(F.avg("support")).cast("long"),
+        ).alias("m")
+    )
+    return (
+        freq.crossJoin(F.broadcast(ms))
+        .filter(F.col("support") >= F.col("m"))
+        .select("p1", "p2", "p3", "support")
         .orderBy(F.col("support").desc(), "p1", "p2", "p3")
     )
 
