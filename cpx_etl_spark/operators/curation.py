@@ -258,6 +258,104 @@ def temperature_sample(
     )
 
 
+def trim_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring-dedup REMOVAL (the span-level trim of Lee et
+    al. 2022, completing duplicated_window_coverage's measurement):
+    every overlapping ``n``-token window shared by >= 2 documents
+    belongs to its MIN-id SURVIVOR; every occurrence in a higher id is
+    trimmed — the asymmetric keep-first rule, so shared boilerplate
+    survives exactly once. Flagged window starts interval-union into
+    maximal spans (touching windows merge; ``n_spans`` counts the
+    islands), covered token positions anti-join out of the
+    position-exploded token frame, and surviving tokens rebuild the
+    trimmed text in order. Returns one row per document:
+    (id, n_tokens, kept_tokens, trimmed_tokens, n_spans, trimmed_text).
+
+    Scale: one window-hash shuffle (uniform md5 keys — the
+    duplicated_window_coverage scan shape), flagged/covered frames are
+    <= n x the duplicated-window count (linear, never all-pairs), the
+    anti join keys on (id, pos), and the text rebuild sorts only each
+    document's own kept tokens."""
+    arr = F.split(F.col(text_col), " ")
+    toks = df.select(F.col(id_col), F.posexplode(arr).alias("tpos", "tok"))
+    width = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(arr, i + 1, width).alias(f"w{i}") for i in range(n)]
+    )
+    wins = df.select(F.col(id_col), F.posexplode(z).alias("pos", "_t")).select(
+        id_col, "pos",
+        F.md5(
+            F.concat_ws(" ", *[F.col(f"_t.w{i}") for i in range(n)])
+        ).alias("wh"),
+    )
+    keepers = (
+        wins.groupBy("wh")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.countDistinct(id_col).alias("_nd"),
+        )
+        .filter(F.col("_nd") >= 2)
+        .select("wh", "keeper")
+    )
+    flagged = (
+        wins.join(keepers, "wh")
+        .filter(F.col(id_col) > F.col("keeper"))
+        .select(id_col, "pos")
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nspans = (
+        flagged.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+            .otherwise(0),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_new").cast("long").alias("n_spans"))
+    )
+    cov = flagged.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+        .alias("tpos"),
+    ).distinct()
+    kept = toks.join(cov, [id_col, "tpos"], "left_anti")
+    trimmed = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+    )
+    per_doc = df.select(
+        F.col(id_col), F.size(arr).cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.join(trimmed, id_col, "left")
+        .join(nspans, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long")
+            .alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("long").alias("trimmed_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+        )
+    )
+
+
 def duplicated_window_coverage(
     df: DataFrame,
     id_col: str,

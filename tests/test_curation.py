@@ -357,3 +357,56 @@ def test_count_min_one_sided_error_and_exactness_when_wide(spark):
         count_min_build(df, "k", d=4, w=4096), ghost, "k", d=4, w=4096
     ).collect()
     assert g[0]["est"] == 0
+
+
+def test_trim_duplicated_spans_planted_boilerplate(spark):
+    """Span-level exact-substring removal on PLANTED shared spans: an
+    8-token boilerplate block planted in three docs survives only in
+    the min-id doc; the others lose exactly that span (byte-exact
+    trimmed text), unique content is never touched, two disjoint
+    planted spans in one doc count as two islands, and two OVERLAPPING
+    shared windows merge into one island."""
+    from cpx_etl_spark.operators.curation import trim_duplicated_spans
+
+    boiler = "the quick brown fox jumps over lazy dogs"      # 8 tokens
+    boiler2 = "pack my box with five dozen liquor jugs"      # 8 tokens
+    rows = [
+        # doc 1: survivor — keeps both planted spans
+        (1, f"{boiler} alpha beta {boiler2}"),
+        # doc 2: loses boiler (front), keeps its unique tail
+        (2, f"{boiler} gamma delta epsilon zeta eta theta"),
+        # doc 3: loses BOTH spans -> 2 islands
+        (3, f"one two {boiler} three four {boiler2} five"),
+        # doc 4: 9-token shared run with doc 5 = two overlapping
+        # 8-token windows -> ONE merged island of 9 tokens
+        (4, f"{boiler} dogs unique4 tail4"),
+        (5, f"{boiler} dogs unique5 tail5"),
+        # doc 6: all-unique control
+        (6, "completely unrelated content with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in trim_duplicated_spans(df, "doc_id", "text", n=8).collect()
+    }
+    # survivor untouched
+    assert out[1]["trimmed_tokens"] == 0
+    assert out[1]["trimmed_text"] == f"{boiler} alpha beta {boiler2}"
+    # doc 2: exactly the boilerplate removed, byte-exact remainder
+    assert out[2]["trimmed_text"] == "gamma delta epsilon zeta eta theta"
+    assert out[2]["trimmed_tokens"] == 8 and out[2]["n_spans"] == 1
+    # doc 3: both spans removed as two islands
+    assert out[3]["trimmed_text"] == "one two three four five"
+    assert out[3]["trimmed_tokens"] == 16 and out[3]["n_spans"] == 2
+    # doc 4 loses the boiler window (survivor: doc 1) but KEEPS the
+    # extra "dogs" token — it is the min-id survivor of the 9-token
+    # run it shares with doc 5
+    assert out[4]["trimmed_text"] == "dogs unique4 tail4"
+    assert out[4]["trimmed_tokens"] == 8 and out[4]["n_spans"] == 1
+    # doc 5: the two OVERLAPPING shared windows (boiler -> doc 1,
+    # 9-token run -> doc 4) merge into ONE 9-token island
+    assert out[5]["trimmed_text"] == "unique5 tail5"
+    assert out[5]["trimmed_tokens"] == 9 and out[5]["n_spans"] == 1
+    # control doc untouched
+    assert out[6]["trimmed_tokens"] == 0 and out[6]["n_spans"] == 0
+    assert out[6]["trimmed_text"] == rows[5][1]
