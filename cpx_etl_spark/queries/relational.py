@@ -3284,6 +3284,98 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_clustering_coefficient",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                FROM lineitem WHERE l_partkey <= 200),
+    pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                           AND b.l_partkey > a.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT u AS node FROM pairs
+            UNION ALL SELECT v AS node FROM pairs)
+        GROUP BY 1),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri)
+        GROUP BY 1)
+    SELECT d.node, d.degree,
+           COALESCE(t.triangles, 0) AS triangles,
+           ROUND(2.0 * COALESCE(t.triangles, 0)
+                 / (d.degree * (d.degree - 1)) - 1e-9, 6) + 0 AS cc
+    FROM deg d LEFT JOIN tn t USING (node)
+    WHERE d.degree >= 2
+    ORDER BY cc DESC, d.node
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node of the co-purchase graph
+    (same 200-part-projection, support >= 2 edge set as
+    q_triangle_count — the graph family's density measure beside
+    triangle totals, components, PageRank and k-hop): cc(v) =
+    2 * triangles(v) / (deg(v) * (deg(v) - 1)) for deg >= 2. Per-node
+    triangle counts come from the oriented-edge (u < v) two-join
+    formulation — each triangle found once, credited to all three
+    corners by a 3-way explode — so the pair volume is the
+    edge-join bound, never all-pairs. Degrees from one edge-list
+    explode. Counts integer-exact; cc is one IEEE division,
+    tie-rounded."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = pairs.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = pairs.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = pairs.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tn = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node", "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            fround(
+                2.0 * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("cc"),
+        )
+        .orderBy(F.col("cc").desc(), "node")
+    )
+
+
+@register(
     "q_approx_quantile_hist",
     oracle="""
     WITH b AS (
@@ -6405,6 +6497,498 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_attribution_time_decay",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, p.p_ts, p.value, c.c_ts,
+                 CASE WHEN c.c_ts IS NULL THEN NULL
+                      ELSE CASE (epoch_us(p.p_ts) - epoch_us(c.c_ts))
+                                // 60000000 // 15
+                           WHEN 0 THEN 8 WHEN 1 THEN 4
+                           WHEN 2 THEN 2 ELSE 1 END
+                 END AS w
+          FROM p LEFT JOIN c
+            ON c.c_user = p.user_id
+           AND c.c_ts <= p.p_ts
+           AND c.c_ts > p.p_ts - INTERVAL 1 HOUR),
+    jw AS (SELECT *, SUM(w) OVER (PARTITION BY event_id) AS sum_w FROM j),
+    touch AS (SELECT date_trunc('day', c_ts) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_touches,
+                     {sql_dsum("ROUND(value * w / sum_w - 1e-9, 6)")}
+                         AS rev_decay
+              FROM jw WHERE c_ts IS NOT NULL GROUP BY 1),
+    org AS (SELECT date_trunc('day', p_ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_organic,
+                   {sql_dsum("value")} AS rev_organic
+            FROM jw WHERE c_ts IS NULL GROUP BY 1)
+    SELECT COALESCE(t.day, o.day) AS day,
+           COALESCE(t.n_touches, 0) AS n_touches,
+           COALESCE(t.rev_decay, 0.0) + 0 AS rev_decay,
+           COALESCE(o.n_organic, 0) AS n_organic,
+           COALESCE(o.rev_organic, 0.0) + 0 AS rev_organic
+    FROM touch t FULL OUTER JOIN org o ON t.day = o.day
+    ORDER BY day
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — completes the heuristic
+    attribution family (last-touch / linear / position / Markov):
+    clicks within the hour before a purchase earn credit that HALVES
+    per 15-minute age bucket (weights 8/4/2/1 — dyadic INTEGERS, so
+    the decay curve is bit-exact cross-engine with no fractional
+    pow()), normalized per purchase (value * w / sum_w is one IEEE
+    multiply + divide, tie-rounded at 6dp, then DECIMAL-summed by the
+    click's day). Clickless purchases stay organic revenue on the
+    purchase day. Same plan skeleton as q_attribution_linear: one
+    time-banded LEFT join + purchase-keyed window sum + two day
+    rollups full-outer-merged."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    age_bucket = (
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts")))
+        / F.lit(60000000)
+    ).cast("long") / F.lit(15)
+    w_expr = F.when(F.col("c_ts").isNull(), F.lit(None)).otherwise(
+        F.element_at(
+            F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1)),
+            age_bucket.cast("int") + 1,
+        )
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).withColumn("w", w_expr)
+    jw = j.withColumn(
+        "sum_w", F.sum("w").over(Window.partitionBy("event_id"))
+    )
+    touch = (
+        jw.filter(F.col("c_ts").isNotNull())
+        .groupBy(F.date_trunc("day", "c_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            dsum(
+                fround(F.col("value") * F.col("w") / F.col("sum_w"), 6)
+            ).alias("rev_decay"),
+        )
+    )
+    org = (
+        jw.filter(F.col("c_ts").isNull())
+        .groupBy(F.date_trunc("day", "p_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_organic"),
+            dsum(F.col("value")).alias("rev_organic"),
+        )
+    )
+    return (
+        touch.join(org, on="day", how="full")
+        .select(
+            "day",
+            F.coalesce("n_touches", F.lit(0)).alias("n_touches"),
+            F.coalesce("rev_decay", F.lit(0.0)).alias("rev_decay"),
+            F.coalesce("n_organic", F.lit(0)).alias("n_organic"),
+            F.coalesce("rev_organic", F.lit(0.0)).alias("rev_organic"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_attribution_position",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_event_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, p.p_ts, p.value, c.c_ts, c.c_event_id
+          FROM p LEFT JOIN c
+            ON c.c_user = p.user_id
+           AND c.c_ts <= p.p_ts
+           AND c.c_ts > p.p_ts - INTERVAL 1 HOUR),
+    jr AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY event_id
+                                     ORDER BY c_ts, c_event_id) AS rn,
+                  COUNT(c_ts) OVER (PARTITION BY event_id) AS n
+           FROM j),
+    sh AS (SELECT *,
+                  CASE WHEN n = 1 THEN 1.0
+                       WHEN n = 2 THEN 0.5
+                       WHEN rn = 1 OR rn = n THEN 0.4
+                       ELSE 0.2 / (n - 2) END AS share
+           FROM jr),
+    touch AS (SELECT date_trunc('day', c_ts) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_touches,
+                     {sql_dsum("ROUND(value * share - 1e-9, 6)")}
+                         AS rev_position
+              FROM sh WHERE c_ts IS NOT NULL GROUP BY 1),
+    org AS (SELECT date_trunc('day', p_ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_organic,
+                   {sql_dsum("value")} AS rev_organic
+            FROM sh WHERE c_ts IS NULL GROUP BY 1)
+    SELECT COALESCE(t.day, o.day) AS day,
+           COALESCE(t.n_touches, 0) AS n_touches,
+           COALESCE(t.rev_position, 0.0) + 0 AS rev_position,
+           COALESCE(o.n_organic, 0) AS n_organic,
+           COALESCE(o.rev_organic, 0.0) + 0 AS rev_organic
+    FROM touch t FULL OUTER JOIN org o ON t.day = o.day
+    ORDER BY day
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution — the
+    first-and-last-weighted member of the attribution family: within
+    each purchase's 1h click journey the FIRST and LAST touch earn 40%
+    each and the middles split the remaining 20% equally (1 touch
+    -> 100%, 2 -> 50/50). Touch order is deterministic (c_ts with
+    click event_id tiebreak — equal-timestamp clicks cannot flip the
+    U). Shares are at most one IEEE division (0.2/(n-2)), credits
+    tie-rounded at 6dp and DECIMAL-summed by click day; organic
+    purchases roll up separately. Same banded-join skeleton as the
+    linear/time-decay siblings; the only windows are purchase-keyed
+    (journey-sized frames)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    wp = Window.partitionBy("event_id")
+    jr = j.withColumn(
+        "rn", F.row_number().over(wp.orderBy("c_ts", "c_event_id"))
+    ).withColumn("n", F.count("c_ts").over(wp))
+    share = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    sh = jr.withColumn("share", share)
+    touch = (
+        sh.filter(F.col("c_ts").isNotNull())
+        .groupBy(F.date_trunc("day", "c_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            dsum(fround(F.col("value") * F.col("share"), 6))
+            .alias("rev_position"),
+        )
+    )
+    org = (
+        sh.filter(F.col("c_ts").isNull())
+        .groupBy(F.date_trunc("day", "p_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_organic"),
+            dsum(F.col("value")).alias("rev_organic"),
+        )
+    )
+    return (
+        touch.join(org, on="day", how="full")
+        .select(
+            "day",
+            F.coalesce("n_touches", F.lit(0)).alias("n_touches"),
+            F.coalesce("rev_position", F.lit(0.0)).alias("rev_position"),
+            F.coalesce("n_organic", F.lit(0)).alias("n_organic"),
+            F.coalesce("rev_organic", F.lit(0.0)).alias("rev_organic"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+                      MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    grid AS (
+        SELECT t.event_type, gs.di
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(0,
+            (SELECT datediff('day', d0, d1) FROM bounds))) AS di) gs),
+    dense AS (
+        SELECT g.event_type, g.di, COALESCE(d.y, 0) AS y
+        FROM grid g
+        LEFT JOIN (SELECT event_type,
+                          datediff('day', (SELECT d0 FROM bounds), day)
+                              AS di,
+                          y FROM daily) d
+          ON d.event_type = g.event_type AND d.di = g.di),
+    lagged AS (
+        SELECT event_type, di, y,
+               LAG(y, 7) OVER (PARTITION BY event_type ORDER BY di) AS y7,
+               LAG(y, 1) OVER (PARTITION BY event_type ORDER BY di) AS y1
+        FROM dense),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN y7 IS NOT NULL
+                             THEN abs(y - y7) END) AS BIGINT) AS sae7,
+               CAST(COUNT(y7) AS BIGINT) AS n7,
+               CAST(SUM(CASE WHEN y1 IS NOT NULL
+                             THEN abs(y - y1) END) AS BIGINT) AS sae1,
+               CAST(COUNT(y1) AS BIGINT) AS n1
+        FROM lagged GROUP BY 1)
+    SELECT event_type, n_days, sae7, sae1,
+           ROUND(CAST(sae7 AS DOUBLE) / n7 - 1e-9, 6) + 0 AS mae_snaive,
+           ROUND(CAST(sae1 AS DOUBLE) / n1 - 1e-9, 6) + 0 AS mae_naive1,
+           ROUND(CAST(sae7 AS DOUBLE) * n1
+                 / (CAST(n7 AS DOUBLE) * NULLIF(sae1, 0)) - 1e-9, 6) + 0
+               AS mase
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE forecast backtest with MASE (Hyndman-Koehler
+    2006 — the scale-free accuracy score that makes forecast error
+    comparable across series; the evaluation layer the smoothing
+    family q_ewma/q_holt/q_holt_winters forecasts get judged by):
+    per event type over the ZERO-FILLED dense daily grid, the
+    week-ago forecast y[d-7] backtests against actuals, and MASE
+    scales its MAE by the naive-1 (yesterday) MAE. Absolute errors of
+    integer counts stay INTEGER (sae7/sae1 hash exactly); MASE
+    reduces to sae7*n1/(n7*sae1) — integer products and ONE IEEE
+    division, tie-rounded (NULL when the naive-1 error is zero, the
+    constant-series guard). Scale: daily counts are one keyed shuffle
+    with map-side partials; the dense grid is (types x day domain) —
+    bounded by TIME, not corpus; the lag windows partition per type."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("di"),
+    )
+    d_idx = daily.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.datediff("day", "d0").alias("di"), "y"
+    )
+    dense = grid.join(d_idx, ["event_type", "di"], "left").select(
+        "event_type", "di", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("di")
+    lagged = dense.select(
+        "event_type", "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when(F.col("y7").isNotNull(), F.abs(F.col("y") - F.col("y7")))
+        ).cast("long").alias("sae7"),
+        F.count("y7").alias("n7"),
+        F.sum(
+            F.when(F.col("y1").isNotNull(), F.abs(F.col("y") - F.col("y1")))
+        ).cast("long").alias("sae1"),
+        F.count("y1").alias("n1"),
+    )
+    return agg.select(
+        "event_type", "n_days", "sae7", "sae1",
+        fround(F.col("sae7").cast("double") / F.col("n7"), 6)
+        .alias("mae_snaive"),
+        fround(F.col("sae1").cast("double") / F.col("n1"), 6)
+        .alias("mae_naive1"),
+        fround(
+            F.col("sae7").cast("double") * F.col("n1")
+            / (F.col("n7").cast("double")
+               * F.nullif(F.col("sae1"), F.lit(0))),
+            6,
+        ).alias("mase"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_dn_retention",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    first_day AS (SELECT user_id, MIN(day) AS f0 FROM ud GROUP BY 1),
+    marks AS (
+        SELECT f.f0, u.user_id,
+               MAX(CASE WHEN datediff('day', f.f0, u.day) = 1
+                        THEN 1 ELSE 0 END) AS r1,
+               MAX(CASE WHEN datediff('day', f.f0, u.day) = 7
+                        THEN 1 ELSE 0 END) AS r7,
+               MAX(CASE WHEN datediff('day', f.f0, u.day) = 28
+                        THEN 1 ELSE 0 END) AS r28
+        FROM first_day f JOIN ud u USING (user_id)
+        GROUP BY 1, 2)
+    SELECT CAST(f0 AS TIMESTAMP) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(r1) AS BIGINT) AS n_d1,
+           CAST(SUM(r7) AS BIGINT) AS n_d7,
+           CAST(SUM(r28) AS BIGINT) AS n_d28,
+           ROUND(CAST(SUM(r1) AS DOUBLE) / COUNT(*) - 1e-9, 6) + 0 AS rate_d1,
+           ROUND(CAST(SUM(r7) AS DOUBLE) / COUNT(*) - 1e-9, 6) + 0 AS rate_d7,
+           ROUND(CAST(SUM(r28) AS DOUBLE) / COUNT(*) - 1e-9, 6) + 0
+               AS rate_d28
+    FROM marks GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7/D28 RETENTION by signup cohort — the bounded-day
+    growth metric beside the full q_cohort_retention matrix and the
+    rolling q_dau_wau_mau (product teams read exactly these three
+    numbers): a user counts as day-k retained iff they have ANY event
+    exactly k days after their first-ever active day. Two keyed
+    aggregations (distinct user-days, then per-user day-offset marks
+    joined back on user_id) and one cohort rollup — counts integer,
+    rates one IEEE division each, tie-rounded. Scale: everything keys
+    on user_id or the bounded day domain; no window over the event
+    stream at all."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("f0"))
+    k = F.datediff("day", "f0")
+    marks = (
+        first_day.join(ud, "user_id")
+        .groupBy("f0", "user_id")
+        .agg(
+            F.max(F.when(k == 1, 1).otherwise(0)).alias("r1"),
+            F.max(F.when(k == 7, 1).otherwise(0)).alias("r7"),
+            F.max(F.when(k == 28, 1).otherwise(0)).alias("r28"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        marks.groupBy(F.col("f0").cast("timestamp").alias("cohort_day"))
+        .agg(
+            n.alias("n_new"),
+            F.sum("r1").cast("long").alias("n_d1"),
+            F.sum("r7").cast("long").alias("n_d7"),
+            F.sum("r28").cast("long").alias("n_d28"),
+            fround(F.sum("r1") / n, 6).alias("rate_d1"),
+            fround(F.sum("r7") / n, 6).alias("rate_d7"),
+            fround(F.sum("r28") / n, 6).alias("rate_d28"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+@register(
+    "q_session_entry_exit",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM ordered),
+    ranked AS (
+      SELECT user_id, sess_no, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, sess_no ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, sess_no) AS depth
+      FROM sess),
+    pairs AS (
+      SELECT user_id, sess_no,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             MAX(CASE WHEN rn = depth THEN event_type END) AS exit_type,
+             CAST(MAX(depth) AS BIGINT) AS depth
+      FROM ranked GROUP BY 1, 2)
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           ROUND(CAST(SUM(CAST(depth AS BIGINT)) AS DOUBLE) / COUNT(*)
+                 - 1e-9, 6) + 0 AS avg_depth
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_sessions DESC, entry_type, exit_type
+    """,
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session ENTRY/EXIT matrix — the landing/abandonment analysis
+    beside q_session_paths (which mines openings only) and
+    q_session_metrics (which rolls up quality): sessions form by the
+    house 30-min integer-microsecond gap rule, each session reduces
+    to its (first, last) event-type pair with deterministic (ts,
+    event_id) ordering, and the pair matrix carries session counts,
+    single-event bounces, and mean depth. One user-partitioned window
+    pass + one session-keyed aggregate (entry/exit picked from the
+    session's own sorted struct list — no second window) + the
+    type-pair rollup (<= 25 rows). avg_depth is one IEEE division,
+    tie-rounded."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > 1_800_000_000
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "sess_no",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    pairs = sess.groupBy("user_id", "sess_no").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    ).select(
+        F.element_at("evs", 1)["event_type"].alias("entry_type"),
+        F.element_at("evs", -1)["event_type"].alias("exit_type"),
+        F.size("evs").cast("long").alias("depth"),
+    )
+    return (
+        pairs.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+            .cast("long").alias("n_bounce"),
+            fround(
+                F.sum("depth").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_depth"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "entry_type", "exit_type")
+    )
+
+
+@register(
     "q_skyline_pareto",
     oracle="""
     SELECT p.p_partkey AS partkey, p.p_name AS name,
@@ -7173,6 +7757,206 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fold(F.slice("arr", F.lit(1), F.col("i")), F.col("tot"))[1], 6
         ).alias("survival"),
     ).orderBy("day")
+
+
+@register(
+    "q_nelson_aalen",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS t0,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS tp
+        FROM events GROUP BY 1),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+    spans AS (
+        SELECT user_id,
+               CASE WHEN tp IS NOT NULL THEN datediff('day', t0, tp)
+                    ELSE datediff('day', t0, hmax) END AS dur,
+               (tp IS NOT NULL) AS observed
+        FROM u, horizon),
+    daily AS (
+        SELECT dur AS day,
+               CAST(COUNT(CASE WHEN observed THEN 1 END) AS DOUBLE) AS d,
+               CAST(COUNT(CASE WHEN NOT observed THEN 1 END) AS DOUBLE) AS c
+        FROM spans GROUP BY 1),
+    packed AS (
+        SELECT list(struct_pack(day := day, d := d, c := c)
+                    ORDER BY day) AS arr,
+               CAST((SELECT COUNT(*) FROM spans) AS DOUBLE) AS tot
+        FROM daily)
+    SELECT p.arr[gs.i].day AS day,
+           CAST(list_reduce(
+               list_prepend([p.tot, CAST(0 AS DOUBLE)],
+                   list_transform(p.arr[1:gs.i - 1], e -> [e.d, e.c])),
+               (a, x) -> [a[1] - x[1] - x[2],
+                          a[2] + x[1] / a[1]])[1] AS BIGINT)
+               AS n_risk,
+           CAST(p.arr[gs.i].d AS BIGINT) AS d_events,
+           ROUND(list_reduce(
+               list_prepend([p.tot, CAST(0 AS DOUBLE)],
+                   list_transform(p.arr[1:gs.i], e -> [e.d, e.c])),
+               (a, x) -> [a[1] - x[1] - x[2],
+                          a[2] + x[1] / a[1]])[2] - 1e-9, 6) + 0
+               AS cum_hazard
+    FROM packed p
+    CROSS JOIN (SELECT unnest(generate_series(1,
+        (SELECT len(arr) FROM packed))) AS i) gs
+    ORDER BY day
+    """,
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative-hazard estimator H(t) = sum(d_i / n_i)
+    over time-to-first-purchase with right censoring — the additive
+    sibling of q_survival_km's multiplicative S(t) (H is the
+    variance-friendly scale survival texts difference-test on; -ln S
+    approaches H but they are distinct estimators). Same distributed
+    skeleton: per-user span derivation, per-day (d, c) counts, then
+    the DAY-SORTED term list folds with a [n_remaining, H]
+    accumulator — the identical IEEE divide/add sequence in both
+    engines (fixed-order fold, the q_survival_km posture), no mid-fold
+    rounding. The day-domain-bounded packed frame is the only
+    single-row funnel (documented)."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("tp"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("hmax"))
+    spans = u.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull(), F.datediff("tp", "t0")
+        ).otherwise(F.datediff("hmax", "t0")).alias("dur"),
+        F.col("tp").isNotNull().alias("observed"),
+    )
+    daily = spans.groupBy(F.col("dur").alias("day")).agg(
+        F.count(F.when(F.col("observed"), 1)).cast("double").alias("d"),
+        F.count(F.when(~F.col("observed"), 1)).cast("double").alias("c"),
+    )
+    packed = daily.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("day", "d", "c"))).alias("arr"),
+        F.sum(F.col("d") + F.col("c")).alias("tot"),
+    )
+    idx = packed.select(
+        "arr", "tot",
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
+    )
+
+    def _fold(arr_slice, tot):
+        return F.aggregate(
+            F.transform(arr_slice, lambda e: F.array(e["d"], e["c"])),
+            F.array(tot, F.lit(0.0)),
+            lambda a, x: F.array(
+                a[0] - x[0] - x[1], a[1] + x[0] / a[0]
+            ),
+        )
+
+    return idx.select(
+        F.element_at("arr", F.col("i"))["day"].alias("day"),
+        _fold(F.slice("arr", F.lit(1), F.col("i") - 1), F.col("tot"))[0]
+        .cast("long").alias("n_risk"),
+        F.element_at("arr", F.col("i"))["d"].cast("long").alias("d_events"),
+        fround(
+            _fold(F.slice("arr", F.lit(1), F.col("i")), F.col("tot"))[1], 6
+        ).alias("cum_hazard"),
+    ).orderBy("day")
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN CAST(concat('0x',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase'),
+    cells AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM s GROUP BY v),
+    pre AS (
+        SELECT v, ca, cb,
+               COALESCE(SUM(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_b
+        FROM cells),
+    agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b,
+               CAST(SUM(ca * (2 * cum_b + cb)) AS BIGINT) AS u2,
+               CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                    AS BIGINT) AS tsum
+        FROM pre)
+    SELECT n_a, n_b,
+           CAST(u2 AS DOUBLE) / 2 AS u_a,
+           CAST(n_a AS DOUBLE) * n_b / 2 AS mean_u,
+           ROUND((CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                        * ((n_a + n_b + 1)
+                           - CAST(tsum AS DOUBLE)
+                             / ((n_a + n_b) * (n_a + n_b - 1.0))))
+                 - 1e-9, 6) + 0 AS z
+    FROM agg
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test of the A/B purchase-value split —
+    the nonparametric location test beside q_ab_test's Welch t and
+    q_permutation_test's resampling p (U is distribution-free and
+    outlier-robust where the t is not). Same deterministic md5-parity
+    arms. No corpus-sized global sort: values quantize to exact CENTS
+    and aggregate per distinct cent cell first (one keyed shuffle),
+    so U_A = sum over cells of ca * (cb_below + cb_equal/2) comes from
+    a prefix-sum window over the VALUE-DOMAIN-bounded cell frame
+    (2dp x bounded price range — independent of corpus size;
+    documented funnel, the q_quantile_normalize posture). 2*U stays
+    INTEGER (exact cross-engine); the normal approximation applies
+    the standard tie correction sum(t^3 - t) — also integer — and one
+    IEEE sqrt/divide for z, tie-rounded at 6dp."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 2 == 0
+    )
+    s = ev.select(
+        arm_a.alias("is_a"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    cells = s.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = cells.withColumn(
+        "cum_b", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    )
+    t = F.col("ca") + F.col("cb")
+    agg = pre.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("cum_b") + F.col("cb")))
+        .cast("long").alias("u2"),
+        F.sum(t * t * t - t).cast("long").alias("tsum"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u_a = F.col("u2").cast("double") / 2
+    mean_u = n_a * n_b / 2
+    nn = n_a + n_b
+    var_u = n_a * n_b / 12 * (
+        (nn + 1) - F.col("tsum").cast("double") / (nn * (nn - 1))
+    )
+    return agg.select(
+        "n_a", "n_b",
+        u_a.alias("u_a"),
+        mean_u.alias("mean_u"),
+        fround((u_a - mean_u) / F.sqrt(var_u), 6).alias("z"),
+    )
 
 
 @register(

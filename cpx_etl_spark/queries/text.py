@@ -3444,3 +3444,242 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+_LLR_MIN = 5  # bigram count floor: G2 is unstable on tiny counts
+
+
+@register(
+    "q_collocation_llr",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT t[i + 1] AS w1, t[i + 2] AS w2
+        FROM (SELECT t, unnest(generate_series(0, len(t) - 2)) AS i
+              FROM toks)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy
+           FROM bg GROUP BY 1, 2),
+    lx AS (SELECT w1, CAST(SUM(cxy) AS BIGINT) AS cx FROM bc GROUP BY 1),
+    ly AS (SELECT w2, CAST(SUM(cxy) AS BIGINT) AS cy FROM bc GROUP BY 1),
+    nn AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM bc),
+    scored AS (
+        SELECT b.w1, b.w2, b.cxy, lx.cx, ly.cy,
+               ROUND(2 * (
+                 (CASE WHEN b.cxy > 0 THEN b.cxy * ln(CAST(b.cxy AS DOUBLE)) ELSE 0 END)
+               + (CASE WHEN lx.cx - b.cxy > 0 THEN (lx.cx - b.cxy) * ln(CAST(lx.cx - b.cxy AS DOUBLE)) ELSE 0 END)
+               + (CASE WHEN ly.cy - b.cxy > 0 THEN (ly.cy - b.cxy) * ln(CAST(ly.cy - b.cxy AS DOUBLE)) ELSE 0 END)
+               + (CASE WHEN nn.n - lx.cx - ly.cy + b.cxy > 0 THEN (nn.n - lx.cx - ly.cy + b.cxy) * ln(CAST(nn.n - lx.cx - ly.cy + b.cxy AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN lx.cx > 0 THEN lx.cx * ln(CAST(lx.cx AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN nn.n - lx.cx > 0 THEN (nn.n - lx.cx) * ln(CAST(nn.n - lx.cx AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN ly.cy > 0 THEN ly.cy * ln(CAST(ly.cy AS DOUBLE)) ELSE 0 END)
+               - (CASE WHEN nn.n - ly.cy > 0 THEN (nn.n - ly.cy) * ln(CAST(nn.n - ly.cy AS DOUBLE)) ELSE 0 END)
+               + nn.n * ln(CAST(nn.n AS DOUBLE))
+               ) - 1e-9, 6) + 0 AS g2
+        FROM bc b JOIN lx USING (w1) JOIN ly USING (w2) CROSS JOIN nn
+        WHERE b.cxy >= {_LLR_MIN})
+    SELECT w1, w2, cxy, cx, cy, g2
+    FROM scored
+    ORDER BY g2 DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION extraction by Dunning's log-likelihood ratio
+    (Dunning 1993, the G2 statistic — the count-robust collocation
+    test q_token_pmi's rational ranking cannot give: PMI overranks
+    rare pairs, G2 weighs evidence mass): for every adjacent token
+    bigram with count >= 5, the 2x2 (w1?, w2?) contingency G2 = 2 *
+    sum(O ln O) over cells minus margins plus total — computed in the
+    entropy form, so each term is k * ln(k) of an INTEGER count (both
+    engines' libm ln on integer-valued doubles, tie-rounded at 6dp —
+    the q_zipf_fit posture). Top-50 by (g2, w1, w2) deterministic.
+    Scale: bigram extraction is the projection/explode scan shape,
+    then ONE bigram-keyed count shuffle with map-side partials; the
+    margin frames key on single tokens, the total is a 1-row
+    broadcast. No window over the corpus anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    width = F.greatest(F.size(arr) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(arr, 1, width).alias("w1"), F.slice(arr, 2, width).alias("w2")
+    )
+    bg = docs.select(F.explode(z).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    lx = bc.groupBy("w1").agg(F.sum("cxy").cast("long").alias("cx"))
+    ly = bc.groupBy("w2").agg(F.sum("cxy").cast("long").alias("cy"))
+    nn = bc.agg(F.sum("cxy").cast("long").alias("n"))
+
+    def ll(k):
+        return F.when(k > 0, k.cast("double") * F.log(k.cast("double"))).otherwise(F.lit(0.0))
+
+    cxy, cx, cy, n = (F.col(c) for c in ("cxy", "cx", "cy", "n"))
+    g2 = 2 * (
+        ll(cxy) + ll(cx - cxy) + ll(cy - cxy) + ll(n - cx - cy + cxy)
+        - ll(cx) - ll(n - cx) - ll(cy) - ll(n - cy)
+        + n.cast("double") * F.log(n.cast("double"))
+    )
+    return (
+        bc.filter(F.col("cxy") >= _LLR_MIN)
+        .join(lx, "w1")
+        .join(ly, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select("w1", "w2", "cxy", "cx", "cy", fround(g2, 6).alias("g2"))
+        .orderBy(F.col("g2").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+@register(
+    "q_hapax_rate",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) - 1e-9, 6) + 0 AS hapax_rate,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+                 - 1e-9, 6) + 0 AS ttr
+    FROM tf GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA rate + type-token ratio per source — the
+    lexical-richness screens beside q_simpson_diversity (a corpus of
+    templated/generated text shows a collapsed hapax share; scraped
+    natural text sits near Zipf's ~half-the-vocabulary): one
+    (source, token) count shuffle with map-side partials, then the
+    source rollup — tokens whose within-source frequency is exactly 1
+    are hapax. Counts integer-exact; the two rates are one IEEE
+    division each, tie-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+            .alias("n_hapax"),
+            fround(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6
+            ).alias("hapax_rate"),
+            fround(
+                F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+            ).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_contingency_effect",
+    oracle="""
+    WITH obs AS (
+      SELECT source, lang, COUNT(*) AS o
+      FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, SUM(o) AS r FROM obs GROUP BY source),
+    ct AS (SELECT lang, SUM(o) AS c FROM obs GROUP BY lang),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT r.source, c.lang, r.r, c.c, n.n,
+             COALESCE(o.o, 0) AS o,
+             r.r * c.c * 1.0 / n.n AS e
+      FROM rt r CROSS JOIN ct c CROSS JOIN n
+      LEFT JOIN obs o ON o.source = r.source AND o.lang = c.lang),
+    terms AS (
+      SELECT ROUND((o - e) * (o - e) / e - 1e-9, 6) + 0 AS t,
+             CASE WHEN o > 0
+                  THEN ROUND((o * 1.0 / n)
+                       * ln(o * 1.0 * n / (r * c)) - 1e-9, 9) + 0
+                  ELSE 0.0 END AS mi_term
+      FROM cells),
+    s AS (SELECT CAST(SUM(CAST(t AS DECIMAL(20,6))) AS DOUBLE) AS chi2,
+                 CAST(SUM(CAST(mi_term AS DECIMAL(20,9))) AS DOUBLE) AS mi
+          FROM terms)
+    SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_cols,
+           ROUND(chi2 - 1e-9, 4) + 0 AS chi2,
+           ROUND(sqrt(chi2 / ((SELECT n FROM n)
+                 * LEAST((SELECT COUNT(*) - 1 FROM rt),
+                         (SELECT COUNT(*) - 1 FROM ct)))) - 1e-9, 6) + 0
+               AS cramers_v,
+           ROUND(mi - 1e-9, 6) + 0 AS mi_nats
+    FROM s
+    """,
+)
+def q_contingency_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECT SIZES for the (source x lang) contingency table —
+    q_chi2_independence answers 'is there dependence?'; this row
+    answers 'how MUCH': Cramer's V = sqrt(chi2 / (N * min(r-1, c-1)))
+    normalizes the statistic to [0, 1] across table shapes, and the
+    mutual information in nats measures the shared-information mass
+    (the feature-selection score). Same dense zero-filled cell grid
+    and 6dp-term DECIMAL-sum exactness as the sibling; MI terms are
+    (o/N) ln(oN/(rc)) on integer inputs, 9dp-rounded before the
+    decimal sum (terms are small), final stats one IEEE sqrt/round.
+    Margins are tiny broadcast frames; the only corpus-sized pass is
+    the (source, lang) count."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("source").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["source", "lang"], "left")
+        .select(
+            "r", "c", "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("r") * F.col("c") * 1.0 / F.col("n")).alias("e"),
+        )
+    )
+    o, e, r, c, nn = (F.col(x) for x in ("o", "e", "r", "c", "n"))
+    terms = cells.select(
+        "n",
+        fround((o - e) * (o - e) / e, 6).alias("t"),
+        F.when(
+            o > 0,
+            F.round(
+                (o * 1.0 / nn) * F.log(o * 1.0 * nn / (r * c)) - 1e-9, 9
+            ),
+        ).otherwise(F.lit(0.0)).alias("mi_term"),
+    )
+    r_cnt = rt.agg(F.count(F.lit(1)).alias("n_rows"))
+    c_cnt = ct.agg(F.count(F.lit(1)).alias("n_cols"))
+    s = terms.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("t").cast("decimal(20,6)")).cast("double").alias("chi2"),
+        F.sum(F.col("mi_term").cast("decimal(20,9)")).cast("double")
+        .alias("mi"),
+    )
+    return (
+        s.crossJoin(F.broadcast(r_cnt))
+        .crossJoin(F.broadcast(c_cnt))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "n_rows", "n_cols",
+            fround(F.col("chi2"), 4).alias("chi2"),
+            fround(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n")
+                       * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+            fround(F.col("mi"), 6).alias("mi_nats"),
+        )
+    )

@@ -85,6 +85,13 @@ _ALLOW_FUNNELS: dict[str, list[tuple[str, str]]] = {
         "frame (the projected child derives R/F/M from the per-customer "
         "agg) — same posture as q_user_value_deciles",
     )],
+    "q_mann_whitney": [(
+        "HashAggregate(keys=[v",
+        "documented prefix-sum window over the VALUE-DOMAIN-bounded "
+        "cent-cell frame (2dp x bounded price range, independent of "
+        "corpus size) — the q_quantile_normalize posture; the "
+        "corpus-sized pass is the keyed cell aggregation",
+    )],
     "q_skyline_pareto": [(
         "HashAggregate(keys=[pid",
         "funnels the per-RANGE-PARTITION max frame (one row per range "
