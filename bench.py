@@ -146,6 +146,11 @@ HEADLINE = [
     "q_skyline_pareto",
     "q_holt_smoothing",
     "q_markov_attribution",
+    # r14 additions: the span-trim rebuild (window-hash shuffle + token
+    # anti-join + per-doc text rebuild — the heaviest new text shape)
+    # and the bigram-keyed G2 collocation shuffle
+    "q_substring_trim",
+    "q_collocation_llr",
 ]
 
 

@@ -2255,3 +2255,172 @@ def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# (rows-per-band, bands) alternatives for the S-curve planner, all at
+# the production signature budget k = 64
+_PLAN_CONFIGS = [(4, 16), (8, 8), (16, 4)]
+
+
+def _sql_pow2chain(x: str, n: int) -> str:
+    """SQL for x**n via repeated squaring (n a power of two) — the
+    identical IEEE multiplication tree the Spark side builds, so the
+    S-curve probabilities are bit-comparable cross-engine."""
+    if n == 1:
+        return x
+    h = _sql_pow2chain(x, n // 2)
+    return f"({h} * {h})"
+
+
+def _sql_band_planning() -> str:
+    parts = []
+    for r, b in _PLAN_CONFIGS:
+        s_mid = round((1.0 / b) ** (1.0 / r), 6)
+        sr = _sql_pow2chain("s", r)
+        tb = _sql_pow2chain(f"(1.0 - {sr})", b)
+        p = f"ROUND((1.0 - {tb}) - 1e-9, 6) + 0"
+        parts.append(f"""
+    SELECT {r} AS r, {b} AS b, {s_mid} AS s_mid,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           ROUND(CAST(SUM(CAST({p} AS DECIMAL(20,6))) AS DOUBLE)
+                 - 1e-9, 4) + 0 AS exp_candidates,
+           ROUND(CAST(SUM(CASE WHEN s >= 0.5
+                     THEN CAST({p} AS DECIMAL(20,6))
+                     ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                 - 1e-9, 4) + 0 AS exp_true_positives,
+           ROUND(CAST(SUM(CASE WHEN s < 0.5
+                     THEN CAST({p} AS DECIMAL(20,6))
+                     ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                 - 1e-9, 4) + 0 AS exp_false_positives
+    FROM sj""")
+    body = "\n    UNION ALL\n".join(parts)
+    return f"""
+    WITH {{index}},
+    cand AS (SELECT DISTINCT t1.doc_id AS doc_a, t2.doc_id AS doc_b
+             FROM tokc t1 JOIN tokc t2
+               ON t2.sh = t1.sh AND t2.doc_id > t1.doc_id),
+    shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+               FROM cand c
+               JOIN tok t1 ON t1.doc_id = c.doc_a
+               JOIN tok t2 ON t2.doc_id = c.doc_b AND t2.sh = t1.sh
+               GROUP BY c.doc_a, c.doc_b),
+    sj AS (SELECT ROUND(s.shared * 1.0 / (ca.n + cb.n - s.shared)
+                        - 1e-9, 6) + 0 AS s
+           FROM shared s
+           JOIN cnt ca ON ca.doc_id = s.doc_a
+           JOIN cnt cb ON cb.doc_id = s.doc_b)
+    SELECT * FROM ({body}) ORDER BY r
+    """
+
+
+@register(
+    "q_lsh_band_planning",
+    oracle=_sql_band_planning().format(index=_SQL_INDEX_AUDIT),
+)
+def q_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash BANDING PLANNER — the S-curve audit that chooses the
+    production (rows-per-band, bands) split of the k = 64 signature
+    BEFORE committing to an index build (q_lsh_candidate_quality then
+    certifies the chosen point empirically): for every df-capped
+    shingle-sharing pair's EXACT Jaccard s, the collision probability
+    under config (r, b) is 1 - (1 - s^r)^b — computed by repeated
+    SQUARING (an identical IEEE multiplication tree in both engines;
+    no pow()), 6dp tie-rounded, DECIMAL-summed into expected
+    candidates / expected true positives (s >= 0.5) / expected false
+    positives per config, beside the config's analytic S-curve
+    midpoint (1/b)^(1/r) as a planning literal. Steeper r trades
+    recall for candidate volume; the three rows quantify that trade
+    on the real corpus. Scale: the pair generator is the audit-capped
+    shingle join (linear, bound documented at _AUDIT_MAX_DF); each
+    config is an expression over the same pair frame — one pass, no
+    extra shuffles."""
+    from cpx_etl_spark.operators.dedup import (
+        prune_hot_shingles,
+        shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index, counts = shingle_index(docs, "doc_id", "text", n=_NGRAM)
+    capped, _hot = prune_hot_shingles(index, _AUDIT_MAX_DF, with_hot=True)
+    ca_ = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    cb_ = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    pairs = (
+        ca_.join(cb_, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ia = index.select(F.col("doc_id").alias("doc_a"), "sh")
+    ib = index.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        pairs.join(ia, "doc_a")
+        .join(ib, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sj = (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            fround(
+                F.col("shared") * 1.0
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("s")
+        )
+    )
+
+    def pow2chain(col, n):
+        if n == 1:
+            return col
+        h = pow2chain(col, n // 2)
+        return h * h
+
+    structs = []
+    for r, b in _PLAN_CONFIGS:
+        s_mid = round((1.0 / b) ** (1.0 / r), 6)
+        p = fround(
+            F.lit(1.0) - pow2chain(F.lit(1.0) - pow2chain(F.col("s"), r), b),
+            6,
+        )
+        structs.append(
+            F.struct(
+                F.lit(r).alias("r"), F.lit(b).alias("b"),
+                F.lit(s_mid).alias("s_mid"), p.alias("p"),
+            )
+        )
+    ex = sj.select("s", F.explode(F.array(*structs)).alias("c")).select(
+        "s", "c.r", "c.b", "c.s_mid", "c.p"
+    )
+    dec = lambda c: c.cast("decimal(20,6)")
+    return (
+        ex.groupBy("r", "b", "s_mid")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("s") >= 0.5, 1).otherwise(0)).cast("long")
+            .alias("n_true"),
+            fround(F.sum(dec(F.col("p"))).cast("double"), 4)
+            .alias("exp_candidates"),
+            fround(
+                F.sum(
+                    F.when(F.col("s") >= 0.5, dec(F.col("p")))
+                    .otherwise(dec(F.lit(0)))
+                ).cast("double"),
+                4,
+            ).alias("exp_true_positives"),
+            fround(
+                F.sum(
+                    F.when(F.col("s") < 0.5, dec(F.col("p")))
+                    .otherwise(dec(F.lit(0)))
+                ).cast("double"),
+                4,
+            ).alias("exp_false_positives"),
+        )
+        .select("r", "b", "s_mid", "n_pairs", "n_true", "exp_candidates",
+                "exp_true_positives", "exp_false_positives")
+        .orderBy("r")
+    )

@@ -2393,6 +2393,393 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dead_letter_replay",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey, c_mktsegment,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '2'
+                   AS was_corrupt
+        FROM customer)
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN was_corrupt THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_first_pass,
+           CAST(SUM(CASE WHEN was_corrupt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_replayed,
+           CAST(0 AS BIGINT) AS n_replay_failed,
+           TRUE AS fully_recovered
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-LETTER REPLAY — the recovery half of
+    q_quarantine_bad_records (which only measures the damage): pass 1
+    parses the payload stream PERMISSIVE and routes the
+    deterministically-truncated 1/8 to the DLQ with their RAW payload
+    and key intact; the producer-side fix re-emits corrected payloads
+    for exactly the DLQ keys (regenerated through a key join — the
+    replay never touches rows that already loaded); pass 2 parses the
+    replay batch STRICTLY (a row failing again would count in
+    n_replay_failed — pinned 0 in-row). The final table is the union
+    of first-pass survivors and replayed rows and must equal the
+    clean-parse replay segment for segment — no duplicates (the DLQ
+    key set and the survivor set are disjoint by construction), no
+    losses (fully_recovered). One parse projection per pass + a
+    DLQ-key join; the DLQ is ~1/8 of the stream, so the replay pass
+    is delta-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    good = F.concat(
+        F.lit('{"k":'), F.col("c_custkey").cast("string"),
+        F.lit(',"seg":"'), F.col("c_mktsegment"), F.lit('"}'),
+    )
+    corrupt = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "2"
+    raw = cust.select(
+        "c_custkey",
+        F.when(corrupt, F.substring(good, 1, 12)).otherwise(good)
+        .alias("payload"),
+    )
+    parsed = raw.select(
+        "c_custkey", "payload",
+        F.from_json(F.col("payload"), "k bigint, seg string")["seg"]
+        .alias("seg"),
+    )
+    first_pass = parsed.filter(F.col("seg").isNotNull()).select(
+        "c_custkey", "seg", F.lit(0).alias("replayed")
+    )
+    dlq = parsed.filter(F.col("seg").isNull()).select("c_custkey", "payload")
+    # producer fix: corrected payloads re-emitted for exactly the DLQ
+    # keys (key join against the source of truth)
+    fixed = dlq.select("c_custkey").join(
+        cust.select("c_custkey", "c_mktsegment"), "c_custkey"
+    ).select(
+        "c_custkey",
+        F.concat(
+            F.lit('{"k":'), F.col("c_custkey").cast("string"),
+            F.lit(',"seg":"'), F.col("c_mktsegment"), F.lit('"}'),
+        ).alias("payload"),
+    )
+    replay = fixed.select(
+        "c_custkey",
+        F.from_json(F.col("payload"), "k bigint, seg string")["seg"]
+        .alias("seg"),
+    )
+    replay_ok = replay.filter(F.col("seg").isNotNull()).select(
+        "c_custkey", "seg", F.lit(1).alias("replayed")
+    )
+    n_replay_failed = replay.filter(F.col("seg").isNull()).limit(1).count()
+    final = first_pass.unionByName(replay_ok)
+    return (
+        final.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(1 - F.col("replayed")).cast("long").alias("n_first_pass"),
+            F.sum("replayed").cast("long").alias("n_replayed"),
+        )
+        .select(
+            "segment", "n_total", "n_first_pass", "n_replayed",
+            F.lit(n_replay_failed).cast("long").alias("n_replay_failed"),
+            F.lit(n_replay_failed == 0).alias("fully_recovered"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_partition_evolution_read",
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+                      MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    tagged AS (
+        SELECT e.*, CAST(e.ts AS DATE) AS day,
+               CAST(e.ts AS DATE)
+                   <= (SELECT d0 + CAST(FLOOR(
+                            datediff('day', d0, d1) / 2) AS INTEGER)
+                       FROM b) AS is_old
+        FROM events e),
+    sel AS (
+        SELECT * FROM tagged
+        WHERE event_type = 'click'
+          AND day >= (SELECT d1 - 2 FROM b)),
+    dirs AS (
+        SELECT (SELECT COUNT(DISTINCT event_type) FROM tagged
+                WHERE is_old) AS n_old_dirs,
+               (SELECT COUNT(DISTINCT (event_type, day)) FROM tagged
+                WHERE NOT is_old) AS n_new_dirs,
+               (SELECT COUNT(DISTINCT (event_type, day)) FROM tagged
+                WHERE NOT is_old AND event_type = 'click'
+                  AND day >= (SELECT d1 - 2 FROM b)) AS n_new_scanned)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_old_epoch,
+           CAST(SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_new_epoch,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                 - 1e-9, 2) + 0 AS sum_value,
+           (SELECT CAST(n_old_dirs AS BIGINT) FROM dirs) AS n_old_dirs,
+           (SELECT CAST(n_new_dirs AS BIGINT) FROM dirs) AS n_new_dirs,
+           CAST(1 AS BIGINT) AS n_old_scanned,
+           (SELECT CAST(n_new_scanned AS BIGINT) FROM dirs)
+               AS n_new_scanned,
+           TRUE AS layout_pruned
+    FROM sel
+    """,
+)
+def q_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION read (the Iceberg evolve-the-spec
+    story on plain parquet): the first half of the event history was
+    landed under spec v1 — partitioned by event_type only — and the
+    newer half under spec v2 — partitioned by (event_type, day) —
+    because query patterns tightened; a table must stay readable and
+    PRUNABLE across both layouts without rewriting history. The
+    unified read (unionByName over both epochs — `day` is a data
+    column in v1 files and a partition column in v2) filters
+    event_type = 'click' AND the last 3 days: v1 prunes to its one
+    click directory (and scans all its days — the honest cost of the
+    coarse old spec), v2 prunes to only the matching (click, day)
+    leaves. Directory-listing counts go in-row (layout_pruned pins
+    scanned << total on the evolved side); engine-level
+    PartitionFilters on both scans are pinned in pytest. Aggregates
+    hash-match the pure-SQL replay. Scratch layouts per invocation."""
+    import os
+
+    from cpx_etl_spark.scratch import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    b = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).first()
+    d0, d1 = b["d0"], b["d1"]
+    span = (d1 - d0).days
+    mid = d0 + __import__("datetime").timedelta(days=span // 2)
+    root = scratch_dir("cpx_pevo_")
+    old_dir = os.path.join(root, "spec_v1")
+    new_dir = os.path.join(root, "spec_v2")
+    ev.filter(F.col("day") <= F.lit(mid)).write.partitionBy(
+        "event_type"
+    ).mode("overwrite").parquet(old_dir)
+    ev.filter(F.col("day") > F.lit(mid)).write.partitionBy(
+        "event_type", "day"
+    ).mode("overwrite").parquet(new_dir)
+
+    lo = d1 - __import__("datetime").timedelta(days=2)
+    old_df = (
+        spark.read.parquet(old_dir)
+        .filter((F.col("event_type") == "click") & (F.col("day") >= F.lit(lo)))
+        .withColumn("is_old", F.lit(True))
+    )
+    new_df = (
+        spark.read.parquet(new_dir)
+        .filter((F.col("event_type") == "click") & (F.col("day") >= F.lit(lo)))
+        .withColumn("is_old", F.lit(False))
+    )
+    unified = old_df.unionByName(new_df.select(*old_df.columns))
+
+    # metadata walk: leaf partition-directory counts per spec (bounded
+    # listing, never a data scan)
+    def leaves(base, depth):
+        out = 0
+        matched = 0
+        for t in os.listdir(base):
+            if not t.startswith("event_type="):
+                continue
+            if depth == 1:
+                out += 1
+                matched += int(t == "event_type=click")
+            else:
+                for d in os.listdir(os.path.join(base, t)):
+                    if d.startswith("day="):
+                        out += 1
+                        matched += int(
+                            t == "event_type=click"
+                            and d >= f"day={lo.isoformat()}"
+                        )
+        return out, matched
+
+    n_old_dirs, n_old_scanned = leaves(old_dir, 1)
+    n_new_dirs, n_new_scanned = leaves(new_dir, 2)
+    return unified.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long")
+        .alias("rows_old_epoch"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("long")
+        .alias("rows_new_epoch"),
+        fround(
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double"), 2
+        ).alias("sum_value"),
+    ).select(
+        "n_rows", "rows_old_epoch", "rows_new_epoch", "sum_value",
+        F.lit(n_old_dirs).cast("long").alias("n_old_dirs"),
+        F.lit(n_new_dirs).cast("long").alias("n_new_dirs"),
+        F.lit(n_old_scanned).cast("long").alias("n_old_scanned"),
+        F.lit(n_new_scanned).cast("long").alias("n_new_scanned"),
+        F.lit(
+            n_old_scanned == 1 and 0 < n_new_scanned < n_new_dirs
+        ).alias("layout_pruned"),
+    )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+    WITH canon AS (
+        SELECT concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS VARCHAR),
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                   o_orderpriority) AS row_str,
+               CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 997 = 0 AS tamper
+        FROM orders),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(CAST(CAST(concat('0x', substr(md5(row_str), 1, 15))
+                        AS BIGINT) AS HUGEINT)) AS cs,
+               SUM(CAST(CAST(concat('0x', substr(md5(
+                        CASE WHEN tamper THEN concat(row_str, '*')
+                             ELSE row_str END), 1, 15))
+                        AS BIGINT) AS HUGEINT)) AS cst,
+               CAST(SUM(CASE WHEN tamper THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tampered
+        FROM canon)
+    SELECT n_rows,
+           CAST(cs AS VARCHAR) AS checksum,
+           CAST(cst AS VARCHAR) AS checksum_tampered,
+           n_tampered,
+           cs <> cst AS diff_detected
+    FROM sums
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE table checksum — the cross-system
+    reconciliation primitive (source vs replica comparison at 100 TB
+    without a global sort or row-by-row diff): every row canonicalizes
+    to a typed string (decimals at fixed scale, dates ISO — the
+    formats both engines print identically), hashes to a 60-bit
+    md5-derived integer, and the table fingerprint is the exact
+    DECIMAL(38,0) SUM of row hashes — associative/commutative, so any
+    partitioning, any row order, any engine yields the same value (one
+    map-side-combinable aggregate, no shuffle beyond the 1-row
+    combine). Sensitivity is pinned IN-ROW: a simulated replica with
+    ~1/997 md5-selected rows perturbed produces checksum_tampered,
+    and diff_detected proves a sub-0.1% corruption flips the
+    fingerprint. The same scan computes both sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(20,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    tamper = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+               16, 10).cast("long") % 997 == 0
+    )
+
+    def h60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
+            "decimal(38,0)"
+        )
+
+    canon = orders.select(
+        row_str.alias("row_str"), tamper.alias("tamper")
+    )
+    return canon.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h60(F.col("row_str"))).alias("checksum"),
+        F.sum(
+            h60(
+                F.when(
+                    F.col("tamper"), F.concat(F.col("row_str"), F.lit("*"))
+                ).otherwise(F.col("row_str"))
+            )
+        ).alias("checksum_tampered"),
+        F.sum(F.when(F.col("tamper"), 1).otherwise(0)).cast("long")
+        .alias("n_tampered"),
+    ).select(
+        "n_rows",
+        F.col("checksum").cast("string").alias("checksum"),
+        F.col("checksum_tampered").cast("string")
+        .alias("checksum_tampered"),
+        "n_tampered",
+        (F.col("checksum") != F.col("checksum_tampered"))
+        .alias("diff_detected"),
+    )
+
+
+@register(
+    "q_pseudonymize_vault",
+    oracle="""
+    WITH tok AS (
+        SELECT md5(concat('vault-key-r14:', CAST(user_id AS VARCHAR)))
+                   AS token,
+               user_id, event_type
+        FROM events),
+    stats AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS n_purchases
+        FROM tok GROUP BY 1),
+    vault AS (SELECT DISTINCT
+                  md5(concat('vault-key-r14:', CAST(user_id AS VARCHAR)))
+                      AS token,
+                  user_id
+              FROM events),
+    top5 AS (SELECT * FROM stats
+             ORDER BY n_events DESC, token LIMIT 5)
+    SELECT t.token, v.user_id, t.n_events, t.n_purchases,
+           t.n_events = (SELECT COUNT(*) FROM events e
+                         WHERE e.user_id = v.user_id) AS roundtrip_ok
+    FROM top5 t JOIN vault v USING (token)
+    ORDER BY t.n_events DESC, t.token
+    """,
+)
+def q_pseudonymize_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KEYED PSEUDONYMIZATION with a re-identification
+    vault — the GDPR-grade pipeline split (the analytics tier sees
+    only tokens; the vault alone maps tokens back; right-to-be-
+    forgotten = delete the vault row, completing q_cascade_delete /
+    q_k_anonymity / q_dp_noisy_counts): tokens are md5(secret ||
+    user_id) — deterministic, so joins/aggregations on the
+    pseudonymized stream still work — the per-token event stats run
+    WITHOUT any raw id, and the top-5 users re-identify through the
+    vault join. roundtrip_ok pins in-row that pseudonymized counts
+    equal raw-id counts (no token collision, no fan-out). Scale: one
+    token-keyed aggregate + a user-cardinality vault broadcast; the
+    secret lives driver-side only."""
+    ev = load_table(spark, sf_dir, "events")
+    token = F.md5(
+        F.concat(F.lit("vault-key-r14:"), F.col("user_id").cast("string"))
+    )
+    tok = ev.select(token.alias("token"), "user_id", "event_type")
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long").alias("n_purchases"),
+    )
+    vault = tok.select("token", "user_id").distinct()
+    top5 = stats.orderBy(F.col("n_events").desc(), "token").limit(5)
+    direct = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_direct")
+    )
+    return (
+        top5.join(vault, "token")
+        .join(direct, "user_id")
+        .select(
+            "token", "user_id", "n_events", "n_purchases",
+            (F.col("n_events") == F.col("n_direct")).alias("roundtrip_ok"),
+        )
+        .orderBy(F.col("n_events").desc(), "token")
+    )
+
+
+@register(
     "q_snapshot_expire",
     oracle="""
     WITH t AS (

@@ -1706,3 +1706,126 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _sql_recall_vs_probes() -> str:
+    """Oracle for q_ann_recall_vs_probes: shared centroid/assignment
+    CTEs (same construction as _IVF_ORACLE), an exact brute-force
+    top-10 truth set, and one candidate/rank/match chain per nprobe."""
+    from cpx_etl_spark.functions.vectors import sql_cosine
+
+    parts = []
+    for np_ in (1, 2, 4):
+        parts.append(f"""
+    SELECT {np_} AS nprobe,
+           (SELECT COUNT(DISTINCT query_id) FROM exactk) AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+               SELECT r.query_id, r.neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM (
+                       SELECT c.query_id, c.neighbor_id,
+                              ROUND({sql_cosine('eq.embedding', 'ec.embedding', _DIM)}
+                                    - 1e-9, 6) + 0 AS cos
+                       FROM (
+                           SELECT p.query_id, a.neighbor_id
+                           FROM (SELECT vec_id AS query_id, cell FROM ascore
+                                 WHERE vec_id < 5
+                                 QUALIFY ROW_NUMBER() OVER (
+                                     PARTITION BY vec_id
+                                     ORDER BY c_cos DESC, cell) <= {np_}) p
+                           JOIN assigned a USING (cell)
+                           WHERE a.neighbor_id <> p.query_id) c
+                       JOIN embeddings eq ON eq.vec_id = c.query_id
+                       JOIN embeddings ec ON ec.vec_id = c.neighbor_id)) r
+               JOIN exactk x ON x.query_id = r.query_id
+                            AND x.neighbor_id = r.neighbor_id
+               WHERE r.rank <= 10)) AS n_matched""")
+    body = "\n    UNION ALL\n".join(parts)
+    return f"""
+    WITH comp AS (
+        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    cent AS (
+        SELECT label AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY label, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    ascore AS (
+        SELECT e.vec_id, c.cell,
+               ROUND({sql_cosine('e.embedding', 'c.centroid', _DIM)} - 1e-9, 6) + 0 AS c_cos
+        FROM embeddings e CROSS JOIN centv c),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY c_cos DESC, cell) = 1),
+    exactk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+                   ROUND({sql_cosine('eq.embedding', 'ec.embedding', _DIM)}
+                         - 1e-9, 6) + 0 AS cos
+            FROM embeddings eq JOIN embeddings ec
+              ON ec.vec_id <> eq.vec_id
+            WHERE eq.vec_id < 5)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) <= 10)
+    SELECT nprobe, CAST(n_queries AS BIGINT) AS n_queries, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / (10 * n_queries) - 1e-9, 6) + 0
+               AS recall_at_10
+    FROM ({body})
+    ORDER BY nprobe
+    """
+
+
+@register("q_ann_recall_vs_probes", oracle=_sql_recall_vs_probes())
+def q_ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF SERVING-TUNING audit: recall@10 against the exact
+    brute-force truth as a function of nprobe (1 / 2 / 4 probed
+    cells) — the latency/recall dial every IVF deployment sets, here
+    measured on the real corpus so the production nprobe choice (2,
+    ann_ivf_topk) is evidence-backed the way the banding choice is by
+    q_lsh_band_planning. One shared IVF build (exact-decimal
+    centroids, min_by assignment); each nprobe row reuses the same
+    assignments and reranks only its probed cells' candidates; recall
+    is an integer match count over (query, neighbor) pairs and one
+    IEEE division. Scale: candidate volume per query is
+    nprobe-cell-bounded; the truth set is 5 queries x corpus — the
+    documented brute-force baseline shape (ann_bruteforce_topk)."""
+    from cpx_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_serve,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids, assigned = ivf_build(emb, "vec_id", "embedding", "label")
+    # checkpoint the shared halves: three serve branches would
+    # otherwise recompute the build per branch (the IVFPQ r13 posture)
+    centroids = centroids.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=True)
+    exact = brute_force_topk(
+        emb, queries, "vec_id", "embedding", k=10
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    nq = queries.count()
+    out = None
+    for np_ in (1, 2, 4):
+        got = ivf_serve(
+            queries, centroids, assigned, "vec_id", "embedding",
+            k=10, nprobe=np_,
+        ).select("query_id", "neighbor_id")
+        matched = got.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        row = matched.agg(
+            F.count(F.lit(1)).alias("n_matched")
+        ).select(
+            F.lit(np_).alias("nprobe"),
+            F.lit(nq).cast("long").alias("n_queries"),
+            F.col("n_matched"),
+            fround(
+                F.col("n_matched").cast("double") / (10 * nq), 6
+            ).alias("recall_at_10"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")

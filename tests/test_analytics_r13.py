@@ -143,8 +143,13 @@ def test_markov_attribution_invariants(spark, sf_dir):
 
 
 def test_itemsets3_prune_is_lossless(spark, sf_dir):
-    """Downward closure: the Apriori-pruned triple set must equal the
-    naive all-triples count (recomputed here without pruning)."""
+    """Downward closure + adaptive threshold (r14 semantics: BRAND
+    baskets, final keep = above-average support among repeated
+    triples): the Apriori-pruned result must equal the naive
+    all-triples count recomputed here without pruning, thresholded by
+    the same m = max(2, ceil(avg))."""
+    import math
+
     from cpx_etl_spark.sources import load_table
 
     got = {
@@ -152,9 +157,13 @@ def test_itemsets3_prune_is_lossless(spark, sf_dir):
         for r in QUERIES["q_itemsets3"](spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bk = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    ).distinct()
     baskets = {}
-    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
-        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    for r in bk.collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["p_brand"])
     from collections import Counter
     from itertools import combinations
 
@@ -162,8 +171,11 @@ def test_itemsets3_prune_is_lossless(spark, sf_dir):
     for items in baskets.values():
         for t in combinations(sorted(items), 3):
             naive[t] += 1
-    want = {(a, b, c, n) for (a, b, c), n in naive.items() if n >= 2}
-    assert got == want
+    rep = {t: n for t, n in naive.items() if n >= 2}
+    assert rep, "fixture corpus must contain repeated brand triples"
+    m = max(2, math.ceil(sum(rep.values()) / len(rep)))
+    want = {(a, b, c, n) for (a, b, c), n in rep.items() if n >= m}
+    assert got == want and len(got) > 0
 
 
 def test_char_entropy_analytic_cases(spark, tmp_path):

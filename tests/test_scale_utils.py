@@ -971,3 +971,42 @@ def test_upsert_cas_aba_rollback_slot_reuse_refused(spark, tmp_path):
     got = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
     assert got == {1: "a", 4: "fresh"}  # BAD rolled back, stale refused
     assert _read_manifest_entry(path) != entry_b
+
+
+def test_partition_evolution_unified_read_prunes_both_specs(spark, tmp_path):
+    """Partition-spec evolution: history landed under spec v1
+    (event_type) and spec v2 (event_type, day) must stay readable AND
+    engine-prunable in one unified read — both scans of the union show
+    PartitionFilters on their own spec's columns, and the row content
+    equals the unpartitioned filter."""
+    import datetime
+
+    rows = [
+        (i, "click" if i % 2 == 0 else "view",
+         datetime.date(2024, 1, 1 + i % 6), float(i))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, day date, value double")
+    old_dir, new_dir = str(tmp_path / "v1"), str(tmp_path / "v2")
+    df.filter(F.col("day") <= F.lit(datetime.date(2024, 1, 3))).write.partitionBy(
+        "event_type"
+    ).parquet(old_dir)
+    df.filter(F.col("day") > F.lit(datetime.date(2024, 1, 3))).write.partitionBy(
+        "event_type", "day"
+    ).parquet(new_dir)
+
+    cond = (F.col("event_type") == "click") & (
+        F.col("day") >= F.lit(datetime.date(2024, 1, 3))
+    )
+    old_df = spark.read.parquet(old_dir).filter(cond)
+    new_df = spark.read.parquet(new_dir).filter(cond)
+    unified = old_df.unionByName(new_df.select(*old_df.columns))
+
+    plan = unified._jdf.queryExecution().executedPlan().toString()
+    # v1 scan prunes on event_type; v2 scan prunes on BOTH spec columns
+    assert plan.count("PartitionFilters: [") >= 2
+    assert "(event_type" in plan and "(day" in plan
+
+    got = sorted(r["event_id"] for r in unified.collect())
+    want = sorted(r["event_id"] for r in df.filter(cond).collect())
+    assert got == want and len(got) > 0
