@@ -2466,7 +2466,7 @@ def q_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_ok = replay.filter(F.col("seg").isNotNull()).select(
         "c_custkey", "seg", F.lit(1).alias("replayed")
     )
-    n_replay_failed = replay.filter(F.col("seg").isNull()).limit(1).count()
+    n_replay_failed = replay.filter(F.col("seg").isNull()).count()
     final = first_pass.unionByName(replay_ok)
     return (
         final.groupBy(F.col("seg").alias("segment"))

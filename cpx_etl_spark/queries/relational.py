@@ -7734,7 +7734,10 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("day", "d", "c"))).alias("arr"),
         F.sum(F.col("d") + F.col("c")).alias("tot"),
     )
-    idx = packed.select(
+    # empty corpus: sequence(1, 0) DESCENDS in Spark (DuckDB's
+    # generate_series is empty) and element_at on [] throws under ANSI
+    # — emit the same zero rows instead (code-review r14)
+    idx = packed.filter(F.size("arr") >= 1).select(
         "arr", "tot",
         F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
     )
@@ -7839,7 +7842,10 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("day", "d", "c"))).alias("arr"),
         F.sum(F.col("d") + F.col("c")).alias("tot"),
     )
-    idx = packed.select(
+    # empty corpus: sequence(1, 0) DESCENDS in Spark (DuckDB's
+    # generate_series is empty) and element_at on [] throws under ANSI
+    # — emit the same zero rows instead (code-review r14)
+    idx = packed.filter(F.size("arr") >= 1).select(
         "arr", "tot",
         F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
     )
@@ -7897,10 +7903,10 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(u2 AS DOUBLE) / 2 AS u_a,
            CAST(n_a AS DOUBLE) * n_b / 2 AS mean_u,
            ROUND((CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
-                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                 / NULLIF(sqrt(CAST(n_a AS DOUBLE) * n_b / 12
                         * ((n_a + n_b + 1)
                            - CAST(tsum AS DOUBLE)
-                             / ((n_a + n_b) * (n_a + n_b - 1.0))))
+                             / ((n_a + n_b) * (n_a + n_b - 1.0)))), 0)
                  - 1e-9, 6) + 0 AS z
     FROM agg
     """,
@@ -7955,7 +7961,11 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "n_b",
         u_a.alias("u_a"),
         mean_u.alias("mean_u"),
-        fround((u_a - mean_u) / F.sqrt(var_u), 6).alias("z"),
+        # all-one-cell / one-arm degenerates: var_u = 0 -> NULL z like
+        # the oracle, never an ANSI divide error
+        fround(
+            (u_a - mean_u) / F.nullif(F.sqrt(var_u), F.lit(0.0)), 6
+        ).alias("z"),
     )
 
 

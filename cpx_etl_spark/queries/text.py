@@ -3611,9 +3611,9 @@ def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_rows,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_cols,
            ROUND(chi2 - 1e-9, 4) + 0 AS chi2,
-           ROUND(sqrt(chi2 / ((SELECT n FROM n)
+           ROUND(sqrt(chi2 / NULLIF((SELECT n FROM n)
                  * LEAST((SELECT COUNT(*) - 1 FROM rt),
-                         (SELECT COUNT(*) - 1 FROM ct)))) - 1e-9, 6) + 0
+                         (SELECT COUNT(*) - 1 FROM ct)), 0)) - 1e-9, 6) + 0
                AS cramers_v,
            ROUND(mi - 1e-9, 6) + 0 AS mi_nats
     FROM s
@@ -3672,11 +3672,16 @@ def q_contingency_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
             "n_rows", "n_cols",
             fround(F.col("chi2"), 4).alias("chi2"),
+            # a 1-row or 1-col table: min(r-1, c-1) = 0 -> NULL V like
+            # the oracle, never an ANSI divide error
             fround(
                 F.sqrt(
                     F.col("chi2")
-                    / (F.col("n")
-                       * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+                    / F.nullif(
+                        F.col("n")
+                        * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1),
+                        F.lit(0),
+                    )
                 ),
                 6,
             ).alias("cramers_v"),

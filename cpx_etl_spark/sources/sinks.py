@@ -573,6 +573,10 @@ def _gc_and_claim_version(
             if _claim_is_live(path, item):
                 continue  # concurrent writer's in-flight snapshot
             shutil.rmtree(os.path.join(path, item), ignore_errors=True)
+        elif item.startswith(".expired."):
+            # tombstone left by an expire_upsert_versions run that died
+            # between the locked rename and the unlocked delete
+            shutil.rmtree(os.path.join(path, item), ignore_errors=True)
         elif item.startswith(_CLAIM_PREFIX):
             # only AGE-stale claims are reaped — never "slot number
             # below the committed head": concurrent writers commit out
@@ -872,13 +876,28 @@ def expire_upsert_versions(
     now = time.time() if now is None else now
     if not os.path.isdir(path) or _read_manifest(path) is None:
         return []  # no table / no committed snapshot: nothing expirable
+    import uuid
+
     expired: list[str] = []
+    doomed: list[tuple[str, str]] = []
+    # under the lock: decide + atomically RENAME to tombstones only
+    # (microsecond renames — the pointer lock is never held across a
+    # bulk delete, honoring its no-data-work contract; the manifest can
+    # never point at a tombstone name). The actual rmtree runs after
+    # the lock drops.
     with _pointer_lock(path):
         head = _read_manifest(path)
         if head is None:
             return []  # no committed snapshot: nothing is expirable
         committed = sorted(
-            e for e in os.listdir(path) if e.startswith("v") and e <= head
+            e for e in os.listdir(path)
+            if e.startswith("v") and e <= head
+            # a live-claimed dir below head is a concurrent writer's
+            # IN-FLIGHT snapshot (out-of-slot-order commit), not a
+            # committed version: it must neither be expired NOR count
+            # toward keep_last protection (or it would displace a real
+            # committed snapshot out of the retention window)
+            and not _claim_is_live(path, e)
         )
         protected = set(committed[-(keep_last or 1):]) | {head}
         for v in committed:
@@ -891,10 +910,15 @@ def expire_upsert_versions(
                     continue  # vanished concurrently
                 if age < older_than_secs:
                     continue  # too young to expire
-            if _claim_is_live(path, v):
-                continue  # a writer still owns this slot
-            shutil.rmtree(os.path.join(path, v), ignore_errors=True)
+            tomb = os.path.join(path, f".expired.{v}.{uuid.uuid4().hex}")
+            try:
+                os.rename(os.path.join(path, v), tomb)
+            except OSError:
+                continue  # vanished / busy: report nothing for it
+            doomed.append((v, tomb))
             expired.append(v)
+    for _v, tomb in doomed:
+        shutil.rmtree(tomb, ignore_errors=True)
     return expired
 
 

@@ -986,6 +986,73 @@ def attributed_revenue_hourly_batch(df: DataFrame) -> DataFrame:
     return _attributed_revenue_hourly(df, stream=False)
 
 
+def _attr_window_delta(batch_df: DataFrame) -> DataFrame:
+    """Per-window delta of one micro-batch of attributed purchases:
+    count + exact DECIMAL(20,4) revenue, keyed on window_start."""
+    return (
+        batch_df.groupBy(F.window("p_ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(20,4)"))
+            .cast("decimal(20,4)")
+            .alias("revenue"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_purchases",
+            "revenue",
+        )
+    )
+
+
+def additive_window_merge(batch_df: DataFrame, bid: int, out_path: str) -> None:
+    """IDEMPOTENT additive merge of one micro-batch's per-window
+    deltas into the versioned rollup table. foreachBatch is
+    at-least-once: when the snapshot commit lands but the streaming
+    checkpoint doesn't (driver death in between), Spark replays the
+    SAME batch id on restart — an unguarded additive merge would
+    double-count it (code-review r14). Every committed row carries
+    ``_last_bid``, the id of the newest batch applied; a batch with
+    bid <= that is a replay of already-committed work and is skipped.
+    Batch ids are monotone per checkpoint, so the guard is one MAX
+    over the (window-domain-sized) base. Reusing one output table
+    across DIFFERENT checkpoints is not supported (same as any
+    foreachBatch sink — ids restart at 0)."""
+    from cpx_etl_spark.sources.sinks import (
+        commit_versioned_parquet,
+        has_readable_base,
+        read_upsert_table,
+    )
+
+    if not batch_df.take(1):
+        return
+    delta = _attr_window_delta(batch_df)
+    if has_readable_base(out_path):
+        base = read_upsert_table(batch_df.sparkSession, out_path)
+        last = base.agg(F.max("_last_bid")).first()[0]
+        if last is not None and bid <= last:
+            return  # replayed batch: its delta is already committed
+    else:
+        base = None
+    if base is not None:
+        merged = (
+            base.select("window_start", "n_purchases", "revenue")
+            .unionByName(delta)
+            .groupBy("window_start")
+            .agg(
+                F.sum("n_purchases").cast("long").alias("n_purchases"),
+                F.sum("revenue").cast("decimal(20,4)").alias("revenue"),
+            )
+        )
+    else:
+        merged = delta.withColumn(
+            "n_purchases", F.col("n_purchases").cast("long")
+        )
+    commit_versioned_parquet(
+        merged.withColumn("_last_bid", F.lit(bid).cast("long")), out_path
+    )
+
+
 def attributed_revenue_update_upsert(
     sdf: DataFrame, out_path: str, checkpoint: str
 ):
@@ -996,62 +1063,22 @@ def attributed_revenue_update_upsert(
     composed outside the stateful query. The stream-stream LEFT SEMI
     interval join runs append-mode (each attributed purchase emits
     exactly once, watermark-bounded state), and every micro-batch's
-    output aggregates into per-window DELTAS — purchase count + exact
-    DECIMAL(20,4) revenue — that ADDITIVELY merge into the
-    versioned-manifest parquet table keyed on window_start (the
-    foreachBatch rolling-aggregate sink, same commit posture as the
-    streaming CMS/HLL maintenance). Mid-window states are visible
-    after every batch and only ever grow (count and decimal-sum are
-    associative and the join never re-emits), so the final table
-    equals the batch twin for EVERY window — including the trailing
-    windows the append-mode chain must withhold."""
-    from cpx_etl_spark.sources.sinks import (
-        commit_versioned_parquet,
-        has_readable_base,
-        read_upsert_table,
-    )
-
-    def _delta(batch_df: DataFrame) -> DataFrame:
-        return (
-            batch_df.groupBy(F.window("p_ts", "1 hour"))
-            .agg(
-                F.count(F.lit(1)).alias("n_purchases"),
-                F.sum(F.col("value").cast("decimal(20,4)"))
-                .cast("decimal(20,4)")
-                .alias("revenue"),
-            )
-            .select(
-                F.col("window.start").alias("window_start"),
-                "n_purchases",
-                "revenue",
-            )
-        )
-
-    def _merge(batch_df: DataFrame, _bid: int) -> None:
-        if not batch_df.take(1):
-            return
-        delta = _delta(batch_df)
-        if has_readable_base(out_path):
-            base = read_upsert_table(batch_df.sparkSession, out_path)
-            merged = (
-                base.unionByName(delta)
-                .groupBy("window_start")
-                .agg(
-                    F.sum("n_purchases").cast("long").alias("n_purchases"),
-                    F.sum("revenue").cast("decimal(20,4)").alias("revenue"),
-                )
-            )
-        else:
-            merged = delta.withColumn(
-                "n_purchases", F.col("n_purchases").cast("long")
-            )
-        commit_versioned_parquet(merged, out_path)
-
+    per-window deltas ADDITIVELY merge into the versioned-manifest
+    parquet table keyed on window_start through the replay-idempotent
+    additive_window_merge (the foreachBatch rolling-aggregate sink,
+    same commit posture as the streaming CMS/HLL maintenance).
+    Mid-window states are visible after every batch and only ever grow
+    (count and decimal-sum are associative and the join never
+    re-emits), so the final table equals the batch twin for EVERY
+    window — including the trailing windows the append-mode chain must
+    withhold."""
     return (
         _attributed_purchases(sdf, stream=True)
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(_merge)
+        .foreachBatch(
+            lambda bdf, bid: additive_window_merge(bdf, bid, out_path)
+        )
         .trigger(availableNow=True)
         .start()
     )

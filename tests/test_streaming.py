@@ -844,3 +844,39 @@ def test_chained_update_mode_upsert_matches_batch_with_midwindow_states(
     assert sum(n for n, _ in prev.values()) < sum(
         n for n, _ in final.values()
     )
+
+
+def test_additive_window_merge_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME batch id
+    (checkpoint lost after the snapshot commit) must be a no-op, a
+    LOWER id likewise; only a strictly newer id merges."""
+    import datetime
+
+    from cpx_etl_spark.sources.sinks import read_upsert_table
+    from cpx_etl_spark.streaming.events import additive_window_merge
+
+    out = str(tmp_path / "tbl")
+    batch = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 10, 15), 10.0),
+         (datetime.datetime(2024, 1, 1, 10, 45), 5.0)],
+        "p_ts timestamp, value double",
+    )
+
+    def state():
+        return {
+            r["window_start"]: (r["n_purchases"], float(r["revenue"]))
+            for r in read_upsert_table(spark, out).collect()
+        }
+
+    additive_window_merge(batch, 0, out)
+    first = state()
+    assert list(first.values()) == [(2, 15.0)]
+    # replay of bid 0 and a stale bid both no-op
+    additive_window_merge(batch, 0, out)
+    assert state() == first
+    # a NEW batch id merges additively
+    additive_window_merge(batch, 1, out)
+    assert list(state().values()) == [(4, 30.0)]
+    # replaying the new id after its commit is again a no-op
+    additive_window_merge(batch, 1, out)
+    assert list(state().values()) == [(4, 30.0)]
