@@ -7623,13 +7623,26 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
+    # support counting stays ORDER-keyed: enumerate per-basket pairs
+    # then triples via ok-joins (per-order fan-out is C(basket,3), a
+    # constant), pruning each level with a BROADCAST semi join against
+    # the frequent-pair / candidate frames (<= C(25,3) rows). Joining
+    # candidates to baskets on the 25-value brand columns instead fans
+    # out corpus_rows/25 per candidate row — the r14 sf1 smoke measured
+    # that shape at 109 s vs ~10 s for this one.
     ba = basket.select("ok", F.col("bk").alias("a"))
     bb = basket.select("ok", F.col("bk").alias("b"))
     bc = basket.select("ok", F.col("bk").alias("c"))
+    ab = (
+        ba.join(bb, "ok")
+        .filter(F.col("b") > F.col("a"))
+        .join(F.broadcast(pairs), ["a", "b"], "left_semi")
+    )
     freq = (
-        cand.join(ba, "a")
-        .join(bb, ["ok", "b"])
-        .join(bc, ["ok", "c"])
+        ab.join(bc, "ok")
+        .filter(F.col("c") > F.col("b"))
+        .join(F.broadcast(cand.select("a", "b", "c")), ["a", "b", "c"],
+              "left_semi")
         .groupBy(
             F.col("a").alias("p1"), F.col("b").alias("p2"),
             F.col("c").alias("p3"),
