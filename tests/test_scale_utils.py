@@ -1010,3 +1010,78 @@ def test_partition_evolution_unified_read_prunes_both_specs(spark, tmp_path):
     got = sorted(r["event_id"] for r in unified.collect())
     want = sorted(r["event_id"] for r in df.filter(cond).collect())
     assert got == want and len(got) > 0
+
+
+def test_expire_respects_rolled_back_head(spark, tmp_path):
+    """Rollback repoints the head at an OLDER version; a subsequent
+    expire must protect that head (never the abandoned successors'
+    numbering) and never leave the manifest pointing at a deleted
+    directory."""
+    from cpx_etl_spark.sources.sinks import (
+        _read_manifest,
+        expire_upsert_versions,
+        list_upsert_versions,
+        read_upsert_table,
+        rollback_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "rbexp")
+    for i in range(1, 5):
+        upsert_parquet_table(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            path, ["id"], retain_versions=10,
+        )
+    rollback_upsert_table(path, "v00000002")
+    assert _read_manifest(path) == "v00000002"
+    # keep_last=1: only the CURRENT head survives; v1 expires, and the
+    # abandoned successors v3/v4 (> head) are the commit-GC's business
+    expired = expire_upsert_versions(path, keep_last=1)
+    assert expired == ["v00000001"]
+    assert _read_manifest(path) == "v00000002"
+    assert read_upsert_table(spark, path).count() == 2
+    assert "v00000002" in list_upsert_versions(path)
+
+
+def test_expire_concurrent_with_writer_never_corrupts(spark, tmp_path):
+    """Expiry racing live upserts: whatever the interleaving, the
+    manifest always points at a readable snapshot containing every
+    committed batch, and expiry never deletes the head."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cpx_etl_spark.sources.sinks import (
+        _read_manifest,
+        expire_upsert_versions,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "race2")
+    upsert_parquet_table(
+        spark.createDataFrame([(0, "base")], "id long, v string"),
+        path, ["id"], retain_versions=10,
+    )
+
+    def writer():
+        for i in range(1, 5):
+            upsert_parquet_table(
+                spark.createDataFrame([(i, f"w{i}")], "id long, v string"),
+                path, ["id"], retain_versions=10,
+            )
+
+    def expirer():
+        for _ in range(6):
+            expire_upsert_versions(path, keep_last=2)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(writer), ex.submit(expirer)]
+        for f in futs:
+            f.result()
+
+    head = _read_manifest(path)
+    got = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {0: "base", **{i: f"w{i}" for i in range(1, 5)}}
+    assert head is not None and got is not None
+    # one final expiry pass leaves the head intact and readable
+    expire_upsert_versions(path, keep_last=1)
+    assert {r["id"] for r in read_upsert_table(spark, path).collect()} == set(range(5))
