@@ -365,3 +365,43 @@ def test_stats_value_temporal_order_preserved(a, b):
 
     ea, eb = _stats_value(a, -1), _stats_value(b, 1)
     assert (a <= b) == (ea <= eb)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 20), min_size=2, max_size=5),
+    copy_len=st.integers(1, 20),
+)
+def test_trim_duplicated_spans_properties(spark, sizes, copy_len):
+    """Span-trim invariants on constructed corpora: (1) kept + trimmed
+    always equals n_tokens; (2) docs with globally unique tokens are
+    never trimmed; (3) a verbatim higher-id copy of doc 0 is fully
+    trimmed iff it reaches the window width (8 tokens), and the
+    original survives untouched either way."""
+    from cpx_etl_spark.operators.curation import trim_duplicated_spans
+
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(n)))
+        for i, n in enumerate(sizes)
+    ]
+    rows[0] = (0, " ".join(f"d0t{j}" for j in range(copy_len)))
+    copy_id = len(sizes)
+    rows.append((copy_id, rows[0][1]))  # verbatim copy, max id
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in trim_duplicated_spans(df, "doc_id", "text", n=8).collect()
+    }
+    for i, text in rows:
+        assert out[i]["kept_tokens"] + out[i]["trimmed_tokens"] == out[i]["n_tokens"]
+    # unique-token docs and the survivor copy source are untouched
+    for i, _n in enumerate(sizes):
+        assert out[i]["trimmed_tokens"] == 0, f"doc {i} wrongly trimmed"
+        assert out[i]["trimmed_text"] == rows[i][1]
+    if copy_len >= 8:
+        assert out[copy_id]["trimmed_tokens"] == copy_len
+        assert out[copy_id]["trimmed_text"] == ""
+        assert out[copy_id]["n_spans"] == 1
+    else:
+        assert out[copy_id]["trimmed_tokens"] == 0
+        assert out[copy_id]["trimmed_text"] == rows[0][1]
