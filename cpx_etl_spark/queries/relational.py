@@ -7919,7 +7919,7 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / NULLIF(sqrt(CAST(n_a AS DOUBLE) * n_b / 12
                         * ((n_a + n_b + 1)
                            - CAST(tsum AS DOUBLE)
-                             / ((n_a + n_b) * (n_a + n_b - 1.0)))), 0)
+                             / NULLIF((n_a + n_b) * (n_a + n_b - 1.0), 0))), 0)
                  - 1e-9, 6) + 0 AS z
     FROM agg
     """,
@@ -7967,8 +7967,11 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_a = F.col("u2").cast("double") / 2
     mean_u = n_a * n_b / 2
     nn = n_a + n_b
+    # nn = 1 (single purchase) zeroes the tie-correction denominator
+    # BEFORE the outer sqrt guard evaluates — nullif it too
     var_u = n_a * n_b / 12 * (
-        (nn + 1) - F.col("tsum").cast("double") / (nn * (nn - 1))
+        (nn + 1)
+        - F.col("tsum").cast("double") / F.nullif(nn * (nn - 1), F.lit(0.0))
     )
     return agg.select(
         "n_a", "n_b",

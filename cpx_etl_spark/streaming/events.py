@@ -1029,7 +1029,13 @@ def additive_window_merge(batch_df: DataFrame, bid: int, out_path: str) -> None:
     delta = _attr_window_delta(batch_df)
     if has_readable_base(out_path):
         base = read_upsert_table(batch_df.sparkSession, out_path)
-        last = base.agg(F.max("_last_bid")).first()[0]
+        # a table committed before the guard existed has no _last_bid
+        # column: treat it as unguarded (the pre-guard behavior) rather
+        # than crash the stream on an unresolved column
+        last = (
+            base.agg(F.max("_last_bid")).first()[0]
+            if "_last_bid" in base.columns else None
+        )
         if last is not None and bid <= last:
             return  # replayed batch: its delta is already committed
     else:
