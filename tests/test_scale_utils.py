@@ -1086,3 +1086,30 @@ def test_expire_concurrent_with_writer_never_corrupts(spark, tmp_path):
     # one final expiry pass leaves the head intact and readable
     expire_upsert_versions(path, keep_last=1)
     assert {r["id"] for r in read_upsert_table(spark, path).collect()} == set(range(5))
+
+
+def test_expire_preserves_retained_pruned_reads(spark, tmp_path):
+    """Expiring old snapshots deletes their _STATS sidecars with them,
+    while the retained head's data-skipping machinery keeps working:
+    the pruned PK-range read still opens a strict subset of files and
+    returns exactly the filtered rows."""
+    from cpx_etl_spark.sources.sinks import (
+        expire_upsert_versions,
+        read_upsert_table_pruned,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "prexp")
+    rows = [(i, float(i)) for i in range(1, 401)]
+    for batch in (rows[:200], rows[200:]):
+        upsert_parquet_table(
+            spark.createDataFrame(batch, "k long, v double"),
+            path, ["k"], retain_versions=10, cluster_partitions=8,
+        )
+    assert expire_upsert_versions(path, keep_last=1) == ["v00000001"]
+    pruned, n_scanned, n_total = read_upsert_table_pruned(
+        spark, path, "k", lo=50, hi=60
+    )
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == list(range(50, 61))
+    assert 1 <= n_scanned < n_total
