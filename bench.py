@@ -292,11 +292,16 @@ def main() -> None:
         detail["sf1_best_known"] = dict(best_sf1)
         detail["sf1_excluded"] = sf1_excluded
 
-    try:
-        with open(best_path, "w") as f:
-            json.dump(best_all, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: still print the line
+    # A SPARK_GRAFT_BENCH_ONLY subset run never overwrites the round
+    # artifacts (ADVICE r14): BENCH_DETAIL.json/BENCH_BEST.json must
+    # always reflect a FULL pass, and the stdout line marks the run as
+    # partial so it can't be mistaken for one.
+    if not only:
+        try:
+            with open(best_path, "w") as f:
+                json.dump(best_all, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: still print the line
 
     # Per-query breakdown and rolling minimums go to BENCH_DETAIL.json;
     # stdout carries ONE compact line, printed LAST — r4's official
@@ -304,11 +309,12 @@ def main() -> None:
     # driver's tail-capture window (VERDICT r4 item 5).
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    if not only:
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
 
     # The driver captures only the last ~2000 bytes of stdout; r13's
     # line embedded all 68 per-query timings and overflowed it
@@ -330,6 +336,10 @@ def main() -> None:
     if "sf1_total" in detail:
         result["sf1_total"] = detail["sf1_total"]
         result["sf1_excluded_n"] = len(sf1_excluded)
+    if only:
+        # partial run: name the subset in the line and skip artifact
+        # writes above — headline_queries_total covers ONLY these
+        result["subset"] = sorted(headline)
     for name, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
         result["queries"][name] = dt
         if len(json.dumps(result)) > _LINE_BUDGET:

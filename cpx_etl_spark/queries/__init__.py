@@ -16,6 +16,20 @@ Cross-engine determinism rules used throughout:
   engines, so per-row expressions are safe without rounding.
 - Every top-k ORDER BY carries a unique tiebreaker column so the
   selected row SET is deterministic.
+
+Eager-action posture (ADVICE r14): most registered callables are pure
+plan constructors — calling one only BUILDS a DataFrame; nothing runs
+until the driver/bench consumes it. A small protocol family is
+deliberately NOT lazy: queries that exercise multi-step table
+protocols (q_snapshot_rollback, q_snapshot_expire,
+q_upsert_concurrent_merge, q_dead_letter_replay, and the persisted-
+index ingest builders) perform driver-side actions at CONSTRUCTION
+time — scratch writes, commit/CAS dances, an eager .count() — because
+the protocol itself IS the operator under test. Consumers timing or
+plan-linting the registry should know: for these, invocation cost
+includes the side-effect pipeline, and a failure there surfaces as a
+registry-call error rather than a query-execution error. The returned
+DataFrame still hash-gates the protocol's end state.
 """
 
 from __future__ import annotations

@@ -6810,15 +6810,22 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("sae1"),
         F.count("y1").alias("n1"),
     )
+    # n7/n1 nullif-guarded like sae1 (ADVICE r14): a corpus spanning
+    # <=7 days (n7=0) or a single day (n1=0) must emit NULL metrics
+    # like the oracle, not raise an ANSI divide-by-zero
     return agg.select(
         "event_type", "n_days", "sae7", "sae1",
-        fround(F.col("sae7").cast("double") / F.col("n7"), 6)
-        .alias("mae_snaive"),
-        fround(F.col("sae1").cast("double") / F.col("n1"), 6)
-        .alias("mae_naive1"),
+        fround(
+            F.col("sae7").cast("double")
+            / F.nullif(F.col("n7"), F.lit(0)), 6
+        ).alias("mae_snaive"),
+        fround(
+            F.col("sae1").cast("double")
+            / F.nullif(F.col("n1"), F.lit(0)), 6
+        ).alias("mae_naive1"),
         fround(
             F.col("sae7").cast("double") * F.col("n1")
-            / (F.col("n7").cast("double")
+            / (F.nullif(F.col("n7"), F.lit(0)).cast("double")
                * F.nullif(F.col("sae1"), F.lit(0))),
             6,
         ).alias("mase"),

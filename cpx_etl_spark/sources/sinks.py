@@ -566,8 +566,22 @@ def _gc_and_claim_version(
         e
         for e in os.listdir(path)
         if e.startswith("v") and current is not None and e <= current
+        # claim-marked dirs below current were never committed (claims
+        # release only after the manifest CAS): a live one is a
+        # concurrent out-of-slot-order writer, a stale one a crashed
+        # orphan. Counting one toward retention displaces a real
+        # committed snapshot out of the keep window — the expire-side
+        # bug (ADVICE r14) has the same shape here. Exclusion also
+        # lets the delete loop below reap a stale-claimed orphan that
+        # sits INSIDE the retain window (live ones are spared there).
+        and not os.path.exists(os.path.join(path, _CLAIM_PREFIX + e))
     )
     keep = set(committed[-(retain_versions - 1):])
+    if current is not None:
+        # the head is protected even if its writer crashed between the
+        # CAS and its claim release (claim marker still present): the
+        # exclusion above would otherwise drop it from the keep set
+        keep.add(current)
     for item in os.listdir(path):
         if item.startswith("v") and item not in keep:
             if _claim_is_live(path, item):
@@ -892,12 +906,17 @@ def expire_upsert_versions(
         committed = sorted(
             e for e in os.listdir(path)
             if e.startswith("v") and e <= head
-            # a live-claimed dir below head is a concurrent writer's
-            # IN-FLIGHT snapshot (out-of-slot-order commit), not a
-            # committed version: it must neither be expired NOR count
-            # toward keep_last protection (or it would displace a real
-            # committed snapshot out of the retention window)
-            and not _claim_is_live(path, e)
+            # ANY claim marker — live OR stale — means the dir was
+            # never committed (the claim is released only after the
+            # manifest CAS): a live claim below head is a concurrent
+            # writer's IN-FLIGHT snapshot (out-of-slot-order commit),
+            # a stale one is a crashed writer's orphan awaiting the
+            # commit-time GC. Neither may be expired here NOR count
+            # toward keep_last protection — a high-slot orphan in the
+            # protected tail would displace a real committed snapshot
+            # out of the retention window and expire it one commit
+            # early (ADVICE r14).
+            and not os.path.exists(os.path.join(path, _CLAIM_PREFIX + e))
         )
         protected = set(committed[-(keep_last or 1):]) | {head}
         for v in committed:

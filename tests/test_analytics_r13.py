@@ -304,3 +304,45 @@ def test_skew_kurtosis_degenerate_group_is_null(spark, tmp_path):
     assert rows["1-URGENT"]["excess_kurtosis"] is None
     assert rows["1-URGENT"]["stddev_pop"] == 0.0
     assert rows["2-HIGH"]["skewness"] is not None
+
+
+def test_seasonal_naive_backtest_degenerate_days_null(spark, tmp_path):
+    """ADVICE r14 (low): a single-day corpus (n1=0, n7=0) and a
+    <=7-day corpus (n7=0) emit NULL metrics like the DuckDB oracle,
+    not an ANSI divide-by-zero."""
+    import os
+
+    from cpx_etl_spark.queries.relational import q_seasonal_naive_backtest
+
+    def events(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props")
+
+    # single day: n1 = n7 = 0 -> every ratio NULL
+    d1 = str(tmp_path / "oneday")
+    os.makedirs(d1)
+    events([(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 12:00:00", 2, "click", 1.0, "{}")]).write.parquet(
+        os.path.join(d1, "events.parquet"))
+    rows = q_seasonal_naive_backtest(spark, d1).collect()
+    assert rows and all(
+        r["mae_snaive"] is None and r["mae_naive1"] is None
+        and r["mase"] is None for r in rows
+    )
+
+    # 3-day span: n1 > 0 (naive-1 defined) but n7 = 0 -> snaive/mase NULL
+    d2 = str(tmp_path / "threedays")
+    os.makedirs(d2)
+    events([(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-02 00:00:00", 2, "click", 1.0, "{}"),
+            (3, "2024-01-03 00:00:00", 3, "click", 1.0, "{}")]).write.parquet(
+        os.path.join(d2, "events.parquet"))
+    rows = q_seasonal_naive_backtest(spark, d2).collect()
+    assert rows and all(
+        r["mae_snaive"] is None and r["mase"] is None
+        and r["mae_naive1"] is not None for r in rows
+    )

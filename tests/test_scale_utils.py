@@ -685,6 +685,72 @@ def test_expire_upsert_versions_policy_edges(spark, tmp_path):
         expire_upsert_versions(path, keep_last=0)
 
 
+def test_expire_spares_stale_claimed_orphan_below_head(spark, tmp_path):
+    """ADVICE r14 (medium): a crashed writer's stale-claimed,
+    never-committed orphan dir BELOW head must not count toward
+    keep_last protection (it would displace a real committed snapshot
+    out of the retention window) nor be reported as expired. Replays
+    the real race: writer A claims a slot and crashes mid-write;
+    writer B claims the next slot while A's claim is still live and
+    commits, so head moves past the orphan; the table then goes
+    quiescent and only expire runs."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import (
+        _CLAIM_PREFIX,
+        _gc_and_claim_version,
+        _read_manifest,
+        expire_upsert_versions,
+        list_upsert_versions,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "orph")
+    for i in range(1, 4):
+        upsert_parquet_table(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            path, ["id"], retain_versions=10,
+        )
+    # writer A: claims v4, starts writing, crashes before the CAS
+    _cur, _entry, claimed = _gc_and_claim_version(path, 10)
+    assert claimed == "v00000004"
+    os.makedirs(os.path.join(path, claimed))
+    with open(os.path.join(path, claimed, "part-orphan.parquet"), "wb") as f:
+        f.write(b"torn")
+    # writer B: claims v5 while A's claim is LIVE (spared), commits
+    upsert_parquet_table(
+        spark.createDataFrame([(5, "v5")], "id long, v string"),
+        path, ["id"], retain_versions=10,
+    )
+    assert _read_manifest(path) == "v00000005"
+    assert os.path.isdir(os.path.join(path, claimed))  # orphan survived
+    # A's claim goes stale (crash >1h ago); table is quiescent
+    old = os.path.getmtime(os.path.join(path, claimed)) - 7200
+    os.utime(os.path.join(path, claimed), (old, old))
+    os.utime(os.path.join(path, _CLAIM_PREFIX + claimed), (old, old))
+
+    # keep_last=2 over the REAL committed set {v1,v2,v3,v5} must
+    # protect v3+v5 and expire v1+v2 — the orphan neither displaces
+    # v3 out of the window nor appears in the expired list
+    expired = expire_upsert_versions(path, keep_last=2)
+    assert expired == ["v00000001", "v00000002"]
+    # listing shows dirs on disk: retained v3+v5 plus the orphan dir
+    assert list_upsert_versions(path) == [
+        "v00000003", "v00000004", "v00000005",
+    ]
+    assert read_upsert_table(spark, path, version="v00000003").count() == 3
+    # the orphan is left for the commit-time GC — which reaps it on
+    # the next write (stale claim + unreferenced dir)
+    assert os.path.isdir(os.path.join(path, claimed))
+    upsert_parquet_table(
+        spark.createDataFrame([(6, "v6")], "id long, v string"),
+        path, ["id"], retain_versions=10,
+    )
+    assert not os.path.exists(os.path.join(path, claimed))
+    assert not os.path.exists(os.path.join(path, _CLAIM_PREFIX + claimed))
+
+
 def test_upsert_commit_breaks_stale_pointer_lock(spark, tmp_path):
     """A committer that crashed INSIDE the pointer swap leaves the lock
     file behind; the next commit must break it by age instead of
