@@ -20,6 +20,7 @@ from cpx_etl_spark.operators.similarity import (
     sql_lsh_buckets_cte,
 )
 from cpx_etl_spark.queries import fround, register, sql_fround
+from cpx_etl_spark.queries.dedup import _SEM_TARGET_CELL, _sem_lsh_planes_sql
 from cpx_etl_spark.sources import load_table
 
 _DIM = 64
@@ -1600,30 +1601,58 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_knn_graph",
     oracle=f"""
-    WITH comp AS (
-        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
-        FROM embeddings, generate_series(1, {_DIM}) gs(i)),
+    WITH kk AS (
+        SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET_CELL}.0) AS BIGINT)) AS k
+        FROM embeddings),
+    seeded AS (
+        SELECT vec_id, embedding,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % (SELECT k FROM kk) AS scell
+        FROM embeddings),
+    comp AS (
+        SELECT scell, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM seeded, generate_series(1, {_DIM}) gs(i)),
     cent AS (
-        SELECT label AS cell, i,
+        SELECT scell AS cell, i,
                CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
-        FROM comp GROUP BY label, i),
+        FROM comp GROUP BY scell, i),
     centv AS (
         SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
-    ascore AS (
-        SELECT e.vec_id, c.cell,
-               ROUND({sql_cosine('e.embedding', 'c.centroid', _DIM)} - 1e-9, 6) + 0 AS c_cos
-        FROM embeddings e CROSS JOIN centv c),
+    planes (tbl, p, w) AS (VALUES
+        {_sem_lsh_planes_sql()}),
+    vbkt AS (
+        SELECT s.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}),
+                    i -> CAST(FLOOR(CAST(s.embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM seeded s CROSS JOIN planes pl GROUP BY s.vec_id),
+    cbkt AS (
+        SELECT c.cell,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}),
+                    i -> CAST(FLOOR(c.centroid[i] * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM centv c CROSS JOIN planes pl GROUP BY c.cell),
+    best AS (
+        SELECT s.vec_id, c.cell
+        FROM seeded s
+        JOIN vbkt vb ON vb.vec_id = s.vec_id
+        JOIN cbkt cb ON cb.bkt = vb.bkt
+        JOIN centv c ON c.cell = cb.cell
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+            ROUND({sql_cosine('s.embedding', 'c.centroid', _DIM)} - 1e-9, 6) DESC,
+            c.cell) = 1),
     assigned AS (
-        SELECT vec_id, cell FROM ascore
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY c_cos DESC, cell) = 1),
+        SELECT s.vec_id, s.embedding,
+               COALESCE(b.cell, s.scell) AS cell,
+               CASE WHEN b.cell IS NULL THEN 1 ELSE 0 END AS fb
+        FROM seeded s LEFT JOIN best b ON b.vec_id = s.vec_id),
     pairs AS (
         SELECT a.vec_id AS a, a.cell AS cell, b.vec_id AS b,
-               ROUND({sql_cosine('ea.embedding', 'eb.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
+               ROUND({sql_cosine('a.embedding', 'b.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
         FROM assigned a
-        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-        JOIN embeddings ea ON ea.vec_id = a.vec_id
-        JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
     top AS (
         SELECT a, cell, b, cos,
                ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
@@ -1639,7 +1668,9 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN rn = 2 THEN cos END) AS c2,
            MAX(CASE WHEN rn = 3 THEN b END) AS n3,
            MAX(CASE WHEN rn = 3 THEN cos END) AS c3,
-           CAST(COALESCE(MIN(m.mutual_cnt), 0) AS BIGINT) AS mutual_cnt
+           CAST(COALESCE(MIN(m.mutual_cnt), 0) AS BIGINT) AS mutual_cnt,
+           (SELECT k FROM kk) AS k_cells,
+           (SELECT CAST(SUM(fb) AS BIGINT) FROM assigned) AS n_fallback
     FROM top t LEFT JOIN mut m ON m.a = t.a
     GROUP BY t.a
     ORDER BY vec_id
@@ -1649,18 +1680,37 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-GRAPH construction — the all-vectors nearest-neighbor graph
     that seeds spectral/graph clustering, UMAP, HNSW bootstrap, and
     SemDeDup-style curation. Exact top-3 cosine neighbors per vector
-    WITHIN its IVF cell (the standard blocked formulation: pair volume
-    is sum of n_c^2 over cells, never N^2 — cell count k tunes the
-    bound, here the 10 label-seeded exact-decimal centroids shared
-    with ann_ivf_topk), plus the per-vector MUTUAL-edge count — the
-    symmetry audit that separates hub-dominated graphs from usable
-    ones. Ranking runs on the pre-rounded cosine with an id tiebreak
-    so the selected edge set is engine-deterministic; the per-vector
-    window sorts cell-bounded candidate lists, not the corpus."""
-    from cpx_etl_spark.operators.similarity import ivf_build
+    WITHIN its TRAINED cell (the blocked formulation: pair volume is
+    sum of n_c^2 over cells, never N^2) — and the cell count now GROWS
+    with the corpus, k = ceil(N/64), the VERDICT r14 scale fix: the
+    fixed 10 label-seeded cells made pair volume ~N^2/10 (47-70 s at
+    sf1). Cells are the dedup_semantic_lsh construction end to end:
+    md5-seeded, one Lloyd step to exact-decimal centroids, each vector
+    assigned to the nearest centroid IN ITS b=4-bit sign-LSH BUCKET
+    (O(N) candidate volume — no N x k scan either), seed-cell fallback
+    reported in-row via n_fallback, k reported via k_cells. Pair
+    volume is then ~64*N and the assignment linear, so the whole plan
+    is near-linear in N at any scale. The per-vector MUTUAL-edge
+    count — the symmetry audit separating hub-dominated graphs from
+    usable ones — is unchanged. Ranking runs on the pre-rounded cosine
+    with an id tiebreak so the edge set is engine-deterministic; the
+    per-vector window sorts cell-bounded candidate lists, not the
+    corpus."""
+    from cpx_etl_spark.operators.similarity import trained_cells_lsh
+    from cpx_etl_spark.queries.dedup import _SEM_LSH_BITS as _BITS
+    from cpx_etl_spark.queries.dedup import _SEM_TARGET_CELL as _TGT
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _cents, assigned = ivf_build(emb, "vec_id", "embedding", "label")
+    n = emb.count()  # 1-row planning lookup: k must be known at plan time
+    k = max(2, -(-n // _TGT))
+    _cents, assigned, fallback = trained_cells_lsh(
+        emb, "vec_id", "embedding", k, n_bits=_BITS
+    )
+    n_fb = fallback.agg(F.count(F.lit(1)).cast("long").alias("n_fallback"))
+    # the assignment subtree (bucketed candidate join + min_by) feeds
+    # BOTH sides of the within-cell pair join — checkpoint so it runs
+    # once, not twice (narrow: one row per vector)
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col("neighbor_id").alias("a"), F.col("v_c").alias("ea"), "cell"
     )
@@ -1704,6 +1754,8 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1", "c1", "n2", "c2", "n3", "c3",
             F.coalesce("mutual_cnt", F.lit(0)).cast("long").alias("mutual_cnt"),
         )
+        .withColumn("k_cells", F.lit(int(k)).cast("long"))
+        .crossJoin(F.broadcast(n_fb))  # 1-row truncation report
         .orderBy("vec_id")
     )
 
