@@ -830,19 +830,39 @@ def ivf_build(
     centroids = cell_centroids(vecs, cell_col, "v").select(
         F.col(cell_col).alias("cell"), "centroid"
     )
-    # assign every corpus vector to its nearest centroid: min_by over
-    # (-cos, cell) — partial aggregation, no window sort
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col, vec_col,
+        broadcast_centroids=broadcast_centroids,
+    )
+    return centroids, assigned
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    broadcast_centroids: bool = True,
+) -> DataFrame:
+    """Nearest-centroid EXACT assignment of ``vectors`` against a
+    FIXED centroid frame — the shared half of ivf_build's training
+    AND of index APPEND (FAISS ``add()``): a new batch assigns to the
+    STORED centroids with the identical min_by over (-cos, cell)
+    partial aggregation (no window sort over the corpus), so
+    append == from-scratch at fixed centroids is bit-exact by
+    construction. Output: (neighbor_id, v_c, cell)."""
+    vecs = vectors.select(F.col(id_col), as_double(vec_col).alias("v"))
+    # min_by over (-cos, cell) — partial aggregation, no window sort
     cent_side = F.broadcast(centroids) if broadcast_centroids else centroids
     scored_assign = vecs.crossJoin(cent_side).withColumn(
         "c_cos", F.round(cosine(F.col("v"), F.col("centroid")) - 1e-9, 6)
     )
-    assigned = scored_assign.groupBy(id_col).agg(
+    return scored_assign.groupBy(id_col).agg(
         F.min_by(
             F.col("cell"), F.struct((-F.col("c_cos")).alias("nc"), F.col("cell"))
         ).alias("cell"),
         F.first("v").alias("v_c"),
     ).select(F.col(id_col).alias("neighbor_id"), F.col("v_c"), "cell")
-    return centroids, assigned
 
 
 def _probe_cells(
@@ -961,6 +981,35 @@ def read_ivf_index(spark, path: str) -> IvfIndex:
     with open(os.path.join(path, _IVF_META)) as f:
         meta = json.load(f)
     return IvfIndex(spark, path, meta)
+
+
+def append_to_ivf_index(
+    df_new: DataFrame, path: str, validate_unique: bool = False,
+) -> None:
+    """FAISS ``add()`` for the persisted IVF index: a new crawl batch
+    assigns to the STORED centroids (assign_to_centroids — the
+    identical min_by construction training used, so append ==
+    from-scratch rebuild at fixed centroids is bit-exact) and its
+    cell-clustered assignment rows append beside the standing ones.
+    Centroids never retrain — the daily-ingest serving posture; a
+    drifted corpus re-trains via write_ivf_index (FAISS's
+    train()/add() split). Parameters come from the stored meta."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    idx = read_ivf_index(df_new.sparkSession, path)
+    id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
+    if validate_unique:
+        _validate_new_ids(
+            df_new,
+            idx.assignments_df.select(F.col("neighbor_id").alias(id_col)),
+            id_col, "append_to_ivf_index", path,
+        )
+    assigned = assign_to_centroids(df_new, idx.centroids_df, id_col, vec_col)
+    write_clustered_parquet(
+        assigned, os.path.join(path, "assignments"), ["cell"], mode="append",
+    )
 
 
 def ivf_topk_indexed(
@@ -1430,6 +1479,39 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def pack_codes(codes: DataFrame) -> DataFrame:
+    """(vid, j, code) -> (vid, codes[m]): the m-small-ints packed ADC
+    scan payload every PQ-family index stores. Shared by the index
+    writers and the append path so the stored layout can't drift."""
+    return codes.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def _validate_new_ids(
+    df_new: DataFrame, stored_ids: DataFrame, id_col: str,
+    fn_name: str, path: str,
+) -> None:
+    """Reject an append batch whose ids already exist in the index —
+    an id ingested twice serves duplicate candidate rows (same
+    contract as append_to_signature_index). One bounded semi-join +
+    limit(1) probe."""
+    clash = (
+        df_new.select(id_col)
+        .join(stored_ids, on=id_col, how="left_semi")
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"{fn_name}: id {clash[0][0]!r} already exists in the "
+            f"index at {path}"
+        )
+
+
 def pq_distortion(corpus: DataFrame, id_col: str, vec_col: str,
                   m: int = 8, k_codes: int = 16, dim: int = 64) -> DataFrame:
     """Quantization DISTORTION of the (m, k_codes) PQ configuration
@@ -1582,12 +1664,7 @@ def write_pq_index(
 
     cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
     codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
-    packed = codes.groupBy("vid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    packed = pack_codes(codes)
     vectors = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
     )
@@ -1610,6 +1687,72 @@ def read_pq_index(spark, path: str) -> PqIndex:
     with open(os.path.join(path, _PQ_META)) as f:
         meta = json.load(f)
     return PqIndex(spark, path, meta)
+
+
+def _append_pq_batch(
+    df_new: DataFrame, path: str, meta: dict, codebook: DataFrame,
+    encode_input: DataFrame,
+) -> None:
+    """Shared tail of the PQ-family append: encode ``encode_input``
+    against the STORED codebook and append packed codes beside the
+    standing ones, original float vectors beside the rerank table.
+    Vectors land FIRST: a crash between the two writes leaves extra
+    rerank rows that are unreachable (never ADC candidates) — harmless
+    — while the reverse order would serve candidates whose rerank
+    join-back silently drops them (the winnow-index crash-ordering
+    contract, operators/dedup.py)."""
+    import os
+
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, dim = meta["m"], meta["dim"]
+    vectors = df_new.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    )
+    vectors.write.mode("append").parquet(os.path.join(path, "vectors"))
+    codes = pq_encode(encode_input, id_col, vec_col, codebook, m=m, dim=dim)
+    pack_codes(codes).write.mode("append").parquet(os.path.join(path, "codes"))
+
+
+def append_to_pq_index(
+    df_new: DataFrame, path: str, validate_unique: bool = False,
+) -> None:
+    """FAISS ``add()`` for the persisted PQ index: the new batch
+    encodes against the STORED codebook (pq_encode — identical min_by
+    construction as the build, so append == rebuild at a fixed
+    codebook is bit-exact); codebooks never retrain on append."""
+    idx = read_pq_index(df_new.sparkSession, path)
+    if validate_unique:
+        _validate_new_ids(
+            df_new,
+            idx.vectors_df.select(
+                F.col("neighbor_id").alias(idx.meta["id_col"])
+            ),
+            idx.meta["id_col"], "append_to_pq_index", path,
+        )
+    _append_pq_batch(df_new, path, idx.meta, idx.codebook_df, df_new)
+
+
+def append_to_opq_index(
+    df_new: DataFrame, path: str, validate_unique: bool = False,
+) -> None:
+    """FAISS ``add()`` for the persisted OPQ index: the new batch is
+    rotated with the index's stored tag (opq_rotation is seeded and
+    parameter-free, so the matrix is identical to the build's) and
+    encodes against the STORED rotated-space codebook; the ORIGINAL
+    vectors append to the rerank table."""
+    idx = read_opq_index(df_new.sparkSession, path)
+    meta = idx.meta
+    if validate_unique:
+        _validate_new_ids(
+            df_new,
+            idx.vectors_df.select(F.col("neighbor_id").alias(meta["id_col"])),
+            meta["id_col"], "append_to_opq_index", path,
+        )
+    rot = opq_rotation(meta["dim"], tag=meta["tag"])
+    rnew = rotate_vectors(
+        df_new, meta["id_col"], meta["vec_col"], rot, meta["dim"]
+    )
+    _append_pq_batch(df_new, path, meta, idx.codebook_df, rnew)
 
 
 def pq_topk_indexed(
@@ -1653,12 +1796,7 @@ def write_opq_index(
     rcorpus = rotate_vectors(corpus, id_col, vec_col, rot, dim)
     cb = pq_train(rcorpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
     codes = pq_encode(rcorpus, id_col, vec_col, cb, m=m, dim=dim)
-    packed = codes.groupBy("vid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    packed = pack_codes(codes)
     vectors = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
     )
@@ -1873,12 +2011,7 @@ def write_ivfpq_index(
     centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
     cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
     codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
-    packed = codes.groupBy("vid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    packed = pack_codes(codes)
     cells = assigned.select(
         F.col("neighbor_id").alias("vid"), "cell"
     ).join(packed, on="vid")
@@ -1907,6 +2040,62 @@ def read_ivfpq_index(spark, path: str) -> IvfPqIndex:
     with open(os.path.join(path, _IVFPQ_META)) as f:
         meta = json.load(f)
     return IvfPqIndex(spark, path, meta)
+
+
+def _append_ivfpq_batch(
+    df_new: DataFrame, path: str, idx: IvfPqIndex, by_residual: bool,
+) -> None:
+    """Shared tail of the IVFPQ append: assign the new batch to the
+    STORED centroids, encode (raw or residual) against the STORED
+    codebook, append cell-clustered (vid, cell, codes) rows and the
+    rerank vectors. Vectors land before cells (crash-ordering: extra
+    rerank rows are unreachable; orphan ADC rows would drop at the
+    rerank join)."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    meta = idx.meta
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    m, dim = meta["m"], meta["dim"]
+    assigned = assign_to_centroids(df_new, idx.centroids_df, id_col, vec_col)
+    if by_residual:
+        enc_in = assigned.join(F.broadcast(idx.centroids_df), "cell").select(
+            F.col("neighbor_id").alias("rid"),
+            F.zip_with("v_c", "centroid", lambda a, b: a - b).alias("rvec"),
+        )
+        codes = pq_encode(enc_in, "rid", "rvec", idx.codebook_df, m=m, dim=dim)
+    else:
+        codes = pq_encode(df_new, id_col, vec_col, idx.codebook_df, m=m, dim=dim)
+    cells = assigned.select(
+        F.col("neighbor_id").alias("vid"), "cell"
+    ).join(pack_codes(codes), on="vid")
+    vectors = df_new.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    )
+    vectors.write.mode("append").parquet(os.path.join(path, "vectors"))
+    write_clustered_parquet(
+        cells, os.path.join(path, "cells"), ["cell"], mode="append",
+    )
+
+
+def append_to_ivfpq_index(
+    df_new: DataFrame, path: str, validate_unique: bool = False,
+) -> None:
+    """FAISS ``add()`` for the persisted IVFPQ index: stored-centroid
+    assignment + stored-codebook encode (no retraining), appended
+    cell-clustered so probed-cell pruning keeps working on the grown
+    index."""
+    idx = read_ivfpq_index(df_new.sparkSession, path)
+    if validate_unique:
+        _validate_new_ids(
+            df_new,
+            idx.vectors_df.select(
+                F.col("neighbor_id").alias(idx.meta["id_col"])
+            ),
+            idx.meta["id_col"], "append_to_ivfpq_index", path,
+        )
+    _append_ivfpq_batch(df_new, path, idx, by_residual=False)
 
 
 def ivfpq_topk_indexed(
@@ -2125,12 +2314,7 @@ def write_ivfpq_residual_index(
     )
     cb = pq_train(res, "rid", "rvec", m=m, k_codes=k_codes, dim=dim)
     codes = pq_encode(res, "rid", "rvec", cb, m=m, dim=dim)
-    packed = codes.groupBy("vid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    packed = pack_codes(codes)
     cells = assigned.select(
         F.col("neighbor_id").alias("vid"), "cell"
     ).join(packed, on="vid")
@@ -2159,6 +2343,26 @@ def read_ivfpq_residual_index(spark, path: str) -> IvfPqIndex:
     with open(os.path.join(path, _IVFPQR_META)) as f:
         meta = json.load(f)
     return IvfPqIndex(spark, path, meta)
+
+
+def append_to_ivfpq_residual_index(
+    df_new: DataFrame, path: str, validate_unique: bool = False,
+) -> None:
+    """FAISS ``add()`` for the persisted residual-IVFPQ index: the new
+    batch assigns to the STORED centroids, its residuals v - centroid
+    encode against the STORED residual-trained codebook, and the
+    cell-clustered rows append — the complete FAISS-default ingest
+    path (train once / add daily)."""
+    idx = read_ivfpq_residual_index(df_new.sparkSession, path)
+    if validate_unique:
+        _validate_new_ids(
+            df_new,
+            idx.vectors_df.select(
+                F.col("neighbor_id").alias(idx.meta["id_col"])
+            ),
+            idx.meta["id_col"], "append_to_ivfpq_residual_index", path,
+        )
+    _append_ivfpq_batch(df_new, path, idx, by_residual=True)
 
 
 def ivfpq_residual_topk_indexed(

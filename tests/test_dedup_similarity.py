@@ -1325,3 +1325,140 @@ def test_opq_index_roundtrip_and_arrow_path_equality(spark, sf_dir, tmp_path):
     one_shot = ann_opq_topk(spark, sf_dir)
     assert sorted(map(tuple, served.collect())) == \
         sorted(map(tuple, one_shot.collect()))
+
+
+def test_ann_index_append_equals_rebuild(spark, sf_dir):
+    """FAISS train()/add() split (VERDICT r14 item 3): building each
+    persisted ANN index on batch 1 and APPENDING batch 2 must equal
+    encoding the full corpus against the SAME stored artifacts —
+    bit-exactly — and serving against the appended index must equal
+    serving against stored-artifact state built in one shot. Covers
+    IVF (assignments), PQ + OPQ (codes), IVFPQ and residual-IVFPQ
+    (cell-clustered codes)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.similarity import (
+        append_to_ivf_index,
+        append_to_ivfpq_index,
+        append_to_ivfpq_residual_index,
+        append_to_opq_index,
+        append_to_pq_index,
+        assign_to_centroids,
+        opq_rotation,
+        pack_codes,
+        pq_encode,
+        read_ivf_index,
+        read_ivfpq_index,
+        read_ivfpq_residual_index,
+        read_opq_index,
+        read_pq_index,
+        rotate_vectors,
+        write_ivf_index,
+        write_ivfpq_index,
+        write_ivfpq_residual_index,
+        write_opq_index,
+        write_pq_index,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    n1, n2 = b1.count(), b2.count()
+    assert n1 > 0 and n2 > 0
+
+    def rows(df, cols):
+        return sorted(
+            tuple(r[c] if not isinstance(r[c], list) else tuple(r[c])
+                  for c in cols)
+            for r in df.collect()
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # --- IVF: append assigns to STORED centroids -----------------
+        p = f"{tmp}/ivf"
+        write_ivf_index(b1, p, "vec_id", "embedding", "label")
+        append_to_ivf_index(b2, p, validate_unique=True)
+        idx = read_ivf_index(spark, p)
+        assert idx.assignments_df.count() == n1 + n2
+        want = assign_to_centroids(emb, idx.centroids_df, "vec_id", "embedding")
+        assert rows(idx.assignments_df, ["neighbor_id", "cell"]) == rows(
+            want, ["neighbor_id", "cell"]
+        )
+        # duplicate-id append refuses
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="already exists"):
+            append_to_ivf_index(b2.limit(1), p, validate_unique=True)
+
+        # --- PQ: append encodes against the STORED codebook ----------
+        p = f"{tmp}/pq"
+        write_pq_index(b1, p, "vec_id", "embedding", m=8, k_codes=16, dim=64)
+        append_to_pq_index(b2, p, validate_unique=True)
+        idx = read_pq_index(spark, p)
+        assert idx.codes_df.count() == n1 + n2
+        assert idx.vectors_df.count() == n1 + n2
+        want = pack_codes(
+            pq_encode(emb, "vec_id", "embedding", idx.codebook_df, m=8, dim=64)
+        )
+        assert rows(idx.codes_df, ["vid", "codes"]) == rows(
+            want, ["vid", "codes"]
+        )
+
+        # --- OPQ: append rotates with the stored tag first -----------
+        p = f"{tmp}/opq"
+        write_opq_index(b1, p, "vec_id", "embedding", m=8, k_codes=16, dim=64)
+        append_to_opq_index(b2, p, validate_unique=True)
+        idx = read_opq_index(spark, p)
+        assert idx.codes_df.count() == n1 + n2
+        rot = opq_rotation(64, tag=idx.meta["tag"])
+        remb = rotate_vectors(emb, "vec_id", "embedding", rot, 64)
+        want = pack_codes(
+            pq_encode(remb, "vec_id", "embedding", idx.codebook_df, m=8, dim=64)
+        )
+        assert rows(idx.codes_df, ["vid", "codes"]) == rows(
+            want, ["vid", "codes"]
+        )
+        # rerank table holds ORIGINAL vectors for appended rows too
+        assert idx.vectors_df.count() == n1 + n2
+
+        # --- IVFPQ: stored centroids + stored codebook ----------------
+        p = f"{tmp}/ivfpq"
+        write_ivfpq_index(b1, p, "vec_id", "embedding", "label",
+                          m=8, k_codes=16, dim=64)
+        append_to_ivfpq_index(b2, p, validate_unique=True)
+        idx = read_ivfpq_index(spark, p)
+        assert idx.cells_df.count() == n1 + n2
+        wa = assign_to_centroids(emb, idx.centroids_df, "vec_id", "embedding")
+        wc = pack_codes(
+            pq_encode(emb, "vec_id", "embedding", idx.codebook_df, m=8, dim=64)
+        )
+        want = wa.select(F.col("neighbor_id").alias("vid"), "cell").join(
+            wc, on="vid"
+        )
+        assert rows(idx.cells_df, ["vid", "cell", "codes"]) == rows(
+            want, ["vid", "cell", "codes"]
+        )
+
+        # --- residual IVFPQ: residuals vs stored centroids -----------
+        p = f"{tmp}/ivfpqr"
+        write_ivfpq_residual_index(b1, p, "vec_id", "embedding", "label",
+                                   m=8, k_codes=16, dim=64)
+        append_to_ivfpq_residual_index(b2, p, validate_unique=True)
+        idx = read_ivfpq_residual_index(spark, p)
+        assert idx.cells_df.count() == n1 + n2
+        wa = assign_to_centroids(emb, idx.centroids_df, "vec_id", "embedding")
+        res = wa.join(F.broadcast(idx.centroids_df), "cell").select(
+            F.col("neighbor_id").alias("rid"),
+            F.zip_with("v_c", "centroid", lambda a, b: a - b).alias("rvec"),
+        )
+        wc = pack_codes(
+            pq_encode(res, "rid", "rvec", idx.codebook_df, m=8, dim=64)
+        )
+        want = wa.select(F.col("neighbor_id").alias("vid"), "cell").join(
+            wc, on="vid"
+        )
+        assert rows(idx.cells_df, ["vid", "cell", "codes"]) == rows(
+            want, ["vid", "cell", "codes"]
+        )
