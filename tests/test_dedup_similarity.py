@@ -1462,3 +1462,183 @@ def test_ann_index_append_equals_rebuild(spark, sf_dir):
         assert rows(idx.cells_df, ["vid", "cell", "codes"]) == rows(
             want, ["vid", "cell", "codes"]
         )
+
+
+def _replay_synth_pixels(text: str):
+    """Independent closed-form replay of synth_media_bytes' pixel
+    content (NOT via decode_image — the whole point is pinning the
+    decoder against the synthesis spec): returns (fmt, w, h, rgb)
+    with rgb row-major top-down."""
+    import hashlib
+
+    h = hashlib.md5(text.encode()).digest()
+    w, hgt = 1 + h[0] % 64, 1 + h[1] % 64
+    if h[2] % 2 == 0:  # BMP: bottom-up rows, BGR, 4-byte row padding
+        row_bytes = (w * 3 + 3) // 4 * 4
+        rgb = bytearray(w * hgt * 3)
+        for y in range(hgt):
+            src_row = (hgt - 1 - y) * row_bytes
+            for x in range(w):
+                for c in range(3):
+                    rgb[(y * w + x) * 3 + c] = h[(src_row + 3 * x + (2 - c)) % 16]
+        return ("bmp", w, hgt, bytes(rgb))
+    # PNG: row y content byte j = h[(y + j) % 16], already RGB
+    rgb = bytearray(w * hgt * 3)
+    for y in range(hgt):
+        for j in range(w * 3):
+            rgb[y * w * 3 + j] = h[(y + j) % 16]
+    return ("png", w, hgt, bytes(rgb))
+
+
+def test_decode_image_matches_synthesis_closed_form():
+    """decode_image must reproduce synth_media_bytes' pixels
+    byte-for-byte from the real containers (VERDICT r14 item 4) —
+    both the PNG branch (zlib inflate + unfilter) and the BMP branch
+    (bottom-up BGR de-padding)."""
+    from cpx_etl_spark.operators.multimodal import (
+        decode_image,
+        synth_media_bytes,
+    )
+
+    seen = set()
+    for i in range(40):
+        text = f"decode probe {i}"
+        fmt, w, hgt, rgb = _replay_synth_pixels(text)
+        gfmt, gw, gh, gch, gpx = decode_image(synth_media_bytes(text))
+        assert (gfmt, gw, gh, gch) == (fmt, w, hgt, 3)
+        assert gpx == rgb, f"pixel mismatch for {fmt} {w}x{hgt}"
+        seen.add(fmt)
+        if seen == {"png", "bmp"} and i >= 20:
+            break
+    assert seen == {"png", "bmp"}  # both branches exercised
+
+
+def test_png_unfilter_roundtrip_all_filter_types():
+    """Forward-filter known pixels with every PNG filter type (0-4)
+    in the test, wrap in a real PNG container, and pin that
+    decode_image recovers the original pixels — the unfilter
+    arithmetic (Sub/Up/Average/Paeth) is exercised directly, not just
+    the filter-0 images the synthesis emits."""
+    import struct
+    import zlib
+
+    from cpx_etl_spark.operators.multimodal import decode_image
+
+    w, hgt, ch = 5, 6, 3
+    px = bytes((7 * i + 13 * (i // 3) + (i % 11) * 31) % 256
+               for i in range(w * hgt * ch))
+    stride, bpp = w * ch, ch
+
+    def fwd(ft, line, prev):
+        out = bytearray()
+        for i in range(stride):
+            x = line[i]
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 0xFF
+            elif ft == 2:
+                f = (x - b) & 0xFF
+            elif ft == 3:
+                f = (x - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = (x - pred) & 0xFF
+            out.append(f)
+        return bytes(out)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # rows cycle through filter types 0..4 (and 4 again for row 5)
+    fts = [0, 1, 2, 3, 4, 4]
+    raw = b""
+    prev = bytes(stride)
+    for y in range(hgt):
+        line = px[y * stride:(y + 1) * stride]
+        raw += bytes([fts[y]]) + fwd(fts[y], line, prev)
+        prev = line
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, hgt, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 6))
+           + chunk(b"IEND", b""))
+    fmt, gw, gh, gch, gpx = decode_image(png)
+    assert (fmt, gw, gh, gch) == ("png", w, hgt, 3)
+    assert gpx == px
+
+    # grayscale PNG (color type 0) roundtrips too
+    gray = bytes((i * 37) % 256 for i in range(w * hgt))
+    raw0 = b""
+    prevg = bytes(w)
+    for y in range(hgt):
+        line = gray[y * w:(y + 1) * w]
+        # Up filter throughout
+        raw0 += b"\x02" + bytes((line[i] - prevg[i]) & 0xFF for i in range(w))
+        prevg = line
+    png0 = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, hgt, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw0, 6))
+            + chunk(b"IEND", b""))
+    fmt0, _w0, _h0, ch0, gpx0 = decode_image(png0)
+    assert (fmt0, ch0) == ("png", 1) and gpx0 == gray
+
+
+def test_dhash_and_tiles_hash_real_container_pixels(spark):
+    """dhash_56 and image_tiles accept REAL PNG/BMP payloads: the
+    pipeline is decode -> integer grayscale -> nearest 7x9 (resp.
+    16x16) resample -> hash/patch, and the result must equal an
+    independent closed-form replay of the synthesis (never
+    decode_image itself)."""
+    from cpx_etl_spark.operators.multimodal import (
+        dhash_56,
+        image_tiles,
+        synth_media_bytes,
+    )
+
+    texts = [(i, f"container probe {i}") for i in range(8)]
+    rows = [(i, bytearray(synth_media_bytes(t))) for i, t in texts]
+    df = spark.createDataFrame(
+        [(i, bytes(b)) for i, b in rows], "doc_id long, payload binary"
+    )
+
+    def replay_gray_grid(text, out_w, out_h):
+        _fmt, w, hgt, rgb = _replay_synth_pixels(text)
+        gray = [
+            (rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2]) // 3
+            for i in range(w * hgt)
+        ]
+        return [
+            [gray[((y * hgt) // out_h) * w + (x * w) // out_w]
+             for x in range(out_w)]
+            for y in range(out_h)
+        ]
+
+    # dHash: 7 rows x 9 cols -> 56 bits
+    want_hash = {}
+    for i, t in texts:
+        g = replay_gray_grid(t, 9, 7)
+        hv = 0
+        for r in range(7):
+            for c in range(8):
+                if g[r][c] > g[r][c + 1]:
+                    hv |= 1 << (r * 8 + c)
+        want_hash[i] = hv
+    got = {r.doc_id: r.phash for r in dhash_56(df).collect()}
+    assert got == want_hash
+
+    # tiles: 16x16 grid, 4x4 patches; pin byte_sum/min/max of patch (0,0)
+    # and (3,3) for every doc
+    tl = {(r.doc_id, r.tile_r, r.tile_c): (r.byte_sum, r.min_p, r.max_p)
+          for r in image_tiles(df, "doc_id").collect()}
+    for i, t in texts:
+        g = replay_gray_grid(t, 16, 16)
+        for tr, tc in ((0, 0), (3, 3)):
+            patch = [g[tr * 4 + dy][tc * 4 + dx]
+                     for dy in range(4) for dx in range(4)]
+            assert tl[(i, tr, tc)] == (sum(patch), min(patch), max(patch))
