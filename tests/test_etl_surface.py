@@ -912,3 +912,103 @@ def test_expectations_names_unique_and_overridable(spark):
     assert by["mean_between_x"] is True        # mean 2.0 in [0, 10]
     assert by["mean_between_x#1"] is False     # 2.0 not in [5, 6]
     assert by["x_is_pk"] is True
+
+
+def test_kafka_source_options_compile(spark):
+    """Kafka reader spec -> connector option map (VERDICT r14 item 5,
+    the jdbc.py pattern: no broker in-container, the constructed plan
+    options ARE the contract)."""
+    from cpx_etl_spark.sources.kafka import (
+        kafka_reader,
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        "b1:9092,b2:9092", subscribe=["clicks", "orders"],
+        starting_offsets={"clicks": {0: 42, 1: -2}},
+        max_offsets_per_trigger=10_000, min_partitions=64,
+        group_id_prefix="cpx",
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "clicks,orders"
+    assert opts["startingOffsets"] == '{"clicks":{"0":42,"1":-2}}'
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    assert opts["minPartitions"] == "64"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["groupIdPrefix"] == "cpx"
+
+    # explicit partition placement + bounded batch replay
+    opts = kafka_source_options(
+        "b:9092", assign={"t": [2, 0, 1]},
+        starting_offsets="earliest", ending_offsets="latest",
+    )
+    assert opts["assign"] == '{"t":[0,1,2]}'
+    assert opts["endingOffsets"] == "latest"
+
+    # spec validation: exactly one subscription mode, sane offsets
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        kafka_source_options("b:9092")
+    with _pytest.raises(ValueError, match="exactly one"):
+        kafka_source_options("b:9092", subscribe="t", subscribe_pattern="t.*")
+    with _pytest.raises(ValueError, match="earliest"):
+        kafka_source_options("b:9092", subscribe="t", starting_offsets="now")
+    with _pytest.raises(ValueError, match="positive"):
+        kafka_source_options("b:9092", subscribe="t",
+                             max_offsets_per_trigger=0)
+
+    # reader objects construct for both replay (batch) and streaming
+    assert kafka_reader(spark, streaming=False, bootstrap_servers="b:9092",
+                        subscribe="t") is not None
+    assert kafka_reader(spark, streaming=True, bootstrap_servers="b:9092",
+                        subscribe_pattern="t.*") is not None
+
+
+def test_kafka_sink_options_and_wire_roundtrip(spark):
+    """Sink spec -> idempotent-producer option map, and the JSON
+    encode/decode wire plan roundtrips typed rows without a broker."""
+    from cpx_etl_spark.sources.kafka import (
+        decode_kafka_json,
+        encode_kafka_json,
+        kafka_sink_options,
+        kafka_writer,
+    )
+
+    opts = kafka_sink_options("b:9092", "out")
+    assert opts["kafka.enable.idempotence"] == "true"
+    assert opts["kafka.acks"] == "all"
+    assert opts["kafka.compression.type"] == "lz4"
+    assert opts["kafka.max.in.flight.requests.per.connection"] == "5"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_in_flight"):
+        kafka_sink_options("b:9092", "out", max_in_flight=6)
+
+    rows = spark.createDataFrame(
+        [(1, "click", 2.5), (2, "view", 0.5)],
+        "user_id long, event_type string, value double",
+    )
+    wire = encode_kafka_json(rows, "user_id")
+    assert wire.columns == ["key", "value"]
+    # decode side: fake the full source wire frame around the payload
+    from pyspark.sql import functions as F
+    src = wire.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    back = decode_kafka_json(
+        src, "event_type string, value double", key_as="user_id"
+    )
+    got = sorted((r["user_id"], r["event_type"], r["value"], r["topic"])
+                 for r in back.collect())
+    assert got == [("1", "click", 2.5, "t"), ("2", "view", 0.5, "t")]
+
+    # streaming writer refuses to run without replay tracking
+    with _pytest.raises(ValueError, match="checkpoint"):
+        kafka_writer(wire, bootstrap_servers="b:9092", topic="out")
+    assert kafka_writer(wire, streaming=False,
+                        bootstrap_servers="b:9092", topic="out") is not None
