@@ -747,13 +747,30 @@ def trained_cells_lsh(
     centroids = cell_centroids(vecs, "_seed_cell", "v").select(
         F.col("_seed_cell").alias("cell"), "centroid"
     )
+    assigned, fallback_ids = lsh_assign_to_cells(
+        vecs, centroids, weights[0], id_col
+    )
+    return centroids, assigned, fallback_ids
+
+
+def lsh_assign_to_cells(
+    vecs: DataFrame, centroids: DataFrame, weights0, id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The bucketed assignment half of trained_cells_lsh, reusable
+    against STORED centroids (kNN-graph append): ``vecs`` is
+    (id_col, v, _seed_cell); each vector picks the nearest centroid
+    among those in its sign-LSH bucket (plain hash join, O(N)
+    candidates), falling back to its seed cell. Pure function of
+    (vectors, centroids, hyperplanes), so a batch assigned later is
+    bit-identical to the same batch assigned at build time. Returns
+    (assigned [neighbor_id, v_c, cell], fallback_ids)."""
     vb = vecs.withColumn(
-        "_bkt", lsh_bucket_for_table(quantize_vec(F.col("v")), weights[0])
+        "_bkt", lsh_bucket_for_table(quantize_vec(F.col("v")), weights0)
     )
     cb = centroids.select(
         "cell",
         "centroid",
-        lsh_bucket_for_table(quantize_vec(F.col("centroid")), weights[0]).alias(
+        lsh_bucket_for_table(quantize_vec(F.col("centroid")), weights0).alias(
             "_bkt"
         ),
     )
@@ -779,7 +796,60 @@ def trained_cells_lsh(
     fallback_ids = assigned_all.filter(F.col("_best").isNull()).select(
         F.col(id_col)
     )
-    return centroids, assigned, fallback_ids
+    return assigned, fallback_ids
+
+
+def knn_edges_from_assigned(assigned: DataFrame) -> DataFrame:
+    """Top-3 within-cell cosine edges + mutual-edge count from an
+    assignment frame (neighbor_id, v_c, cell) — the shared kernel of
+    q_knn_graph and the persisted kNN-graph index, so the gate and
+    the index maintenance path cannot drift. Pair volume is sum of
+    n_c^2 over cells; ranking on the pre-rounded cosine with an id
+    tiebreak keeps the edge set engine-deterministic. Output:
+    (vec_id, cell, n1, c1, n2, c2, n3, c3, mutual_cnt)."""
+    a = assigned.select(
+        F.col("neighbor_id").alias("a"), F.col("v_c").alias("ea"), "cell"
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("b"), F.col("v_c").alias("eb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6)
+        )
+        .select("a", "cell", "b", "cos")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b").asc())
+    # the edge frame feeds three consumers (reverse probe, mutual
+    # count, final pivot) — checkpoint so the cell self-join + window
+    # runs ONCE, not once per branch; <= 3N narrow rows at any SF
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .localCheckpoint(eager=False)
+    )
+    rev = top.select(F.col("a").alias("rb"), F.col("b").alias("ra"))
+    mut = (
+        top.join(rev, (top.a == rev.ra) & (top.b == rev.rb), "left_semi")
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("mutual_cnt"))
+    )
+    agg = top.groupBy("a").agg(
+        F.min("cell").alias("cell"),
+        F.max(F.when(F.col("rn") == 1, F.col("b"))).alias("n1"),
+        F.max(F.when(F.col("rn") == 1, F.col("cos"))).alias("c1"),
+        F.max(F.when(F.col("rn") == 2, F.col("b"))).alias("n2"),
+        F.max(F.when(F.col("rn") == 2, F.col("cos"))).alias("c2"),
+        F.max(F.when(F.col("rn") == 3, F.col("b"))).alias("n3"),
+        F.max(F.when(F.col("rn") == 3, F.col("cos"))).alias("c3"),
+    )
+    return agg.join(mut, "a", "left").select(
+        F.col("a").alias("vec_id"), "cell",
+        "n1", "c1", "n2", "c2", "n3", "c3",
+        F.coalesce("mutual_cnt", F.lit(0)).cast("long").alias("mutual_cnt"),
+    )
 
 
 def cell_centroids(df: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
@@ -1010,6 +1080,163 @@ def append_to_ivf_index(
     write_clustered_parquet(
         assigned, os.path.join(path, "assignments"), ["cell"], mode="append",
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted kNN-graph index (r15) — the graph sibling of the ANN index
+# family: cells + assignments + per-vector edge lists stored once,
+# new batches maintained INCREMENTALLY (probe stored cells, recompute
+# only the touched edge partitions) instead of rebuilding the graph.
+# ---------------------------------------------------------------------------
+
+_KNN_META = "_KNN_META.json"
+# Edge storage partitions by pcell = cell % _KNN_EDGE_PARTS so an
+# append's dynamic partition overwrite rewrites a BOUNDED set of
+# directories even when k (cell count) grows with the corpus.
+_KNN_EDGE_PARTS = 64
+
+
+class KnnGraphIndex:
+    """Handle over a persisted kNN-graph index: tiny centroids,
+    cell-clustered assignments, and the per-vector top-3 edge table
+    partitioned by pcell for incremental maintenance."""
+
+    def __init__(self, spark, path: str, meta: dict):
+        import os
+
+        self.path = path
+        self.meta = meta
+        self.centroids_df = spark.read.parquet(os.path.join(path, "centroids"))
+        self.assignments_df = spark.read.parquet(
+            os.path.join(path, "assignments")
+        )
+        self.edges_df = spark.read.parquet(os.path.join(path, "edges"))
+
+
+def write_knn_graph_index(
+    corpus: DataFrame, path: str, id_col: str, vec_col: str,
+    target_cell: int = 64, n_bits: int | None = None,
+) -> None:
+    """Build and persist the kNN graph over trained LSH-assigned cells
+    (the q_knn_graph construction): k = ceil(N/target_cell) md5-seeded
+    cells, one Lloyd step, bucket-bounded assignment, top-3 within-cell
+    edges + mutual counts. Edges partition by cell % _KNN_EDGE_PARTS so
+    append_to_knn_graph_index can overwrite only touched partitions."""
+    import json
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    n = corpus.count()
+    k = max(2, -(-n // target_cell))
+    if n_bits is None:
+        n_bits = max(1, k.bit_length() - 3)
+    dim = _infer_dim(corpus, vec_col)
+    centroids, assigned, _fb = trained_cells_lsh(
+        corpus, id_col, vec_col, k, n_bits=n_bits
+    )
+    assigned = assigned.localCheckpoint(eager=False)
+    edges = knn_edges_from_assigned(assigned).withColumn(
+        "pcell", F.col("cell") % _KNN_EDGE_PARTS
+    )
+    os.makedirs(path, exist_ok=True)
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    write_clustered_parquet(
+        assigned, os.path.join(path, "assignments"), ["cell"]
+    )
+    edges.write.partitionBy("pcell").mode("overwrite").parquet(
+        os.path.join(path, "edges")
+    )
+    meta = {"id_col": id_col, "vec_col": vec_col, "k": k,
+            "n_bits": n_bits, "dim": dim, "edge_parts": _KNN_EDGE_PARTS}
+    tmp = os.path.join(path, f"{_KNN_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _KNN_META))
+
+
+def read_knn_graph_index(spark, path: str) -> KnnGraphIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, _KNN_META)) as f:
+        meta = json.load(f)
+    return KnnGraphIndex(spark, path, meta)
+
+
+def append_to_knn_graph_index(
+    df_new: DataFrame, path: str, validate_unique: bool = False,
+) -> list[int]:
+    """INCREMENTAL kNN-graph maintenance (VERDICT r14 stretch): the
+    new batch assigns to the STORED cells (same seeded-bucket rule as
+    the build — a pure function of vector, stored centroids and
+    hyperplanes, so append == rebuild at fixed centroids bit-exactly),
+    its assignment rows append, and ONLY the touched edge partitions
+    (pcell = cell % edge_parts) are recomputed from the stored members
+    of those partitions' cells plus the new rows, then swapped in via
+    dynamic partition overwrite. Untouched partitions' files are never
+    rewritten — the whole point: edge maintenance cost is bounded by
+    the touched-cell population, not the corpus. Returns the touched
+    pcell list. Not crash-atomic across the two writes (the
+    signature-index posture): re-run a failed append with a fresh
+    batch read, or wrap the table in the versioned-commit sink."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import write_clustered_parquet
+
+    spark = df_new.sparkSession
+    idx = read_knn_graph_index(spark, path)
+    meta = idx.meta
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    k, n_bits, parts = meta["k"], meta["n_bits"], meta["edge_parts"]
+    if validate_unique:
+        _validate_new_ids(
+            df_new,
+            idx.assignments_df.select(F.col("neighbor_id").alias(id_col)),
+            id_col, "append_to_knn_graph_index", path,
+        )
+    weights = hyperplane_weights(1, n_bits, meta["dim"], tag="tc")
+    seeded = df_new.withColumn("_seed_cell", _md5_seed_cell(id_col, k))
+    vecs = seeded.select(
+        F.col(id_col), as_double(vec_col).alias("v"), F.col("_seed_cell")
+    )
+    new_assigned, _fb = lsh_assign_to_cells(
+        vecs, idx.centroids_df, weights[0], id_col
+    )
+    new_assigned = new_assigned.localCheckpoint(eager=True)
+    touched = sorted(
+        {r["cell"] % parts for r in
+         new_assigned.select("cell").distinct().collect()}
+    )
+    # members of every cell living in a touched partition: stored rows
+    # (cell-clustered parquet — the filter prunes row groups) + new
+    members = idx.assignments_df.filter(
+        (F.col("cell") % parts).isin(touched)
+    ).unionByName(new_assigned)
+    edges_new = knn_edges_from_assigned(members).withColumn(
+        "pcell", F.col("cell") % parts
+    )
+    # edges FIRST, assignments second: the edges plan lazily re-scans
+    # the assignments directory at execution time, so appending the
+    # assignment rows before running it would double-count the new
+    # batch; and a crash between the writes leaves an idempotently
+    # re-runnable state (edge overwrite recomputes identically, the
+    # assignment append then lands once).
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        edges_new.write.partitionBy("pcell").mode("overwrite").parquet(
+            os.path.join(path, "edges")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_clustered_parquet(
+        new_assigned, os.path.join(path, "assignments"), ["cell"],
+        mode="append",
+    )
+    return touched
 
 
 def ivf_topk_indexed(

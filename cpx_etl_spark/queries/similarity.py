@@ -1779,51 +1779,14 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_fb = fallback.agg(F.count(F.lit(1)).cast("long").alias("n_fallback"))
     # the assignment subtree (bucketed candidate join + min_by) feeds
     # BOTH sides of the within-cell pair join — checkpoint so it runs
-    # once, not twice (narrow: one row per vector)
+    # once, not twice (narrow: one row per vector); the edge kernel is
+    # shared with the persisted kNN-graph index (write/append) so the
+    # gate pins the maintenance path's arithmetic too
+    from cpx_etl_spark.operators.similarity import knn_edges_from_assigned
+
     assigned = assigned.localCheckpoint(eager=False)
-    a = assigned.select(
-        F.col("neighbor_id").alias("a"), F.col("v_c").alias("ea"), "cell"
-    )
-    b = assigned.select(
-        F.col("neighbor_id").alias("b"), F.col("v_c").alias("eb"), "cell"
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("a") != F.col("b"))
-        .withColumn("cos", fround(cosine(F.col("ea"), F.col("eb")), 6))
-        .select("a", "cell", "b", "cos")
-    )
-    w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b").asc())
-    # the edge frame feeds three consumers (reverse probe, mutual
-    # count, final pivot) — checkpoint so the cell self-join + window
-    # runs ONCE, not once per branch; <= 3N narrow rows at any SF
-    top = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .localCheckpoint(eager=False)
-    )
-    rev = top.select(F.col("a").alias("rb"), F.col("b").alias("ra"))
-    mut = (
-        top.join(rev, (top.a == rev.ra) & (top.b == rev.rb), "left_semi")
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).alias("mutual_cnt"))
-    )
-    agg = top.groupBy("a").agg(
-        F.min("cell").alias("cell"),
-        F.max(F.when(F.col("rn") == 1, F.col("b"))).alias("n1"),
-        F.max(F.when(F.col("rn") == 1, F.col("cos"))).alias("c1"),
-        F.max(F.when(F.col("rn") == 2, F.col("b"))).alias("n2"),
-        F.max(F.when(F.col("rn") == 2, F.col("cos"))).alias("c2"),
-        F.max(F.when(F.col("rn") == 3, F.col("b"))).alias("n3"),
-        F.max(F.when(F.col("rn") == 3, F.col("cos"))).alias("c3"),
-    )
     return (
-        agg.join(mut, "a", "left")
-        .select(
-            F.col("a").alias("vec_id"), "cell",
-            "n1", "c1", "n2", "c2", "n3", "c3",
-            F.coalesce("mutual_cnt", F.lit(0)).cast("long").alias("mutual_cnt"),
-        )
+        knn_edges_from_assigned(assigned)
         .withColumn("k_cells", F.lit(int(k)).cast("long"))
         .crossJoin(F.broadcast(n_fb))  # 1-row truncation report
         .orderBy("vec_id")

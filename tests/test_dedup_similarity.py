@@ -1642,3 +1642,87 @@ def test_dhash_and_tiles_hash_real_container_pixels(spark):
             patch = [g[tr * 4 + dy][tc * 4 + dx]
                      for dy in range(4) for dx in range(4)]
             assert tl[(i, tr, tc)] == (sum(patch), min(patch), max(patch))
+
+
+def test_knn_graph_index_append_equals_rebuild(spark, sf_dir):
+    """Incremental kNN-graph maintenance (VERDICT r14 stretch): build
+    the persisted graph on batch 1, append a small batch 2 — the new
+    rows assign to the STORED cells and only the TOUCHED edge
+    partitions are recomputed — and the resulting edge table must
+    equal a from-scratch edge computation over all vectors at the
+    fixed stored centroids, bit-exactly. Untouched partition
+    directories must keep their files byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.similarity import (
+        _md5_seed_cell,
+        append_to_knn_graph_index,
+        hyperplane_weights,
+        knn_edges_from_assigned,
+        lsh_assign_to_cells,
+        read_knn_graph_index,
+        write_knn_graph_index,
+    )
+    from cpx_etl_spark.functions.vectors import as_double
+    from cpx_etl_spark.sources import load_table
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") >= 6)
+    b2 = emb.filter(F.col("vec_id") < 6)
+    assert b2.count() == 6
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/knng"
+        write_knn_graph_index(b1, path, "vec_id", "embedding")
+        idx0 = read_knn_graph_index(spark, path)
+        k = idx0.meta["k"]
+
+        def part_files():
+            root = os.path.join(path, "edges")
+            return {
+                d: sorted(os.listdir(os.path.join(root, d)))
+                for d in os.listdir(root) if d.startswith("pcell=")
+            }
+
+        before = part_files()
+        touched = append_to_knn_graph_index(b2, path, validate_unique=True)
+        assert touched and len(touched) <= 6
+        after = part_files()
+        untouched = [d for d in before
+                     if int(d.split("=")[1]) not in touched]
+        assert untouched, "test corpus should leave some partition untouched"
+        for d in untouched:
+            assert after[d] == before[d], f"{d} was rewritten"
+
+        idx = read_knn_graph_index(spark, path)
+        assert idx.assignments_df.count() == emb.count()
+
+        # reference: all vectors assigned at the FIXED stored centroids
+        weights = hyperplane_weights(1, idx.meta["n_bits"],
+                                     idx.meta["dim"], tag="tc")
+        vecs = emb.withColumn(
+            "_seed_cell", _md5_seed_cell("vec_id", k)
+        ).select(
+            F.col("vec_id"), as_double("embedding").alias("v"),
+            F.col("_seed_cell"),
+        )
+        ref_assigned, _ = lsh_assign_to_cells(
+            vecs, idx.centroids_df, weights[0], "vec_id"
+        )
+        want = knn_edges_from_assigned(ref_assigned)
+        cols = ["vec_id", "cell", "n1", "c1", "n2", "c2", "n3", "c3",
+                "mutual_cnt"]
+        got_rows = sorted(tuple(r[c] for c in cols)
+                          for r in idx.edges_df.select(*cols).collect())
+        want_rows = sorted(tuple(r[c] for c in cols)
+                           for r in want.select(*cols).collect())
+        assert got_rows == want_rows and len(got_rows) > 0
+
+        # a replayed id refuses
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="already exists"):
+            append_to_knn_graph_index(b2.limit(1), path,
+                                      validate_unique=True)
