@@ -151,6 +151,10 @@ HEADLINE = [
     # and the bigram-keyed G2 collocation shuffle
     "q_substring_trim",
     "q_collocation_llr",
+    # r15 addition: the FAISS train/add serving shape — first call per
+    # corpus builds+appends the two-batch index (cached via the marker
+    # in its corpus_index_dir), min-of-3 then times the indexed serve
+    "ann_ivf_append_serve",
 ]
 
 

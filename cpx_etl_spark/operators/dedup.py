@@ -552,6 +552,26 @@ def _index_frames(df: DataFrame, id_col: str, text_col: str,
     return banded, index, counts
 
 
+def validate_new_ids(df_new: DataFrame, stored_ids: DataFrame,
+                     id_col: str, fn_name: str, path: str) -> None:
+    """Refuse an append batch whose ids already exist in a persisted
+    index — an id ingested twice double-counts its derived rows. One
+    bounded semi-join + limit(1) probe. The single home of the check
+    shared by every index append (signature, winnowing, ANN families,
+    kNN graph — code-review r15)."""
+    clash = (
+        df_new.select(id_col)
+        .join(stored_ids, on=id_col, how="left_semi")
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"{fn_name}: id {clash[0][0]!r} already exists in the "
+            f"index at {path}"
+        )
+
+
 def write_signature_index(df: DataFrame, path: str, id_col: str,
                           text_col: str, n: int = 2, k: int = 8,
                           bands: int = 4) -> None:
@@ -589,18 +609,8 @@ def append_to_signature_index(df: DataFrame, path: str,
     meta = read_index_meta(path)
     if validate_unique:
         stored = df.sparkSession.read.parquet(os.path.join(path, "counts"))
-        clash = (
-            df.select(meta["id_col"])
-            .join(stored.select(meta["id_col"]), on=meta["id_col"],
-                  how="left_semi")
-            .limit(1)
-            .collect()
-        )
-        if clash:
-            raise ValueError(
-                f"append_to_signature_index: id {clash[0][0]!r} already "
-                f"exists in the index at {path}"
-            )
+        validate_new_ids(df, stored.select(meta["id_col"]), meta["id_col"],
+                         "append_to_signature_index", path)
     banded, index, counts = _index_frames(
         df, meta["id_col"], meta["text_col"], meta["n"], meta["k"],
         meta["bands"],
@@ -821,18 +831,8 @@ def append_to_winnow_index(df: DataFrame, path: str,
     meta = read_winnow_meta(path)
     if validate_unique:
         stored = df.sparkSession.read.parquet(os.path.join(path, "counts"))
-        clash = (
-            df.select(meta["id_col"])
-            .join(stored.select(meta["id_col"]), on=meta["id_col"],
-                  how="left_semi")
-            .limit(1)
-            .collect()
-        )
-        if clash:
-            raise ValueError(
-                f"append_to_winnow_index: id {clash[0][0]!r} already "
-                f"exists in the index at {path}"
-            )
+        validate_new_ids(df, stored.select(meta["id_col"]), meta["id_col"],
+                         "append_to_winnow_index", path)
     fps, counts = _winnow_frames(
         df, meta["id_col"], meta["text_col"], meta["k"], meta["w"]
     )

@@ -544,26 +544,32 @@ def decode_mp4_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def dhash_56(df: DataFrame, id_col: str = "doc_id",
-             perturb_col: str | None = None) -> DataFrame:
+             perturb_col: str | None = None,
+             decode_containers: bool = False) -> DataFrame:
     """Perceptual difference-hash (dHash) of a 7x9 grayscale thumbnail
     carried as a 112-byte binary payload: row r = bytes [16r, 16r+9) of
     the payload (nine pixels), bit (r, c) set iff pixel[r][c] >
     pixel[r][c+1] — 7x8 = 56 bits packed little-endian into a BIGINT.
-    A payload carrying a REAL container (PNG/BMP magic) goes through
-    the full pipeline: decode_image -> integer grayscale -> nearest
-    resample to the 7x9 grid — so the hash is computed from true
-    pixels (r15, closing the decode stub). A raw payload IS the
-    thumbnail already (row r = bytes [16r, 16r+9)), the path the
-    registered gates use so their oracles replay the bytes exactly.
-    ``perturb_col`` (small int) is added mod 256 to pixel[0][0], the
-    hook tests use to plant bounded-hamming near-duplicates."""
+    With ``decode_containers=True`` the payloads are REAL containers
+    and run the full pipeline: decode_image -> integer grayscale ->
+    nearest resample to the 7x9 grid — the hash is computed from true
+    pixels (r15, closing the decode stub). Default False: the payload
+    IS the thumbnail already (row r = bytes [16r, 16r+9)), the path
+    the registered gates use so their oracles replay the bytes
+    exactly. The mode is an EXPLICIT caller flag, never magic-sniffed:
+    BMP's 2-byte magic collides with ~1/65k md5-derived raw payloads,
+    so content sniffing would hard-fail a large corpus on the first
+    unlucky digest (code-review r15) — payload provenance is schema
+    knowledge the caller has. ``perturb_col`` (small int) is added mod
+    256 to pixel[0][0], the hook tests use to plant bounded-hamming
+    near-duplicates."""
 
     cols = [id_col, "payload"] + ([perturb_col] if perturb_col else [])
     schema = f"{id_col} bigint, phash bigint"
 
     def one(b: bytes, delta: int) -> int:
         b = bytes(b)
-        if b[:8] == _PNG_SIG or b[:2] == b"BM":
+        if decode_containers:
             _f, w, hgt, ch, pxs = decode_image(b)
             thumb = sample_grid(gray_pixels(w, hgt, ch, pxs), w, hgt, 9, 7)
             rows = [list(thumb[9 * r: 9 * (r + 1)]) for r in range(7)]
@@ -644,7 +650,8 @@ def decode_wav_energy(
 
 
 def image_tiles(df: DataFrame, id_col: str = "doc_id",
-                width: int = 16, tile: int = 4) -> DataFrame:
+                width: int = 16, tile: int = 4,
+                decode_containers: bool = False) -> DataFrame:
     """ViT-style patch extraction: a width x width grayscale image
     carried as a width^2-byte binary payload (row r = bytes
     [width*r, width*(r+1))) splits into (width/tile)^2 non-overlapping
@@ -672,9 +679,12 @@ def image_tiles(df: DataFrame, id_col: str = "doc_id",
             }
             for i, b in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(b)
-                if b[:8] == _PNG_SIG or b[:2] == b"BM":
+                if decode_containers:
                     # real container: full pixel decode -> grayscale ->
-                    # nearest resample to the patch grid (r15)
+                    # nearest resample to the patch grid (r15).
+                    # Explicit caller flag, never magic-sniffed — see
+                    # dhash_56 (the 2-byte BMP magic collides with
+                    # md5-derived raw payloads at scale)
                     _f, w, hgt, ch, pxs = decode_image(b)
                     b = sample_grid(
                         gray_pixels(w, hgt, ch, pxs), w, hgt, width, width

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cpx_etl_spark.functions.vectors import as_double, cosine, dot
-from cpx_etl_spark.operators.dedup import observe_count
+from cpx_etl_spark.operators.dedup import observe_count, validate_new_ids
 
 _QUANT = 1000000.0  # embedding quantization scale (floor(x * 1e6))
 
@@ -1071,12 +1071,26 @@ def append_to_ivf_index(
     idx = read_ivf_index(df_new.sparkSession, path)
     id_col, vec_col = idx.meta["id_col"], idx.meta["vec_col"]
     if validate_unique:
-        _validate_new_ids(
+        validate_new_ids(
             df_new,
             idx.assignments_df.select(F.col("neighbor_id").alias(id_col)),
             id_col, "append_to_ivf_index", path,
         )
-    assigned = assign_to_centroids(df_new, idx.centroids_df, id_col, vec_col)
+    # bounded broadcast only while the cell count is (classic-IVF)
+    # small — an index trained with corpus-sized k must not pin a
+    # corpus-scale centroid frame on append either (the ivf_build
+    # guard; the centroid count is a tiny column-pruned scan)
+    k_cells = idx.centroids_df.count()
+    assigned = assign_to_centroids(
+        df_new, idx.centroids_df, id_col, vec_col,
+        broadcast_centroids=(k_cells <= _IVF_BROADCAST_K_MAX),
+    )
+    # idempotent resume: drop rows already landed, so a crashed append
+    # re-runs to completion instead of duplicating serve candidates
+    assigned = assigned.join(
+        idx.assignments_df.select("neighbor_id"),
+        on="neighbor_id", how="left_anti",
+    )
     write_clustered_parquet(
         assigned, os.path.join(path, "assignments"), ["cell"], mode="append",
     )
@@ -1099,18 +1113,32 @@ _KNN_EDGE_PARTS = 64
 class KnnGraphIndex:
     """Handle over a persisted kNN-graph index: tiny centroids,
     cell-clustered assignments, and the per-vector top-3 edge table
-    partitioned by pcell for incremental maintenance."""
+    partitioned by pcell for incremental maintenance. The edges table
+    opens LAZILY: the append path never reads it, and an open costs a
+    64-partition directory walk + footer read it shouldn't pay
+    (code-review r15)."""
 
     def __init__(self, spark, path: str, meta: dict):
         import os
 
+        self._spark = spark
         self.path = path
         self.meta = meta
         self.centroids_df = spark.read.parquet(os.path.join(path, "centroids"))
         self.assignments_df = spark.read.parquet(
             os.path.join(path, "assignments")
         )
-        self.edges_df = spark.read.parquet(os.path.join(path, "edges"))
+        self._edges_df = None
+
+    @property
+    def edges_df(self) -> DataFrame:
+        import os
+
+        if self._edges_df is None:
+            self._edges_df = self._spark.read.parquet(
+                os.path.join(self.path, "edges")
+            )
+        return self._edges_df
 
 
 def write_knn_graph_index(
@@ -1192,7 +1220,7 @@ def append_to_knn_graph_index(
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     k, n_bits, parts = meta["k"], meta["n_bits"], meta["edge_parts"]
     if validate_unique:
-        _validate_new_ids(
+        validate_new_ids(
             df_new,
             idx.assignments_df.select(F.col("neighbor_id").alias(id_col)),
             id_col, "append_to_knn_graph_index", path,
@@ -1205,11 +1233,22 @@ def append_to_knn_graph_index(
     new_assigned, _fb = lsh_assign_to_cells(
         vecs, idx.centroids_df, weights[0], id_col
     )
-    new_assigned = new_assigned.localCheckpoint(eager=True)
+    # idempotent resume: drop rows already in the stored assignments —
+    # a full re-run becomes a no-op (no edge rewrite, no append) and a
+    # crashed half-append (edges landed, assignments not) completes;
+    # without this, a re-run would count the batch TWICE in the edge
+    # recompute (members = stored + new) and corrupt the touched
+    # partitions (code-review r15)
+    new_assigned = new_assigned.join(
+        idx.assignments_df.select("neighbor_id"),
+        on="neighbor_id", how="left_anti",
+    ).localCheckpoint(eager=True)
     touched = sorted(
         {r["cell"] % parts for r in
          new_assigned.select("cell").distinct().collect()}
     )
+    if not touched:
+        return touched  # nothing new to land
     # members of every cell living in a touched partition: stored rows
     # (cell-clustered parquet — the filter prunes row groups) + new
     members = idx.assignments_df.filter(
@@ -1718,27 +1757,6 @@ def pack_codes(codes: DataFrame) -> DataFrame:
     )
 
 
-def _validate_new_ids(
-    df_new: DataFrame, stored_ids: DataFrame, id_col: str,
-    fn_name: str, path: str,
-) -> None:
-    """Reject an append batch whose ids already exist in the index —
-    an id ingested twice serves duplicate candidate rows (same
-    contract as append_to_signature_index). One bounded semi-join +
-    limit(1) probe."""
-    clash = (
-        df_new.select(id_col)
-        .join(stored_ids, on=id_col, how="left_semi")
-        .limit(1)
-        .collect()
-    )
-    if clash:
-        raise ValueError(
-            f"{fn_name}: id {clash[0][0]!r} already exists in the "
-            f"index at {path}"
-        )
-
-
 def pq_distortion(corpus: DataFrame, id_col: str, vec_col: str,
                   m: int = 8, k_codes: int = 16, dim: int = 64) -> DataFrame:
     """Quantization DISTORTION of the (m, k_codes) PQ configuration
@@ -1917,7 +1935,7 @@ def read_pq_index(spark, path: str) -> PqIndex:
 
 
 def _append_pq_batch(
-    df_new: DataFrame, path: str, meta: dict, codebook: DataFrame,
+    df_new: DataFrame, path: str, idx: "PqIndex",
     encode_input: DataFrame,
 ) -> None:
     """Shared tail of the PQ-family append: encode ``encode_input``
@@ -1927,17 +1945,29 @@ def _append_pq_batch(
     rerank rows that are unreachable (never ADC candidates) — harmless
     — while the reverse order would serve candidates whose rerank
     join-back silently drops them (the winnow-index crash-ordering
-    contract, operators/dedup.py)."""
+    contract, operators/dedup.py). Each write anti-joins the stored
+    ids first (a bounded column-pruned scan), so a crashed append
+    RE-RUNS to completion idempotently instead of duplicating rerank
+    rows (code-review r15)."""
     import os
 
+    meta = idx.meta
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     m, dim = meta["m"], meta["dim"]
     vectors = df_new.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    ).join(
+        idx.vectors_df.select("neighbor_id"), on="neighbor_id",
+        how="left_anti",
     )
     vectors.write.mode("append").parquet(os.path.join(path, "vectors"))
-    codes = pq_encode(encode_input, id_col, vec_col, codebook, m=m, dim=dim)
-    pack_codes(codes).write.mode("append").parquet(os.path.join(path, "codes"))
+    codes = pq_encode(
+        encode_input, id_col, vec_col, idx.codebook_df, m=m, dim=dim
+    )
+    packed = pack_codes(codes).join(
+        idx.codes_df.select("vid"), on="vid", how="left_anti"
+    )
+    packed.write.mode("append").parquet(os.path.join(path, "codes"))
 
 
 def append_to_pq_index(
@@ -1949,14 +1979,15 @@ def append_to_pq_index(
     codebook is bit-exact); codebooks never retrain on append."""
     idx = read_pq_index(df_new.sparkSession, path)
     if validate_unique:
-        _validate_new_ids(
+        # validated against CODES — the last-written table — so a
+        # crashed half-append (vectors landed, codes not) passes and
+        # resumes, while a genuinely re-ingested batch refuses
+        validate_new_ids(
             df_new,
-            idx.vectors_df.select(
-                F.col("neighbor_id").alias(idx.meta["id_col"])
-            ),
+            idx.codes_df.select(F.col("vid").alias(idx.meta["id_col"])),
             idx.meta["id_col"], "append_to_pq_index", path,
         )
-    _append_pq_batch(df_new, path, idx.meta, idx.codebook_df, df_new)
+    _append_pq_batch(df_new, path, idx, df_new)
 
 
 def append_to_opq_index(
@@ -1970,16 +2001,17 @@ def append_to_opq_index(
     idx = read_opq_index(df_new.sparkSession, path)
     meta = idx.meta
     if validate_unique:
-        _validate_new_ids(
+        # codes are the last-written table — see append_to_pq_index
+        validate_new_ids(
             df_new,
-            idx.vectors_df.select(F.col("neighbor_id").alias(meta["id_col"])),
+            idx.codes_df.select(F.col("vid").alias(meta["id_col"])),
             meta["id_col"], "append_to_opq_index", path,
         )
     rot = opq_rotation(meta["dim"], tag=meta["tag"])
     rnew = rotate_vectors(
         df_new, meta["id_col"], meta["vec_col"], rot, meta["dim"]
     )
-    _append_pq_batch(df_new, path, meta, idx.codebook_df, rnew)
+    _append_pq_batch(df_new, path, idx, rnew)
 
 
 def pq_topk_indexed(
@@ -2285,9 +2317,21 @@ def _append_ivfpq_batch(
     meta = idx.meta
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     m, dim = meta["m"], meta["dim"]
-    assigned = assign_to_centroids(df_new, idx.centroids_df, id_col, vec_col)
+    # classic-IVF k is bounded, but don't pin a corpus-scale centroid
+    # frame if the index was trained with data-sized k (ivf_build's
+    # broadcast guard; the count is a tiny column-pruned scan)
+    k_cells = idx.centroids_df.count()
+    broadcastable = k_cells <= _IVF_BROADCAST_K_MAX
+    assigned = assign_to_centroids(
+        df_new, idx.centroids_df, id_col, vec_col,
+        broadcast_centroids=broadcastable,
+    )
     if by_residual:
-        enc_in = assigned.join(F.broadcast(idx.centroids_df), "cell").select(
+        cent_side = (
+            F.broadcast(idx.centroids_df) if broadcastable
+            else idx.centroids_df
+        )
+        enc_in = assigned.join(cent_side, "cell").select(
             F.col("neighbor_id").alias("rid"),
             F.zip_with("v_c", "centroid", lambda a, b: a - b).alias("rvec"),
         )
@@ -2297,8 +2341,17 @@ def _append_ivfpq_batch(
     cells = assigned.select(
         F.col("neighbor_id").alias("vid"), "cell"
     ).join(pack_codes(codes), on="vid")
+    # anti-join each table's stored ids: a crashed append re-runs to
+    # completion idempotently (vectors first — unreachable extras beat
+    # silently-dropped ADC candidates; see _append_pq_batch)
     vectors = df_new.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v")
+    ).join(
+        idx.vectors_df.select("neighbor_id"), on="neighbor_id",
+        how="left_anti",
+    )
+    cells = cells.join(
+        idx.cells_df.select("vid"), on="vid", how="left_anti"
     )
     vectors.write.mode("append").parquet(os.path.join(path, "vectors"))
     write_clustered_parquet(
@@ -2315,11 +2368,10 @@ def append_to_ivfpq_index(
     index."""
     idx = read_ivfpq_index(df_new.sparkSession, path)
     if validate_unique:
-        _validate_new_ids(
+        # cells are the last-written table — see append_to_pq_index
+        validate_new_ids(
             df_new,
-            idx.vectors_df.select(
-                F.col("neighbor_id").alias(idx.meta["id_col"])
-            ),
+            idx.cells_df.select(F.col("vid").alias(idx.meta["id_col"])),
             idx.meta["id_col"], "append_to_ivfpq_index", path,
         )
     _append_ivfpq_batch(df_new, path, idx, by_residual=False)
@@ -2582,11 +2634,10 @@ def append_to_ivfpq_residual_index(
     path (train once / add daily)."""
     idx = read_ivfpq_residual_index(df_new.sparkSession, path)
     if validate_unique:
-        _validate_new_ids(
+        # cells are the last-written table — see append_to_pq_index
+        validate_new_ids(
             df_new,
-            idx.vectors_df.select(
-                F.col("neighbor_id").alias(idx.meta["id_col"])
-            ),
+            idx.cells_df.select(F.col("vid").alias(idx.meta["id_col"])),
             idx.meta["id_col"], "append_to_ivfpq_residual_index", path,
         )
     _append_ivfpq_batch(df_new, path, idx, by_residual=True)

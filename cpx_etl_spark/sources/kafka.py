@@ -82,11 +82,15 @@ def kafka_source_options(
             separators=(",", ":"),
         )
 
-    def _offsets(v: str | dict, knob: str) -> str:
+    def _offsets(v: str | dict, knob: str, allowed: tuple) -> str:
         if isinstance(v, str):
-            if v not in ("earliest", "latest"):
+            # knob-specific literal sets — the connector rejects
+            # endingOffsets='earliest' at .load() time on a real
+            # cluster, and compile-time is where this builder exists
+            # to catch it (code-review r15)
+            if v not in allowed:
                 raise ValueError(
-                    f"{knob} must be 'earliest', 'latest' or a "
+                    f"{knob} must be one of {allowed} or a "
                     f"per-partition dict; got {v!r}"
                 )
             return v
@@ -96,9 +100,13 @@ def kafka_source_options(
             separators=(",", ":"),
         )
 
-    opts["startingOffsets"] = _offsets(starting_offsets, "starting_offsets")
+    opts["startingOffsets"] = _offsets(
+        starting_offsets, "starting_offsets", ("earliest", "latest")
+    )
     if ending_offsets is not None:
-        opts["endingOffsets"] = _offsets(ending_offsets, "ending_offsets")
+        opts["endingOffsets"] = _offsets(
+            ending_offsets, "ending_offsets", ("latest",)
+        )
     if max_offsets_per_trigger is not None:
         if max_offsets_per_trigger <= 0:
             raise ValueError("max_offsets_per_trigger must be positive")
@@ -154,7 +162,20 @@ def kafka_reader(spark, streaming: bool = True, **spec):
     """Configured Kafka reader (call .load() against a live broker):
     ``spark.readStream`` (default) or the batch ``spark.read`` for
     bounded replay jobs (ending_offsets). ``spec`` is
-    kafka_source_options' signature."""
+    kafka_source_options' signature. Mode-specific connector rules are
+    enforced here, where the mode is known: endingOffsets is
+    batch-only, and a batch read cannot start at 'latest' (it would be
+    an empty-by-construction query the connector refuses)."""
+    if streaming and spec.get("ending_offsets") is not None:
+        raise ValueError(
+            "ending_offsets is batch-only (streaming reads are unbounded); "
+            "use kafka_reader(streaming=False, ...) for a bounded replay"
+        )
+    if not streaming and spec.get("starting_offsets") == "latest":
+        raise ValueError(
+            "a batch Kafka read cannot start at 'latest' "
+            "(empty by construction — the connector rejects it)"
+        )
     reader = (spark.readStream if streaming else spark.read).format("kafka")
     for k, v in kafka_source_options(**spec).items():
         reader = reader.option(k, v)

@@ -496,6 +496,28 @@ def read_upsert_table_pruned(
 
 
 _CLAIM_PREFIX = "_CLAIM."
+# Written just before the manifest swing (same pointer-lock critical
+# section): proves a version dir was COMMITTED even if its writer
+# crashed before releasing the claim marker. Consulted only for
+# claim-marked dirs at or below head; unlinked whenever the dir is
+# GC'd/expired so rollback's recycled slot numbers can't inherit a
+# stale witness.
+_COMMIT_WITNESS = "_COMMITTED."
+
+
+def _counts_as_committed(path: str, version: str) -> bool:
+    """A version dir at or below head counts as a COMMITTED snapshot
+    unless it carries a claim marker WITHOUT a commit witness — that
+    combination is a crashed (or in-flight, if the claim is live)
+    writer's never-committed orphan. Claim released cleanly -> no
+    marker -> committed; crashed between CAS and release -> marker +
+    witness -> committed (protected); crashed before CAS -> marker, no
+    witness -> orphan (excluded from retention, reapable when stale)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, _CLAIM_PREFIX + version)):
+        return True
+    return os.path.exists(os.path.join(path, _COMMIT_WITNESS + version))
 # An in-flight writer's claim marker goes stale after this long; a
 # claim older than the grace is a crashed run and its speculative
 # version dir is reclaimable (Iceberg's orphan-file cleanup uses the
@@ -566,15 +588,19 @@ def _gc_and_claim_version(
         e
         for e in os.listdir(path)
         if e.startswith("v") and current is not None and e <= current
-        # claim-marked dirs below current were never committed (claims
-        # release only after the manifest CAS): a live one is a
+        # claim-marked dirs below current WITHOUT a commit witness were
+        # never committed (claims release only after the manifest CAS;
+        # the witness lands just before it): a live claim is a
         # concurrent out-of-slot-order writer, a stale one a crashed
         # orphan. Counting one toward retention displaces a real
         # committed snapshot out of the keep window — the expire-side
         # bug (ADVICE r14) has the same shape here. Exclusion also
         # lets the delete loop below reap a stale-claimed orphan that
         # sits INSIDE the retain window (live ones are spared there).
-        and not os.path.exists(os.path.join(path, _CLAIM_PREFIX + e))
+        # A claim + witness pair is a committed snapshot whose writer
+        # crashed before releasing its claim: counted and protected
+        # like any committed version (code-review r15).
+        and _counts_as_committed(path, e)
     )
     keep = set(committed[-(retain_versions - 1):])
     if current is not None:
@@ -587,10 +613,24 @@ def _gc_and_claim_version(
             if _claim_is_live(path, item):
                 continue  # concurrent writer's in-flight snapshot
             shutil.rmtree(os.path.join(path, item), ignore_errors=True)
+            with contextlib.suppress(OSError):
+                # drop the commit witness with the dir: rollback GC
+                # recycles slot numbers, and a stale witness would make
+                # a future orphan in the recycled slot read committed
+                os.unlink(os.path.join(path, _COMMIT_WITNESS + item))
         elif item.startswith(".expired."):
             # tombstone left by an expire_upsert_versions run that died
             # between the locked rename and the unlocked delete
             shutil.rmtree(os.path.join(path, item), ignore_errors=True)
+        elif item.startswith(_COMMIT_WITNESS):
+            # stray witness whose dir is gone (expired / GC'd by a run
+            # that died before the unlink): reap so recycled slots
+            # never inherit it
+            if not os.path.isdir(
+                os.path.join(path, item[len(_COMMIT_WITNESS):])
+            ):
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(path, item))
         elif item.startswith(_CLAIM_PREFIX):
             # only AGE-stale claims are reaped — never "slot number
             # below the committed head": concurrent writers commit out
@@ -685,6 +725,20 @@ def _write_pointer(path: str, version: str) -> None:
     import os
     import uuid
 
+    # Commit WITNESS first (same pointer-lock critical section): a
+    # claim-marked dir <= head is ambiguous on its own — a crashed
+    # writer's never-committed orphan OR a committed snapshot whose
+    # writer died between this CAS and its claim release. The witness
+    # marker disambiguates so GC/expiry can protect the latter while
+    # still excluding the former from retention counting (code-review
+    # r15). A witness without a manifest flip (crash in between) sits
+    # on a dir NEWER than head, which the newer-than-head GC already
+    # handles; the witness is unlinked with the dir.
+    wfd = os.open(
+        os.path.join(path, _COMMIT_WITNESS + version),
+        os.O_CREAT | os.O_WRONLY,
+    )
+    os.close(wfd)
     tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
     with open(tmp_mf, "w") as f:
         f.write(f"{version} {uuid.uuid4().hex}\n")
@@ -906,17 +960,20 @@ def expire_upsert_versions(
         committed = sorted(
             e for e in os.listdir(path)
             if e.startswith("v") and e <= head
-            # ANY claim marker — live OR stale — means the dir was
+            # A claim marker WITHOUT a commit witness means the dir was
             # never committed (the claim is released only after the
-            # manifest CAS): a live claim below head is a concurrent
-            # writer's IN-FLIGHT snapshot (out-of-slot-order commit),
-            # a stale one is a crashed writer's orphan awaiting the
-            # commit-time GC. Neither may be expired here NOR count
-            # toward keep_last protection — a high-slot orphan in the
-            # protected tail would displace a real committed snapshot
-            # out of the retention window and expire it one commit
-            # early (ADVICE r14).
-            and not os.path.exists(os.path.join(path, _CLAIM_PREFIX + e))
+            # manifest CAS; the witness lands just before it): a live
+            # claim below head is a concurrent writer's IN-FLIGHT
+            # snapshot (out-of-slot-order commit), a stale one a
+            # crashed writer's orphan awaiting commit-time GC. Neither
+            # may be expired here NOR count toward keep_last protection
+            # — a high-slot orphan in the protected tail would displace
+            # a real committed snapshot out of the retention window and
+            # expire it one commit early (ADVICE r14). A claim WITH a
+            # witness is a committed snapshot whose writer crashed
+            # before releasing the claim — counted and expirable like
+            # any committed version (code-review r15).
+            and _counts_as_committed(path, e)
         )
         protected = set(committed[-(keep_last or 1):]) | {head}
         for v in committed:
@@ -936,6 +993,14 @@ def expire_upsert_versions(
                 continue  # vanished / busy: report nothing for it
             doomed.append((v, tomb))
             expired.append(v)
+            # the witness goes with the version (rollback GC recycles
+            # slot numbers; a stale witness would launder a future
+            # orphan in the slot as committed); stragglers from a
+            # crash here are reaped by _gc_and_claim_version
+            import contextlib
+
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(path, _COMMIT_WITNESS + v))
     for _v, tomb in doomed:
         shutil.rmtree(tomb, ignore_errors=True)
     return expired

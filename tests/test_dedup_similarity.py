@@ -1629,13 +1629,15 @@ def test_dhash_and_tiles_hash_real_container_pixels(spark):
                 if g[r][c] > g[r][c + 1]:
                     hv |= 1 << (r * 8 + c)
         want_hash[i] = hv
-    got = {r.doc_id: r.phash for r in dhash_56(df).collect()}
+    got = {r.doc_id: r.phash
+           for r in dhash_56(df, decode_containers=True).collect()}
     assert got == want_hash
 
     # tiles: 16x16 grid, 4x4 patches; pin byte_sum/min/max of patch (0,0)
     # and (3,3) for every doc
     tl = {(r.doc_id, r.tile_r, r.tile_c): (r.byte_sum, r.min_p, r.max_p)
-          for r in image_tiles(df, "doc_id").collect()}
+          for r in image_tiles(df, "doc_id",
+                               decode_containers=True).collect()}
     for i, t in texts:
         g = replay_gray_grid(t, 16, 16)
         for tr, tc in ((0, 0), (3, 3)):
@@ -1726,3 +1728,53 @@ def test_knn_graph_index_append_equals_rebuild(spark, sf_dir):
         with _pytest.raises(ValueError, match="already exists"):
             append_to_knn_graph_index(b2.limit(1), path,
                                       validate_unique=True)
+
+
+def test_pq_append_resumes_after_half_crash(spark, sf_dir):
+    """Code-review r15: a PQ append that crashed between the vectors
+    write and the codes write must be RE-RUNNABLE: validation checks
+    the last-written table (codes), and the per-table anti-joins land
+    each row exactly once — no duplicated rerank vectors, no
+    permanently-refused batch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.functions.vectors import as_double
+    from cpx_etl_spark.operators.similarity import (
+        append_to_pq_index,
+        read_pq_index,
+        write_pq_index,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    n1, n2 = b1.count(), b2.count()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/pq"
+        write_pq_index(b1, path, "vec_id", "embedding",
+                       m=8, k_codes=16, dim=64)
+        # simulate the crash: batch-2 vectors landed, codes did not
+        b2.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("v"),
+        ).write.mode("append").parquet(os.path.join(path, "vectors"))
+
+        # the retry — with validation ON — resumes and completes
+        append_to_pq_index(b2, path, validate_unique=True)
+        idx = read_pq_index(spark, path)
+        assert idx.vectors_df.count() == n1 + n2  # no duplicates
+        assert idx.codes_df.count() == n1 + n2
+        # rerank table is exactly one row per id
+        dup = (idx.vectors_df.groupBy("neighbor_id").count()
+               .filter(F.col("count") > 1).count())
+        assert dup == 0
+
+        # a FULLY-applied batch now refuses loudly
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="already exists"):
+            append_to_pq_index(b2.limit(1), path, validate_unique=True)

@@ -363,11 +363,15 @@ def test_db_load_upsert_semantics(spark, tmp_path):
     assert out == {1: ("a", 1.5), 2: ("b2", 9.9), 3: ("c", 3.5)}
 
 
-def test_multimodal_real_decoders_stubbed():
+def test_multimodal_decode_image_is_real_and_fails_loud():
+    """decode_image was the repo's one explicit stub until r15; it is
+    now a real pure-stdlib decoder (pinned byte-for-byte in
+    test_dedup_similarity). Here: unknown magic fails LOUD with a
+    typed error, never a silent fake."""
     from cpx_etl_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image()
+    with pytest.raises(ValueError, match="unknown image container"):
+        decode_image(b"\x00not-an-image")
 
 
 def test_xsl_transform_delegates_to_interpreter():
@@ -956,6 +960,19 @@ def test_kafka_source_options_compile(spark):
     with _pytest.raises(ValueError, match="positive"):
         kafka_source_options("b:9092", subscribe="t",
                              max_offsets_per_trigger=0)
+
+    # mode-specific connector rules caught at compile time
+    # (code-review r15): endingOffsets is never 'earliest', is
+    # batch-only, and a batch read can't start at 'latest'
+    with _pytest.raises(ValueError, match="ending_offsets"):
+        kafka_source_options("b:9092", subscribe="t",
+                             ending_offsets="earliest")
+    with _pytest.raises(ValueError, match="batch-only"):
+        kafka_reader(spark, streaming=True, bootstrap_servers="b:9092",
+                     subscribe="t", ending_offsets="latest")
+    with _pytest.raises(ValueError, match="batch Kafka read"):
+        kafka_reader(spark, streaming=False, bootstrap_servers="b:9092",
+                     subscribe="t", starting_offsets="latest")
 
     # reader objects construct for both replay (batch) and streaming
     assert kafka_reader(spark, streaming=False, bootstrap_servers="b:9092",

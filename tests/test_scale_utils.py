@@ -751,6 +751,66 @@ def test_expire_spares_stale_claimed_orphan_below_head(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, _CLAIM_PREFIX + claimed))
 
 
+def test_gc_protects_committed_snapshot_with_lingering_claim(spark, tmp_path):
+    """Code-review r15: a writer that crashed BETWEEN the manifest CAS
+    and its claim release leaves a claim marker on a COMMITTED
+    snapshot. Once the claim goes stale, commit-time GC and expiry
+    must still treat the dir as committed (the commit witness written
+    under the pointer lock proves it) — protect it inside the retain
+    window, count it toward retention, and reap only the stale marker
+    — never delete the snapshot."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import (
+        _CLAIM_PREFIX,
+        _COMMIT_WITNESS,
+        expire_upsert_versions,
+        read_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path / "crashcas")
+    for i in range(1, 4):
+        upsert_parquet_table(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            path, ["id"], retain_versions=10,
+        )
+    # every committed version carries its witness
+    for i in range(1, 4):
+        assert os.path.exists(
+            os.path.join(path, _COMMIT_WITNESS + f"v{i:08d}")
+        )
+    # simulate v2's writer crashing between CAS and claim release:
+    # recreate its claim marker and age everything past the grace
+    victim = "v00000002"
+    with open(os.path.join(path, _CLAIM_PREFIX + victim), "w"):
+        pass
+    old = os.path.getmtime(os.path.join(path, victim)) - 7200
+    os.utime(os.path.join(path, victim), (old, old))
+    os.utime(os.path.join(path, _CLAIM_PREFIX + victim), (old, old))
+
+    # next commit's GC: v2 is witnessed-committed inside retain=10 —
+    # kept, readable, and only the stale claim marker is reaped
+    upsert_parquet_table(
+        spark.createDataFrame([(9, "v4")], "id long, v string"),
+        path, ["id"], retain_versions=10,
+    )
+    assert os.path.isdir(os.path.join(path, victim))
+    assert not os.path.exists(os.path.join(path, _CLAIM_PREFIX + victim))
+    assert read_upsert_table(spark, path, version=victim).count() == 2
+
+    # expiry counts it as committed too: keep_last=3 over {v1..v4}
+    # protects v2..v4 and expires exactly v1
+    with open(os.path.join(path, _CLAIM_PREFIX + victim), "w"):
+        pass
+    os.utime(os.path.join(path, _CLAIM_PREFIX + victim), (old, old))
+    os.utime(os.path.join(path, victim), (old, old))
+    assert expire_upsert_versions(path, keep_last=3) == ["v00000001"]
+    assert os.path.isdir(os.path.join(path, victim))
+    # expired version's witness went with it
+    assert not os.path.exists(os.path.join(path, _COMMIT_WITNESS + "v00000001"))
+
+
 def test_upsert_commit_breaks_stale_pointer_lock(spark, tmp_path):
     """A committer that crashed INSIDE the pointer swap leaves the lock
     file behind; the next commit must break it by age instead of
