@@ -803,7 +803,13 @@ def knn_edges_from_assigned(assigned: DataFrame) -> DataFrame:
     """Top-3 within-cell cosine edges + mutual-edge count from an
     assignment frame (neighbor_id, v_c, cell) — the shared kernel of
     q_knn_graph and the persisted kNN-graph index, so the gate and
-    the index maintenance path cannot drift. Pair volume is sum of
+    the index maintenance path cannot drift.
+
+    DIGEST NOTE: this helper lives OUTSIDE q_knn_graph's content
+    digest (query_digest hashes the query fn source + oracle only) —
+    any semantic edit here MUST be paired with
+    `tools/update_gate_digests.py --bump q_knn_graph` so the gate
+    re-verifies (the r14 helper-edit bump rule). Pair volume is sum of
     n_c^2 over cells; ranking on the pre-rounded cosine with an id
     tiebreak keeps the edge set engine-deterministic. Output:
     (vec_id, cell, n1, c1, n2, c2, n3, c3, mutual_cnt)."""
@@ -1063,7 +1069,14 @@ def append_to_ivf_index(
     cell-clustered assignment rows append beside the standing ones.
     Centroids never retrain — the daily-ingest serving posture; a
     drifted corpus re-trains via write_ivf_index (FAISS's
-    train()/add() split). Parameters come from the stored meta."""
+    train()/add() split). Parameters come from the stored meta.
+
+    Contract: INSERT-IF-ABSENT. The stored-id anti-join that makes a
+    crashed append re-runnable also means a re-ingested id with a
+    CHANGED vector is skipped, not updated (FAISS add() has no upsert
+    either) — pass validate_unique=True to refuse such batches loudly,
+    or rebuild via write_ivf_index to change existing vectors. The
+    same contract holds for every append in this module."""
     import os
 
     from cpx_etl_spark.sources.sinks import write_clustered_parquet
@@ -1208,8 +1221,10 @@ def append_to_knn_graph_index(
     rewritten — the whole point: edge maintenance cost is bounded by
     the touched-cell population, not the corpus. Returns the touched
     pcell list. Not crash-atomic across the two writes (the
-    signature-index posture): re-run a failed append with a fresh
-    batch read, or wrap the table in the versioned-commit sink."""
+    signature-index posture), but fully RE-RUNNABLE: the stored-id
+    anti-join makes a retry land each row exactly once (and makes the
+    append insert-if-absent — see append_to_ivf_index for the
+    changed-payload contract)."""
     import os
 
     from cpx_etl_spark.sources.sinks import write_clustered_parquet
@@ -1262,15 +1277,16 @@ def append_to_knn_graph_index(
     # assignment rows before running it would double-count the new
     # batch; and a crash between the writes leaves an idempotently
     # re-runnable state (edge overwrite recomputes identically, the
-    # assignment append then lands once).
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        edges_new.write.partitionBy("pcell").mode("overwrite").parquet(
-            os.path.join(path, "edges")
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # assignment append then lands once). The dynamic-overwrite mode
+    # is a WRITER option, not a session conf toggle — a global toggle
+    # would race concurrent writers in the same session (code-review
+    # r15 second pass).
+    (
+        edges_new.write.partitionBy("pcell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "edges"))
+    )
     write_clustered_parquet(
         new_assigned, os.path.join(path, "assignments"), ["cell"],
         mode="append",
@@ -1948,7 +1964,8 @@ def _append_pq_batch(
     contract, operators/dedup.py). Each write anti-joins the stored
     ids first (a bounded column-pruned scan), so a crashed append
     RE-RUNS to completion idempotently instead of duplicating rerank
-    rows (code-review r15)."""
+    rows (code-review r15). Insert-if-absent: see append_to_ivf_index
+    for the changed-payload contract."""
     import os
 
     meta = idx.meta

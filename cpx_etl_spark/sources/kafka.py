@@ -50,10 +50,12 @@ def kafka_source_options(
     - ``subscribe_pattern``: a topic regex,
     - ``assign``: explicit {topic: [partition, ...]} placement.
 
-    ``starting_offsets``/``ending_offsets`` accept the literal
-    "earliest"/"latest" or a per-partition dict
+    ``starting_offsets`` accepts "earliest"/"latest";
+    ``ending_offsets`` accepts "latest" only (the connector rejects
+    endingOffsets='earliest'). Both also take a per-partition dict
     {topic: {partition: offset}} serialized to the connector's JSON
-    form (-2 = earliest, -1 = latest). ``max_offsets_per_trigger``
+    form (-2 = earliest, -1 = latest; -2 is invalid as an ending
+    offset and rejected here). ``max_offsets_per_trigger``
     bounds each micro-batch (the backpressure knob that keeps a
     catch-up replay from materializing the whole topic into one
     batch); ``min_partitions`` sets the Spark-side parallelism floor
@@ -94,6 +96,17 @@ def kafka_source_options(
                     f"per-partition dict; got {v!r}"
                 )
             return v
+        # dict form: the specials are -2 (earliest) / -1 (latest);
+        # -2 is invalid as an ENDING offset — range-check here, not
+        # at .load() on the cluster (code-review r15 second pass)
+        floor = -2 if "starting" in knob else -1
+        for t, ps in v.items():
+            for pp, o in ps.items():
+                if int(o) < floor:
+                    raise ValueError(
+                        f"{knob}[{t!r}][{pp}] = {o}: offsets below "
+                        f"{floor} are invalid for {knob}"
+                    )
         return json.dumps(
             {t: {str(p): int(o) for p, o in sorted(ps.items())}
              for t, ps in sorted(v.items())},
@@ -171,11 +184,20 @@ def kafka_reader(spark, streaming: bool = True, **spec):
             "ending_offsets is batch-only (streaming reads are unbounded); "
             "use kafka_reader(streaming=False, ...) for a bounded replay"
         )
-    if not streaming and spec.get("starting_offsets") == "latest":
-        raise ValueError(
-            "a batch Kafka read cannot start at 'latest' "
-            "(empty by construction — the connector rejects it)"
-        )
+    starting = spec.get("starting_offsets")
+    if not streaming:
+        if starting == "latest":
+            raise ValueError(
+                "a batch Kafka read cannot start at 'latest' "
+                "(empty by construction — the connector rejects it)"
+            )
+        if isinstance(starting, dict) and any(
+            int(o) == -1 for ps in starting.values() for o in ps.values()
+        ):
+            raise ValueError(
+                "a batch Kafka read cannot start at -1 (latest) for "
+                "any partition — the connector rejects it"
+            )
     reader = (spark.readStream if streaming else spark.read).format("kafka")
     for k, v in kafka_source_options(**spec).items():
         reader = reader.option(k, v)

@@ -584,6 +584,11 @@ def _gc_and_claim_version(
     os.makedirs(path, exist_ok=True)
     entry = _read_manifest_entry(path)
     current = entry.split()[0] if entry else None
+    if current is not None:
+        # heal a head whose committer crashed between the pointer
+        # swing and the witness write — the manifest itself is the
+        # proof of commit, so this marker is always truthful
+        _heal_head_witness(path, current)
     committed = sorted(
         e
         for e in os.listdir(path)
@@ -725,26 +730,42 @@ def _write_pointer(path: str, version: str) -> None:
     import os
     import uuid
 
-    # Commit WITNESS first (same pointer-lock critical section): a
-    # claim-marked dir <= head is ambiguous on its own — a crashed
-    # writer's never-committed orphan OR a committed snapshot whose
-    # writer died between this CAS and its claim release. The witness
-    # marker disambiguates so GC/expiry can protect the latter while
-    # still excluding the former from retention counting (code-review
-    # r15). A witness without a manifest flip (crash in between) sits
-    # on a dir NEWER than head, which the newer-than-head GC already
-    # handles; the witness is unlinked with the dir.
-    wfd = os.open(
-        os.path.join(path, _COMMIT_WITNESS + version),
-        os.O_CREAT | os.O_WRONLY,
-    )
-    os.close(wfd)
     tmp_mf = os.path.join(path, f"{_MANIFEST}.{os.getpid()}.tmp")
     with open(tmp_mf, "w") as f:
         f.write(f"{version} {uuid.uuid4().hex}\n")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_mf, os.path.join(path, _MANIFEST))
+    # Commit WITNESS strictly AFTER the pointer swing (same pointer-
+    # lock critical section): a claim-marked dir <= head is ambiguous
+    # on its own — a crashed writer's never-committed orphan OR a
+    # committed snapshot whose writer died between the CAS and its
+    # claim release — and the witness disambiguates (code-review r15).
+    # Ordering matters (second-pass review): witness-first would let a
+    # crash between witness and swing launder an UNPUBLISHED version
+    # as committed once another writer advances head past it. The
+    # converse crash (swing landed, witness didn't) leaves the version
+    # AS HEAD, always protected, and the next GC/expiry HEALS the
+    # missing witness from the manifest itself (_heal_head_witness) —
+    # every pointer move runs one of those first.
+    _heal_head_witness(path, version)
+
+
+def _heal_head_witness(path: str, version: str) -> None:
+    """Create the commit witness for a version the manifest points (or
+    pointed) at — provably committed, so the marker is always truthful.
+    Idempotent O_CREAT; called after every pointer swing and by
+    GC/expiry when they observe a head whose writer crashed between
+    the swing and the witness write."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        fd = os.open(
+            os.path.join(path, _COMMIT_WITNESS + version),
+            os.O_CREAT | os.O_WRONLY,
+        )
+        os.close(fd)
 
 
 def _commit_manifest(path: str, version: str) -> None:
@@ -957,6 +978,7 @@ def expire_upsert_versions(
         head = _read_manifest(path)
         if head is None:
             return []  # no committed snapshot: nothing is expirable
+        _heal_head_witness(path, head)  # see _gc_and_claim_version
         committed = sorted(
             e for e in os.listdir(path)
             if e.startswith("v") and e <= head

@@ -810,6 +810,25 @@ def test_gc_protects_committed_snapshot_with_lingering_claim(spark, tmp_path):
     # expired version's witness went with it
     assert not os.path.exists(os.path.join(path, _COMMIT_WITNESS + "v00000001"))
 
+    # converse crash (second-pass review): swing landed, witness write
+    # didn't — the version IS head, and the next GC heals the witness
+    # from the manifest instead of ever mistaking the head for an
+    # orphan once a later commit moves past it
+    from cpx_etl_spark.sources.sinks import _read_manifest
+    head = _read_manifest(path)
+    os.unlink(os.path.join(path, _COMMIT_WITNESS + head))
+    with open(os.path.join(path, _CLAIM_PREFIX + head), "w"):
+        pass
+    old2 = os.path.getmtime(os.path.join(path, head)) - 7200
+    os.utime(os.path.join(path, _CLAIM_PREFIX + head), (old2, old2))
+    upsert_parquet_table(
+        spark.createDataFrame([(11, "v5")], "id long, v string"),
+        path, ["id"], retain_versions=10,
+    )
+    assert os.path.exists(os.path.join(path, _COMMIT_WITNESS + head))
+    assert os.path.isdir(os.path.join(path, head))
+    assert read_upsert_table(spark, path, version=head).count() > 0
+
 
 def test_upsert_commit_breaks_stale_pointer_lock(spark, tmp_path):
     """A committer that crashed INSIDE the pointer swap leaves the lock
