@@ -405,3 +405,191 @@ def test_trim_duplicated_spans_properties(spark, sizes, copy_len):
     else:
         assert out[copy_id]["trimmed_tokens"] == 0
         assert out[copy_id]["trimmed_text"] == rows[0][1]
+
+
+# ---------------------------------------------------------------------------
+# r15: PNG decode roundtrip under arbitrary pixels/dims/filter choices
+# ---------------------------------------------------------------------------
+
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ctype=st.sampled_from([0, 2, 6]),  # gray / RGB / RGBA
+)
+@settings(max_examples=40, deadline=None)
+def test_png_decode_roundtrip_property(data, w, h, ctype):
+    """decode_image inverts ANY valid non-interlaced 8-bit PNG: random
+    pixel content, random per-row filter types (0-4) applied forward
+    by the test's own reference filterer — not just the filter-0
+    stream the repo synthesizes. Pins the Sub/Up/Average/Paeth
+    unfilter arithmetic across the whole input space."""
+    import struct
+    import zlib
+
+    from cpx_etl_spark.operators.multimodal import decode_image
+
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    px = bytes(
+        data.draw(st.integers(min_value=0, max_value=255))
+        for _ in range(stride * h)
+    )
+    fts = [data.draw(st.integers(min_value=0, max_value=4))
+           for _ in range(h)]
+
+    def fwd(ft, line, prev):
+        out = bytearray()
+        for i in range(stride):
+            x = line[i]
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 0xFF
+            elif ft == 2:
+                f = (x - b) & 0xFF
+            elif ft == 3:
+                f = (x - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                f = (x - pred) & 0xFF
+            out.append(f)
+        return bytes(out)
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload
+                + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    raw = b""
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride:(y + 1) * stride]
+        raw += bytes([fts[y]]) + fwd(fts[y], line, prev)
+        prev = line
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 1))
+           + chunk(b"IEND", b""))
+    fmt, gw, gh, gch, gpx = decode_image(png)
+    assert (fmt, gw, gh, gch) == ("png", w, h, ch)
+    assert gpx == px
+
+
+# ---------------------------------------------------------------------------
+# r15: versioned-sink protocol invariants under random crash interleavings
+# ---------------------------------------------------------------------------
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_upsert_protocol_crash_model_property(spark, tmp_path_factory, data):
+    """Model-based check of the snapshot protocol that bit twice in
+    r15: random sequences of healthy commits, crashed writers (before
+    the CAS / after the swing but before the witness / after the
+    witness but before the claim release), claim aging, rollbacks and
+    expiries — after every op, every version the MODEL knows is
+    committed (and not model-expired/abandoned) still exists on disk
+    and time-travels correctly, expire returns EXACTLY the model's
+    expirable set, and the head always reads. retain_versions is kept
+    above the op budget so any committed-dir deletion is a protocol
+    bug, never retention."""
+    import os
+
+    from cpx_etl_spark.sources.sinks import (
+        _CLAIM_PREFIX,
+        _COMMIT_WITNESS,
+        _gc_and_claim_version,
+        _read_manifest,
+        expire_upsert_versions,
+        list_upsert_versions,
+        read_upsert_table,
+        rollback_upsert_table,
+        upsert_parquet_table,
+    )
+
+    path = str(tmp_path_factory.mktemp("proto") / "t")
+    committed: list[str] = []   # model: committed versions on disk
+    head: str | None = None
+    seq = 0
+
+    def age_all():
+        if not os.path.isdir(path):
+            return
+        for e in os.listdir(path):
+            p = os.path.join(path, e)
+            try:
+                m = os.path.getmtime(p) - 7200
+                os.utime(p, (m, m))
+            except OSError:
+                pass
+
+    def do_commit():
+        nonlocal head, seq, committed
+        seq += 1
+        upsert_parquet_table(
+            spark.createDataFrame([(seq, f"s{seq}")], "id long, v string"),
+            path, ["id"], retain_versions=10,
+        )
+        new_head = _read_manifest(path)
+        # commit-time GC abandons successors of a rolled-back head
+        committed = [v for v in committed if v <= new_head]
+        committed.append(new_head)
+        head = new_head
+
+    ops = data.draw(st.lists(st.sampled_from(
+        ["commit", "orphan", "crash_post_swing", "crash_post_witness",
+         "age", "expire", "rollback"]), min_size=3, max_size=7))
+    did = []
+    for op in ops:
+        if op == "commit":
+            do_commit()
+        elif op == "orphan":
+            # writer claims a slot, writes a torn dir, dies pre-CAS
+            _cur, _e, claimed = _gc_and_claim_version(path, 10)
+            os.makedirs(os.path.join(path, claimed), exist_ok=True)
+            with open(os.path.join(path, claimed, "torn.parquet"), "wb") as f:
+                f.write(b"torn")
+        elif op == "crash_post_swing":
+            # committed, but died between the pointer swing and the
+            # witness write AND before the claim release
+            do_commit()
+            os.unlink(os.path.join(path, _COMMIT_WITNESS + head))
+            with open(os.path.join(path, _CLAIM_PREFIX + head), "w"):
+                pass
+        elif op == "crash_post_witness":
+            do_commit()
+            with open(os.path.join(path, _CLAIM_PREFIX + head), "w"):
+                pass
+        elif op == "age":
+            age_all()
+        elif op == "expire":
+            if head is None:
+                continue
+            k = data.draw(st.integers(min_value=1, max_value=3))
+            protected = set(committed[-k:]) | {head}
+            want = [v for v in committed if v not in protected]
+            got = expire_upsert_versions(path, keep_last=k)
+            assert got == want, (did, op, got, want, committed)
+            committed = [v for v in committed if v not in set(got)]
+        elif op == "rollback":
+            if len(committed) >= 2:
+                target = data.draw(st.sampled_from(committed[:-1]))
+                rollback_upsert_table(path, target)
+                head = target
+        did.append(op)
+
+        # invariants after EVERY op
+        if head is not None:
+            assert _read_manifest(path) == head
+            assert read_upsert_table(spark, path).count() >= 1
+            for v in committed:
+                if v <= head:  # successors of a rollback await GC
+                    assert os.path.isdir(os.path.join(path, v)), (
+                        did, v, committed, list_upsert_versions(path))
+                    assert read_upsert_table(
+                        spark, path, version=v).count() >= 1

@@ -880,3 +880,67 @@ def test_additive_window_merge_replay_is_idempotent(spark, tmp_path):
     # replaying the new id after its commit is again a no-op
     additive_window_merge(batch, 1, out)
     assert list(state().values()) == [(4, 30.0)]
+
+
+def test_kafka_wire_decode_stream_equals_batch(spark, tmp_path):
+    """The Kafka wire-decode plan (sources/kafka.py decode_kafka_json)
+    runs unchanged as a STREAMING transformation: a file stream shaped
+    exactly like the connector's wire frame (key/value binary + topic/
+    partition/offset/timestamp) decodes through the same column plan a
+    real readStream.format('kafka') would feed, and the streamed
+    result equals the batch decode of the same frames — the broker-
+    free twin pinning that the builder's plan composes with
+    Structured Streaming, not just spark.read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.sources.kafka import (
+        decode_kafka_json,
+        encode_kafka_json,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, "click" if i % 2 else "view", float(i) / 4) for i in range(20)],
+        "user_id long, event_type string, value double",
+    )
+    wire = encode_kafka_json(rows, "user_id").select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("key").cast("int") % 4).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.lit("2024-01-15 10:30:00").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    src = str(tmp_path / "wire")
+    wire.write.parquet(src)
+
+    schema = "event_type string, value double"
+    batch = decode_kafka_json(
+        spark.read.parquet(src), schema, key_as="user_id"
+    )
+    sdf = spark.readStream.schema(
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int"
+    ).parquet(src)
+    streamed = decode_kafka_json(sdf, schema, key_as="user_id")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streamed.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["event_type"], r["value"], r["topic"],
+             r["partition"])
+            for r in df.collect()
+        )
+
+    got, want = canon(spark.read.parquet(out)), canon(batch)
+    assert got == want and len(got) == 20
