@@ -180,6 +180,144 @@ def pack_sequences(
     )
 
 
+_SHARD_META = "_SHARD_META.json"
+
+
+def assign_training_shards(
+    df: DataFrame,
+    id_col: str,
+    text_count_col,
+    tokens_per_shard: int,
+    seed: str = "shards-v1",
+) -> DataFrame:
+    """Deterministic seeded GLOBAL SHUFFLE + token-budget shard
+    assignment — the step between curation and the dataloader: every
+    training run needs the corpus in a reproducible pseudo-random
+    order, cut into shards of ~equal token mass. Shuffle key =
+    md5(seed:id) (re-running with the same seed reproduces the exact
+    order; changing the seed is a fresh epoch shuffle), then the
+    pack_sequences two-phase cumsum over RANGE BUCKETS of the key's
+    64-bit prefix (uniform ⇒ balanced buckets; bucket order == key
+    order, so global contiguity is exact and no single window ever
+    sees the corpus): shard = floor((cum - n_tok) / tokens_per_shard)
+    — a doc belongs to the shard its first token lands in.
+
+    Returns (id_col, _key, _n_tok, shard). Scale: two bounded window
+    passes + one tiny offsets join, same posture as pack_sequences."""
+    base = df.select(
+        F.col(id_col),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1, 16,
+            ),
+            16, 10,
+        ).cast("decimal(20,0)").cast("double").alias("_keyd"),
+        F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        ).alias("_key"),
+        text_count_col.alias("_n_tok"),
+    )
+    # bucket = top bits of the uniform key (monotone in _key's hex
+    # order since md5 hex sorts like its numeric value at fixed width)
+    base = base.withColumn(
+        "_bkt", F.floor(F.col("_keyd") / F.lit(float(1 << 48))).cast("long")
+    ).drop("_keyd")
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_lcum", F.sum("_n_tok").over(w_local))
+    totals = base.groupBy("_bkt").agg(F.sum("_n_tok").alias("_tot"))
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    with_cum = local.join(offsets, on="_bkt").withColumn(
+        "_cum", F.col("_lcum") + F.col("_off")
+    )
+    return with_cum.select(
+        id_col, "_key", "_n_tok",
+        F.floor(
+            (F.col("_cum") - F.col("_n_tok")) / F.lit(tokens_per_shard)
+        ).cast("long").alias("shard"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    tokens_per_shard: int,
+    seed: str = "shards-v1",
+) -> DataFrame:
+    """Materialize the training corpus as SHARDS + MANIFEST — the
+    artifact a distributed dataloader consumes: data/ partitioned by
+    shard (each shard's rows sorted by the shuffle key, so in-shard
+    read order IS the training order), manifest/ with one row per
+    shard (n_docs, n_tokens, an order-independent additive content
+    fingerprint — exact integer sum of per-row 48-bit md5 prefixes, so
+    two writes of the same corpus+seed are provably byte-identical),
+    and _SHARD_META.json (seed, capacity, totals). Deterministic end
+    to end: re-running is a reproducibility CHECK, not a new shuffle.
+    Returns the manifest DataFrame."""
+    import json
+    import os
+
+    from cpx_etl_spark.functions.text import token_count
+
+    assigned = assign_training_shards(
+        df, id_col, token_count(F.col(text_col)), tokens_per_shard,
+        seed=seed,
+    )
+    data = df.select(id_col, text_col).join(assigned, on=id_col)
+    (
+        data.repartitionByRange(F.col("shard"), F.col("_key"))
+        .sortWithinPartitions("shard", "_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "data"))
+    )
+    row_fp = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                           F.col(text_col))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    manifest = (
+        data.withColumn("_fp", row_fp)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").cast("long").alias("n_tokens"),
+            F.sum("_fp").cast("decimal(30,0)").cast("string")
+            .alias("content_fp"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "manifest")
+    )
+    stats = manifest.agg(
+        F.count(F.lit(1)), F.sum("n_docs"), F.sum("n_tokens")
+    ).collect()[0]
+    meta = {"seed": seed, "tokens_per_shard": tokens_per_shard,
+            "id_col": id_col, "text_col": text_col,
+            "n_shards": int(stats[0]), "n_docs": int(stats[1]),
+            "n_tokens": int(stats[2])}
+    tmp = os.path.join(path, f"{_SHARD_META}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _SHARD_META))
+    return manifest
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
