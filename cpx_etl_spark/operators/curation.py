@@ -96,6 +96,43 @@ def chunk_documents(
     )
 
 
+def _bucketed_cumsum(
+    base: DataFrame,
+    part_cols: list[str],
+    bucket_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Two-phase distributed prefix sum (the pack_sequences recipe,
+    factored for reuse by assign_training_shards — code-review r15):
+    a local cumsum window per (part, bucket) — every window partition
+    bounded by the bucket population — plus a prefix-sum over the tiny
+    one-row-per-bucket totals frame for each bucket's global offset.
+    ``bucket_col`` must be monotone non-decreasing in ``order_cols``
+    order within each part, which makes global_cum = offset + local
+    bit-identical to the single-window formulation. Adds ``_cum``."""
+    w_local = (
+        Window.partitionBy(*part_cols, bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_lcum", F.sum(value_col).over(w_local))
+    totals = base.groupBy(*part_cols, bucket_col).agg(
+        F.sum(value_col).alias("_tot")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select(*part_cols, bucket_col, "_off")
+    return local.join(offsets, on=[*part_cols, bucket_col]).withColumn(
+        "_cum", F.col("_lcum") + F.col("_off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -151,24 +188,7 @@ def pack_sequences(
         base = base.withColumn(
             "_bkt", F.floor(F.col(id_col).cast("long") / F.lit(bucket_width))
         )
-        w_local = (
-            Window.partitionBy(part_col, "_bkt")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        local = base.withColumn("_lcum", F.sum("_n_tok").over(w_local))
-        totals = base.groupBy(part_col, "_bkt").agg(F.sum("_n_tok").alias("_tot"))
-        w_off = (
-            Window.partitionBy(part_col)
-            .orderBy("_bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = totals.withColumn(
-            "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-        ).select(part_col, "_bkt", "_off")
-        with_cum = local.join(offsets, on=[part_col, "_bkt"]).withColumn(
-            "_cum", F.col("_lcum") + F.col("_off")
-        )
+        with_cum = _bucketed_cumsum(base, [part_col], "_bkt", [id_col], "_n_tok")
     binned = with_cum.withColumn(
         "bin", F.floor((F.col("_cum") - F.col("_n_tok")) / F.lit(capacity))
     )
@@ -196,50 +216,26 @@ def assign_training_shards(
     order, cut into shards of ~equal token mass. Shuffle key =
     md5(seed:id) (re-running with the same seed reproduces the exact
     order; changing the seed is a fresh epoch shuffle), then the
-    pack_sequences two-phase cumsum over RANGE BUCKETS of the key's
-    64-bit prefix (uniform ⇒ balanced buckets; bucket order == key
-    order, so global contiguity is exact and no single window ever
-    sees the corpus): shard = floor((cum - n_tok) / tokens_per_shard)
-    — a doc belongs to the shard its first token lands in.
+    shared _bucketed_cumsum over RANGE BUCKETS of the key's exact
+    16-bit hex prefix (uniform => ~65k balanced buckets; fixed-width
+    hex sorts like its numeric value, so bucket order == key order and
+    global contiguity is exact — no single window ever sees the
+    corpus): shard = floor((cum - n_tok) / tokens_per_shard) — a doc
+    belongs to the shard its first token lands in.
 
     Returns (id_col, _key, _n_tok, shard). Scale: two bounded window
-    passes + one tiny offsets join, same posture as pack_sequences."""
+    passes + one tiny offsets join, the pack_sequences posture."""
     base = df.select(
         F.col(id_col),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-                1, 16,
-            ),
-            16, 10,
-        ).cast("decimal(20,0)").cast("double").alias("_keyd"),
         F.md5(
             F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
         ).alias("_key"),
         text_count_col.alias("_n_tok"),
     )
-    # bucket = top bits of the uniform key (monotone in _key's hex
-    # order since md5 hex sorts like its numeric value at fixed width)
     base = base.withColumn(
-        "_bkt", F.floor(F.col("_keyd") / F.lit(float(1 << 48))).cast("long")
-    ).drop("_keyd")
-    w_local = (
-        Window.partitionBy("_bkt")
-        .orderBy("_key", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        "_bkt", F.conv(F.substring("_key", 1, 4), 16, 10).cast("long")
     )
-    local = base.withColumn("_lcum", F.sum("_n_tok").over(w_local))
-    totals = base.groupBy("_bkt").agg(F.sum("_n_tok").alias("_tot"))
-    w_off = (
-        Window.orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
-    ).select("_bkt", "_off")
-    with_cum = local.join(offsets, on="_bkt").withColumn(
-        "_cum", F.col("_lcum") + F.col("_off")
-    )
+    with_cum = _bucketed_cumsum(base, [], "_bkt", ["_key", id_col], "_n_tok")
     return with_cum.select(
         id_col, "_key", "_n_tok",
         F.floor(
@@ -258,31 +254,69 @@ def write_training_shards(
 ) -> DataFrame:
     """Materialize the training corpus as SHARDS + MANIFEST — the
     artifact a distributed dataloader consumes: data/ partitioned by
-    shard (each shard's rows sorted by the shuffle key, so in-shard
-    read order IS the training order), manifest/ with one row per
-    shard (n_docs, n_tokens, an order-independent additive content
-    fingerprint — exact integer sum of per-row 48-bit md5 prefixes, so
-    two writes of the same corpus+seed are provably byte-identical),
-    and _SHARD_META.json (seed, capacity, totals). Deterministic end
-    to end: re-running is a reproducibility CHECK, not a new shuffle.
-    Returns the manifest DataFrame."""
+    shard (rows _key-sorted within each part file and part-file ranges
+    non-overlapping; a reader that wants the exact training order
+    re-sorts the shard by the stored ``_key`` column — a plain
+    spark.read.parquet scan does NOT guarantee file order), manifest/
+    with one row per shard (n_docs, n_tokens, an order-independent
+    additive content fingerprint — exact DECIMAL sum of per-row 48-bit
+    md5 prefixes, so two writes of the same corpus+seed are provably
+    identical), and _SHARD_META.json (seed, capacity, totals).
+    Deterministic end to end: re-running is a reproducibility CHECK,
+    not a new shuffle.
+
+    Input contract (validated in ONE cheap aggregation before any
+    write, fail-loud): ``id_col`` non-null and UNIQUE (a duplicated id
+    would fan out quadratically through the assignment join) and
+    ``text_col`` non-null (a null would silently land in a NULL shard
+    partition). The manifest is computed FROM THE WRITTEN data/ — one
+    output scan instead of re-running the shuffle lineage — and the
+    meta totals come from the collected (one-row-per-shard) manifest,
+    so the corpus pipeline executes exactly once. Returns the manifest
+    DataFrame."""
     import json
     import os
 
     from cpx_etl_spark.functions.text import token_count
+
+    spark = df.sparkSession
+    chk = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(id_col).alias("n_id"),
+        F.count_distinct(F.col(id_col)).alias("n_dist"),
+        F.count(text_col).alias("n_text"),
+    ).collect()[0]
+    if chk["n"] == 0:
+        raise ValueError(
+            "write_training_shards: empty corpus — refusing to write an "
+            "empty dataloader artifact (upstream filter bug?)"
+        )
+    if chk["n_id"] != chk["n"] or chk["n_text"] != chk["n"]:
+        raise ValueError(
+            f"write_training_shards: {chk['n'] - chk['n_id']} null ids / "
+            f"{chk['n'] - chk['n_text']} null texts — refuse to shard"
+        )
+    if chk["n_dist"] != chk["n"]:
+        raise ValueError(
+            f"write_training_shards: {chk['n'] - chk['n_dist']} duplicated "
+            f"{id_col} values — the assignment join would fan out"
+        )
 
     assigned = assign_training_shards(
         df, id_col, token_count(F.col(text_col)), tokens_per_shard,
         seed=seed,
     )
     data = df.select(id_col, text_col).join(assigned, on=id_col)
+    data_dir = os.path.join(path, "data")
     (
         data.repartitionByRange(F.col("shard"), F.col("_key"))
         .sortWithinPartitions("shard", "_key")
         .write.partitionBy("shard")
         .mode("overwrite")
-        .parquet(os.path.join(path, "data"))
+        .parquet(data_dir)
     )
+    # manifest from the WRITTEN files (also an end-to-end write check)
+    written = spark.read.parquet(data_dir)
     row_fp = F.conv(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
@@ -292,25 +326,26 @@ def write_training_shards(
         16, 10,
     ).cast("long")
     manifest = (
-        data.withColumn("_fp", row_fp)
+        written.withColumn("_fp", row_fp)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_n_tok").cast("long").alias("n_tokens"),
-            F.sum("_fp").cast("decimal(30,0)").cast("string")
+            # decimal BEFORE the sum: a long sum overflows ANSI-fatally
+            # at ~65k docs/shard (code-review r15)
+            F.sum(F.col("_fp").cast("decimal(30,0)")).cast("string")
             .alias("content_fp"),
         )
     )
+    rows = manifest.collect()
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "manifest")
     )
-    stats = manifest.agg(
-        F.count(F.lit(1)), F.sum("n_docs"), F.sum("n_tokens")
-    ).collect()[0]
     meta = {"seed": seed, "tokens_per_shard": tokens_per_shard,
             "id_col": id_col, "text_col": text_col,
-            "n_shards": int(stats[0]), "n_docs": int(stats[1]),
-            "n_tokens": int(stats[2])}
+            "n_shards": len(rows),
+            "n_docs": int(sum(r["n_docs"] for r in rows)),
+            "n_tokens": int(sum(r["n_tokens"] for r in rows))}
     tmp = os.path.join(path, f"{_SHARD_META}.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -482,3 +482,26 @@ def test_write_training_shards_deterministic_balanced_complete(spark, sf_dir, tm
 
     # (d) decorrelated from id order: shard 0 is not the id prefix
     assert s0_a != sorted(orig)[:len(s0_a)]
+
+
+def test_write_training_shards_input_contract(spark, tmp_path):
+    """Fail-loud input validation (code-review r15): duplicated ids,
+    null ids/texts, and an empty corpus are refused BEFORE any write —
+    never a silently fanned-out or garbage-shard artifact."""
+    import pytest as _pytest
+
+    from cpx_etl_spark.operators.curation import write_training_shards
+
+    dup = spark.createDataFrame(
+        [(1, "a b"), (1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="duplicated"):
+        write_training_shards(dup, str(tmp_path / "d"), "doc_id", "text", 10)
+    nulls = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="null"):
+        write_training_shards(nulls, str(tmp_path / "n"), "doc_id", "text", 10)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        write_training_shards(empty, str(tmp_path / "e"), "doc_id", "text", 10)
