@@ -353,6 +353,68 @@ def write_training_shards(
     return manifest
 
 
+def read_training_shards(spark, path: str, shard: int | None = None) -> DataFrame:
+    """Read the shard artifact back IN TRAINING ORDER: scans data/
+    (pruned to one shard when ``shard`` is given — partition pruning
+    on the directory column), sorted by (shard, _key) so iteration
+    order is exactly the seeded shuffle order regardless of file-split
+    scheduling. The dataloader-facing reader."""
+    import os
+
+    df = spark.read.parquet(os.path.join(path, "data"))
+    if shard is not None:
+        df = df.filter(F.col("shard") == shard)
+    return df.orderBy("shard", "_key")
+
+
+def verify_training_shards(spark, path: str) -> DataFrame:
+    """Integrity check of a shard artifact: recompute every shard's
+    (n_docs, n_tokens, content_fp) from data/ and compare against the
+    stored manifest/ — the check a consumer runs before training on a
+    copied/transferred artifact. Returns one row per shard with an
+    ``ok`` verdict (full outer join, so missing/extra shards on either
+    side surface as ok=false rows instead of disappearing)."""
+    import json
+    import os
+
+    with open(os.path.join(path, _SHARD_META)) as f:
+        meta = json.load(f)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    data = spark.read.parquet(os.path.join(path, "data"))
+    row_fp = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                           F.col(text_col))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    got = (
+        data.withColumn("_fp", row_fp)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("g_docs"),
+            F.sum("_n_tok").cast("long").alias("g_tokens"),
+            F.sum(F.col("_fp").cast("decimal(30,0)")).cast("string")
+            .alias("g_fp"),
+        )
+    )
+    want = spark.read.parquet(os.path.join(path, "manifest"))
+    return (
+        want.join(got, on="shard", how="full_outer")
+        .select(
+            "shard", "n_docs", "n_tokens", "content_fp",
+            (
+                (F.col("g_docs") == F.col("n_docs"))
+                & (F.col("g_tokens") == F.col("n_tokens"))
+                & (F.col("g_fp") == F.col("content_fp"))
+            ).alias("ok"),
+        )
+        .withColumn("ok", F.coalesce("ok", F.lit(False)))
+        .orderBy("shard")
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -505,3 +505,61 @@ def test_write_training_shards_input_contract(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="empty corpus"):
         write_training_shards(empty, str(tmp_path / "e"), "doc_id", "text", 10)
+
+
+def test_read_and_verify_training_shards(spark, sf_dir, tmp_path):
+    """The shard artifact's consumer half: read_training_shards
+    iterates in exactly the seeded shuffle order (monotone _key),
+    shard pruning works, verify_training_shards passes on an intact
+    artifact, flags a tampered doc, and surfaces a missing shard as
+    ok=false instead of silently dropping it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.curation import (
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "art")
+    write_training_shards(docs, path, "doc_id", "text", 4000)
+
+    rows = read_training_shards(spark, path).collect()
+    assert len(rows) == docs.count()
+    keys = [(r["shard"], r["_key"]) for r in rows]
+    assert keys == sorted(keys)  # training order, not file-split order
+    one = read_training_shards(spark, path, shard=0).collect()
+    assert one and all(r["shard"] == 0 for r in one)
+
+    v = verify_training_shards(spark, path)
+    assert all(r["ok"] for r in v.collect())
+
+    # tamper with one doc inside shard 0 and re-verify
+    s0 = os.path.join(path, "data", "shard=0")
+    part = [f for f in os.listdir(s0) if f.endswith(".parquet")][0]
+    sub = spark.read.parquet(os.path.join(s0, part))
+    forged = sub.withColumn(
+        "text", F.when(F.monotonically_increasing_id() == 0,
+                       F.lit("FORGED")).otherwise(F.col("text"))
+    )
+    forged.write.mode("overwrite").parquet(str(tmp_path / "forged"))
+    import shutil
+    os.remove(os.path.join(s0, part))
+    for f in os.listdir(str(tmp_path / "forged")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "forged"), f),
+                        os.path.join(s0, f))
+    bad = {r["shard"]: r["ok"] for r in verify_training_shards(
+        spark, path).collect()}
+    assert bad[0] is False
+    assert all(ok for s, ok in bad.items() if s != 0)
+
+    # a vanished shard surfaces as ok=false
+    shutil.rmtree(os.path.join(path, "data", f"shard={max(bad)}"))
+    gone = {r["shard"]: r["ok"] for r in verify_training_shards(
+        spark, path).collect()}
+    assert gone[max(bad)] is False
