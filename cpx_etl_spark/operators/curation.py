@@ -244,6 +244,33 @@ def assign_training_shards(
     )
 
 
+def _shard_manifest(data: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-shard manifest aggregation shared by the writer and the
+    verifier (code-review r15: two hand-copies would let a fingerprint
+    change break verification of valid artifacts): doc count, token
+    sum, and the order-independent additive content fingerprint.
+    The 48-bit md5-prefix terms cast to DECIMAL BEFORE the sum — a
+    long sum ANSI-overflows at ~65k docs/shard."""
+    row_fp = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                           F.col(text_col))),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        data.withColumn("_fp", row_fp)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("_fp").cast("decimal(30,0)")).cast("string")
+            .alias("content_fp"),
+        )
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -317,26 +344,7 @@ def write_training_shards(
     )
     # manifest from the WRITTEN files (also an end-to-end write check)
     written = spark.read.parquet(data_dir)
-    row_fp = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
-                           F.col(text_col))),
-            1, 12,
-        ),
-        16, 10,
-    ).cast("long")
-    manifest = (
-        written.withColumn("_fp", row_fp)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_n_tok").cast("long").alias("n_tokens"),
-            # decimal BEFORE the sum: a long sum overflows ANSI-fatally
-            # at ~65k docs/shard (code-review r15)
-            F.sum(F.col("_fp").cast("decimal(30,0)")).cast("string")
-            .alias("content_fp"),
-        )
-    )
+    manifest = _shard_manifest(written, id_col, text_col)
     rows = manifest.collect()
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "manifest")
@@ -359,10 +367,20 @@ def read_training_shards(spark, path: str, shard: int | None = None) -> DataFram
     on the directory column), sorted by (shard, _key) so iteration
     order is exactly the seeded shuffle order regardless of file-split
     scheduling. The dataloader-facing reader."""
+    import json
     import os
 
     df = spark.read.parquet(os.path.join(path, "data"))
     if shard is not None:
+        with open(os.path.join(path, _SHARD_META)) as f:
+            n_shards = json.load(f)["n_shards"]
+        if not (0 <= shard < n_shards):
+            # fail loud: a dataloader worker with an off-by-one shard
+            # index must not silently train on zero rows
+            raise ValueError(
+                f"read_training_shards: shard {shard} out of range "
+                f"[0, {n_shards}) for the artifact at {path}"
+            )
         df = df.filter(F.col("shard") == shard)
     return df.orderBy("shard", "_key")
 
@@ -379,35 +397,36 @@ def verify_training_shards(spark, path: str) -> DataFrame:
 
     with open(os.path.join(path, _SHARD_META)) as f:
         meta = json.load(f)
-    id_col, text_col = meta["id_col"], meta["text_col"]
+    id_col, text_col, seed = meta["id_col"], meta["text_col"], meta["seed"]
     data = spark.read.parquet(os.path.join(path, "data"))
-    row_fp = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
-                           F.col(text_col))),
-            1, 12,
-        ),
-        16, 10,
-    ).cast("long")
-    got = (
-        data.withColumn("_fp", row_fp)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("g_docs"),
-            F.sum("_n_tok").cast("long").alias("g_tokens"),
-            F.sum(F.col("_fp").cast("decimal(30,0)")).cast("string")
-            .alias("g_fp"),
+    got = _shard_manifest(data, id_col, text_col).withColumnRenamed(
+        "n_docs", "g_docs"
+    ).withColumnRenamed("n_tokens", "g_tokens").withColumnRenamed(
+        "content_fp", "g_fp"
+    )
+    # the stored _key IS the training order — it is fully recomputable
+    # from the meta seed, so order corruption must fail verification
+    # too (code-review r15), not just content corruption
+    badkey = (
+        data.filter(
+            F.col("_key")
+            != F.md5(F.concat(F.lit(f"{seed}:"),
+                              F.col(id_col).cast("string")))
         )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("g_badkey"))
     )
     want = spark.read.parquet(os.path.join(path, "manifest"))
     return (
         want.join(got, on="shard", how="full_outer")
+        .join(badkey, on="shard", how="left")
         .select(
             "shard", "n_docs", "n_tokens", "content_fp",
             (
                 (F.col("g_docs") == F.col("n_docs"))
                 & (F.col("g_tokens") == F.col("n_tokens"))
                 & (F.col("g_fp") == F.col("content_fp"))
+                & F.col("g_badkey").isNull()
             ).alias("ok"),
         )
         .withColumn("ok", F.coalesce("ok", F.lit(False)))

@@ -563,3 +563,51 @@ def test_read_and_verify_training_shards(spark, sf_dir, tmp_path):
     gone = {r["shard"]: r["ok"] for r in verify_training_shards(
         spark, path).collect()}
     assert gone[max(bad)] is False
+
+
+def test_shard_reader_range_and_key_integrity(spark, sf_dir, tmp_path):
+    """Code-review r15 follow-ups: a nonexistent shard index fails
+    loudly (never a silent zero-row epoch), and verification also
+    covers the ORDER column — a corrupted _key fails the shard even
+    when ids/texts/tokens are intact."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.curation import (
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "art")
+    n_shards = len(write_training_shards(
+        docs, path, "doc_id", "text", 4000).collect())
+
+    with _pytest.raises(ValueError, match="out of range"):
+        read_training_shards(spark, path, shard=n_shards)
+    with _pytest.raises(ValueError, match="out of range"):
+        read_training_shards(spark, path, shard=-1)
+
+    # corrupt ONE row's _key in shard 0 (content untouched)
+    s0 = os.path.join(path, "data", "shard=0")
+    part = [f for f in os.listdir(s0) if f.endswith(".parquet")][0]
+    sub = spark.read.parquet(os.path.join(s0, part))
+    forged = sub.withColumn(
+        "_key", F.when(F.monotonically_increasing_id() == 0,
+                       F.lit("0" * 32)).otherwise(F.col("_key"))
+    )
+    forged.write.mode("overwrite").parquet(str(tmp_path / "fk"))
+    os.remove(os.path.join(s0, part))
+    for f in os.listdir(str(tmp_path / "fk")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "fk"), f),
+                        os.path.join(s0, f))
+    v = {r["shard"]: r["ok"] for r in verify_training_shards(
+        spark, path).collect()}
+    assert v[0] is False
+    assert all(ok for s, ok in v.items() if s != 0)
