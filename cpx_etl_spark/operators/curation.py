@@ -434,6 +434,86 @@ def verify_training_shards(spark, path: str) -> DataFrame:
     )
 
 
+def plan_training_mixture(
+    spark,
+    sources: dict[str, tuple[str, float]],
+    target_tokens: int,
+) -> DataFrame:
+    """Deterministic multi-corpus MIXTURE plan — the step that turns
+    per-source sampling weights (the data-mixture knob of every public
+    LLM recipe) into a concrete shard pick-list: for each source
+    (name -> (shard-artifact path, weight)) take shards IN SHARD ORDER
+    (the artifact's seeded-shuffle order) until the source's token
+    quota target_tokens * w / sum(w) is met (the last shard may
+    overshoot — shard granularity is the contract), then STRIDE-
+    INTERLEAVE the picks across sources (position = (i+1)/n_picked per
+    source) so a dataloader consuming the plan top-to-bottom sees the
+    mixture ratio approximately continuously, not source-by-source.
+
+    Pure manifest arithmetic — the inputs are the tiny one-row-per-
+    shard manifests, never the corpora — so the plan is a driver-cheap
+    metadata job at any corpus scale. Fail-loud: unknown artifact
+    paths, non-positive weights/target, and a quota no source can
+    cover (total tokens < quota) all raise. Returns
+    (source, shard, n_tokens, cum_tokens, quota_tokens, position)
+    ordered by position — deterministic for fixed inputs."""
+    import json
+    import os
+
+    if target_tokens <= 0:
+        raise ValueError("plan_training_mixture: target_tokens must be > 0")
+    wsum = sum(w for _p, w in sources.values())
+    if not sources or wsum <= 0 or any(w <= 0 for _p, w in sources.values()):
+        raise ValueError(
+            "plan_training_mixture: every source needs a positive weight"
+        )
+    plans = []
+    for name, (path, w) in sorted(sources.items()):
+        meta_path = os.path.join(path, _SHARD_META)
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"plan_training_mixture: {path!r} is not a shard artifact "
+                f"(missing {_SHARD_META})"
+            )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        quota = int(round(target_tokens * w / wsum))
+        if meta["n_tokens"] < quota:
+            raise ValueError(
+                f"plan_training_mixture: source {name!r} holds "
+                f"{meta['n_tokens']} tokens < quota {quota} — lower its "
+                f"weight or target_tokens (refusing a silent under-mix)"
+            )
+        manifest = spark.read.parquet(os.path.join(path, "manifest"))
+        w_cum = (
+            Window.orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = (
+            manifest.withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+            # keep every shard whose PREDECESSORS don't already cover
+            # the quota (the covering prefix, last shard overshoots)
+            .filter(F.col("cum_tokens") - F.col("n_tokens") < quota)
+            .select(
+                F.lit(name).alias("source"), "shard", "n_tokens",
+                "cum_tokens", F.lit(quota).cast("long").alias("quota_tokens"),
+            )
+        )
+        plans.append(picked)
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    w_n = Window.partitionBy("source")
+    w_i = Window.partitionBy("source").orderBy("shard")
+    return (
+        out.withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .withColumn("_i", F.row_number().over(w_i))
+        .withColumn("position", F.col("_i") / F.col("_n"))
+        .drop("_n", "_i")
+        .orderBy("position", "source", "shard")
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

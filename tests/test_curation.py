@@ -611,3 +611,67 @@ def test_shard_reader_range_and_key_integrity(spark, sf_dir, tmp_path):
         spark, path).collect()}
     assert v[0] is False
     assert all(ok for s, ok in v.items() if s != 0)
+
+
+def test_plan_training_mixture_quota_interleave_contract(spark, sf_dir, tmp_path):
+    """Mixture planner: per-source shard prefixes cover the weighted
+    token quota (overshooting by at most one shard), the plan stride-
+    interleaves sources, is deterministic, and refuses unknown
+    artifacts / bad weights / uncoverable quotas."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.curation import (
+        plan_training_mixture,
+        write_training_shards,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs.filter(F.col("doc_id") % 2 == 0),
+                          pa, "doc_id", "text", 1500)
+    write_training_shards(docs.filter(F.col("doc_id") % 2 == 1),
+                          pb, "doc_id", "text", 1500)
+
+    target = 12_000
+    plan = plan_training_mixture(
+        spark, {"web": (pa, 3.0), "code": (pb, 1.0)}, target
+    ).collect()
+
+    by_src = {}
+    for r in plan:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"web", "code"}
+    for name, rows in by_src.items():
+        quota = rows[0]["quota_tokens"]
+        toks = [r["n_tokens"] for r in sorted(rows, key=lambda r: r["shard"])]
+        total = sum(toks)
+        # covering prefix: meets quota, overshoots by < the last shard
+        assert total >= quota
+        assert total - toks[-1] < quota
+        # shard order is the artifact prefix 0..k-1
+        assert sorted(r["shard"] for r in rows) == list(range(len(rows)))
+    assert by_src["web"][0]["quota_tokens"] == round(target * 0.75)
+    assert by_src["code"][0]["quota_tokens"] == round(target * 0.25)
+
+    # interleaved: the plan's position column is globally sorted and
+    # both sources appear before the plan's midpoint
+    pos = [r["position"] for r in plan]
+    assert pos == sorted(pos)
+    first_half = {r["source"] for r in plan[: max(2, len(plan) // 2)]}
+    assert first_half == {"web", "code"}
+
+    # determinism
+    again = plan_training_mixture(
+        spark, {"web": (pa, 3.0), "code": (pb, 1.0)}, target
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in plan]
+
+    # refusals
+    with _pytest.raises(ValueError, match="not a shard artifact"):
+        plan_training_mixture(spark, {"x": (str(tmp_path / "nope"), 1.0)}, 10)
+    with _pytest.raises(ValueError, match="positive weight"):
+        plan_training_mixture(spark, {"web": (pa, 0.0)}, 10)
+    with _pytest.raises(ValueError, match="quota"):
+        plan_training_mixture(spark, {"web": (pa, 1.0)}, 10**9)
