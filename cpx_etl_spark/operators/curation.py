@@ -244,13 +244,21 @@ def assign_training_shards(
     )
 
 
-def _shard_manifest(data: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _shard_manifest(
+    data: DataFrame, id_col: str, text_col: str,
+    expected_key=None,
+) -> DataFrame:
     """Per-shard manifest aggregation shared by the writer and the
     verifier (code-review r15: two hand-copies would let a fingerprint
     change break verification of valid artifacts): doc count, token
     sum, and the order-independent additive content fingerprint.
     The 48-bit md5-prefix terms cast to DECIMAL BEFORE the sum — a
-    long sum ANSI-overflows at ~65k docs/shard."""
+    long sum ANSI-overflows at ~65k docs/shard. ``expected_key``
+    (verifier only) folds the _key order-integrity count into the SAME
+    scan (a second pass over a 100 TB artifact just for the key check
+    would double verification I/O); the comparison is NULL-SAFE — a
+    _key corrupted to NULL must count as bad, and `!=` would silently
+    drop it (both code-review r15, second look)."""
     row_fp = F.conv(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
@@ -259,16 +267,20 @@ def _shard_manifest(data: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
         16, 10,
     ).cast("long")
-    return (
-        data.withColumn("_fp", row_fp)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_n_tok").cast("long").alias("n_tokens"),
-            F.sum(F.col("_fp").cast("decimal(30,0)")).cast("string")
-            .alias("content_fp"),
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").cast("long").alias("n_tokens"),
+        F.sum(F.col("_fp").cast("decimal(30,0)")).cast("string")
+        .alias("content_fp"),
+    ]
+    if expected_key is not None:
+        aggs.append(
+            F.sum(
+                F.when(~F.col("_key").eqNullSafe(expected_key), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_badkey")
         )
-    )
+    return data.withColumn("_fp", row_fp).groupBy("shard").agg(*aggs)
 
 
 def write_training_shards(
@@ -344,7 +356,12 @@ def write_training_shards(
     )
     # manifest from the WRITTEN files (also an end-to-end write check)
     written = spark.read.parquet(data_dir)
-    manifest = _shard_manifest(written, id_col, text_col)
+    # eager checkpoint: the manifest aggregation (a full output scan)
+    # executes ONCE; the collect and the write both read the
+    # materialized one-row-per-shard result (code-review r15)
+    manifest = _shard_manifest(written, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     rows = manifest.collect()
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "manifest")
@@ -367,19 +384,28 @@ def read_training_shards(spark, path: str, shard: int | None = None) -> DataFram
     on the directory column), sorted by (shard, _key) so iteration
     order is exactly the seeded shuffle order regardless of file-split
     scheduling. The dataloader-facing reader."""
-    import json
     import os
 
     df = spark.read.parquet(os.path.join(path, "data"))
     if shard is not None:
-        with open(os.path.join(path, _SHARD_META)) as f:
-            n_shards = json.load(f)["n_shards"]
-        if not (0 <= shard < n_shards):
-            # fail loud: a dataloader worker with an off-by-one shard
-            # index must not silently train on zero rows
+        # membership check against the manifest (tiny, one row per
+        # shard): shard ids are NOT contiguous — a doc longer than
+        # tokens_per_shard leaves gaps — so a [0, n_shards) bound both
+        # rejects real shards and passes holes; and the manifest read
+        # works on any storage the data itself lives on, unlike a
+        # driver-local meta open() (code-review r15, second look).
+        # Fail loud either way: a dataloader worker with a wrong shard
+        # index must not silently train on zero rows.
+        present = (
+            spark.read.parquet(os.path.join(path, "manifest"))
+            .filter(F.col("shard") == shard)
+            .limit(1)
+            .count()
+        )
+        if present == 0:
             raise ValueError(
-                f"read_training_shards: shard {shard} out of range "
-                f"[0, {n_shards}) for the artifact at {path}"
+                f"read_training_shards: shard {shard} does not exist "
+                f"in the artifact at {path}"
             )
         df = df.filter(F.col("shard") == shard)
     return df.orderBy("shard", "_key")
@@ -399,34 +425,28 @@ def verify_training_shards(spark, path: str) -> DataFrame:
         meta = json.load(f)
     id_col, text_col, seed = meta["id_col"], meta["text_col"], meta["seed"]
     data = spark.read.parquet(os.path.join(path, "data"))
-    got = _shard_manifest(data, id_col, text_col).withColumnRenamed(
-        "n_docs", "g_docs"
-    ).withColumnRenamed("n_tokens", "g_tokens").withColumnRenamed(
-        "content_fp", "g_fp"
-    )
     # the stored _key IS the training order — it is fully recomputable
     # from the meta seed, so order corruption must fail verification
-    # too (code-review r15), not just content corruption
-    badkey = (
-        data.filter(
-            F.col("_key")
-            != F.md5(F.concat(F.lit(f"{seed}:"),
-                              F.col(id_col).cast("string")))
-        )
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("g_badkey"))
+    # too (code-review r15), not just content corruption; the check is
+    # folded into the single manifest scan, null-safe
+    expected_key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
+    got = _shard_manifest(
+        data, id_col, text_col, expected_key=expected_key
+    ).withColumnRenamed("n_docs", "g_docs").withColumnRenamed(
+        "n_tokens", "g_tokens"
+    ).withColumnRenamed("content_fp", "g_fp")
     want = spark.read.parquet(os.path.join(path, "manifest"))
     return (
         want.join(got, on="shard", how="full_outer")
-        .join(badkey, on="shard", how="left")
         .select(
             "shard", "n_docs", "n_tokens", "content_fp",
             (
                 (F.col("g_docs") == F.col("n_docs"))
                 & (F.col("g_tokens") == F.col("n_tokens"))
                 & (F.col("g_fp") == F.col("content_fp"))
-                & F.col("g_badkey").isNull()
+                & (F.col("n_badkey") == 0)
             ).alias("ok"),
         )
         .withColumn("ok", F.coalesce("ok", F.lit(False)))
@@ -478,6 +498,13 @@ def plan_training_mixture(
         with open(meta_path) as f:
             meta = json.load(f)
         quota = int(round(target_tokens * w / wsum))
+        if quota <= 0:
+            raise ValueError(
+                f"plan_training_mixture: source {name!r} quota rounds to "
+                f"0 tokens (weight {w} of {wsum} at target "
+                f"{target_tokens}) — it would silently vanish from the "
+                f"mix; raise target_tokens or drop the source"
+            )
         if meta["n_tokens"] < quota:
             raise ValueError(
                 f"plan_training_mixture: source {name!r} holds "

@@ -588,9 +588,9 @@ def test_shard_reader_range_and_key_integrity(spark, sf_dir, tmp_path):
     n_shards = len(write_training_shards(
         docs, path, "doc_id", "text", 4000).collect())
 
-    with _pytest.raises(ValueError, match="out of range"):
+    with _pytest.raises(ValueError, match="does not exist"):
         read_training_shards(spark, path, shard=n_shards)
-    with _pytest.raises(ValueError, match="out of range"):
+    with _pytest.raises(ValueError, match="does not exist"):
         read_training_shards(spark, path, shard=-1)
 
     # corrupt ONE row's _key in shard 0 (content untouched)
@@ -675,3 +675,80 @@ def test_plan_training_mixture_quota_interleave_contract(spark, sf_dir, tmp_path
         plan_training_mixture(spark, {"web": (pa, 0.0)}, 10)
     with _pytest.raises(ValueError, match="quota"):
         plan_training_mixture(spark, {"web": (pa, 1.0)}, 10**9)
+
+
+def test_shard_gap_and_nullkey_contracts(spark, tmp_path):
+    """Second-look review fixes: shard ids may have GAPS (a doc longer
+    than tokens_per_shard skips numbers) — the reader must accept real
+    gap-following shards, refuse the hole, and verification must flag
+    a _key corrupted to NULL (a null-dropping != would pass it)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.curation import (
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    # doc 1 is 25 tokens with cap 10 -> shard 0 holds it entirely and
+    # the next doc starts in shard 2: shard 1 is a HOLE
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))),
+         (2, "a b c d e"), (3, "f g h i j")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "gap")
+    m = {r["shard"] for r in
+         write_training_shards(docs, path, "doc_id", "text", 10,
+                               seed="gap").collect()}
+    holes = set(range(max(m) + 1)) - m
+    if holes:  # seed-dependent layout: only assert when a hole exists
+        hole = min(holes)
+        with _pytest.raises(ValueError, match="does not exist"):
+            read_training_shards(spark, path, shard=hole)
+    # every REAL shard (including any past a hole) reads fine
+    for sh in m:
+        assert read_training_shards(spark, path, shard=sh).count() > 0
+
+    # NULL-corrupted _key fails verification
+    some = sorted(m)[0]
+    sdir = os.path.join(path, "data", f"shard={some}")
+    part = [f for f in os.listdir(sdir) if f.endswith(".parquet")][0]
+    sub = spark.read.parquet(os.path.join(sdir, part))
+    forged = sub.withColumn(
+        "_key", F.when(F.monotonically_increasing_id() == 0,
+                       F.lit(None).cast("string")).otherwise(F.col("_key"))
+    )
+    forged.write.mode("overwrite").parquet(str(tmp_path / "nk"))
+    os.remove(os.path.join(sdir, part))
+    for f in os.listdir(str(tmp_path / "nk")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "nk"), f),
+                        os.path.join(sdir, f))
+    v = {r["shard"]: r["ok"] for r in verify_training_shards(
+        spark, path).collect()}
+    assert v[some] is False
+
+
+def test_mixture_zero_quota_refused(spark, sf_dir, tmp_path):
+    """A weight so small its quota rounds to zero tokens is refused
+    loudly — the source must never silently vanish from the mix."""
+    import pytest as _pytest
+
+    from cpx_etl_spark.operators.curation import (
+        plan_training_mixture,
+        write_training_shards,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa = str(tmp_path / "a")
+    write_training_shards(docs, pa, "doc_id", "text", 4000)
+    with _pytest.raises(ValueError, match="rounds to"):
+        plan_training_mixture(
+            spark, {"web": (pa, 1.0), "rare": (pa, 1e-7)}, 1000
+        )
