@@ -203,6 +203,59 @@ def pack_sequences(
 _SHARD_META = "_SHARD_META.json"
 
 
+def _read_shard_meta(spark, path: str) -> dict | None:
+    """Read _SHARD_META.json through the Hadoop FileSystem API — the
+    SAME storage abstraction the parquet reads resolve through — so
+    verifying or mixture-planning an artifact on object storage works
+    wherever the data itself is readable; a driver-local open() only
+    works on storage the driver mounts (ADVICE r15 / VERDICT r15
+    item 2). NOT spark.read.text: Spark's file index HIDES
+    underscore-prefixed files, silently returning zero rows for the
+    meta. Returns the parsed dict, or None when the meta file is
+    absent (the caller owns the fail-loud message)."""
+    import json
+    import os
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _SHARD_META))
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_shard_meta(spark, path: str, meta: dict) -> None:
+    """Write _SHARD_META.json through the Hadoop FileSystem API
+    (create tmp + rename, the atomic-publish pattern of the driver-
+    local os.replace it supersedes) so the writer works on any storage
+    the shard parquet lands on — symmetric with _read_shard_meta."""
+    import json
+    import os
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    target = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _SHARD_META))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, f"{_SHARD_META}.tmp")
+    )
+    fs = target.getFileSystem(conf)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(target):
+        fs.delete(target, False)  # HDFS rename refuses to overwrite
+    if not fs.rename(tmp, target):
+        raise IOError(f"_write_shard_meta: rename to {target} failed")
+
+
 def assign_training_shards(
     df: DataFrame,
     id_col: str,
@@ -225,6 +278,15 @@ def assign_training_shards(
 
     Returns (id_col, _key, _n_tok, shard). Scale: two bounded window
     passes + one tiny offsets join, the pack_sequences posture."""
+    if tokens_per_shard <= 0:
+        # fail BEFORE the validation scan runs, not as an ANSI
+        # divide-by-zero (or silent negative shard ids) deep in the
+        # shuffle (ADVICE r15) — the plan_training_mixture
+        # target_tokens guard, applied to the writer side
+        raise ValueError(
+            f"assign_training_shards: tokens_per_shard must be > 0 "
+            f"(got {tokens_per_shard})"
+        )
     base = df.select(
         F.col(id_col),
         F.md5(
@@ -313,11 +375,16 @@ def write_training_shards(
     meta totals come from the collected (one-row-per-shard) manifest,
     so the corpus pipeline executes exactly once. Returns the manifest
     DataFrame."""
-    import json
     import os
 
     from cpx_etl_spark.functions.text import token_count
 
+    if tokens_per_shard <= 0:
+        # before the validation SCAN, not after it (ADVICE r15)
+        raise ValueError(
+            f"write_training_shards: tokens_per_shard must be > 0 "
+            f"(got {tokens_per_shard})"
+        )
     spark = df.sparkSession
     chk = df.agg(
         F.count(F.lit(1)).alias("n"),
@@ -371,10 +438,7 @@ def write_training_shards(
             "n_shards": len(rows),
             "n_docs": int(sum(r["n_docs"] for r in rows)),
             "n_tokens": int(sum(r["n_tokens"] for r in rows))}
-    tmp = os.path.join(path, f"{_SHARD_META}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _SHARD_META))
+    _write_shard_meta(spark, path, meta)
     return manifest
 
 
@@ -418,11 +482,17 @@ def verify_training_shards(spark, path: str) -> DataFrame:
     copied/transferred artifact. Returns one row per shard with an
     ``ok`` verdict (full outer join, so missing/extra shards on either
     side surface as ok=false rows instead of disappearing)."""
-    import json
     import os
 
-    with open(os.path.join(path, _SHARD_META)) as f:
-        meta = json.load(f)
+    # meta through the same storage abstraction as the parquet reads —
+    # verifying an artifact on object storage must work wherever the
+    # data itself is readable (ADVICE r15)
+    meta = _read_shard_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"verify_training_shards: {path!r} is not a shard artifact "
+            f"(missing {_SHARD_META})"
+        )
     id_col, text_col, seed = meta["id_col"], meta["text_col"], meta["seed"]
     data = spark.read.parquet(os.path.join(path, "data"))
     # the stored _key IS the training order — it is fully recomputable
@@ -477,8 +547,9 @@ def plan_training_mixture(
     cover (total tokens < quota) all raise. Returns
     (source, shard, n_tokens, cum_tokens, quota_tokens, position)
     ordered by position — deterministic for fixed inputs."""
-    import json
     import os
+
+    from pyspark.errors import AnalysisException
 
     if target_tokens <= 0:
         raise ValueError("plan_training_mixture: target_tokens must be > 0")
@@ -489,14 +560,20 @@ def plan_training_mixture(
         )
     plans = []
     for name, (path, w) in sorted(sources.items()):
-        meta_path = os.path.join(path, _SHARD_META)
-        if not os.path.exists(meta_path):
+        # artifact probe + token capacity both come from the manifest
+        # PARQUET — the same storage abstraction every other read of
+        # the artifact uses, so planning works on object storage where
+        # a driver-local os.path.exists on the meta JSON false-
+        # positives "not a shard artifact" (ADVICE r15 / VERDICT r15
+        # item 2); _SHARD_META stays the seed/capacity metadata source
+        # for readers that need it, via _read_shard_meta
+        try:
+            manifest = spark.read.parquet(os.path.join(path, "manifest"))
+        except AnalysisException as e:
             raise ValueError(
                 f"plan_training_mixture: {path!r} is not a shard artifact "
-                f"(missing {_SHARD_META})"
-            )
-        with open(meta_path) as f:
-            meta = json.load(f)
+                f"(no readable manifest/): {e}"
+            ) from e
         quota = int(round(target_tokens * w / wsum))
         if quota <= 0:
             raise ValueError(
@@ -505,13 +582,18 @@ def plan_training_mixture(
                 f"{target_tokens}) — it would silently vanish from the "
                 f"mix; raise target_tokens or drop the source"
             )
-        if meta["n_tokens"] < quota:
+        # capacity = SUM over the one-row-per-shard manifest — a
+        # bounded planning head (manifests are tiny at any corpus
+        # scale), replacing the meta-JSON n_tokens read
+        total = manifest.agg(
+            F.sum("n_tokens").cast("long").alias("t")
+        ).collect()[0]["t"]
+        if total is None or total < quota:
             raise ValueError(
                 f"plan_training_mixture: source {name!r} holds "
-                f"{meta['n_tokens']} tokens < quota {quota} — lower its "
+                f"{total or 0} tokens < quota {quota} — lower its "
                 f"weight or target_tokens (refusing a silent under-mix)"
             )
-        manifest = spark.read.parquet(os.path.join(path, "manifest"))
         w_cum = (
             Window.orderBy("shard")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)

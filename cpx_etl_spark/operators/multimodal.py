@@ -156,6 +156,76 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     return bytes(out)
 
 
+def _decode_png_payload(b: bytes) -> tuple:
+    """PNG branch of decode_image — see its contract. Callers go
+    through decode_image, which wraps parser exceptions as
+    ValueError."""
+    import struct
+    import zlib
+
+    pos, idat = 8, b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + w * channels):
+        raise ValueError("truncated PNG scanline stream")
+    return ("png", w, h, channels, _png_unfilter(raw, w, h, channels))
+
+
+def _decode_bmp_payload(b: bytes) -> tuple:
+    """BMP branch of decode_image — see its contract. Row extents are
+    bounds-checked up front: a truncated pixel array must fail loud,
+    not slice short and produce garbage pixels."""
+    if len(b) < 54:  # 14B file header + 40B BITMAPINFOHEADER
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    hh = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant: bpp={bpp} compression={compression}"
+        )
+    if w <= 0 or hh == 0:
+        raise ValueError(f"corrupt BMP dimensions: {w} x {hh}")
+    top_down, h = hh < 0, abs(hh)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    if data_off < 54 or data_off + h * row_bytes > len(b):
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        sy = y if top_down else h - 1 - y
+        row = b[data_off + sy * row_bytes:data_off + sy * row_bytes + w * 3]
+        for x in range(w):
+            o = (y * w + x) * 3
+            out[o] = row[3 * x + 2]      # B G R -> R
+            out[o + 1] = row[3 * x + 1]  # G
+            out[o + 2] = row[3 * x]      # B
+    return ("bmp", w, h, 3, bytes(out))
+
+
 def decode_image(b: bytes) -> tuple:
     """REAL full-pixel decode, pure stdlib (closes the r14 PIL stub —
     VERDICT r14 item 4) for the two public container formats the repo
@@ -165,64 +235,27 @@ def decode_image(b: bytes) -> tuple:
     row padding stripped, BGR reordered to RGB). Returns
     (fmt, width, height, channels, pixels) with ``pixels`` row-major
     top-down, RGB(A)/gray channel order — the layout a production
-    decoder hands the thumbnail/patch stages. Raises ValueError on
-    unknown magic or an unsupported variant (palette PNG, RLE BMP,
-    bit depths != 8/24) — fail-loud here; callers that must fail-soft
-    catch it per record."""
+    decoder hands the thumbnail/patch stages. The fail-loud contract
+    is ValueError for EVERY reject — unknown magic, unsupported
+    variants (palette PNG, RLE BMP, bit depths != 8/24), AND corrupt
+    payloads that carry valid magic (truncated IDAT, short IHDR,
+    short BMP rows): parser-level zlib.error/struct.error/IndexError
+    are re-raised as ValueError so a per-record fail-soft caller
+    catching ValueError survives one bad record instead of crashing
+    the Arrow batch (ADVICE r15)."""
     import struct
     import zlib
 
     if b[:8] == _PNG_SIG:
-        pos, idat = 8, b""
-        w = h = depth = ctype = interlace = None
-        while pos + 8 <= len(b):
-            (ln,) = struct.unpack(">I", b[pos:pos + 4])
-            typ = b[pos + 4:pos + 8]
-            data = b[pos + 8:pos + 8 + ln]
-            pos += 12 + ln  # len + type + data + crc
-            if typ == b"IHDR":
-                w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                    ">IIBBBBB", data
-                )
-            elif typ == b"IDAT":
-                idat += data
-            elif typ == b"IEND":
-                break
-        if w is None:
-            raise ValueError("PNG without IHDR")
-        if depth != 8 or interlace != 0:
-            raise ValueError(
-                f"unsupported PNG variant: depth={depth} interlace={interlace}"
-            )
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-        if channels is None:
-            raise ValueError(f"unsupported PNG color type {ctype}")
-        raw = zlib.decompress(idat)
-        if len(raw) != h * (1 + w * channels):
-            raise ValueError("truncated PNG scanline stream")
-        return ("png", w, h, channels, _png_unfilter(raw, w, h, channels))
+        try:
+            return _decode_png_payload(b)
+        except (zlib.error, struct.error, IndexError) as e:
+            raise ValueError(f"corrupt PNG payload: {e}") from e
     if b[:2] == b"BM":
-        data_off = int.from_bytes(b[10:14], "little")
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        hh = int.from_bytes(b[22:26], "little", signed=True)
-        bpp = int.from_bytes(b[28:30], "little")
-        compression = int.from_bytes(b[30:34], "little")
-        if bpp != 24 or compression != 0:
-            raise ValueError(
-                f"unsupported BMP variant: bpp={bpp} compression={compression}"
-            )
-        top_down, h = hh < 0, abs(hh)
-        row_bytes = (w * 3 + 3) // 4 * 4
-        out = bytearray(w * h * 3)
-        for y in range(h):
-            sy = y if top_down else h - 1 - y
-            row = b[data_off + sy * row_bytes:data_off + sy * row_bytes + w * 3]
-            for x in range(w):
-                o = (y * w + x) * 3
-                out[o] = row[3 * x + 2]      # B G R -> R
-                out[o + 1] = row[3 * x + 1]  # G
-                out[o + 2] = row[3 * x]      # B
-        return ("bmp", w, h, 3, bytes(out))
+        try:
+            return _decode_bmp_payload(b)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"corrupt BMP payload: {e}") from e
     raise ValueError("unknown image container (no PNG/BMP magic)")
 
 

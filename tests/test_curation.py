@@ -752,3 +752,85 @@ def test_mixture_zero_quota_refused(spark, sf_dir, tmp_path):
         plan_training_mixture(
             spark, {"web": (pa, 1.0), "rare": (pa, 1e-7)}, 1000
         )
+
+
+def test_shard_meta_io_uses_storage_abstraction(spark, sf_dir, tmp_path):
+    """ADVICE r15 / VERDICT r15 item 4: the meta JSON must be read and
+    written through the same storage abstraction as the parquet
+    (Hadoop FS via spark.read.text / FileSystem.create) — never a
+    driver-local open()/os.path.exists — so verify/plan work on any
+    storage the data itself lives on. Local-FS proxy for that
+    contract: (a) the planner no longer needs the meta at all (quota
+    capacity comes from the manifest parquet), so deleting
+    _SHARD_META.json leaves planning working; (b) the verifier reads
+    the meta through Spark and still fails LOUD when it is absent;
+    (c) refusal messages for a non-artifact path are unchanged."""
+    import os
+
+    import pytest as _pytest
+
+    from cpx_etl_spark.operators.curation import (
+        _SHARD_META,
+        _read_shard_meta,
+        plan_training_mixture,
+        verify_training_shards,
+        write_training_shards,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa = str(tmp_path / "a")
+    write_training_shards(docs, pa, "doc_id", "text", 2000)
+
+    # the writer's meta (written via the Hadoop FS API) reads back
+    # through the storage abstraction and carries the same fields the
+    # driver-local writer produced in r15
+    meta = _read_shard_meta(spark, pa)
+    assert meta is not None and meta["seed"] == "shards-v1"
+    assert meta["id_col"] == "doc_id" and meta["n_shards"] >= 1
+
+    # verifier green with the meta present
+    ver = verify_training_shards(spark, pa).collect()
+    assert ver and all(r["ok"] for r in ver)
+
+    # (a) meta ABSENT, manifest readable: planning still works
+    os.remove(os.path.join(pa, _SHARD_META))
+    assert _read_shard_meta(spark, pa) is None
+    plan = plan_training_mixture(spark, {"web": (pa, 1.0)}, 1000).collect()
+    assert plan and plan[0]["quota_tokens"] == 1000
+
+    # (b) the verifier genuinely needs the meta (id/text/seed) — fail
+    # loud, same artifact-shaped message as before
+    with _pytest.raises(ValueError, match="not a shard artifact"):
+        verify_training_shards(spark, pa)
+
+    # (c) non-artifact path refusals unchanged
+    with _pytest.raises(ValueError, match="not a shard artifact"):
+        plan_training_mixture(
+            spark, {"x": (str(tmp_path / "nope"), 1.0)}, 10
+        )
+
+
+def test_tokens_per_shard_guard_fails_before_any_scan(spark):
+    """ADVICE r15: a zero/negative tokens_per_shard must raise at the
+    TOP of assign/write_training_shards — before the validation scan
+    or shuffle runs (was: ANSI divide-by-zero deep in the job)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.curation import (
+        assign_training_shards,
+        write_training_shards,
+    )
+
+    # a frame whose evaluation would EXPLODE if any scan ran — the
+    # guard must fire before Spark ever touches it
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.assert_true(F.lit(False)).cast("string").alias("text"),
+    )
+    for bad in (0, -5):
+        with _pytest.raises(ValueError, match="tokens_per_shard"):
+            assign_training_shards(df, "doc_id", F.lit(1), bad)
+        with _pytest.raises(ValueError, match="tokens_per_shard"):
+            write_training_shards(df, "/nonexistent", "doc_id", "text", bad)

@@ -1843,3 +1843,53 @@ def test_dedup_semantic_paper_keep_rule(spark, sf_dir):
         # general — but both are one-survivor-per-connected-component
         # UPPER-bounded by n_vectors - 1
         assert r["n_dropped"] <= r["n_vectors"] - 1
+
+
+def test_decode_image_corrupt_payloads_raise_valueerror():
+    """ADVICE r15: decode_image's documented fail-loud contract is
+    ValueError — a corrupt payload that CARRIES valid PNG/BMP magic
+    must not escape as zlib.error/struct.error/IndexError, or a
+    per-record fail-soft caller catching ValueError crashes the whole
+    Arrow batch on one bad record. Exercise the named failure shapes:
+    truncated IDAT, short IHDR, short/overflowing BMP rows, short BMP
+    header, and a data offset pointing past the payload."""
+    import struct
+
+    import pytest as _pytest
+
+    from cpx_etl_spark.operators.multimodal import (
+        decode_image,
+        synth_media_bytes,
+    )
+
+    # deterministic fixtures of each container kind
+    png = bmp = None
+    i = 0
+    while png is None or bmp is None:
+        b = synth_media_bytes(f"probe-{i}")
+        if b[:2] == b"BM":
+            bmp = bmp or b
+        else:
+            png = png or b
+        i += 1
+
+    corrupt = [
+        png[:20],                      # IHDR chunk cut mid-header
+        png[:40],                      # header ok, no IDAT/IEND
+        png[:-40],                     # truncated IDAT stream
+        png[:33] + b"\x00" * 8,        # garbage chunk framing
+        bmp[:40],                      # short BMP header
+        bmp[:60],                      # pixel array cut short
+        b"BM" + b"\x00" * 52,          # zero dims / zero bpp
+        b"BM" + bmp[2:10] + struct.pack("<I", 2**31 - 1) + bmp[14:54],
+        # ^ data offset far past the payload
+    ]
+    for bad in corrupt:
+        with _pytest.raises(ValueError):
+            decode_image(bad)
+
+    # and the valid fixtures still decode (the wrap must not eat the
+    # happy path)
+    for good in (png, bmp):
+        fmt, w, h, ch, px = decode_image(good)
+        assert len(px) == w * h * ch
