@@ -155,6 +155,11 @@ HEADLINE = [
     # corpus builds+appends the two-batch index (cached via the marker
     # in its corpus_index_dir), min-of-3 then times the indexed serve
     "ann_ivf_append_serve",
+    # r16 addition: the dataloader-delivery gate — first call per
+    # corpus writes the standing shard artifact (cached in its
+    # corpus_index_dir), min-of-3 then times the verifier's
+    # manifest-verdict scan (the consumer-side integrity pass)
+    "q_training_shards",
 ]
 
 

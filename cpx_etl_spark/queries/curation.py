@@ -1058,3 +1058,187 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(1 << 18).unionByName(row(1 << 13)).orderBy("m_bits")
+
+
+# --------------------------------------------------------------------------
+# TRAINING-DATA DELIVERY gates (VERDICT r15 item 3): the r15 shard/mixture
+# family gets driver evidence — the manifest frame and the mixture
+# pick-list are deterministic DataFrames a DuckDB oracle can replay.
+# --------------------------------------------------------------------------
+
+# shard capacity for the gates: ~14 shards at sf0.01, ~1350 at sf1 —
+# enough shards to exercise balance/prefix logic, manifest stays tiny
+_SHARD_TPS = 2000
+
+# DuckDB twin of assign_training_shards' per-doc derivation (seed
+# 'shards-v1'): md5(seed:id) shuffle key, whitespace token count,
+# global (key, id)-ordered cumsum, first-token shard rule
+_SHARD_ASSIGN_CTES = f"""
+    base AS (
+        SELECT doc_id, text,
+               md5('shards-v1:' || CAST(doc_id AS VARCHAR)) AS key,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+    cum AS (
+        SELECT doc_id, text, n_tok,
+               SUM(n_tok) OVER (ORDER BY key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM base),
+    sh AS (
+        SELECT doc_id, text, n_tok,
+               CAST(FLOOR((c - n_tok) / {_SHARD_TPS}.0) AS BIGINT) AS shard
+        FROM cum)"""
+
+
+def build_shard_standing_artifact(
+    spark: SparkSession, sf_dir: str, tag: str = "all",
+    parity: int | None = None, tps: int = _SHARD_TPS,
+) -> str:
+    """Ensure the persisted training-shard artifact exists for sf_dir
+    (write once, read/verify/plan many — the persisted-index pattern,
+    size+mtime cache invalidation via scratch.corpus_index_dir);
+    returns its path. ``parity`` carves the even/odd sub-corpora the
+    mixture gate uses as two independent sources."""
+    import os
+
+    from cpx_etl_spark.operators.curation import (
+        _SHARD_META,
+        write_training_shards,
+    )
+    from cpx_etl_spark.scratch import corpus_index_dir
+
+    path = corpus_index_dir(
+        sf_dir, "documents.parquet", "cpx_shards_",
+        [tag, f"tps{tps}", "v1"],
+    )
+    if not os.path.exists(os.path.join(path, _SHARD_META)):
+        # the meta is the writer's LAST artifact — presence implies a
+        # complete write; a half-built dir is simply overwritten
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        if parity is not None:
+            docs = docs.filter(F.col("doc_id") % 2 == parity)
+        write_training_shards(docs, path, "doc_id", "text", tps)
+    return path
+
+
+@register(
+    "q_training_shards",
+    oracle=f"""
+    WITH {_SHARD_ASSIGN_CTES}
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))
+                AS BIGINT) AS DECIMAL(30,0))) AS VARCHAR) AS content_fp,
+           TRUE AS ok
+    FROM sh
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD artifact gate (VERDICT r15 item 3): write the
+    corpus as a persisted dataloader artifact (seeded global shuffle,
+    token-budget shards, per-shard manifest with the additive
+    DECIMAL content fingerprint — operators/curation.py
+    write_training_shards), then run the consumer-side integrity
+    verifier against it and return its one-row-per-shard verdict
+    frame. The oracle replays the ENTIRE derivation in SQL: md5
+    shuffle key, whitespace token counts, the (key, id)-ordered
+    cumulative sum, the first-token shard rule, and the 48-bit-md5
+    DECIMAL fingerprint sum — so a hash-green row proves writer,
+    manifest, and verifier agree with an independent engine end to
+    end. ok is TRUE in the oracle by construction: the verifier runs
+    against a freshly-written artifact; corruption paths are
+    pytest-pinned (tests/test_curation.py). Eager-action posture:
+    the standing artifact builds at construction, cached per
+    (corpus, params) like every persisted index. This is the load
+    surface of the reference (etl.js:758-829) recast for the
+    dataloader consumer."""
+    from cpx_etl_spark.operators.curation import verify_training_shards
+
+    path = build_shard_standing_artifact(spark, sf_dir, tag="all")
+    return verify_training_shards(spark, path).orderBy("shard")
+
+
+@register(
+    "q_training_mixture",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'code' END AS source,
+               doc_id,
+               md5('shards-v1:' || CAST(doc_id AS VARCHAR)) AS key,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM base),
+    man AS (
+        SELECT source,
+               CAST(FLOOR((c - n_tok) / {_SHARD_TPS}.0) AS BIGINT) AS shard,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY source, shard),
+    tot AS (
+        SELECT CAST(LEAST(
+                   (SELECT SUM(n_tokens) FROM man WHERE source = 'web'),
+                   (SELECT SUM(n_tokens) FROM man WHERE source = 'code'))
+               // 4 * 4 AS BIGINT) AS target),
+    quota AS (
+        SELECT source,
+               CAST(CASE source
+                    WHEN 'web' THEN (SELECT target FROM tot) * 3 // 4
+                    ELSE (SELECT target FROM tot) // 4 END AS BIGINT) AS q
+        FROM (SELECT DISTINCT source FROM man)),
+    pick AS (
+        SELECT m.source, m.shard, m.n_tokens,
+               CAST(SUM(m.n_tokens) OVER (PARTITION BY m.source
+                    ORDER BY m.shard ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+               q.q AS quota_tokens
+        FROM man m JOIN quota q ON q.source = m.source
+        QUALIFY cum_tokens - m.n_tokens < q.q)
+    SELECT source, shard, n_tokens, cum_tokens, quota_tokens,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY shard)
+                AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY source) AS position
+    FROM pick
+    ORDER BY position, source, shard
+    """,
+)
+def q_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CORPUS MIXTURE-PLAN gate (VERDICT r15 item 3): two
+    persisted shard artifacts (the even/odd doc_id sub-corpora as
+    'web' and 'code'), weighted 3:1 at a target of the largest
+    multiple of 4 under the smaller source's token total — integral
+    weights over a 4-divisible target make every quota EXACT in both
+    engines, no float-rounding ambiguity (Python round() is
+    banker's, DuckDB ROUND is half-away) — then
+    plan_training_mixture's covering-prefix pick + stride interleave.
+    The oracle replays both artifacts' shard assignments (one CTE
+    chain, PARTITION BY source), the manifest token sums, the quota
+    arithmetic, the prefix filter (window QUALIFY), and the position
+    interleave — the 'window prefix arithmetic' framing of the
+    VERDICT. Pure manifest arithmetic at any corpus scale: the plan
+    inputs are one-row-per-shard frames, never the corpora."""
+    import os
+
+    from cpx_etl_spark.operators.curation import plan_training_mixture
+
+    pa = build_shard_standing_artifact(spark, sf_dir, tag="even", parity=0)
+    pb = build_shard_standing_artifact(spark, sf_dir, tag="odd", parity=1)
+    totals = []
+    for p in (pa, pb):
+        totals.append(
+            spark.read.parquet(os.path.join(p, "manifest"))
+            .agg(F.sum("n_tokens").cast("long").alias("t"))
+            .collect()[0]["t"]  # 1-row planning lookup (tiny manifest)
+        )
+    target = int(min(totals) // 4 * 4)
+    return plan_training_mixture(
+        spark, {"web": (pa, 3.0), "code": (pb, 1.0)}, target
+    )

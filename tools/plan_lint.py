@@ -104,6 +104,13 @@ _ALLOW_FUNNELS: dict[str, list[tuple[str, str]]] = {
         "documented one-shard arrival-order diagnostic; production path "
         "shards the running max per ingestion partition (docstring)",
     )],
+    "q_training_mixture": [(
+        "FileScan parquet [shard",
+        "the covering-prefix cumsum windows over the two MANIFEST "
+        "parquets — one-row-per-shard planning frames (docstring: "
+        "'pure manifest arithmetic', ~n_tokens/2000 rows at any SF), "
+        "never the corpora",
+    )],
 }
 
 # Non-funnel pattern suppressions: (query, pattern) -> reason.
