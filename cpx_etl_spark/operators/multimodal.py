@@ -232,7 +232,11 @@ def decode_image(b: bytes) -> tuple:
     itself synthesizes: non-interlaced 8-bit PNG (gray / gray+alpha /
     RGB / RGBA; zlib inflate + per-row Sub/Up/Average/Paeth unfilter)
     and uncompressed 24-bit BMP (bottom-up or top-down rows, 4-byte
-    row padding stripped, BGR reordered to RGB). Returns
+    row padding stripped, BGR reordered to RGB) — plus, since r16,
+    baseline-sequential JPEG (functions/jpeg.py: Huffman + dequant +
+    IDCT, grayscale / 4:4:4 / 4:2:0, DRI restarts — the format a real
+    image crawl is overwhelmingly made of; VERDICT r15 item 5).
+    Returns
     (fmt, width, height, channels, pixels) with ``pixels`` row-major
     top-down, RGB(A)/gray channel order — the layout a production
     decoder hands the thumbnail/patch stages. The fail-loud contract
@@ -256,7 +260,15 @@ def decode_image(b: bytes) -> tuple:
             return _decode_bmp_payload(b)
         except (struct.error, IndexError) as e:
             raise ValueError(f"corrupt BMP payload: {e}") from e
-    raise ValueError("unknown image container (no PNG/BMP magic)")
+    if b[:3] == b"\xff\xd8\xff":  # SOI + first marker prefix
+        from cpx_etl_spark.functions.jpeg import decode_jpeg
+
+        try:
+            w, h, ch, px = decode_jpeg(b)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"corrupt JPEG payload: {e}") from e
+        return ("jpeg", w, h, ch, px)
+    raise ValueError("unknown image container (no PNG/BMP/JPEG magic)")
 
 
 def gray_pixels(width: int, height: int, channels: int, px: bytes) -> bytes:
