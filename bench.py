@@ -155,11 +155,14 @@ HEADLINE = [
     # corpus builds+appends the two-batch index (cached via the marker
     # in its corpus_index_dir), min-of-3 then times the indexed serve
     "ann_ivf_append_serve",
-    # r16 addition: the dataloader-delivery gate — first call per
+    # r16 additions: the dataloader-delivery gate — first call per
     # corpus writes the standing shard artifact (cached in its
     # corpus_index_dir), min-of-3 then times the verifier's
-    # manifest-verdict scan (the consumer-side integrity pass)
+    # manifest-verdict scan (the consumer-side integrity pass) — and
+    # the graph-ANN walk (centroid-routed beam search over the
+    # persisted kNN-graph index; index cached, serve timed)
     "q_training_shards",
+    "ann_graph_topk",
 ]
 
 

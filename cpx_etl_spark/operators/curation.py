@@ -623,6 +623,70 @@ def plan_training_mixture(
     )
 
 
+def read_training_mixture(
+    spark, plan: DataFrame, paths: dict[str, str]
+) -> DataFrame:
+    """Consume a plan_training_mixture pick-list: stream the picked
+    shards of every source in PLAN ORDER — the step that closes the
+    loop from curation to an actual training-order scan (VERDICT r15
+    item 8). One partition-pruned read per SOURCE (the picked shards
+    as one isin filter over the shard partition column — never one
+    scan per pick), the plan's position column joined on (broadcast:
+    one row per picked shard), and a global sort on (position, source,
+    shard, _key) — exactly the planner's interleave order with each
+    shard internally in the seeded training order. The sort is the
+    contract a dataloader needs anyway (a total consumption order)
+    and range-partitions over the SELECTED subset only.
+
+    ``paths``: source name -> shard-artifact path (the same names the
+    plan was built with). Output: (source, shard, position, id, text,
+    _key); id is cast to string so heterogeneous source id types
+    union cleanly. Fail-loud: a plan source missing from ``paths``,
+    or a path that is not a shard artifact, raises."""
+    import os
+
+    picks = plan.select("source", "shard", "position").collect()
+    # bounded planning head: one row per PICKED SHARD (manifest
+    # granularity, never corpus rows)
+    by_src: dict[str, list[int]] = {}
+    for r in picks:
+        by_src.setdefault(r["source"], []).append(r["shard"])
+    missing = sorted(set(by_src) - set(paths))
+    if missing:
+        raise ValueError(
+            f"read_training_mixture: plan references sources {missing} "
+            f"absent from paths"
+        )
+    out = None
+    for src_name in sorted(by_src):
+        path = paths[src_name]
+        meta = _read_shard_meta(spark, path)
+        if meta is None:
+            raise ValueError(
+                f"read_training_mixture: {path!r} is not a shard "
+                f"artifact (missing {_SHARD_META})"
+            )
+        id_col, text_col = meta["id_col"], meta["text_col"]
+        data = spark.read.parquet(os.path.join(path, "data")).filter(
+            F.col("shard").isin(by_src[src_name])
+        )
+        pos = plan.filter(F.col("source") == src_name).select(
+            "shard", "position"
+        )
+        part = data.join(F.broadcast(pos), "shard").select(
+            F.lit(src_name).alias("source"),
+            "shard",
+            "position",
+            F.col(id_col).cast("string").alias("id"),
+            F.col(text_col).alias("text"),
+            "_key",
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("read_training_mixture: empty plan")
+    return out.orderBy("position", "source", "shard", "_key")
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -2695,3 +2695,114 @@ def ivfpq_residual_topk_indexed(
         rerank=rerank,
         probed=probed,
     )
+
+
+def graph_beam_search(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 3,
+    nprobe: int = 4,
+    per_cell: int = 4,
+    seed: str = "gs",
+) -> DataFrame:
+    """HNSW-LITE serving: greedy BEAM SEARCH over a STORED kNN graph
+    (the persisted kNN-graph index is the hard half of HNSW; this is
+    the walk half — VERDICT r15 item 6). The stored graph's edges are
+    within-trained-cell, so a FLAT entry layer cannot reach the
+    query's neighborhood (measured recall@10 = 0 at sf0.1 with 16
+    global md5 entries) — the stored CENTROIDS therefore play HNSW's
+    upper routing layers: each query probes its ``nprobe`` nearest
+    centroids (6dp-rounded cosine, cell tiebreak — the IVF probe),
+    and the ``per_cell`` md5(seed:id)-smallest members of each probed
+    cell seed the beam (the md5-seeded entry rule, applied within the
+    routed cells so it stays deterministic AND reachable). Each round
+    takes the per-query top-``beam`` of everything seen (rounded
+    cosine, id tiebreak), expands their stored out-edges, scores the
+    new nodes, and merges; fixed ``rounds`` DataFrame iterations with
+    per-round eager checkpoints (the q_pagerank posture). Result =
+    exact top-k of the VISITED set, self excluded.
+
+    Scale shape: the probe is queries x k-row centroid frame (the
+    ivf_serve shape — AQE broadcasts the small side); walk state is
+    (n_queries x visited) rows, never corpus-sized; the per-round
+    edge join is an equi hash join against the beam frame.
+
+    ``assignments``: (neighbor_id, v_c, cell) — the index's rows.
+    ``centroids``: (cell, centroid). ``edges``: (a, b) directed
+    stored top-edges (wide n1..n3 rows exploded by the caller).
+    Output: (query_id, neighbor_id, cos, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
+    )
+    nodes = assignments.select(
+        F.col("neighbor_id").alias("node"), "v_c", "cell"
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_c_cos").desc(), F.col("cell").asc()
+    )
+    probed = (
+        q.crossJoin(centroids)  # k rows — AQE broadcasts, never pinned
+        .withColumn(
+            "_c_cos",
+            F.round(cosine(F.col("v_q"), F.col("centroid")) - 1e-9, 6),
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "v_q", "cell")
+    )
+    w_entry = Window.partitionBy("query_id", "cell").orderBy(
+        F.col("_h").asc(), F.col("node").asc()
+    )
+    entry = (
+        probed.join(nodes.select("node", "cell"), "cell")
+        .withColumn(
+            "_h",
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("node").cast("string"))),
+        )
+        .withColumn("_rn", F.row_number().over(w_entry))
+        .filter(F.col("_rn") <= per_cell)
+        .select("query_id", "v_q", "node")
+    )
+
+    def score(df: DataFrame) -> DataFrame:  # df: (query_id, v_q, node)
+        return df.join(nodes.select("node", "v_c"), "node").select(
+            "query_id", "v_q", "node",
+            F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6)
+            .alias("cos"),
+        )
+
+    state = score(entry).localCheckpoint(eager=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("node").asc()
+    )
+    for _ in range(rounds):
+        beam_df = (
+            state.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= beam)
+            .drop("_rn")
+        )
+        expand = (
+            beam_df.select("query_id", "v_q", "node")
+            .join(edges.withColumnRenamed("a", "node"), "node")
+            .select("query_id", "v_q", F.col("b").alias("node"))
+            .dropDuplicates(["query_id", "node"])
+        )
+        # revisits score again and fall out in the dedupe — the state
+        # frame is beam-bounded, an anti-join would cost more than it
+        # saves. cos/v_q are FUNCTIONS of the dedupe key, so whichever
+        # duplicate survives is bit-identical.
+        state = (
+            state.unionByName(score(expand))
+            .dropDuplicates(["query_id", "node"])
+            .localCheckpoint(eager=True)
+        )
+    out = state.filter(F.col("node") != F.col("query_id")).select(
+        "query_id", F.col("node").alias("neighbor_id"), "cos"
+    )
+    return _ranked(out, k)

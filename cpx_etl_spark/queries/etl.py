@@ -2278,10 +2278,18 @@ def q_upsert_pruned_read_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-SQL filter, so a bitmap bug that skips a live file breaks the
     totals and a probe bug that skips nothing breaks the flag. Bloom
     false positives only keep extra files — exactness never depends on
-    the bitmap."""
+    the bitmap. r16 (VERDICT r15 item 7): the snapshot is a pure
+    deterministic function of (corpus, params), so it now builds ONCE
+    per corpus in a corpus_index_dir cache — the persisted-index
+    posture — instead of re-writing 8 clustered partitions on every
+    invocation (the 6x warm-ratio protocol cost in the sf1 smoke);
+    the write path itself stays covered by the upsert-protocol pytest
+    suite and the first build per corpus. The marker lands only after
+    the write committed; a crashed half-build re-runs the upsert
+    (PK-merge is idempotent — same rows, new head)."""
     import os
 
-    from cpx_etl_spark.scratch import scratch_dir
+    from cpx_etl_spark.scratch import corpus_index_dir
     from cpx_etl_spark.sources.sinks import (
         read_upsert_table_pruned,
         upsert_parquet_table,
@@ -2293,11 +2301,19 @@ def q_upsert_pruned_read_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("o_orderkey").cast("string")).alias("ext_id"),
         F.col("o_totalprice").cast("decimal(20,4)").alias("price"),
     )
-    path = os.path.join(scratch_dir("cpx_bloomskip_"), "t")
-    upsert_parquet_table(
-        base, path, ["k"], cluster_partitions=8,
-        stats_cols=["ext_id"], bloom_cols=["ext_id"],
+    root = corpus_index_dir(
+        sf_dir, "orders.parquet", "cpx_bloomskip_",
+        ["pk-k", "p8", "ext-bloom", "v1"],
     )
+    path = os.path.join(root, "t")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        upsert_parquet_table(
+            base, path, ["k"], cluster_partitions=8,
+            stats_cols=["ext_id"], bloom_cols=["ext_id"],
+        )
+        with open(marker, "w") as f:
+            f.write("built")
     ek = base.agg(F.min("k").alias("mk")).select(
         F.md5(F.col("mk").cast("string"))
     ).collect()[0][0]

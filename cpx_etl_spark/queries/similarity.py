@@ -1914,3 +1914,206 @@ def q_ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
+
+
+def _knn_graph_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted kNN-graph index (size+mtime
+    invalidation: scratch.corpus_index_dir)."""
+    from cpx_etl_spark.scratch import corpus_index_dir
+
+    return corpus_index_dir(
+        sf_dir, "embeddings.parquet", "cpx_knngraph_",
+        ["trained-lsh", f"dim{_DIM}", "v1"],
+    )
+
+
+def build_knn_graph_standing_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the persisted kNN-graph index exists for sf_dir; returns
+    its path. Gate-pinned b=4 LSH bits so the oracle's hyperplanes are
+    static literals (the q_knn_graph convention)."""
+    import os
+
+    from cpx_etl_spark.operators.similarity import (
+        _KNN_META,
+        write_knn_graph_index,
+    )
+    from cpx_etl_spark.queries.dedup import _SEM_LSH_BITS
+
+    path = _knn_graph_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, _KNN_META)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_knn_graph_index(
+            emb, path, "vec_id", "embedding",
+            target_cell=_SEM_TARGET_CELL, n_bits=_SEM_LSH_BITS,
+        )
+    return path
+
+
+_GS_BEAM, _GS_ROUNDS, _GS_NPROBE, _GS_PER_CELL = 16, 4, 8, 8
+
+
+def _sql_graph_topk() -> str:
+    """Oracle for ann_graph_topk: the q_knn_graph edge-construction
+    CTEs (trained LSH cells -> within-cell top-3 edges), then the
+    centroid-probe routing (nprobe nearest stored centroids per
+    query), the md5-seeded per-cell entry selection, and the beam
+    walk UNROLLED round by round (fixed round count => chained CTEs; each round = top-beam
+    QUALIFY, one edge-join expansion, a UNION merge into the visited
+    state)."""
+    from cpx_etl_spark.functions.vectors import sql_cosine
+
+    rounds_sql = []
+    prev = "s0"
+    for r in range(1, _GS_ROUNDS + 1):
+        rounds_sql.append(f""",
+    b{r} AS (
+        SELECT query_id, node, score FROM {prev}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, node) <= {_GS_BEAM}),
+    x{r} AS (
+        SELECT DISTINCT b.query_id, t.b AS node
+        FROM b{r} b JOIN top t ON t.a = b.node),
+    s{r} AS (
+        SELECT query_id, node, score FROM {prev}
+        UNION
+        SELECT x.query_id, x.node,
+               ROUND({sql_cosine('qq.embedding', 'v.embedding', _DIM)}
+                     - 1e-9, 6) + 0 AS score
+        FROM x{r} x
+        JOIN embeddings v ON v.vec_id = x.node
+        JOIN embeddings qq ON qq.vec_id = x.query_id)""")
+        prev = f"s{r}"
+    return f"""
+    WITH kk AS (
+        SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {_SEM_TARGET_CELL}.0) AS BIGINT)) AS k
+        FROM embeddings),
+    seeded AS (
+        SELECT vec_id, embedding,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % (SELECT k FROM kk) AS scell
+        FROM embeddings),
+    comp AS (
+        SELECT scell, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+        FROM seeded, generate_series(1, {_DIM}) gs(i)),
+    cent AS (
+        SELECT scell AS cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp GROUP BY scell, i),
+    centv AS (
+        SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY cell),
+    planes (tbl, p, w) AS (VALUES
+        {_sem_lsh_planes_sql()}),
+    vbkt AS (
+        SELECT s.vec_id,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}),
+                    i -> CAST(FLOOR(CAST(s.embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM seeded s CROSS JOIN planes pl GROUP BY s.vec_id),
+    cbkt AS (
+        SELECT c.cell,
+               CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}),
+                    i -> CAST(FLOOR(c.centroid[i] * 1e6) AS BIGINT)
+                         * pl.w[i])) >= 0 THEN 1 ELSE 0 END
+                    * (CAST(1 AS BIGINT) << pl.p)) AS BIGINT) AS bkt
+        FROM centv c CROSS JOIN planes pl GROUP BY c.cell),
+    best AS (
+        SELECT s.vec_id, c.cell
+        FROM seeded s
+        JOIN vbkt vb ON vb.vec_id = s.vec_id
+        JOIN cbkt cb ON cb.bkt = vb.bkt
+        JOIN centv c ON c.cell = cb.cell
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+            ROUND({sql_cosine('s.embedding', 'c.centroid', _DIM)} - 1e-9, 6) DESC,
+            c.cell) = 1),
+    assigned AS (
+        SELECT s.vec_id, s.embedding,
+               COALESCE(b.cell, s.scell) AS cell
+        FROM seeded s LEFT JOIN best b ON b.vec_id = s.vec_id),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               ROUND({sql_cosine('a.embedding', 'b.embedding', _DIM)} - 1e-9, 6) + 0 AS cos
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    top AS (
+        SELECT a, b FROM (
+            SELECT a, b,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
+            FROM pairs) WHERE rn <= 3),
+    qprobe AS (
+        SELECT qq.vec_id AS query_id, c.cell
+        FROM embeddings qq CROSS JOIN centv c
+        WHERE qq.vec_id < 5
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+            ROUND({sql_cosine('qq.embedding', 'c.centroid', _DIM)} - 1e-9, 6) DESC,
+            c.cell) <= {_GS_NPROBE}),
+    entry AS (
+        SELECT p.query_id, a.vec_id AS node
+        FROM qprobe p JOIN assigned a ON a.cell = p.cell
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p.query_id, p.cell ORDER BY
+            md5('gs:' || CAST(a.vec_id AS VARCHAR)), a.vec_id) <= {_GS_PER_CELL}),
+    s0 AS (
+        SELECT e.query_id, e.node,
+               ROUND({sql_cosine('qq.embedding', 'v.embedding', _DIM)}
+                     - 1e-9, 6) + 0 AS score
+        FROM entry e
+        JOIN embeddings v ON v.vec_id = e.node
+        JOIN embeddings qq ON qq.vec_id = e.query_id){''.join(rounds_sql)}
+    SELECT query_id, node AS neighbor_id, score AS cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, node) AS rank
+    FROM {prev}
+    WHERE node <> query_id
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register("ann_graph_topk", oracle=_sql_graph_topk())
+def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-ANN serving (HNSW-lite, VERDICT r15 item 6 — closes the
+    last public-ANN family): greedy beam search over the PERSISTED
+    kNN-graph index. The stored CENTROIDS play HNSW's upper routing
+    layers — each query probes its 8 nearest (the flat md5-entry
+    variant measured recall@10 = 0 at sf0.1: within-cell edges cannot
+    be reached from unrouted entries) — then the 8 md5-seeded members
+    of each probed cell seed a beam-16, 4-round walk over the stored
+    within-cell top-3 edges; exact top-10 of the visited set
+    (6dp-rounded cosine + id tiebreaks throughout, so the walk is
+    engine-deterministic and the oracle replays it round by round as
+    chained CTEs over the same trained-LSH edge construction the
+    q_knn_graph gate pins). The index builds once per corpus
+    (train-once serve-many, the persisted-index family posture);
+    serving touches beam-bounded state only — never a corpus-sized
+    frame. Measured at sf0.1: recall@10 = 0.22 against global brute
+    force, of which the index GEOMETRY caps 0.36 (each query's true
+    top-10 spreads across 8-10 of the 32 one-Lloyd-step md5-seeded
+    cells, and edges never cross cells) and the walk recovers 40-60%
+    of the reachable set (42% at sf0.001, 61% at sf0.1) — both
+    halves pinned by pytest. The IVF/PQ
+    ladder stays the production serving path on this corpus; this
+    gate pins the graph-walk operator and its replay.
+    operators/similarity.py graph_beam_search."""
+    from cpx_etl_spark.operators.similarity import (
+        graph_beam_search,
+        read_knn_graph_index,
+    )
+
+    idx = read_knn_graph_index(
+        spark, build_knn_graph_standing_index(spark, sf_dir)
+    )
+    edges = (
+        idx.edges_df.select(
+            F.col("vec_id").alias("a"),
+            F.explode(F.array("n1", "n2", "n3")).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph_beam_search(
+        emb.filter(F.col("vec_id") < 5),
+        idx.assignments_df, idx.centroids_df, edges,
+        "vec_id", "embedding",
+        k=10, beam=_GS_BEAM, rounds=_GS_ROUNDS,
+        nprobe=_GS_NPROBE, per_cell=_GS_PER_CELL,
+    )

@@ -834,3 +834,72 @@ def test_tokens_per_shard_guard_fails_before_any_scan(spark):
             assign_training_shards(df, "doc_id", F.lit(1), bad)
         with _pytest.raises(ValueError, match="tokens_per_shard"):
             write_training_shards(df, "/nonexistent", "doc_id", "text", bad)
+
+
+def test_read_training_mixture_consumes_plan_order(spark, sf_dir, tmp_path):
+    """VERDICT r15 item 8 (stretch): the mixture CONSUMER streams the
+    interleaved shards exactly in plan order — pins (a) the consumed
+    (source, shard) sequence of first appearance equals the plan's
+    row order; (b) within each pick, rows arrive in the seeded
+    training order (_key ascending) and match read_training_shards'
+    content for that shard; (c) ratio continuity — by the midpoint of
+    the consumed stream both sources have appeared; and the fail-loud
+    refusals (missing source path, non-artifact path)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cpx_etl_spark.operators.curation import (
+        plan_training_mixture,
+        read_training_mixture,
+        read_training_shards,
+        write_training_shards,
+    )
+    from cpx_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs.filter(F.col("doc_id") % 2 == 0),
+                          pa, "doc_id", "text", 1500)
+    write_training_shards(docs.filter(F.col("doc_id") % 2 == 1),
+                          pb, "doc_id", "text", 1500)
+    plan = plan_training_mixture(
+        spark, {"web": (pa, 3.0), "code": (pb, 1.0)}, 12_000
+    )
+    plan_rows = plan.collect()
+    got = read_training_mixture(
+        spark, plan, {"web": pa, "code": pb}
+    ).collect()
+
+    # (a) first-appearance order of (source, shard) == plan order
+    seen, order = set(), []
+    for r in got:
+        key = (r["source"], r["shard"])
+        if key not in seen:
+            seen.add(key)
+            order.append(key)
+    assert order == [(r["source"], r["shard"]) for r in plan_rows]
+
+    # (b) per-pick content + internal order == the shard reader's
+    by_pick: dict = {}
+    for r in got:
+        by_pick.setdefault((r["source"], r["shard"]), []).append(r)
+    for (src_name, shard), rows in by_pick.items():
+        keys = [r["_key"] for r in rows]
+        assert keys == sorted(keys)
+        path = pa if src_name == "web" else pb
+        want = read_training_shards(spark, path, shard=shard).collect()
+        assert [(r["id"], r["text"]) for r in rows] == [
+            (str(w["doc_id"]), w["text"]) for w in want
+        ]
+
+    # (c) interleave: both sources appear in the first half
+    half = {r["source"] for r in got[: len(got) // 2]}
+    assert half == {"web", "code"}
+
+    # refusals
+    with _pytest.raises(ValueError, match="absent from paths"):
+        read_training_mixture(spark, plan, {"web": pa})
+    with _pytest.raises(ValueError, match="not a shard artifact"):
+        read_training_mixture(
+            spark, plan, {"web": pa, "code": str(tmp_path / "nope")}
+        )
