@@ -376,6 +376,23 @@ def _decode_scan(b, pos, frame, qt, huff, scan, restart_interval):
         raise ValueError(f"corrupt JPEG dimensions {w}x{h}")
     if len(comps) not in (1, 3):
         raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    if len(scan) != len(comps):
+        # a baseline frame MAY split components across several scans;
+        # this decoder handles the single-scan layout every common
+        # encoder emits — fail loud, never a partial decode
+        raise ValueError(
+            "unsupported multi-scan baseline JPEG (scan covers "
+            f"{len(scan)} of {len(comps)} components)"
+        )
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is ONE data unit and blocks walk the component's own
+        # ceil(w/8) x ceil(h/8) grid in raster order, whatever the
+        # SOF sampling factors say (they only matter against other
+        # components). Treating it as interleaved shuffles blocks for
+        # any grayscale file with sampling != 1x1 (code-review r16).
+        cid, _hs, _vs, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     for _, hs, vs, _ in comps:
@@ -383,6 +400,19 @@ def _decode_scan(b, pos, frame, qt, huff, scan, restart_interval):
             raise ValueError(f"unsupported JPEG sampling {hs}x{vs}")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # allocation guard (code-review r16): plane sizes come from the
+    # SOF header, so a ~300-byte payload claiming 65000x65000 would
+    # allocate gigabytes before any decode error surfaces. Every 8x8
+    # block costs >= 2 entropy bits (DC code + EOB), so a payload of
+    # B remaining bytes cannot encode more than 4*B blocks — reject
+    # anything beyond it as corrupt, bounding allocation by payload
+    # size like the PNG/BMP branches do.
+    blocks_per_mcu = sum(hs * vs for _, hs, vs, _ in comps)
+    if mcux * mcuy * blocks_per_mcu > 4 * max(0, len(b) - pos):
+        raise ValueError(
+            f"JPEG dimensions {w}x{h} implausible for "
+            f"{len(b) - pos}-byte entropy payload"
+        )
     br = _BitReader(b, pos)
     planes = []
     pw = []

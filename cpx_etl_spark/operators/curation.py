@@ -250,10 +250,18 @@ def _write_shard_meta(spark, path: str, meta: dict) -> None:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(target):
-        fs.delete(target, False)  # HDFS rename refuses to overwrite
-    if not fs.rename(tmp, target):
-        raise IOError(f"_write_shard_meta: rename to {target} failed")
+    # FileContext rename with OVERWRITE — the true atomic publish
+    # (FileSystem.rename refuses to overwrite, and delete-then-rename
+    # opens a crash window in which a previously VALID artifact has no
+    # meta — code-review r16)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri(), conf
+    )
+    overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, target, overwrite)
 
 
 def assign_training_shards(
@@ -647,10 +655,16 @@ def read_training_mixture(
 
     picks = plan.select("source", "shard", "position").collect()
     # bounded planning head: one row per PICKED SHARD (manifest
-    # granularity, never corpus rows)
-    by_src: dict[str, list[int]] = {}
+    # granularity, never corpus rows). Everything below builds from
+    # THIS collected snapshot — re-filtering the plan DataFrame per
+    # source would re-execute its whole manifest/window lineage once
+    # per source and could diverge from the snapshot if the caller's
+    # plan frame is non-deterministic (code-review r16).
+    by_src: dict[str, list] = {}
     for r in picks:
-        by_src.setdefault(r["source"], []).append(r["shard"])
+        by_src.setdefault(r["source"], []).append(
+            (r["shard"], r["position"])
+        )
     missing = sorted(set(by_src) - set(paths))
     if missing:
         raise ValueError(
@@ -667,11 +681,20 @@ def read_training_mixture(
                 f"artifact (missing {_SHARD_META})"
             )
         id_col, text_col = meta["id_col"], meta["text_col"]
+        shards = [s for s, _p in by_src[src_name]]
         data = spark.read.parquet(os.path.join(path, "data")).filter(
-            F.col("shard").isin(by_src[src_name])
+            F.col("shard").isin(shards)
         )
-        pos = plan.filter(F.col("source") == src_name).select(
-            "shard", "position"
+        # tiny (shard, position) frame from the collected picks as a
+        # JVM VALUES relation (the house tiny-frame posture — a
+        # createDataFrame python roundtrip costs 32 pickled slices);
+        # float repr round-trips the exact double
+        vals = ", ".join(
+            f"(CAST({s} AS BIGINT), CAST({p!r} AS DOUBLE))"
+            for s, p in by_src[src_name]
+        )
+        pos = spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(shard, position)"
         )
         part = data.join(F.broadcast(pos), "shard").select(
             F.lit(src_name).alias("source"),

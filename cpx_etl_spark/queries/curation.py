@@ -1110,10 +1110,8 @@ def build_shard_standing_artifact(
     size+mtime cache invalidation via scratch.corpus_index_dir);
     returns its path. ``parity`` carves the even/odd sub-corpora the
     mixture gate uses as two independent sources."""
-    import os
-
     from cpx_etl_spark.operators.curation import (
-        _SHARD_META,
+        _read_shard_meta,
         write_training_shards,
     )
     from cpx_etl_spark.scratch import corpus_index_dir
@@ -1122,7 +1120,11 @@ def build_shard_standing_artifact(
         sf_dir, "documents.parquet", "cpx_shards_",
         [tag, f"tps{tps}", "v1"],
     )
-    if not os.path.exists(os.path.join(path, _SHARD_META)):
+    # completeness probe through the SAME storage abstraction the
+    # meta is written with (a driver-local os.path.exists would read
+    # a different namespace whenever fs.defaultFS is remote and
+    # rebuild the artifact every call — code-review r16)
+    if _read_shard_meta(spark, path) is None:
         # the meta is the writer's LAST artifact — presence implies a
         # complete write; a half-built dir is simply overwritten
         docs = load_table(spark, sf_dir, "documents").select(

@@ -1759,9 +1759,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood keeps the member FURTHEST from the cluster centroid
     (the paper keeps low-centroid-similarity examples to preserve
     diversity at the cluster edge) — a vector is dropped iff some
-    same-cell >= tau neighbor is STRICTLY closer to the centroid
-    (6dp-rounded assignment cosine; id tiebreak at exact ties, so the
-    verdict is engine-deterministic). This is the family's semantic
+    same-cell >= tau neighbor is STRICTLY FURTHER from the centroid,
+    i.e. precedes it in ascending assignment-cosine order
+    (6dp-rounded; id tiebreak at exact ties, so the verdict is
+    engine-deterministic — the furthest member has no preceding
+    neighbor and always survives). This is the family's semantic
     head; dedup_semantic_lsh keeps the simpler keep-first-by-id rule.
 
     Scale (the r15 VERDICT fix — this query was the registry's last

@@ -229,3 +229,42 @@ def test_dhash_and_tiles_accept_jpeg_containers(spark):
 
     tiles = image_tiles(df, decode_containers=True)
     assert tiles.filter(F.col("doc_id") == 0).count() > 0
+
+
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """T.81 A.2 (code-review r16): a 1-component scan is
+    NON-interleaved — blocks walk the component's own raster grid
+    regardless of the SOF sampling factors. A grayscale stream whose
+    SOF declares 2x2 sampling (valid; factors only matter against
+    other components) must decode identically to the 1x1 encoding of
+    the same blocks, at MCU-multiple and non-multiple dims alike."""
+    for w, h in ((32, 16), (24, 16), (13, 11)):
+        px = _md5_pixels(f"ni{w}x{h}", w * h)
+        good = encode_jpeg(px, w, h, 1)
+        _, _, _, want = decode_jpeg(good)
+        seg = bytearray(good)
+        i = good.index(b"\xff\xc0")
+        assert seg[i + 11] == 0x11  # component 1 hv byte
+        seg[i + 11] = 0x22
+        ww, hh, ch, got = decode_jpeg(bytes(seg))
+        assert (ww, hh, ch) == (w, h, 1) and got == want
+
+
+def test_jpeg_huge_claimed_dims_fail_loud_not_oom():
+    """Code-review r16: SOF-claimed dimensions drive plane allocation,
+    so a tiny crafted payload claiming 65000x65000 must raise
+    ValueError via the payload-proportional block bound (every block
+    costs >= 2 entropy bits) — never a multi-GB bytearray or
+    MemoryError escaping the ValueError contract."""
+    import struct
+
+    import pytest as _pytest
+
+    px = _md5_pixels("hd", 16 * 16)
+    for chans in (1, 3):
+        good = encode_jpeg(px * (3 if chans == 3 else 1), 16, 16, chans)
+        seg = bytearray(good)
+        i = good.index(b"\xff\xc0")
+        seg[i + 5:i + 9] = struct.pack(">HH", 65000, 65000)
+        with _pytest.raises(ValueError, match="implausible"):
+            decode_jpeg(bytes(seg))
