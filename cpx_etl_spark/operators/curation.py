@@ -250,10 +250,10 @@ def _write_shard_meta(spark, path: str, meta: dict) -> None:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
     finally:
         out.close()
-    # FileContext rename with OVERWRITE — the true atomic publish
-    # (FileSystem.rename refuses to overwrite, and delete-then-rename
-    # opens a crash window in which a previously VALID artifact has no
-    # meta — code-review r16)
+    # FileContext rename with OVERWRITE — atomic on HDFS-like stores
+    # and the narrowest available window elsewhere (an explicit
+    # delete-then-rename here would ALWAYS open a crash window in
+    # which a previously VALID artifact has no meta — code-review r16)
     fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
         target.toUri(), conf
     )
