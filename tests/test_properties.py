@@ -593,3 +593,96 @@ def test_upsert_protocol_crash_model_property(spark, tmp_path_factory, data):
                         did, v, committed, list_upsert_versions(path))
                     assert read_upsert_table(
                         spark, path, version=v).count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# r16: JPEG codec properties over the whole (dims x channels x subsample)
+# input space — the fixed-fixture replay tests pin exactness; these pin
+# the contract's edges (partial blocks, 1-pixel planes, mutation safety)
+# ---------------------------------------------------------------------------
+
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    mode=st.sampled_from([(1, "444"), (3, "444"), (3, "420")]),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_shape_property(data, w, h, mode):
+    """encode->decode over arbitrary dims (incl. non-8-multiples, 1-px
+    edges) and random pixel noise returns EXACTLY the declared shape,
+    and grayscale error stays inside the Annex-K quantization envelope
+    (worst-case per-coefficient error q/2 => image MAE well under 48;
+    a block-placement or predictor bug blows straight through it)."""
+    from cpx_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    ch, sub = mode
+    px = bytes(
+        data.draw(st.integers(min_value=0, max_value=255))
+        for _ in range(w * h * ch)
+    )
+    gw, gh, gch, out = decode_jpeg(encode_jpeg(px, w, h, ch, subsample=sub))
+    assert (gw, gh, gch) == (w, h, ch)
+    assert len(out) == w * h * ch
+    if ch == 1:
+        mae = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+        assert mae < 48, mae
+
+
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    sub=st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_flat_color_property(data, w, h, sub):
+    """A flat field is pure DC at EVERY dimension — edge-replicated
+    partial blocks must stay flat, so the roundtrip is within
+    DC-quantization error (<=3 levels) even on 1-px or 20x13 planes.
+    Zero-padding (instead of edge replication) in either codec half
+    fails this immediately at non-multiple-of-8 dims."""
+    from cpx_etl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    color = bytes(
+        data.draw(st.integers(min_value=0, max_value=255)) for _ in range(3)
+    )
+    px = color * (w * h)
+    _, _, _, out = decode_jpeg(encode_jpeg(px, w, h, 3, subsample=sub))
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 3
+
+
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_mutation_only_valueerror_property(data, w, h):
+    """The ADVICE-r15 fail-soft contract over the whole mutation space:
+    ANY single-byte flip or truncation of a valid JPEG stream (magic
+    preserved so the JPEG branch is taken) either still decodes to a
+    shape-consistent result or raises ValueError — never struct/
+    Index/Key/MemoryError and never a hang. This is the per-record
+    guarantee a fail-soft Arrow-batch caller relies on."""
+    from cpx_etl_spark.functions.jpeg import encode_jpeg
+    from cpx_etl_spark.operators.multimodal import decode_image
+
+    px = bytes(
+        data.draw(st.integers(min_value=0, max_value=255))
+        for _ in range(w * h)
+    )
+    good = encode_jpeg(px, w, h, 1)
+    if data.draw(st.booleans()):
+        cut = data.draw(st.integers(min_value=3, max_value=len(good) - 1))
+        bad = good[:cut]
+    else:
+        i = data.draw(st.integers(min_value=3, max_value=len(good) - 1))
+        flip = good[i] ^ data.draw(st.integers(min_value=1, max_value=255))
+        bad = good[:i] + bytes([flip]) + good[i + 1:]
+    try:
+        fmt, gw, gh, gch, out = decode_image(bad)
+    except ValueError:
+        return
+    assert fmt == "jpeg" and gch in (1, 3)
+    assert len(out) == gw * gh * gch
