@@ -544,9 +544,15 @@ def plan_training_mixture(
     (the artifact's seeded-shuffle order) until the source's token
     quota target_tokens * w / sum(w) is met (the last shard may
     overshoot — shard granularity is the contract), then STRIDE-
-    INTERLEAVE the picks across sources (position = (i+1)/n_picked per
-    source) so a dataloader consuming the plan top-to-bottom sees the
-    mixture ratio approximately continuously, not source-by-source.
+    INTERLEAVE the picks across sources at the MIDPOINT stride
+    (position = (i-0.5)/n_picked per source) so a dataloader consuming
+    the plan top-to-bottom sees the mixture ratio approximately
+    continuously, not source-by-source. The midpoint (not (i)/n)
+    matters at the edge a hypothesis sweep caught in r16: with an
+    end-aligned stride a source whose quota fits in ONE shard sits at
+    position 1.0 — dead last, so every prefix before it carries none
+    of that source — while the midpoint lands it mid-stream, and
+    same-count sources no longer all tie at 1.0 on their final picks.
 
     Pure manifest arithmetic — the inputs are the tiny one-row-per-
     shard manifests, never the corpora — so the plan is a driver-cheap
@@ -625,7 +631,10 @@ def plan_training_mixture(
     return (
         out.withColumn("_n", F.count(F.lit(1)).over(w_n))
         .withColumn("_i", F.row_number().over(w_i))
-        .withColumn("position", F.col("_i") / F.col("_n"))
+        # midpoint stride: (i-0.5) is float-exact and the single
+        # division is correctly rounded, so the value is bit-identical
+        # across engines (the oracle mirrors the same expression)
+        .withColumn("position", (F.col("_i") - F.lit(0.5)) / F.col("_n"))
         .drop("_n", "_i")
         .orderBy("position", "source", "shard")
     )

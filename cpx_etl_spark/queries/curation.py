@@ -1216,8 +1216,8 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM man m JOIN quota q ON q.source = m.source
         QUALIFY cum_tokens - m.n_tokens < q.q)
     SELECT source, shard, n_tokens, cum_tokens, quota_tokens,
-           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY shard)
-                AS DOUBLE)
+           (CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY shard)
+                AS DOUBLE) - 0.5)
              / COUNT(*) OVER (PARTITION BY source) AS position
     FROM pick
     ORDER BY position, source, shard

@@ -903,3 +903,110 @@ def test_read_training_mixture_consumes_plan_order(spark, sf_dir, tmp_path):
         read_training_mixture(
             spark, plan, {"web": pa, "code": str(tmp_path / "nope")}
         )
+
+
+# ---------------------------------------------------------------------------
+# r16: mixture-planner contract under arbitrary (weights, target) draws —
+# the example test pins one 3:1 plan; this pins the quota/covering-prefix/
+# interleave arithmetic over the whole input space. The two shard
+# artifacts are built once (real writes are the expensive half; the
+# planner itself is manifest-only arithmetic, cheap per example).
+# ---------------------------------------------------------------------------
+
+_MIX_PROP_CACHE: dict = {}
+
+
+def _mixture_property_artifacts(spark, sf_dir):
+    if "paths" not in _MIX_PROP_CACHE:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cpx_etl_spark.operators.curation import write_training_shards
+        from cpx_etl_spark.sources import load_table
+
+        base = tempfile.mkdtemp(prefix="mixprop")
+        docs = load_table(spark, sf_dir, "documents")
+        pa, pb = base + "/a", base + "/b"
+        write_training_shards(docs.filter(F.col("doc_id") % 2 == 0),
+                              pa, "doc_id", "text", 1500)
+        write_training_shards(docs.filter(F.col("doc_id") % 2 == 1),
+                              pb, "doc_id", "text", 1500)
+        caps = {}
+        for p in (pa, pb):
+            m = spark.read.parquet(p + "/manifest")
+            caps[p] = int(m.agg(F.sum("n_tokens")).collect()[0][0])
+        _MIX_PROP_CACHE["paths"] = (pa, pb)
+        _MIX_PROP_CACHE["caps"] = caps
+    return _MIX_PROP_CACHE["paths"], _MIX_PROP_CACHE["caps"]
+
+
+def test_plan_training_mixture_property(spark, sf_dir):
+    """Hypothesis sweep of the planner contract: for ANY positive
+    weight pair and any coverable target, every source's picks are the
+    shard-order prefix 0..k-1 whose tokens cover quota =
+    round(target*w/sum(w)) overshooting by strictly less than its last
+    shard, the whole plan covers >= target minus per-source rounding,
+    and the position column is a global sort satisfying the
+    midpoint-stride continuity bound — at ANY prefix position p each
+    source has contributed its proportional pick share to within half
+    a pick (|count_s(<=p) - p*n_s| <= 0.5), the invariant an
+    end-aligned (i)/n stride fails (its single-pick sources sit at
+    position 1.0, contributing NOTHING to every proper prefix)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cpx_etl_spark.operators.curation import plan_training_mixture
+
+    (pa, pb), caps = _mixture_property_artifacts(spark, sf_dir)
+    min_cap = min(caps.values())
+
+    @given(
+        w1=st.floats(min_value=0.2, max_value=5.0,
+                     allow_nan=False, allow_infinity=False),
+        w2=st.floats(min_value=0.2, max_value=5.0,
+                     allow_nan=False, allow_infinity=False),
+        tfrac=st.floats(min_value=0.05, max_value=1.0,
+                        allow_nan=False, allow_infinity=False),
+    )
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(w1, w2, tfrac):
+        wsum = w1 + w2
+        # keep BOTH quotas coverable and non-zero for this draw
+        target = max(50, int(min_cap * wsum / max(w1, w2) * tfrac))
+        if int(round(target * min(w1, w2) / wsum)) <= 0:
+            return
+        plan = plan_training_mixture(
+            spark, {"web": (pa, w1), "code": (pb, w2)}, target
+        ).collect()
+        by_src = {}
+        for r in plan:
+            by_src.setdefault(r["source"], []).append(r)
+        assert set(by_src) == {"web", "code"}
+        grand_total = 0
+        for name, w in (("web", w1), ("code", w2)):
+            rows = sorted(by_src[name], key=lambda r: r["shard"])
+            quota = rows[0]["quota_tokens"]
+            assert quota == int(round(target * w / wsum))
+            toks = [r["n_tokens"] for r in rows]
+            total = sum(toks)
+            grand_total += total
+            assert total >= quota                    # covers
+            assert total - toks[-1] < quota          # minimal prefix
+            assert [r["shard"] for r in rows] == list(range(len(rows)))
+            # cum_tokens is the running sum the oracle replays
+            assert [r["cum_tokens"] for r in rows] == [
+                sum(toks[: i + 1]) for i in range(len(toks))
+            ]
+        assert grand_total >= target - len(by_src)   # rounding slack only
+        pos = [r["position"] for r in plan]
+        assert pos == sorted(pos)
+        # midpoint-stride ratio continuity at every prefix boundary
+        for src, rows in by_src.items():
+            n_s = len(rows)
+            for p in pos:
+                got = sum(1 for r in rows if r["position"] <= p)
+                assert abs(got - p * n_s) <= 0.5 + 1e-9, (src, p, got, n_s)
+
+    run()
