@@ -1010,3 +1010,51 @@ def test_plan_training_mixture_property(spark, sf_dir):
                 assert abs(got - p * n_s) <= 0.5 + 1e-9, (src, p, got, n_s)
 
     run()
+
+
+def test_assign_training_shards_matches_python_replay_property(spark):
+    """Hypothesis sweep of the assignment kernel against a straight
+    Python replay: for ANY corpus shape (random token masses, any
+    tokens_per_shard, either seed) the two-phase bucketed cumsum +
+    first-token rule must equal md5-sort -> running-sum -> floor
+    computed sequentially. Catches bucket-boundary errors the fixture
+    corpus can't (tiny buckets, docs spanning multiple shards, shard
+    ids with GAPS when one doc covers several budgets)."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cpx_etl_spark.operators.curation import assign_training_shards
+    from pyspark.sql import functions as F
+
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=30),
+                      min_size=1, max_size=40),
+        tps=st.integers(min_value=1, max_value=50),
+        seed=st.sampled_from(["shards-v1", "epoch-2"]),
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(toks, tps, seed):
+        rows = [(i, t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = {
+            r["doc_id"]: (r["_key"], r["_n_tok"], r["shard"])
+            for r in assign_training_shards(
+                df, "doc_id", F.col("n_tok"), tps, seed=seed
+            ).collect()
+        }
+        # independent sequential replay
+        keyed = sorted(
+            (hashlib.md5(f"{seed}:{i}".encode()).hexdigest(), i, t)
+            for i, t in rows
+        )
+        cum = 0
+        want = {}
+        for k, i, t in keyed:
+            want[i] = (k, t, cum // tps)  # first-token rule
+            cum += t
+        assert got == want
+
+    run()
