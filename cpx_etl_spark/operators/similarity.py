@@ -38,7 +38,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cpx_etl_spark.functions.vectors import as_double, cosine, dot
+from cpx_etl_spark.functions.vectors import as_double, cosine, dot, norm
 from cpx_etl_spark.operators.dedup import observe_count, validate_new_ids
 
 _QUANT = 1000000.0  # embedding quantization scale (floor(x * 1e6))
@@ -108,18 +108,28 @@ def _ranked(pairs: DataFrame, k: int) -> DataFrame:
 
 
 def brute_force_topk(
-    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: corpus scan x broadcast queries. Ranking uses the
-    ROUNDED cosine (6dp) with id tiebreak => deterministic result set."""
+    ROUNDED cosine (6dp) with id tiebreak => deterministic result set.
+    Norms are precomputed once per row BELOW the pair join (r17:
+    bit-identical — cos = dot/(nq*nc) with the same fold — but each
+    pair pays one fold instead of three). ``dim`` is accepted for API
+    symmetry; kernels follow the vectors.py fold policy."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q"))
+    ).withColumn("_nc", norm(F.col("v_c")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
+    ).withColumn("_nq", norm(F.col("v_q")))
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
+        F.round(
+            dot(F.col("v_q"), F.col("v_c")) / (F.col("_nq") * F.col("_nc"))
+            - 1e-9, 6,
+        ).alias("cos"),
     )
     return _ranked(pairs, k)
 
@@ -415,15 +425,22 @@ def lsh_candidate_pairs(
             .dropDuplicates(["_ida", "_idb"]),
             stats, "lsh_candidates",
         )
-    vecs = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("_vec"))
+    # per-vector norm rides the join-back (r17): the rerank's cosine
+    # becomes dot/(na*nb) — one fold per pair instead of three,
+    # bit-identical (vectors.py fold policy)
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), as_double(vec_col).alias("_vec")
+    ).withColumn("_nrm", norm(F.col("_vec")))
     return (
         cand.join(vecs, cand._ida == vecs._vid)
         .withColumnRenamed("_vec", "_va")
+        .withColumnRenamed("_nrm", "_na")
         .drop("_vid")
         .join(vecs, cand._idb == vecs._vid)
         .withColumnRenamed("_vec", "_vb")
+        .withColumnRenamed("_nrm", "_nb")
         .drop("_vid")
-        .select("_ida", "_idb", "_va", "_vb")
+        .select("_ida", "_idb", "_va", "_vb", "_na", "_nb")
     )
 
 
@@ -484,7 +501,11 @@ def embedding_dup_pairs(
     )
     return (
         cand.withColumn(
-            "cos", F.round(cosine(F.col("_va"), F.col("_vb")) - 1e-9, 4)
+            "cos",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+                - 1e-9, 4,
+            ),
         )
         .filter(F.col("cos") >= threshold)
         .select(
@@ -566,17 +587,20 @@ def _lsh_scored_pairs(
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
-    )
+    ).withColumn("_nq", norm(F.col("v_q")))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("v_c")
-    )
+    ).withColumn("_nc", norm(F.col("v_c")))
     return (
         cand.join(cv, on="neighbor_id")
         .join(F.broadcast(qv), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
+            F.round(
+                dot(F.col("v_q"), F.col("v_c")) / (F.col("_nq") * F.col("_nc"))
+                - 1e-9, 6,
+            ).alias("cos"),
         )
     )
 
@@ -686,7 +710,8 @@ def _md5_seed_cell(id_col: str, k: int) -> F.Column:
 
 
 def trained_cells(
-    corpus: DataFrame, id_col: str, vec_col: str, k: int
+    corpus: DataFrame, id_col: str, vec_col: str, k: int,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """k-cell IVF training with deterministic md5 seeding — the
     label-free construction SemDeDup needs at scale, where k must grow
@@ -707,6 +732,7 @@ def trained_cells(
     return ivf_build(
         seeded, id_col, vec_col, "_seed_cell",
         broadcast_centroids=(k <= _IVF_BROADCAST_K_MAX),
+        dim=dim,
     )
 
 
@@ -716,6 +742,7 @@ def trained_cells_lsh(
     vec_col: str,
     k: int,
     n_bits: int | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Linear-scale trained cells — the 100 TB assignment path for
     corpus-sized k (SemDeDup's k ~ N / target-cell-size). Same
@@ -738,7 +765,8 @@ def trained_cells_lsh(
     downstream are unchanged."""
     if n_bits is None:
         n_bits = max(1, k.bit_length() - 3)  # ~ log2(k) - 2
-    dim = _infer_dim(corpus, vec_col)
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     weights = hyperplane_weights(1, n_bits, dim, tag="tc")
     seeded = corpus.withColumn("_seed_cell", _md5_seed_cell(id_col, k))
     vecs = seeded.select(
@@ -748,13 +776,14 @@ def trained_cells_lsh(
         F.col("_seed_cell").alias("cell"), "centroid"
     )
     assigned, fallback_ids = lsh_assign_to_cells(
-        vecs, centroids, weights[0], id_col
+        vecs, centroids, weights[0], id_col, dim=dim
     )
     return centroids, assigned, fallback_ids
 
 
 def lsh_assign_to_cells(
     vecs: DataFrame, centroids: DataFrame, weights0, id_col: str,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The bucketed assignment half of trained_cells_lsh, reusable
     against STORED centroids (kNN-graph append): ``vecs`` is
@@ -764,20 +793,28 @@ def lsh_assign_to_cells(
     (vectors, centroids, hyperplanes), so a batch assigned later is
     bit-identical to the same batch assigned at build time. Returns
     (assigned [neighbor_id, v_c, cell], fallback_ids)."""
+    # norms once per vector / per centroid BELOW the bucket join (r17:
+    # the candidate scan pays one fold per pair, not three; bit-identical)
     vb = vecs.withColumn(
         "_bkt", lsh_bucket_for_table(quantize_vec(F.col("v")), weights0)
-    )
+    ).withColumn("_nv", norm(F.col("v")))
     cb = centroids.select(
         "cell",
         "centroid",
         lsh_bucket_for_table(quantize_vec(F.col("centroid")), weights0).alias(
             "_bkt"
         ),
+        norm(F.col("centroid")).alias("_ncent"),
     )
     best = (
         vb.join(cb, "_bkt")  # equi hash join on the bucket key — no pin
         .withColumn(
-            "c_cos", F.round(cosine(F.col("v"), F.col("centroid")) - 1e-9, 6)
+            "c_cos",
+            F.round(
+                dot(F.col("v"), F.col("centroid"))
+                / (F.col("_nv") * F.col("_ncent"))
+                - 1e-9, 6,
+            ),
         )
         .groupBy(id_col)
         .agg(
@@ -799,7 +836,9 @@ def lsh_assign_to_cells(
     return assigned, fallback_ids
 
 
-def knn_edges_from_assigned(assigned: DataFrame) -> DataFrame:
+def knn_edges_from_assigned(
+    assigned: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Top-3 within-cell cosine edges + mutual-edge count from an
     assignment frame (neighbor_id, v_c, cell) — the shared kernel of
     q_knn_graph and the persisted kNN-graph index, so the gate and
@@ -813,17 +852,24 @@ def knn_edges_from_assigned(assigned: DataFrame) -> DataFrame:
     n_c^2 over cells; ranking on the pre-rounded cosine with an id
     tiebreak keeps the edge set engine-deterministic. Output:
     (vec_id, cell, n1, c1, n2, c2, n3, c3, mutual_cnt)."""
-    a = assigned.select(
-        F.col("neighbor_id").alias("a"), F.col("v_c").alias("ea"), "cell"
+    normed = assigned.withColumn("_n", norm(F.col("v_c")))
+    a = normed.select(
+        F.col("neighbor_id").alias("a"), F.col("v_c").alias("ea"),
+        F.col("_n").alias("_na"), "cell",
     )
-    b = assigned.select(
-        F.col("neighbor_id").alias("b"), F.col("v_c").alias("eb"), "cell"
+    b = normed.select(
+        F.col("neighbor_id").alias("b"), F.col("v_c").alias("eb"),
+        F.col("_n").alias("_nb"), "cell",
     )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("a") != F.col("b"))
         .withColumn(
-            "cos", F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6)
+            "cos",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
+                - 1e-9, 6,
+            ),
         )
         .select("a", "cell", "b", "cos")
     )
@@ -890,6 +936,7 @@ def ivf_build(
     vec_col: str,
     cell_col: str,
     broadcast_centroids: bool = True,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF training half: (centroids [cell, centroid], assignments
     [neighbor_id, v_c, cell]). Centroid = exact-decimal mean per seed
@@ -909,6 +956,7 @@ def ivf_build(
     assigned = assign_to_centroids(
         corpus, centroids, id_col, vec_col,
         broadcast_centroids=broadcast_centroids,
+        dim=dim,
     )
     return centroids, assigned
 
@@ -919,6 +967,7 @@ def assign_to_centroids(
     id_col: str,
     vec_col: str,
     broadcast_centroids: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid EXACT assignment of ``vectors`` against a
     FIXED centroid frame — the shared half of ivf_build's training
@@ -927,11 +976,20 @@ def assign_to_centroids(
     partial aggregation (no window sort over the corpus), so
     append == from-scratch at fixed centroids is bit-exact by
     construction. Output: (neighbor_id, v_c, cell)."""
-    vecs = vectors.select(F.col(id_col), as_double(vec_col).alias("v"))
-    # min_by over (-cos, cell) — partial aggregation, no window sort
-    cent_side = F.broadcast(centroids) if broadcast_centroids else centroids
+    vecs = vectors.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("_nv", norm(F.col("v")))
+    # min_by over (-cos, cell) — partial aggregation, no window sort;
+    # norms precomputed per row / per centroid so the N x k scan pays
+    # one fold per pair (r17, bit-identical)
+    cents = centroids.withColumn("_ncent", norm(F.col("centroid")))
+    cent_side = F.broadcast(cents) if broadcast_centroids else cents
     scored_assign = vecs.crossJoin(cent_side).withColumn(
-        "c_cos", F.round(cosine(F.col("v"), F.col("centroid")) - 1e-9, 6)
+        "c_cos",
+        F.round(
+            dot(F.col("v"), F.col("centroid")) / (F.col("_nv") * F.col("_ncent"))
+            - 1e-9, 6,
+        ),
     )
     return scored_assign.groupBy(id_col).agg(
         F.min_by(
@@ -947,6 +1005,7 @@ def _probe_cells(
     id_col: str,
     vec_col: str,
     nprobe: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, v_q, cell): the nprobe nearest centroids per query.
     The window is over |queries| x |cells| rows only — the query side
@@ -954,11 +1013,19 @@ def _probe_cells(
     w_probe = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell"))
     return (
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("c_cos", F.round(cosine(F.col("v_q"), F.col("centroid")) - 1e-9, 6))
+        .withColumn("_nq", norm(F.col("v_q")))
+        .crossJoin(F.broadcast(centroids.withColumn("_ncent", norm(F.col("centroid")))))
+        .withColumn(
+            "c_cos",
+            F.round(
+                dot(F.col("v_q"), F.col("centroid"))
+                / (F.col("_nq") * F.col("_ncent"))
+                - 1e-9, 6,
+            ),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "v_q", "cell")
+        .select("query_id", "v_q", "_nq", "cell")
     )
 
 
@@ -970,18 +1037,22 @@ def ivf_serve(
     vec_col: str,
     k: int = 10,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF serving half: queries probe the nprobe nearest cells of a
     (possibly PERSISTED) centroid set and rerank exactly against the
     stored assignments of those cells only."""
-    probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
-    pairs = assigned.join(probed, on="cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe, dim=dim)
+    pairs = assigned.withColumn("_nc", norm(F.col("v_c"))).join(
+        probed, on="cell"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6).alias("cos"),
+        F.round(
+            dot(F.col("v_q"), F.col("v_c")) / (F.col("_nq") * F.col("_nc"))
+            - 1e-9, 6,
+        ).alias("cos"),
     )
     return _ranked(scored, k)
 
@@ -999,9 +1070,9 @@ def ivf_topk(
     """IVF-style ANN, one-shot: ivf_build + ivf_serve in a single plan.
     An ANN *deployment* trains once and serves many — persist the build
     half with write_ivf_index and serve via ivf_topk_indexed."""
-    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col, dim=dim)
     return ivf_serve(queries, centroids, assigned, id_col, vec_col,
-                     k=k, nprobe=nprobe)
+                     k=k, nprobe=nprobe, dim=dim)
 
 
 # ---------------------------------------------------------------------------
@@ -1174,10 +1245,10 @@ def write_knn_graph_index(
         n_bits = max(1, k.bit_length() - 3)
     dim = _infer_dim(corpus, vec_col)
     centroids, assigned, _fb = trained_cells_lsh(
-        corpus, id_col, vec_col, k, n_bits=n_bits
+        corpus, id_col, vec_col, k, n_bits=n_bits, dim=dim
     )
     assigned = assigned.localCheckpoint(eager=False)
-    edges = knn_edges_from_assigned(assigned).withColumn(
+    edges = knn_edges_from_assigned(assigned, dim=dim).withColumn(
         "pcell", F.col("cell") % _KNN_EDGE_PARTS
     )
     os.makedirs(path, exist_ok=True)
@@ -1246,7 +1317,7 @@ def append_to_knn_graph_index(
         F.col(id_col), as_double(vec_col).alias("v"), F.col("_seed_cell")
     )
     new_assigned, _fb = lsh_assign_to_cells(
-        vecs, idx.centroids_df, weights[0], id_col
+        vecs, idx.centroids_df, weights[0], id_col, dim=meta["dim"]
     )
     # idempotent resume: drop rows already in the stored assignments —
     # a full re-run becomes a no-op (no edge rewrite, no append) and a
@@ -1269,7 +1340,7 @@ def append_to_knn_graph_index(
     members = idx.assignments_df.filter(
         (F.col("cell") % parts).isin(touched)
     ).unionByName(new_assigned)
-    edges_new = knn_edges_from_assigned(members).withColumn(
+    edges_new = knn_edges_from_assigned(members, dim=meta["dim"]).withColumn(
         "pcell", F.col("cell") % parts
     )
     # edges FIRST, assignments second: the edges plan lazily re-scans
@@ -1296,14 +1367,14 @@ def append_to_knn_graph_index(
 
 def ivf_topk_indexed(
     queries: DataFrame, index: IvfIndex, id_col: str, vec_col: str,
-    k: int = 10, nprobe: int = 2,
+    k: int = 10, nprobe: int = 2, dim: int | None = None,
 ) -> DataFrame:
     """ANN serving against a persisted IVF index: the corpus is never
     re-scanned or re-assigned — probing reads the stored centroids
     (broadcast) and only the probed cells' assignment rows."""
     return ivf_serve(
         queries, index.centroids_df, index.assignments_df, id_col, vec_col,
-        k=k, nprobe=nprobe,
+        k=k, nprobe=nprobe, dim=dim,
     )
 
 
@@ -1414,14 +1485,22 @@ def cross_corpus_embedding_pairs_indexed(
         .dropDuplicates(["vec_a", "vec_b"]),
         stats, "emb_cross_candidates",
     )
-    va = df_new.select(F.col(id_col).alias("vec_a"), as_double(vec_col).alias("_va"))
+    va = df_new.select(
+        F.col(id_col).alias("vec_a"), as_double(vec_col).alias("_va")
+    ).withColumn("_na", norm(F.col("_va")))
     vb = index.vectors_df.select(
         F.col(id_col).alias("vec_b"), F.col("_vec").alias("_vb")
-    )
+    ).withColumn("_nb", norm(F.col("_vb")))
     return (
         cand.join(va, on="vec_a")
         .join(vb, on="vec_b")
-        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")) - 1e-9, 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+                - 1e-9, 4,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -1479,6 +1558,7 @@ def sq8_topk(
     vec_col: str,
     k: int = 10,
     rerank: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN over the COMPRESSED index: the scan ranks by the dot product
     of the full-precision query against the code-reconstructed corpus
@@ -1733,7 +1813,15 @@ def pq_train(corpus: DataFrame, id_col: str, vec_col: str,
     )
 
 
-def _l2sq(a, b):
+def _l2sq(a, b, dim: int | None = None):
+    """Squared L2 distance, same left-fold order as dot(); static
+    ``dim`` unrolls to codegen expressions (bit-identical, r17)."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            d = F.get(a, i) - F.get(b, i)
+            acc = acc + d * d
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -1751,7 +1839,8 @@ def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     svs = _pq_subvectors(corpus, id_col, vec_col, m, dim)
     return (
         svs.join(F.broadcast(codebook), "j")
-        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cent")) - 1e-9, 6))
+        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cent"), dim // m)
+                                  - 1e-9, 6))
         .groupBy("vid", "j")
         .agg(
             F.min_by(
@@ -1786,7 +1875,8 @@ def pq_distortion(corpus: DataFrame, id_col: str, vec_col: str,
     svs = _pq_subvectors(corpus, id_col, vec_col, m, dim)
     d2min = (
         svs.join(F.broadcast(cb), "j")
-        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cent")) - 1e-9, 6))
+        .withColumn("d2", F.round(_l2sq(F.col("sv"), F.col("cent"), dim // m)
+                                  - 1e-9, 6))
         .groupBy("vid", "j")
         .agg(F.min("d2").alias("d2m"))
     )
@@ -1862,7 +1952,7 @@ def _pq_serve(
         "query_id",
         "j",
         "code",
-        F.round(dot(F.col("qv"), F.col("cent")) - 1e-9, 6).alias("pdot"),
+        F.round(dot(F.col("qv"), F.col("cent"), dim // m) - 1e-9, 6).alias("pdot"),
     )
     ap = (
         codes.join(F.broadcast(lut), ["j", "code"])
@@ -2162,7 +2252,8 @@ def ivfpq_serve(
     RAW vectors (FAISS by_residual=False) so one codebook serves every
     cell and the oracle stays a single replayable derivation."""
     if probed is None:
-        probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
+        probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe,
+                              dim=dim)
     cellmates = (
         assigned_cells.join(probed.select("query_id", "cell"), on="cell")
         .filter(F.col("vid") != F.col("query_id"))
@@ -2175,7 +2266,7 @@ def ivfpq_serve(
         "query_id",
         "j",
         "code",
-        F.round(dot(F.col("qv"), F.col("cent")) - 1e-9, 6).alias("pdot"),
+        F.round(dot(F.col("qv"), F.col("cent"), dim // m) - 1e-9, 6).alias("pdot"),
     )
     ap = (
         cellmates.join(codes, on="vid")
@@ -2223,7 +2314,7 @@ def ivfpq_topk(
     pq_train/pq_encode (codebook + codes), served by ivfpq_serve. A
     deployment trains once and serves many — persist the build half
     with write_ivfpq_index and serve via ivfpq_topk_indexed."""
-    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col, dim=dim)
     cb = pq_train(corpus, id_col, vec_col, m=m, k_codes=k_codes, dim=dim)
     codes = pq_encode(corpus, id_col, vec_col, cb, m=m, dim=dim)
     vectors = corpus.select(
@@ -2341,7 +2432,7 @@ def _append_ivfpq_batch(
     broadcastable = k_cells <= _IVF_BROADCAST_K_MAX
     assigned = assign_to_centroids(
         df_new, idx.centroids_df, id_col, vec_col,
-        broadcast_centroids=broadcastable,
+        broadcast_centroids=broadcastable, dim=dim,
     )
     if by_residual:
         cent_side = (
@@ -2472,7 +2563,7 @@ def ivfpq_residual_topk(
     Every stage reuses the gated constructions (ivf_build, pq_train,
     pq_encode on the residual frame), rounds at 6dp and sums as
     DECIMAL, so the oracle replays the approximation bit-for-bit."""
-    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col, dim=dim)
     res = (
         assigned.join(F.broadcast(centroids), "cell")
         .select(
@@ -2526,7 +2617,8 @@ def ivfpq_residual_serve(
     already computed the probe assignment (the indexed variant collects
     it for the literal pruning filter)."""
     if probed is None:
-        probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe)
+        probed = _probe_cells(queries, centroids, id_col, vec_col, nprobe,
+                              dim=dim)
     qc = (
         probed.join(F.broadcast(centroids), "cell")
         .select(
@@ -2544,7 +2636,7 @@ def ivfpq_residual_serve(
         "query_id",
         "j",
         "code",
-        F.round(dot(F.col("qv"), F.col("cent")) - 1e-9, 6).alias("pdot"),
+        F.round(dot(F.col("qv"), F.col("cent"), dim // m) - 1e-9, 6).alias("pdot"),
     )
     cellmates = (
         assigned_cells.join(probed.select("query_id", "cell"), on="cell")
@@ -2600,7 +2692,7 @@ def write_ivfpq_residual_index(
 
     from cpx_etl_spark.sources.sinks import write_clustered_parquet
 
-    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col)
+    centroids, assigned = ivf_build(corpus, id_col, vec_col, cell_col, dim=dim)
     res = (
         assigned.join(F.broadcast(centroids), "cell")
         .select(
@@ -2710,6 +2802,7 @@ def graph_beam_search(
     nprobe: int = 4,
     per_cell: int = 4,
     seed: str = "gs",
+    dim: int | None = None,
 ) -> DataFrame:
     """HNSW-LITE serving: greedy BEAM SEARCH over a STORED kNN graph
     (the persisted kNN-graph index is the hard half of HNSW; this is
@@ -2739,22 +2832,27 @@ def graph_beam_search(
     Output: (query_id, neighbor_id, cos, rank)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("v_q")
-    )
+    ).withColumn("_nq", norm(F.col("v_q")))
     nodes = assignments.select(
         F.col("neighbor_id").alias("node"), "v_c", "cell"
-    )
+    ).withColumn("_nc", norm(F.col("v_c")))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_c_cos").desc(), F.col("cell").asc()
     )
     probed = (
-        q.crossJoin(centroids)  # k rows — AQE broadcasts, never pinned
+        q.crossJoin(centroids.withColumn("_ncent", norm(F.col("centroid"))))
+        # k rows — AQE broadcasts, never pinned
         .withColumn(
             "_c_cos",
-            F.round(cosine(F.col("v_q"), F.col("centroid")) - 1e-9, 6),
+            F.round(
+                dot(F.col("v_q"), F.col("centroid"))
+                / (F.col("_nq") * F.col("_ncent"))
+                - 1e-9, 6,
+            ),
         )
         .withColumn("_rn", F.row_number().over(w_probe))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "v_q", "cell")
+        .select("query_id", "v_q", "_nq", "cell")
     )
     w_entry = Window.partitionBy("query_id", "cell").orderBy(
         F.col("_h").asc(), F.col("node").asc()
@@ -2767,14 +2865,16 @@ def graph_beam_search(
         )
         .withColumn("_rn", F.row_number().over(w_entry))
         .filter(F.col("_rn") <= per_cell)
-        .select("query_id", "v_q", "node")
+        .select("query_id", "v_q", "_nq", "node")
     )
 
-    def score(df: DataFrame) -> DataFrame:  # df: (query_id, v_q, node)
-        return df.join(nodes.select("node", "v_c"), "node").select(
-            "query_id", "v_q", "node",
-            F.round(cosine(F.col("v_q"), F.col("v_c")) - 1e-9, 6)
-            .alias("cos"),
+    def score(df: DataFrame) -> DataFrame:  # df: (query_id, v_q, _nq, node)
+        return df.join(nodes.select("node", "v_c", "_nc"), "node").select(
+            "query_id", "v_q", "_nq", "node",
+            F.round(
+                dot(F.col("v_q"), F.col("v_c")) / (F.col("_nq") * F.col("_nc"))
+                - 1e-9, 6,
+            ).alias("cos"),
         )
 
     state = score(entry).localCheckpoint(eager=True)
@@ -2788,9 +2888,9 @@ def graph_beam_search(
             .drop("_rn")
         )
         expand = (
-            beam_df.select("query_id", "v_q", "node")
+            beam_df.select("query_id", "v_q", "_nq", "node")
             .join(edges.withColumnRenamed("a", "node"), "node")
-            .select("query_id", "v_q", F.col("b").alias("node"))
+            .select("query_id", "v_q", "_nq", F.col("b").alias("node"))
             .dropDuplicates(["query_id", "node"])
         )
         # revisits score again and fall out in the dedupe — the state

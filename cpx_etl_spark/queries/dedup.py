@@ -1490,30 +1490,42 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind both is a 1-row planning lookup. Reference has no dedup
     surface — this family is the mandated LLM-pipeline extension
     (SemDeDup: Abbas et al. 2023, arXiv:2303.09540)."""
-    from cpx_etl_spark.functions.vectors import cosine
+    from cpx_etl_spark.functions.vectors import dot, norm
     from cpx_etl_spark.operators.similarity import trained_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # 1-row planning lookup: k must be known at plan time
     k = sem_trained_k(n)
     _cents, assigned = trained_cells(emb, "vec_id", "embedding", k)
-    a = assigned.select(
-        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"), "cell"
+    # per-vector norm below the pair join (r17): each within-cell pair
+    # pays one fold (dot) instead of three — bit-identical. The
+    # assignment subtree (the N x k scan) feeds BOTH pair-join sides
+    # AND the final rollup — checkpoint so it runs once, not three
+    # times (narrow: one row per vector; the r16 dedup_semantic fix,
+    # applied to its trained sibling)
+    normed = assigned.withColumn(
+        "_n", norm(F.col("v_c"))
+    ).localCheckpoint(eager=False)
+    a = normed.select(
+        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"),
+        F.col("_n").alias("na"), "cell",
     )
-    b = assigned.select(
-        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"), "cell"
+    b = normed.select(
+        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"),
+        F.col("_n").alias("nb"), "cell",
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("va") < F.col("vb"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45)
+        .filter(F.round(dot(F.col("ea"), F.col("eb"))
+                        / (F.col("na") * F.col("nb")) - 1e-9, 6) >= 0.45)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
     )
     return (
-        assigned.join(
+        normed.join(
             dropped.withColumn("is_dropped", F.lit(1)),
-            assigned.neighbor_id == dropped.vec_id,
+            normed.neighbor_id == dropped.vec_id,
             "left",
         )
         .groupBy("cell")
@@ -1635,33 +1647,41 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates constant as k grows with N. Within-cell pairwise-cosine
     drop at tau = 0.45 is unchanged (SemDeDup: Abbas et al. 2023,
     arXiv:2303.09540)."""
-    from cpx_etl_spark.functions.vectors import cosine
+    from cpx_etl_spark.functions.vectors import dot, norm
     from cpx_etl_spark.operators.similarity import trained_cells_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # 1-row planning lookup: k must be known at plan time
     k = max(2, -(-n // _SEM_TARGET_CELL))
     _cents, assigned, fallback = trained_cells_lsh(
-        emb, "vec_id", "embedding", k, n_bits=_SEM_LSH_BITS
+        emb, "vec_id", "embedding", k, n_bits=_SEM_LSH_BITS, dim=_EMB_DIM
     )
     n_fb = fallback.agg(F.count(F.lit(1)).cast("long").alias("n_fallback"))
-    a = assigned.select(
-        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"), "cell"
+    # checkpoint: the bucketed-assignment subtree feeds both pair-join
+    # sides and the final rollup (r17 — the dedup_semantic posture)
+    normed = assigned.withColumn(
+        "_n", norm(F.col("v_c"))
+    ).localCheckpoint(eager=False)
+    a = normed.select(
+        F.col("neighbor_id").alias("va"), F.col("v_c").alias("ea"),
+        F.col("_n").alias("na"), "cell",
     )
-    b = assigned.select(
-        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"), "cell"
+    b = normed.select(
+        F.col("neighbor_id").alias("vb"), F.col("v_c").alias("eb"),
+        F.col("_n").alias("nb"), "cell",
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("va") < F.col("vb"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45)
+        .filter(F.round(dot(F.col("ea"), F.col("eb"))
+                        / (F.col("na") * F.col("nb")) - 1e-9, 6) >= 0.45)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
     )
     return (
-        assigned.join(
+        normed.join(
             dropped.withColumn("is_dropped", F.lit(1)),
-            assigned.neighbor_id == dropped.vec_id,
+            normed.neighbor_id == dropped.vec_id,
             "left",
         )
         .groupBy("cell")
@@ -1778,42 +1798,48 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     proximity scores ride the same assignment scan (one extra k-row
     hash join). tau = 0.45 sits at this corpus's planted-dup
     similarity so the drop set is non-trivial."""
-    from cpx_etl_spark.functions.vectors import cosine
+    from cpx_etl_spark.functions.vectors import dot, norm
     from cpx_etl_spark.operators.similarity import trained_cells_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # 1-row planning lookup: k must be known at plan time
     k = max(2, -(-n // _SEM_TARGET_CELL))
     cents, assigned, fallback = trained_cells_lsh(
-        emb, "vec_id", "embedding", k, n_bits=_SEM_LSH_BITS
+        emb, "vec_id", "embedding", k, n_bits=_SEM_LSH_BITS, dim=_EMB_DIM
     )
     n_fb = fallback.agg(F.count(F.lit(1)).cast("long").alias("n_fallback"))
     # assignment cosine (distance-to-centroid score) rides one k-row
     # hash join; the scored subtree feeds BOTH sides of the pair join,
     # so checkpoint it once (narrow: one row per vector)
+    # the checkpointed scored frame MATERIALIZES each vector's norm
+    # once (r17): the pair join pays one fold per pair, bit-identical
     scored = (
-        assigned.join(cents, "cell")
+        assigned.withColumn("_nv", norm(F.col("v_c")))
+        .join(cents.withColumn("_ncent", norm(F.col("centroid"))), "cell")
         .select(
             "cell",
             F.col("neighbor_id").alias("vid"),
             F.col("v_c").alias("vv"),
-            F.round(cosine(F.col("v_c"), F.col("centroid")) - 1e-9, 6)
+            F.col("_nv").alias("nv"),
+            F.round(dot(F.col("v_c"), F.col("centroid"))
+                    / (F.col("_nv") * F.col("_ncent")) - 1e-9, 6)
             .alias("a_cos"),
         )
         .localCheckpoint(eager=False)
     )
     a = scored.select(
         F.col("vid").alias("va"), F.col("vv").alias("ea"),
-        F.col("a_cos").alias("pa"), "cell",
+        F.col("nv").alias("na"), F.col("a_cos").alias("pa"), "cell",
     )
     b = scored.select(
         F.col("vid").alias("vb"), F.col("vv").alias("eb"),
-        F.col("a_cos").alias("pb"), "cell",
+        F.col("nv").alias("nb"), F.col("a_cos").alias("pb"), "cell",
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("va") != F.col("vb"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")) - 1e-9, 6) >= 0.45)
+        .filter(F.round(dot(F.col("ea"), F.col("eb"))
+                        / (F.col("na") * F.col("nb")) - 1e-9, 6) >= 0.45)
         .filter(
             (F.col("pa") < F.col("pb"))
             | ((F.col("pa") == F.col("pb")) & (F.col("va") < F.col("vb")))

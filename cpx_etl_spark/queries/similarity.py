@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cpx_etl_spark.functions.vectors import as_double, cosine, norm, sql_cosine, sql_norm
+from cpx_etl_spark.functions.vectors import as_double, cosine, dot, norm, sql_cosine, sql_norm
 from cpx_etl_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_weights,
@@ -55,7 +55,8 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors vec_id < 5 (the ANN baseline)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10,
+        dim=_DIM,
     )
 
 
@@ -267,7 +268,7 @@ def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_indexed(
         emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
-        k=10, nprobe=2,
+        k=10, nprobe=2, dim=_DIM,
     )
 
 
@@ -328,7 +329,7 @@ def ann_ivf_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = read_ivf_index(spark, path)
     return ivf_topk_indexed(
         emb.filter(F.col("vec_id") < 5), idx, "vec_id", "embedding",
-        k=10, nprobe=2,
+        k=10, nprobe=2, dim=_DIM,
     )
 
 @register(
@@ -373,7 +374,8 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     qs = emb.filter(F.col("vec_id") < 10)
-    top5 = brute_force_topk(corpus, qs, "vec_id", "embedding", k=5)
+    top5 = brute_force_topk(corpus, qs, "vec_id", "embedding", k=5,
+                            dim=_DIM)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("pred_label"))
     votes = (
         top5.join(labels, on="neighbor_id")
@@ -434,7 +436,8 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sq8_topk(
-        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, rerank=3
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10,
+        rerank=3, dim=_DIM,
     )
 
 @register(
@@ -470,13 +473,18 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _assigned = ivf_build(emb, "vec_id", "embedding", "label")
-    cents = cents.select(F.col("cell").alias("label"), F.col("centroid"))
+    cents = cents.select(
+        F.col("cell").alias("label"), F.col("centroid"),
+        norm(F.col("centroid")).alias("_ncent"),
+    )
     return (
         emb.join(F.broadcast(cents), on="label")
         .select(
             "vec_id", "label",
             F.round(
-                cosine(as_double("embedding"), F.col("centroid")) - 1e-9, 6
+                dot(as_double("embedding"), F.col("centroid"))
+                / (norm(as_double("embedding")) * F.col("_ncent"))
+                - 1e-9, 6
             ).alias("centroid_cos"),
         )
         .filter(F.col("centroid_cos") < 0)
@@ -1281,14 +1289,19 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract; the only corpus-scale stage is the candidate scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
-        as_double("embedding").alias("qv")
+        as_double("embedding").alias("qv"),
+        norm(as_double("embedding")).alias("_nq"),
     )
     cand = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("id"),
-            fround(cosine(as_double("embedding"), F.col("qv")), 6).alias("rel"),
+            fround(
+                dot(as_double("embedding"), F.col("qv"))
+                / (norm(as_double("embedding")) * F.col("_nq")),
+                6,
+            ).alias("rel"),
         )
         .orderBy(F.desc("rel"), "id")
         .limit(_MMR_POOL)
@@ -1302,7 +1315,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca.join(cb, F.col("ib") != F.col("ia"))
         .join(ea, "ia")
         .join(eb, "ib")
-        .select("ia", "ib", fround(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        .select("ia", "ib",
+                fround(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
         .localCheckpoint(eager=True)
     )
     sel = (
@@ -1521,12 +1535,13 @@ def q_ann_dim_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a zero-overlap query still reports recall 0 instead of vanishing."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
-    full = brute_force_topk(emb, qs, "vec_id", "embedding", k=10)
+    full = brute_force_topk(emb, qs, "vec_id", "embedding", k=10, dim=_DIM)
     emb_t = emb.select(
         "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
     )
     trunc = brute_force_topk(
-        emb_t, emb_t.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+        emb_t, emb_t.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10,
+        dim=_TRUNC_DIM,
     ).select(
         F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
     )
@@ -1774,7 +1789,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()  # 1-row planning lookup: k must be known at plan time
     k = max(2, -(-n // _TGT))
     _cents, assigned, fallback = trained_cells_lsh(
-        emb, "vec_id", "embedding", k, n_bits=_BITS
+        emb, "vec_id", "embedding", k, n_bits=_BITS, dim=_DIM
     )
     n_fb = fallback.agg(F.count(F.lit(1)).cast("long").alias("n_fallback"))
     # the assignment subtree (bucketed candidate join + min_by) feeds
@@ -1786,7 +1801,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = assigned.localCheckpoint(eager=False)
     return (
-        knn_edges_from_assigned(assigned)
+        knn_edges_from_assigned(assigned, dim=_DIM)
         .withColumn("k_cells", F.lit(int(k)).cast("long"))
         .crossJoin(F.broadcast(n_fb))  # 1-row truncation report
         .orderBy("vec_id")
@@ -1886,20 +1901,21 @@ def q_ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    centroids, assigned = ivf_build(emb, "vec_id", "embedding", "label")
+    centroids, assigned = ivf_build(emb, "vec_id", "embedding", "label",
+                                    dim=_DIM)
     # checkpoint the shared halves: three serve branches would
     # otherwise recompute the build per branch (the IVFPQ r13 posture)
     centroids = centroids.localCheckpoint(eager=True)
     assigned = assigned.localCheckpoint(eager=True)
     exact = brute_force_topk(
-        emb, queries, "vec_id", "embedding", k=10
+        emb, queries, "vec_id", "embedding", k=10, dim=_DIM
     ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
     nq = queries.count()
     out = None
     for np_ in (1, 2, 4):
         got = ivf_serve(
             queries, centroids, assigned, "vec_id", "embedding",
-            k=10, nprobe=np_,
+            k=10, nprobe=np_, dim=_DIM,
         ).select("query_id", "neighbor_id")
         matched = got.join(exact, ["query_id", "neighbor_id"], "left_semi")
         row = matched.agg(
@@ -2115,5 +2131,5 @@ def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.assignments_df, idx.centroids_df, edges,
         "vec_id", "embedding",
         k=10, beam=_GS_BEAM, rounds=_GS_ROUNDS,
-        nprobe=_GS_NPROBE, per_cell=_GS_PER_CELL,
+        nprobe=_GS_NPROBE, per_cell=_GS_PER_CELL, dim=_DIM,
     )

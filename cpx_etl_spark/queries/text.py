@@ -3334,13 +3334,16 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     score-scale mismatch. Scale: both rankers are corpus-shuffles
     already proven by their parent queries; the fusion is a 50-row
     full outer join."""
+    from cpx_etl_spark.functions.vectors import as_double, dot, norm
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = docs.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     ).filter(F.col("doc_id") != 0)
     qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
+        F.col("embedding").alias("qe"),
+        norm(as_double(F.col("embedding"))).alias("_nqe"),
     )
     lex = bm25_scores(corpus.select("doc_id", "text"))
     lex_pool = lex.orderBy(F.col("bm25").desc(), "doc_id").limit(_RRF_POOL)
@@ -3350,11 +3353,13 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_lex",
         F.row_number().over(_W.orderBy(F.col("bm25").desc(), "doc_id")),
     ).select("doc_id", "r_lex")
-    from cpx_etl_spark.functions.vectors import as_double, cosine
-
     sem = corpus.crossJoin(F.broadcast(qv)).select(
         "doc_id",
-        fround(cosine(as_double("embedding"), as_double("qe")), 6).alias("cos"),
+        fround(
+            dot(as_double("embedding"), as_double("qe"))
+            / (norm(as_double("embedding")) * F.col("_nqe")),
+            6,
+        ).alias("cos"),
     )
     sem_pool = sem.orderBy(F.col("cos").desc(), "doc_id").limit(_RRF_POOL)
     sem_rank = sem_pool.withColumn(
