@@ -826,12 +826,16 @@ def trim_duplicated_spans(
     z = F.arrays_zip(
         *[F.slice(arr, i + 1, width).alias(f"w{i}") for i in range(n)]
     )
+    # r17: the window frame feeds the keeper aggregate AND the flag
+    # join, and flagged feeds the span count AND the coverage explode —
+    # checkpoint both so the window-hash explode runs once, not three
+    # times (flagged is tiny: duplicated starts only)
     wins = df.select(F.col(id_col), F.posexplode(z).alias("pos", "_t")).select(
         id_col, "pos",
         F.md5(
             F.concat_ws(" ", *[F.col(f"_t.w{i}") for i in range(n)])
         ).alias("wh"),
-    )
+    ).localCheckpoint(eager=False)
     keepers = (
         wins.groupBy("wh")
         .agg(
@@ -845,6 +849,7 @@ def trim_duplicated_spans(
         wins.join(keepers, "wh")
         .filter(F.col(id_col) > F.col("keeper"))
         .select(id_col, "pos")
+        .localCheckpoint(eager=False)
     )
     w_ord = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
@@ -938,6 +943,9 @@ def duplicated_window_coverage(
             F.col(id_col), "n_tokens", "pos",
             F.md5(F.concat_ws(" ", *[F.col(f"_t.w{i}") for i in range(n)])).alias("wh"),
         )
+        # r17: feeds the duplicated-hash aggregate AND the start
+        # semi-join — one window-hash explode instead of two
+        .localCheckpoint(eager=False)
     )
     dup = (
         wins.groupBy("wh")

@@ -191,9 +191,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     exact Jaccard >= threshold confirms. ``stats`` (observe_count)
     exposes the candidate-pair count of the run."""
     index, counts = shingle_index(df, id_col, text_col, n)
-    # NOTE: the index feeds several scans, but persist() measured SLOWER
-    # here — the codegen'd tokenize+window chain recomputes faster than
-    # the cache writes. Recompute deliberately.
+    # r1 note said persist() measured slower than recompute here; r17
+    # re-measured with localCheckpoint (no serialization to the cache
+    # format, no storage-level bookkeeping) and the distinct index now
+    # cuts 4 evaluations of scan -> shingle -> dropDuplicates (both
+    # self-join sides + both count sides) to one materialization.
+    # Counts additionally come from the checkpointed index, not a
+    # fresh derivation.
+    index = index.localCheckpoint(eager=False)
+    counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is None:
         # fast path: the candidate self-join already touches every
         # shared shingle of every pair, so COUNTING it (groupBy instead
@@ -814,7 +820,12 @@ class WinnowIndex:
 
 def _winnow_frames(df: DataFrame, id_col: str, text_col: str,
                    k: int, w: int):
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # r17: the fingerprint frame feeds candidates, verification AND the
+    # per-doc count — checkpoint so the window-min selection runs once
+    # (narrow: one (id, h, pos) row per winnowing window)
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
+        eager=False
+    )
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("nf"))
     return fps, counts
 

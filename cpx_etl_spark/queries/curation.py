@@ -632,6 +632,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "bkt")
         .agg(F.count(F.lit(1)).alias("c"))
+        # r17: this frame (<= 256 rows/doc) feeds the bucket stats AND
+        # the per-doc scoring join — without the cut the corpus-sized
+        # explode + per-bigram md5 ran SIX times in the formatted plan
+        .localCheckpoint(eager=False)
     )
     bs = cb.groupBy("bkt").agg(
         F.sum("c").alias("r_b"),
@@ -659,6 +663,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score"
             ),
         )
+        # r17: consumed by the percentile cutoff AND the final select
+        .localCheckpoint(eager=False)
     )
     # exact interpolated p75 as a sort-based 1-row aggregate — the
     # cutoff derives from `scored` itself (r8 ADVICE: no dependence on

@@ -518,9 +518,13 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id"), F.explode(chunks).alias("chunk"))
         .dropDuplicates()
     )
+    # r17: paras feeds the minhash pipeline (several scans) plus both
+    # multiplicity joins — checkpoint the distinct-variant frame once
     paras = per_doc.groupBy("chunk").agg(
         F.count(F.lit(1)).alias("n_docs")
-    ).select(F.md5("chunk").alias("pid"), "chunk", "n_docs")
+    ).select(F.md5("chunk").alias("pid"), "chunk", "n_docs").localCheckpoint(
+        eager=False
+    )
     pairs = minhash_lsh_pairs(
         paras,
         "pid",
@@ -617,9 +621,12 @@ def dedup_doc_fuzzy_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(arr, i * 10 + 1, 10)),
     )
+    # r17: per_doc feeds inst (3 consumers) AND the paragraph-vocab
+    # aggregate; uncut this plan held 18 scans of documents
     per_doc = (
         docs.select(F.col("doc_id"), F.explode(chunks).alias("chunk"))
         .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
     inst = per_doc.select("doc_id", F.md5("chunk").alias("pid"), "chunk")
     exact = inst.groupBy("pid").agg(
@@ -627,7 +634,9 @@ def dedup_doc_fuzzy_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     paras = per_doc.groupBy("chunk").agg(
         F.count(F.lit(1)).alias("n_docs")
-    ).select(F.md5("chunk").alias("pid"), "chunk", "n_docs")
+    ).select(F.md5("chunk").alias("pid"), "chunk", "n_docs").localCheckpoint(
+        eager=False
+    )
     near = (
         minhash_lsh_pairs(
             paras, "pid", "chunk", n=2, k=_PMH_K, bands=_PMH_BANDS,
@@ -1105,11 +1114,24 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cpx_etl_spark.operators.dedup import (
         minhash_signatures,
         prune_hot_shingles,
-        shingle_index,
+        shingle_rows,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    index, counts = shingle_index(docs, "doc_id", "text", n=_NGRAM)
+    # r17: the distinct shingle index feeds FIVE consumers (signatures,
+    # the hot-shingle df aggregate, its anti-join, and both verify
+    # sides) — without the cut each one re-ran scan -> shingle ->
+    # dropDuplicates (22 scans of documents in the formatted plan).
+    # Same derivation as shingle_index, checkpointed at the two narrow
+    # points (the distinct index and the per-doc counts).
+    index = (
+        shingle_rows(docs, "doc_id", "text", _NGRAM)
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    counts = index.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    ).localCheckpoint(eager=False)
     sigs = minhash_signatures(index, "doc_id", k=_MH_K)
     capped, hot = prune_hot_shingles(index, _AUDIT_MAX_DF, with_hot=True)
     ca_ = capped.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -1146,7 +1168,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_arr = sigs.select(
         "doc_id", F.array(*[f"mh_{i}" for i in range(_MH_K)]).alias("sig")
-    )
+    ).localCheckpoint(eager=False)  # r17: joined to both pair sides
     m = (
         pairs.join(sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), on="doc_a")
         .join(sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), on="doc_b")
@@ -2221,11 +2243,16 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signal' Luhn cut)."""
     docs = load_table(spark, sf_dir, "documents")
     n1 = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # r17 checkpoints: tf feeds the df aggregate AND the weight join,
+    # w feeds norms and both self-join sides, norms both pair sides —
+    # uncut, the token explode re-ran per consumer (24 document scans
+    # in the formatted plan)
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dft = (
         tf.groupBy("tok")
@@ -2245,10 +2272,11 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.floor(F.col("n_docs") * F.lit(1000.0) / F.col("df"))
             ).alias("c"),
         )
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("nn")
-    )
+    ).localCheckpoint(eager=False)
     a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("c").alias("ca"))
     b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("c").alias("cb"))
     dots = (

@@ -2258,8 +2258,14 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         odd = F.concat(*[F.substring(col, 10 + i, 1) for i in (1, 3, 5, 7)])
         return {"blk_a": even, "blk_b": odd}
 
-    d_keys = dirty.withColumns(_parity_keys("d_name"))
-    c_keys = clean.withColumns(_parity_keys("c_name"))
+    # r17: each side feeds both blocking passes — checkpoint so the
+    # corruption/key derivation runs once per side
+    d_keys = dirty.withColumns(_parity_keys("d_name")).localCheckpoint(
+        eager=False
+    )
+    c_keys = clean.withColumns(_parity_keys("c_name")).localCheckpoint(
+        eager=False
+    )
     cols = ["d_key", "d_name", "c_custkey", "c_name"]
     pass_a = d_keys.join(
         c_keys,
@@ -2310,7 +2316,12 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar factors come from two broadcast-sized frames (per-part
     counts, 1-row order count)."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # r17: the distinct basket frame feeds four consumers (both pair
+    # sides, per-part counts, the order total) — checkpoint so the
+    # lineitem scan + distinct shuffle run once
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
     pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
@@ -2944,11 +2955,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("is_late"),
     )
-    order_stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    # r17: ONE (order, supplier) rollup feeds both the order stats and
+    # the late set — the former countDistinct pair re-evaluated the
+    # lineitem x orders join twice (10 scans in the formatted plan);
+    # max(is_late) per (order, supp) makes both downstream frames plain
+    # aggregates/filters of the same checkpointed reduction
+    os2 = (
+        lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
+        .localCheckpoint(eager=False)
     )
-    late = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    order_stats = os2.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+    )
+    late = os2.filter(F.col("late")).select("l_orderkey", "l_suppkey")
     return (
         late.join(order_stats, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))

@@ -697,11 +697,16 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # r17 checkpoints: toks feeds the df aggregate and the keep join,
+    # df_counts three joins, capped both pair sides — uncut, the
+    # distinct-token explode re-ran per consumer (18 document scans)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
-    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    ).localCheckpoint(eager=False)
     # df_counts is VOCABULARY-sized — small here, but a web corpus
     # holds 10^8+ distinct tokens, so no broadcast pin (AQE decides)
     kept = (
@@ -715,6 +720,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 40)
         .select("doc_id", "tok")
+        .localCheckpoint(eager=False)
     )
     a = capped.select("doc_id", F.col("tok").alias("token_a"))
     b = capped.select("doc_id", F.col("tok").alias("token_b"))
@@ -944,9 +950,14 @@ def _bpe_train(
             .groupBy("sym_a", "sym_b")
             .agg(F.sum("freq").alias("pair_count"))
         )
+        # r17: each step's argmax row feeds the merge table AND the
+        # next sequence frame, and each sequence frame feeds the next
+        # step's pair count AND its own successor — uncut, the loop
+        # re-evaluated the whole prefix per consumer (14 scans of
+        # documents for 3 steps). Both frames are vocabulary-sized.
         best = pairs.orderBy(
             F.col("pair_count").desc(), "sym_a", "sym_b"
-        ).limit(1)
+        ).limit(1).localCheckpoint(eager=False)
         step_row = best.select(
             F.lit(step).cast("int").alias("step"), "sym_a", "sym_b", "pair_count"
         )
@@ -961,6 +972,7 @@ def _bpe_train(
                 " ' ' || sym_a || ' ' || sym_b || ' ',"
                 " ' ' || sym_a || sym_b || ' ') AS seq",
             )
+            .localCheckpoint(eager=False)
         )
     return merges, seqs
 
@@ -1955,7 +1967,11 @@ def bm25_scores(docs) -> "DataFrame":
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # r17: dl feeds the avg-length scalar AND the score join; tf the
+    # df aggregate AND the score join — checkpoint both small frames
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dlen")
+    ).localCheckpoint(eager=False)
     avgdl = dl.agg(
         (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("ad")
     )
@@ -1968,6 +1984,7 @@ def bm25_scores(docs) -> "DataFrame":
         toks.join(F.broadcast(q), "tok")  # constant 5-term frame
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     tfd = F.col("tf").cast("double")
@@ -2118,21 +2135,28 @@ def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(f"g.{i}").alias(nm) for i, nm in enumerate(names)],
         )
 
+    # r17 checkpoints: dtri feeds the LM head AND the per-doc scorer,
+    # bg both bigram roles, uni all three unigram roles — without the
+    # cuts the corpus-sized exploders re-ran per consumer (28 scans of
+    # documents in the formatted plan)
     dtri = (
         grams(3, ["w1", "w2", "w3"])
         .groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     tri = dtri.groupBy("w1", "w2", "w3").agg(F.sum("c").alias("c3"))
     bg = (
         grams(2, ["w1", "w2"])
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
     )
     uni = (
         docs.select(F.explode(tk).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
     )
     nt = uni.agg(F.sum("c1").alias("nn"))
     b12 = bg.select("w1", "w2", F.col("c2").alias("c12"))
@@ -2172,6 +2196,7 @@ def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("fluency_ppm"),
         )
+        .localCheckpoint(eager=False)  # r17: cutoff + final select
     )
     cut = scored.agg(
         fround(F.percentile(F.col("fluency_ppm"), F.lit(0.10)), 6).alias("lo")
@@ -3510,7 +3535,11 @@ def q_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(F.explode(z).alias("b")).select(
         F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    # r17: the bigram-count frame feeds both margins, the total AND
+    # the final join — checkpoint so the corpus explode runs once
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cxy")
+    ).localCheckpoint(eager=False)
     lx = bc.groupBy("w1").agg(F.sum("cxy").cast("long").alias("cx"))
     ly = bc.groupBy("w2").agg(F.sum("cxy").cast("long").alias("cy"))
     nn = bc.agg(F.sum("cxy").cast("long").alias("n"))
