@@ -248,7 +248,16 @@ def _write_shard_meta(spark, path: str, meta: dict) -> None:
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(meta).encode("utf-8")))
-    finally:
+    except BaseException:
+        # a failed write must not strand .tmp debris beside the
+        # artifact (ADVICE r16): close, best-effort delete, re-raise
+        out.close()
+        try:
+            fs.delete(tmp, False)
+        except Exception:
+            pass
+        raise
+    else:
         out.close()
     # FileContext rename with OVERWRITE — atomic on HDFS-like stores
     # and the narrowest available window elsewhere (an explicit
@@ -671,6 +680,25 @@ def read_training_mixture(
     # plan frame is non-deterministic (code-review r16).
     by_src: dict[str, list] = {}
     for r in picks:
+        # typed validation BEFORE the literal interpolation below
+        # (ADVICE r16): a hand-built plan with a NULL/non-integer
+        # shard or a non-finite position must fail with a named error,
+        # not an opaque SQL parse failure — and the float-repr ->
+        # double round-trip the VALUES relation relies on is only
+        # exact for finite floats.
+        shard, position = r["shard"], r["position"]
+        if not isinstance(shard, int) or isinstance(shard, bool):
+            raise ValueError(
+                f"read_training_mixture: plan shard {shard!r} for "
+                f"source {r['source']!r} is not an integer"
+            )
+        if (not isinstance(position, float)) or (
+            position != position or position in (float("inf"), float("-inf"))
+        ):
+            raise ValueError(
+                f"read_training_mixture: plan position {position!r} for "
+                f"source {r['source']!r} is not a finite float"
+            )
         by_src.setdefault(r["source"], []).append(
             (r["shard"], r["position"])
         )

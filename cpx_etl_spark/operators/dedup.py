@@ -123,7 +123,8 @@ def _verify_jaccard_two(pairs: DataFrame,
                         idx_a: DataFrame, cnt_a: DataFrame,
                         idx_b: DataFrame, cnt_b: DataFrame,
                         id_col: str, threshold: float,
-                        prune_index: bool = False) -> DataFrame:
+                        prune_index: bool = False,
+                        checkpoint_pairs: bool = True) -> DataFrame:
     """Exact Jaccard for candidate pairs, with independent shingle
     index/count frames per pair side (doc_a side vs doc_b side) — the
     general form needed by the cross-corpus paths, where the doc_b side
@@ -147,8 +148,13 @@ def _verify_jaccard_two(pairs: DataFrame,
         # entire candidate-generation subtree — the formatted plan of
         # dedup_minhash_lsh showed the signature aggregation running
         # SIX times (20 scans of documents) for this reason. The frame
-        # is narrow (two ids per candidate pair).
-        pairs = pairs.localCheckpoint(eager=False)
+        # is narrow (two ids per candidate pair). Callers whose
+        # candidate subtree is already cheap stored-parquet scans pass
+        # checkpoint_pairs=False to keep those scans VISIBLE in the
+        # executed plan (the stored-index plan pin) — re-running a
+        # band-parquet join thrice costs less than it proves.
+        if checkpoint_pairs:
+            pairs = pairs.localCheckpoint(eager=False)
         docs_a = pairs.select(F.col("doc_a").alias(id_col)).distinct()
         docs_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
         idx_a = idx_a.join(docs_a, on=id_col, how="left_semi")
@@ -682,16 +688,25 @@ def cross_corpus_minhash_pairs_indexed(
     id_col, text_col = meta["id_col"], meta["text_col"]
     rows_new = shingle_rows(df_new, id_col, text_col, meta["n"])
     sig_new = minhash_signatures(rows_new, id_col, meta["k"])
+    # r17: the new side's banded signatures are checkpointed (the md5
+    # signature aggregation runs once even though the candidate
+    # subtree is evaluated per verify consumer); the candidate frame
+    # itself is NOT checkpointed here so the stored index's band scans
+    # stay visible in the executed plan (tests/test_plans.py pins the
+    # ref side to cpx_sigindex_ parquet) — those re-runs are cheap
+    # column-pruned parquet scans by construction.
     banded_new = band_rows(sig_new, id_col, meta["k"], meta["bands"]) \
-        .withColumnRenamed(id_col, "doc_a")
+        .withColumnRenamed(id_col, "doc_a").localCheckpoint(eager=False)
     banded_ref = index.bands_df.withColumnRenamed(id_col, "doc_b")
     cand = _cross_candidates(banded_new, banded_ref, min_band_collisions,
                              max_ref_band_df, stats)
     idx_new = rows_new.dropDuplicates()
-    cnt_new = idx_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    cnt_new = rows_new.groupBy(id_col).agg(
+        F.count_distinct(F.col("sh")).alias("n_sh"))
     return _verify_jaccard_two(
         cand, idx_new, cnt_new, index.shingles_df, index.counts_df,
         id_col, threshold, prune_index=min_band_collisions > 1,
+        checkpoint_pairs=False,
     )
 
 

@@ -243,8 +243,9 @@ def decode_image(b: bytes) -> tuple:
     is ValueError for EVERY reject — unknown magic, unsupported
     variants (palette PNG, RLE BMP, bit depths != 8/24), AND corrupt
     payloads that carry valid magic (truncated IDAT, short IHDR,
-    short BMP rows): parser-level zlib.error/struct.error/IndexError
-    are re-raised as ValueError so a per-record fail-soft caller
+    short BMP rows): parser-level zlib.error/struct.error/IndexError/
+    KeyError (a future unguarded table lookup — ADVICE r16) re-raise
+    as ValueError so a per-record fail-soft caller
     catching ValueError survives one bad record instead of crashing
     the Arrow batch (ADVICE r15)."""
     import struct
@@ -253,19 +254,19 @@ def decode_image(b: bytes) -> tuple:
     if b[:8] == _PNG_SIG:
         try:
             return _decode_png_payload(b)
-        except (zlib.error, struct.error, IndexError) as e:
+        except (zlib.error, struct.error, IndexError, KeyError) as e:
             raise ValueError(f"corrupt PNG payload: {e}") from e
     if b[:2] == b"BM":
         try:
             return _decode_bmp_payload(b)
-        except (struct.error, IndexError) as e:
+        except (struct.error, IndexError, KeyError) as e:
             raise ValueError(f"corrupt BMP payload: {e}") from e
     if b[:3] == b"\xff\xd8\xff":  # SOI + first marker prefix
         from cpx_etl_spark.functions.jpeg import decode_jpeg
 
         try:
             w, h, ch, px = decode_jpeg(b)
-        except (struct.error, IndexError) as e:
+        except (struct.error, IndexError, KeyError) as e:
             raise ValueError(f"corrupt JPEG payload: {e}") from e
         return ("jpeg", w, h, ch, px)
     raise ValueError("unknown image container (no PNG/BMP/JPEG magic)")

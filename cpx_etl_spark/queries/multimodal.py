@@ -341,6 +341,12 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload.alias("payload"),
         (F.col("doc_id") % 5).cast("int").alias("delta"),
     )
+    # r17 note: both self-join sides consume the hash frame, so the
+    # Arrow decoder runs twice per pass; a localCheckpoint would halve
+    # that but hides the MapInPandas node the plan pin
+    # (tests/test_plans.py::test_r8_jvm_side_paths) exists to prove —
+    # the visible showcase wins over ~0.3 s at sf0.1 (decision recorded
+    # in OPTIMIZATION_r17.md).
     hashes = dhash_56(base, perturb_col="delta")
     bands = hashes.select(
         "doc_id",

@@ -924,7 +924,8 @@ def _bpe_word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train(
-    words: DataFrame, steps: int, carry: list[str]
+    words: DataFrame, steps: int, carry: list[str],
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run `steps` BPE iterations over the vocab frame; returns
     (merge table [step, sym_a, sym_b, pair_count], final sequences
@@ -957,7 +958,9 @@ def _bpe_train(
         # documents for 3 steps). Both frames are vocabulary-sized.
         best = pairs.orderBy(
             F.col("pair_count").desc(), "sym_a", "sym_b"
-        ).limit(1).localCheckpoint(eager=False)
+        ).limit(1)
+        if checkpoint:
+            best = best.localCheckpoint(eager=False)
         step_row = best.select(
             F.lit(step).cast("int").alias("step"), "sym_a", "sym_b", "pair_count"
         )
@@ -972,8 +975,9 @@ def _bpe_train(
                 " ' ' || sym_a || ' ' || sym_b || ' ',"
                 " ' ' || sym_a || sym_b || ' ') AS seq",
             )
-            .localCheckpoint(eager=False)
         )
+        if checkpoint:
+            seqs = seqs.localCheckpoint(eager=False)
     return merges, seqs
 
 
@@ -1403,6 +1407,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.col("z.0"), F.col("z.1"), F.col("z.2")).alias("g"),
         )
         .distinct()
+        # r17: feeds the first-occurrence aggregate AND the join back —
+        # checkpoint so the explode + distinct shuffle run once
+        .localCheckpoint(eager=False)
     )
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (

@@ -71,7 +71,17 @@ def corpus_index_dir(sf_dir: str, source: str, prefix: str,
     size+mtime, so regenerated testdata invalidates the cache instead
     of serving a stale artifact. The single home of the convention
     every build_*_standing_index shares (extracted from seven
-    hand-copies, code-review r13)."""
+    hand-copies, code-review r13).
+
+    CONTRACT (ADVICE r16 item 1, resolved as documentation): every
+    corpus_index_dir artifact — data, meta AND build markers (_BUILT,
+    _APPENDED, knn-graph meta) — is DRIVER-LOCAL-ONLY by definition:
+    the digest itself comes from local os.stat/os.listdir of the
+    source, and user_cache_root() is a local per-user directory. A
+    deployment whose fs.defaultFS is remote must not point these
+    caches at it; the Hadoop-FS meta helpers (_read/_write_shard_meta)
+    exist for the SHARD artifacts, whose paths are caller-supplied and
+    may be remote."""
     import hashlib
 
     parts = [os.path.abspath(sf_dir), *tag_parts]

@@ -556,12 +556,23 @@ def test_interval_overlap_join_is_hash_join(spark, sf_dir):
 def test_bpe_train3_is_codegen_with_broadcast_merges(spark, sf_dir):
     """The BPE training loop must stay JVM-side (no Python UDF nodes)
     and apply each iteration's merge through a 1-row broadcast join —
-    never a driver collect baked into literals (the plan shows the
-    merge pair arriving via BroadcastExchange/BroadcastNestedLoopJoin
-    on a 1-row frame, which is the intended shape here)."""
+    never a driver collect baked into literals. Since r17 the
+    registered query checkpoints each step's (best, seqs) frames (the
+    loop otherwise re-evaluated its whole prefix per consumer — 14
+    scans of documents), which hides the broadcast from the FINAL
+    plan; the broadcast-shape pin therefore runs on the identical
+    construction with checkpointing off, and the registered query is
+    separately pinned python-free."""
+    from cpx_etl_spark.queries.text import _bpe_train, _bpe_word_freqs
+
     plan = _plan(spark, sf_dir, "q_bpe_train3")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Broadcast" in plan  # the three 1-row merge frames
+    merges, _seqs = _bpe_train(
+        _bpe_word_freqs(spark, sf_dir), 3, ["freq"], checkpoint=False
+    )
+    raw = merges._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in raw and "ArrowEvalPython" not in raw
+    assert "Broadcast" in raw  # the three 1-row merge frames
 
 
 def test_dsir_and_bpe_apply_stay_jvm_side(spark, sf_dir):
