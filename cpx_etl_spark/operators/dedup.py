@@ -328,20 +328,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     collide in >= min_band_collisions bands AND pass exact Jaccard —
     oracles replay the same HAVING clause.
     """
-    # Signatures come from the NON-distinct shingle rows: min() is
-    # duplicate-insensitive, so skipping dropDuplicates saves a full
-    # shuffle — the sig path is read -> narrow shingling -> one
-    # groupBy(id) shuffle with map-side partial mins.
+    # ONE evaluation of scan -> shingle, ever (r17 second pass): the
+    # distinct index is checkpointed and every downstream frame —
+    # signatures (min() is duplicate-insensitive, so the distinct set
+    # yields bit-identical mins), per-doc counts, and both exact-verify
+    # sides — derives from the materialized rows. Before this cut the
+    # verify sides each re-ran scan -> shingle -> dropDuplicates (4
+    # scans in the formatted plan); the index is (id, sh) narrow and
+    # corpus-token-bounded, so materialization costs less than one
+    # re-derivation.
     rows = shingle_rows(df, id_col, text_col, n)
-    index = rows.dropDuplicates()
-    # counts in ONE aggregate over the raw rows (count_distinct plans
-    # as the same partial-on-(id, sh) two-phase shape the old
-    # dropDuplicates+count pair cost, but in a single subtree), and
-    # CHECKPOINTED — it feeds both verify sides (r17)
-    counts = rows.groupBy(id_col).agg(
-        F.count_distinct(F.col("sh")).alias("n_sh")
+    index = rows.dropDuplicates().localCheckpoint(eager=False)
+    # counts stay checkpointed — the one-row-per-doc frame feeds both
+    # verify sides and the groupBy shuffle should run once (r17)
+    counts = index.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh")
     ).localCheckpoint(eager=False)
-    sig = minhash_signatures(rows, id_col, k, hash_fn=hash_fn)
+    sig = minhash_signatures(index, id_col, k, hash_fn=hash_fn)
     # checkpoint the banded signatures: both sides of the candidate
     # self-join consume them, and without the cut EACH side re-runs
     # the whole scan -> shingle -> md5 -> 64-min aggregation (r17;
@@ -518,29 +521,32 @@ def cross_corpus_minhash_pairs(
     """
 
     def banded(df: DataFrame, out: str) -> tuple[DataFrame, DataFrame]:
+        # ONE evaluation of scan -> shingle per side (r17 second pass):
+        # the checkpointed distinct index feeds the signatures (min()
+        # is duplicate-insensitive — bit-identical off the distinct
+        # set), the per-doc counts, and the exact-verify side; before
+        # the cut each consumer re-ran the side's scan -> shingle
+        # projection (3 evaluations/side, 8 scans in the plan).
         rows = shingle_rows(df, id_col, text_col, n)
-        sig = minhash_signatures(rows, id_col, k, hash_fn=hash_fn)
-        return rows, band_rows(sig, id_col, k, bands).withColumnRenamed(id_col, out)
+        idx = rows.dropDuplicates().localCheckpoint(eager=False)
+        sig = minhash_signatures(idx, id_col, k, hash_fn=hash_fn)
+        return idx, band_rows(sig, id_col, k, bands).withColumnRenamed(id_col, out)
 
-    rows_new, banded_new = banded(df_new, "doc_a")
-    rows_ref, banded_ref = banded(df_ref, "doc_b")
+    idx_new, banded_new = banded(df_new, "doc_a")
+    idx_ref, banded_ref = banded(df_ref, "doc_b")
     if max_ref_band_df is not None:
         # the hot-band cap consumes banded_ref TWICE (df aggregate +
         # anti-join probe) — checkpoint so the ref-side signature
-        # derivation runs once (r17; narrow: bands rows/doc). The
+        # aggregation runs once (r17; narrow: bands rows/doc). The
         # indexed variant never takes this path — its band rows are
         # already a cheap parquet scan.
         banded_ref = banded_ref.localCheckpoint(eager=False)
     cand = _cross_candidates(banded_new, banded_ref, min_band_collisions,
                              max_ref_band_df, stats)
-    idx_new = rows_new.dropDuplicates()
-    idx_ref = rows_ref.dropDuplicates()
-    # one-pass per-doc distinct counts over the raw shingle rows (r17:
-    # no second dropDuplicates evaluation just to count)
-    cnt_new = rows_new.groupBy(id_col).agg(
-        F.count_distinct(F.col("sh")).alias("n_sh"))
-    cnt_ref = rows_ref.groupBy(id_col).agg(
-        F.count_distinct(F.col("sh")).alias("n_sh"))
+    cnt_new = idx_new.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"))
+    cnt_ref = idx_ref.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"))
     return _verify_jaccard_two(
         cand, idx_new, cnt_new, idx_ref, cnt_ref, id_col, threshold,
         prune_index=min_band_collisions > 1,
@@ -585,10 +591,13 @@ class SignatureIndex:
 
 def _index_frames(df: DataFrame, id_col: str, text_col: str,
                   n: int, k: int, bands: int, hash_fn: str = "md5"):
+    # one evaluation of scan -> shingle across the three writes that
+    # consume these frames (r17 second pass; min() over the distinct
+    # set is bit-identical to min() over the raw rows)
     rows = shingle_rows(df, id_col, text_col, n)
-    sig = minhash_signatures(rows, id_col, k, hash_fn=hash_fn)
+    index = rows.dropDuplicates().localCheckpoint(eager=False)
+    sig = minhash_signatures(index, id_col, k, hash_fn=hash_fn)
     banded = band_rows(sig, id_col, k, bands)
-    index = rows.dropDuplicates()
     counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return banded, index, counts
 
@@ -686,8 +695,12 @@ def cross_corpus_minhash_pairs_indexed(
     once."""
     meta = index.meta
     id_col, text_col = meta["id_col"], meta["text_col"]
+    # ONE evaluation of the crawl's scan -> shingle (r17 second pass):
+    # the checkpointed distinct index feeds signatures (min() is
+    # duplicate-insensitive), counts, and the exact-verify side.
     rows_new = shingle_rows(df_new, id_col, text_col, meta["n"])
-    sig_new = minhash_signatures(rows_new, id_col, meta["k"])
+    idx_new = rows_new.dropDuplicates().localCheckpoint(eager=False)
+    sig_new = minhash_signatures(idx_new, id_col, meta["k"])
     # r17: the new side's banded signatures are checkpointed (the md5
     # signature aggregation runs once even though the candidate
     # subtree is evaluated per verify consumer); the candidate frame
@@ -700,9 +713,8 @@ def cross_corpus_minhash_pairs_indexed(
     banded_ref = index.bands_df.withColumnRenamed(id_col, "doc_b")
     cand = _cross_candidates(banded_new, banded_ref, min_band_collisions,
                              max_ref_band_df, stats)
-    idx_new = rows_new.dropDuplicates()
-    cnt_new = rows_new.groupBy(id_col).agg(
-        F.count_distinct(F.col("sh")).alias("n_sh"))
+    cnt_new = idx_new.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"))
     return _verify_jaccard_two(
         cand, idx_new, cnt_new, index.shingles_df, index.counts_df,
         id_col, threshold, prune_index=min_band_collisions > 1,
@@ -723,6 +735,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     cap), same one-groupBy exact verify; only the normalizer differs
     (|A| instead of the union)."""
     index, counts = shingle_index(df, id_col, text_col, n)
+    # one evaluation of scan -> shingle -> dropDuplicates across the
+    # candidate sides, the optional full-set verify and the counts
+    # (r17 second pass; same cut as ngram_jaccard_pairs)
+    index = index.localCheckpoint(eager=False)
+    counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     cand_index = index if max_df is None else prune_hot_shingles(index, max_df)
     t1 = cand_index.select(F.col(id_col).alias("doc_a"), "sh")
     t2 = cand_index.select(F.col(id_col).alias("doc_b"), "sh")
