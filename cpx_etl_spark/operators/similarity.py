@@ -395,9 +395,15 @@ def lsh_candidate_pairs(
         vec_col,
         hyperplane_weights(n_tables, n_bits, dim, tag),
         sketch=sketch_planes(dim) if use_sketch else None,
-    )
+    ).localCheckpoint(eager=False)
+    # checkpoint BOTH the raw index (the Arrow matmul otherwise re-runs
+    # once per consumer: both self-join sides plus the hot-bucket df
+    # aggregate and its anti-join probe — 4 evaluations in
+    # dedup_embedding_strict's plan) and, when the cap is active, the
+    # pruned frame the two join sides share (r17 second pass; narrow:
+    # L rows/vector x 3-4 int columns)
     if max_bucket is not None:
-        idx = prune_hot_buckets(idx, max_bucket)
+        idx = prune_hot_buckets(idx, max_bucket).localCheckpoint(eager=False)
     if use_sketch:
         a = idx.select(
             F.col(id_col).alias("_ida"), "tbl", "bucket", F.col("_sk").alias("_ska")
