@@ -27,6 +27,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def materialize_index(df: DataFrame) -> DataFrame:
+    """Materialization policy for CORPUS-TOKEN-SIZED shared frames (the
+    distinct shingle inverted index feeding a candidate self-join on
+    both sides).
+
+    The 100 TB trade (VERDICT r17 item 7): `localCheckpoint` stores the
+    blocks on executor-local storage with NO replication and TRUNCATES
+    lineage — on a 1000-executor run, losing one executor mid-query
+    kills the job instead of recomputing a partition from parquet, and
+    it is unsafe under dynamic allocation. For NARROW frames (per-doc
+    counts, banded signatures, candidate pairs — O(docs) rows) that
+    risk is small and the win is real, so they use `localCheckpoint`
+    directly. For corpus-sized frames the default is still the local
+    cut (measured faster at the bench scale, and a single-box bench has
+    no executor-loss exposure), but cluster deployments choose the
+    policy explicitly via $SPARK_GRAFT_INDEX_MATERIALIZE:
+
+    - ``local``    (default) localCheckpoint(eager=False) — fastest,
+                   executor-local state, assumes static executors.
+    - ``none``     keep lineage; each consumer recomputes from parquet
+                   (fault-tolerant, ~1 extra evaluation per consumer).
+    - ``reliable`` checkpoint(eager=False) to the configured
+                   spark.checkpoint.dir — replicated/HDFS-backed cut,
+                   survives executor loss; the right setting for long
+                   multi-tenant 100 TB runs.
+    """
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_INDEX_MATERIALIZE", "local")
+    if mode == "none":
+        return df
+    if mode == "reliable":
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def observe_count(df: DataFrame, stats: dict | None, name: str) -> DataFrame:
     """Attach a zero-cost row-count metric to a plan stage.
 
@@ -155,10 +191,34 @@ def _verify_jaccard_two(pairs: DataFrame,
         # band-parquet join thrice costs less than it proves.
         if checkpoint_pairs:
             pairs = pairs.localCheckpoint(eager=False)
-        docs_a = pairs.select(F.col("doc_a").alias(id_col)).distinct()
-        docs_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        idx_a = idx_a.join(docs_a, on=id_col, how="left_semi")
-        idx_b = idx_b.join(docs_b, on=id_col, how="left_semi")
+        if idx_a is idx_b:
+            # self-join verify: both sides prune from ONE index, so
+            # semi-join it to the union of candidate docs once and
+            # checkpoint THAT — the materialized frame is candidate-
+            # bounded (narrow), and the corpus-wide distinct shuffle
+            # behind the index runs once instead of once per side.
+            # (r18, replacing r17's full-index checkpoint: the driver
+            # measured materializing the corpus-token-sized index
+            # 15-27% slower at local[32] — the cut must stay narrow.)
+            # Catalyst pushes the semi-join below the index's
+            # dropDuplicates aggregate (the key is a grouping column),
+            # so the distinct shuffle itself carries only candidate
+            # docs' shingles. The inner joins on doc_a/doc_b below
+            # make the per-side doc split redundant — pruning to the
+            # union is identical.
+            docs = (
+                pairs.select(F.col("doc_a").alias(id_col))
+                .union(pairs.select(F.col("doc_b").alias(id_col)))
+                .distinct()
+            )
+            idx_a = idx_b = idx_a.join(
+                docs, on=id_col, how="left_semi"
+            ).localCheckpoint(eager=False)
+        else:
+            docs_a = pairs.select(F.col("doc_a").alias(id_col)).distinct()
+            docs_b = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            idx_a = idx_a.join(docs_a, on=id_col, how="left_semi")
+            idx_b = idx_b.join(docs_b, on=id_col, how="left_semi")
     t1 = idx_a.select(F.col(id_col).alias("doc_a"), "sh")
     t2 = idx_b.select(F.col(id_col).alias("doc_b"), "sh")
     shared = (
@@ -196,15 +256,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs: any shared n-gram shingle proposes a candidate,
     exact Jaccard >= threshold confirms. ``stats`` (observe_count)
     exposes the candidate-pair count of the run."""
-    index, counts = shingle_index(df, id_col, text_col, n)
-    # r1 note said persist() measured slower than recompute here; r17
-    # re-measured with localCheckpoint (no serialization to the cache
-    # format, no storage-level bookkeeping) and the distinct index now
-    # cuts 4 evaluations of scan -> shingle -> dropDuplicates (both
-    # self-join sides + both count sides) to one materialization.
-    # Counts additionally come from the checkpointed index, not a
-    # fresh derivation.
-    index = index.localCheckpoint(eager=False)
+    # The candidate self-join consumes the full distinct index on BOTH
+    # sides, so one materialization beats two evaluations (measured
+    # r18: 2.5 s vs 3.1 s at sf0.1/local[32]) — but the frame is
+    # corpus-token-sized, so the cut goes through the documented
+    # materialize_index policy (reliable/none for cluster runs).
+    # Per-doc counts read the materialized index (a count over blocks
+    # already on disk — measured cheaper than an independent
+    # count_distinct re-aggregation of the raw rows).
+    rows = shingle_rows(df, id_col, text_col, n)
+    index = materialize_index(rows.dropDuplicates())
     counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is None:
         # fast path: the candidate self-join already touches every
@@ -313,7 +374,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
                       min_band_collisions: int = 1,
                       stats: dict | None = None,
-                      hash_fn: str = "md5") -> DataFrame:
+                      hash_fn: str = "md5",
+                      prune_verify: bool | None = None) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> candidate pairs ->
     exact Jaccard verify. rows_per_band = k // bands.
 
@@ -328,23 +390,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     collide in >= min_band_collisions bands AND pass exact Jaccard —
     oracles replay the same HAVING clause.
     """
-    # ONE evaluation of scan -> shingle, ever (r17 second pass): the
-    # distinct index is checkpointed and every downstream frame —
-    # signatures (min() is duplicate-insensitive, so the distinct set
-    # yields bit-identical mins), per-doc counts, and both exact-verify
-    # sides — derives from the materialized rows. Before this cut the
-    # verify sides each re-ran scan -> shingle -> dropDuplicates (4
-    # scans in the formatted plan); the index is (id, sh) narrow and
-    # corpus-token-bounded, so materialization costs less than one
-    # re-derivation.
+    # Signatures come from the NON-distinct shingle rows: min() is
+    # duplicate-insensitive, so skipping dropDuplicates saves a full
+    # shuffle — the sig path is read -> narrow shingling -> one
+    # groupBy(id) shuffle with map-side partial mins. (r18: this is
+    # the r17-first-pass shape restored — the final-r17 variant that
+    # checkpointed the full distinct index in front of the signatures
+    # regressed the family 15-27% in the driver's local[32] run: the
+    # sig path gained a corpus-wide distinct shuffle AND waited on a
+    # corpus-token-sized materialization. Checkpoint cuts here stay
+    # NARROW: per-doc counts, banded signatures, candidate pairs, and
+    # the candidate-pruned verify index — all O(docs)/O(candidates).)
     rows = shingle_rows(df, id_col, text_col, n)
-    index = rows.dropDuplicates().localCheckpoint(eager=False)
-    # counts stay checkpointed — the one-row-per-doc frame feeds both
-    # verify sides and the groupBy shuffle should run once (r17)
-    counts = index.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_sh")
+    index = rows.dropDuplicates()
+    # counts in ONE aggregate over the raw rows (count_distinct plans
+    # as the same partial-on-(id, sh) two-phase shape the old
+    # dropDuplicates+count pair cost, but in a single subtree), and
+    # CHECKPOINTED — it feeds both verify sides (r17)
+    counts = rows.groupBy(id_col).agg(
+        F.count_distinct(F.col("sh")).alias("n_sh")
     ).localCheckpoint(eager=False)
-    sig = minhash_signatures(index, id_col, k, hash_fn=hash_fn)
+    sig = minhash_signatures(rows, id_col, k, hash_fn=hash_fn)
     # checkpoint the banded signatures: both sides of the candidate
     # self-join consume them, and without the cut EACH side re-runs
     # the whole scan -> shingle -> md5 -> 64-min aggregation (r17;
@@ -364,9 +430,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("doc_a", "doc_b"),
         stats, "minhash_candidates",
     )
+    # prune_verify: semi-join the verify index down to candidate docs
+    # before its one distinct shuffle (results identical — the verify
+    # joins are inner on the pair ids). Default follows the band
+    # pre-filter (collisions >= 2 makes candidates sparse); callers
+    # whose candidate sets are sparse for other reasons opt in.
     return _verify_jaccard(
         cand, index, counts, id_col, threshold,
-        prune_index=min_band_collisions > 1,
+        prune_index=(min_band_collisions > 1 if prune_verify is None
+                     else prune_verify),
     )
 
 
@@ -521,19 +593,16 @@ def cross_corpus_minhash_pairs(
     """
 
     def banded(df: DataFrame, out: str) -> tuple[DataFrame, DataFrame]:
-        # ONE evaluation of scan -> shingle per side (r17 second pass):
-        # the checkpointed distinct index feeds the signatures (min()
-        # is duplicate-insensitive — bit-identical off the distinct
-        # set), the per-doc counts, and the exact-verify side; before
-        # the cut each consumer re-ran the side's scan -> shingle
-        # projection (3 evaluations/side, 8 scans in the plan).
+        # signatures off the NON-distinct shingle rows (min() is
+        # duplicate-insensitive): no dropDuplicates shuffle on the sig
+        # path, and no corpus-token-sized materialization (r18 — the
+        # narrow-cut rule; see minhash_lsh_pairs)
         rows = shingle_rows(df, id_col, text_col, n)
-        idx = rows.dropDuplicates().localCheckpoint(eager=False)
-        sig = minhash_signatures(idx, id_col, k, hash_fn=hash_fn)
-        return idx, band_rows(sig, id_col, k, bands).withColumnRenamed(id_col, out)
+        sig = minhash_signatures(rows, id_col, k, hash_fn=hash_fn)
+        return rows, band_rows(sig, id_col, k, bands).withColumnRenamed(id_col, out)
 
-    idx_new, banded_new = banded(df_new, "doc_a")
-    idx_ref, banded_ref = banded(df_ref, "doc_b")
+    rows_new, banded_new = banded(df_new, "doc_a")
+    rows_ref, banded_ref = banded(df_ref, "doc_b")
     if max_ref_band_df is not None:
         # the hot-band cap consumes banded_ref TWICE (df aggregate +
         # anti-join probe) — checkpoint so the ref-side signature
@@ -543,10 +612,15 @@ def cross_corpus_minhash_pairs(
         banded_ref = banded_ref.localCheckpoint(eager=False)
     cand = _cross_candidates(banded_new, banded_ref, min_band_collisions,
                              max_ref_band_df, stats)
-    cnt_new = idx_new.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_sh"))
-    cnt_ref = idx_ref.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_sh"))
+    idx_new = rows_new.dropDuplicates()
+    idx_ref = rows_ref.dropDuplicates()
+    # one-pass per-doc distinct counts over the raw shingle rows (r17:
+    # no second dropDuplicates evaluation just to count); single
+    # consumer each (one verify join per side) — no checkpoint
+    cnt_new = rows_new.groupBy(id_col).agg(
+        F.count_distinct(F.col("sh")).alias("n_sh"))
+    cnt_ref = rows_ref.groupBy(id_col).agg(
+        F.count_distinct(F.col("sh")).alias("n_sh"))
     return _verify_jaccard_two(
         cand, idx_new, cnt_new, idx_ref, cnt_ref, id_col, threshold,
         prune_index=min_band_collisions > 1,
@@ -591,14 +665,18 @@ class SignatureIndex:
 
 def _index_frames(df: DataFrame, id_col: str, text_col: str,
                   n: int, k: int, bands: int, hash_fn: str = "md5"):
-    # one evaluation of scan -> shingle across the three writes that
-    # consume these frames (r17 second pass; min() over the distinct
-    # set is bit-identical to min() over the raw rows)
+    # each frame is written exactly once, so no checkpoint: signatures
+    # off the raw rows (min() is duplicate-insensitive — no distinct
+    # shuffle on the sig path), counts in one count_distinct aggregate
+    # (r18 narrow-cut rule: never materialize the corpus-token-sized
+    # index on executor-local storage; the index write IS its
+    # materialization)
     rows = shingle_rows(df, id_col, text_col, n)
-    index = rows.dropDuplicates().localCheckpoint(eager=False)
-    sig = minhash_signatures(index, id_col, k, hash_fn=hash_fn)
+    sig = minhash_signatures(rows, id_col, k, hash_fn=hash_fn)
     banded = band_rows(sig, id_col, k, bands)
-    counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    index = rows.dropDuplicates()
+    counts = rows.groupBy(id_col).agg(
+        F.count_distinct(F.col("sh")).alias("n_sh"))
     return banded, index, counts
 
 
@@ -695,12 +773,12 @@ def cross_corpus_minhash_pairs_indexed(
     once."""
     meta = index.meta
     id_col, text_col = meta["id_col"], meta["text_col"]
-    # ONE evaluation of the crawl's scan -> shingle (r17 second pass):
-    # the checkpointed distinct index feeds signatures (min() is
-    # duplicate-insensitive), counts, and the exact-verify side.
+    # signatures off the crawl's NON-distinct shingle rows (min() is
+    # duplicate-insensitive): no distinct shuffle on the sig path, no
+    # corpus-token-sized materialization (r18 narrow-cut rule)
     rows_new = shingle_rows(df_new, id_col, text_col, meta["n"])
-    idx_new = rows_new.dropDuplicates().localCheckpoint(eager=False)
-    sig_new = minhash_signatures(idx_new, id_col, meta["k"])
+    idx_new = rows_new.dropDuplicates()
+    sig_new = minhash_signatures(rows_new, id_col, meta["k"])
     # r17: the new side's banded signatures are checkpointed (the md5
     # signature aggregation runs once even though the candidate
     # subtree is evaluated per verify consumer); the candidate frame
@@ -713,8 +791,8 @@ def cross_corpus_minhash_pairs_indexed(
     banded_ref = index.bands_df.withColumnRenamed(id_col, "doc_b")
     cand = _cross_candidates(banded_new, banded_ref, min_band_collisions,
                              max_ref_band_df, stats)
-    cnt_new = idx_new.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_sh"))
+    cnt_new = rows_new.groupBy(id_col).agg(
+        F.count_distinct(F.col("sh")).alias("n_sh"))
     return _verify_jaccard_two(
         cand, idx_new, cnt_new, index.shingles_df, index.counts_df,
         id_col, threshold, prune_index=min_band_collisions > 1,
@@ -734,11 +812,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     ngram_jaccard_pairs (shared-shingle join, optional hot-shingle
     cap), same one-groupBy exact verify; only the normalizer differs
     (|A| instead of the union)."""
-    index, counts = shingle_index(df, id_col, text_col, n)
-    # one evaluation of scan -> shingle -> dropDuplicates across the
-    # candidate sides, the optional full-set verify and the counts
-    # (r17 second pass; same cut as ngram_jaccard_pairs)
-    index = index.localCheckpoint(eager=False)
+    # same shape as ngram_jaccard_pairs: the candidate self-join reads
+    # the distinct index on both sides -> one policy-governed
+    # materialization (see materialize_index), counts read off it
+    rows = shingle_rows(df, id_col, text_col, n)
+    index = materialize_index(rows.dropDuplicates())
     counts = index.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     cand_index = index if max_df is None else prune_hot_shingles(index, max_df)
     t1 = cand_index.select(F.col(id_col).alias("doc_a"), "sh")

@@ -396,14 +396,16 @@ def lsh_candidate_pairs(
         hyperplane_weights(n_tables, n_bits, dim, tag),
         sketch=sketch_planes(dim) if use_sketch else None,
     ).localCheckpoint(eager=False)
-    # checkpoint BOTH the raw index (the Arrow matmul otherwise re-runs
-    # once per consumer: both self-join sides plus the hot-bucket df
+    # checkpoint the raw index ONCE (the Arrow matmul otherwise re-runs
+    # per consumer: both self-join sides plus the hot-bucket df
     # aggregate and its anti-join probe — 4 evaluations in
-    # dedup_embedding_strict's plan) and, when the cap is active, the
-    # pruned frame the two join sides share (r17 second pass; narrow:
-    # L rows/vector x 3-4 int columns)
+    # dedup_embedding_strict's plan; narrow: L rows/vector x 3-4 int
+    # columns). The capped variant derives by a cheap anti-join over
+    # the materialized blocks — NOT a second checkpoint, which held a
+    # near-copy of the same rows in executor storage for the length of
+    # the query (ADVICE r17).
     if max_bucket is not None:
-        idx = prune_hot_buckets(idx, max_bucket).localCheckpoint(eager=False)
+        idx = prune_hot_buckets(idx, max_bucket)
     if use_sketch:
         a = idx.select(
             F.col(id_col).alias("_ida"), "tbl", "bucket", F.col("_sk").alias("_ska")

@@ -641,6 +641,10 @@ def dedup_doc_fuzzy_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs(
             paras, "pid", "chunk", n=2, k=_PMH_K, bands=_PMH_BANDS,
             threshold=_PMH_T, min_band_collisions=1,
+            # near-dup paragraph pairs are sparse (most paragraphs are
+            # unique), so pruning the verify index to candidate pids
+            # pays even without the band pre-filter (r18, measured)
+            prune_verify=True,
         )
         .select(F.col("doc_b").alias("pid"))
         .distinct()
@@ -1112,27 +1116,35 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so even the estimator's ERROR DISTRIBUTION is
     hash-verified cross-engine."""
     from cpx_etl_spark.operators.dedup import (
+        materialize_index,
         minhash_signatures,
         prune_hot_shingles,
         shingle_rows,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # r17: the distinct shingle index feeds FIVE consumers (signatures,
-    # the hot-shingle df aggregate, its anti-join, and both verify
-    # sides) — without the cut each one re-ran scan -> shingle ->
-    # dropDuplicates (22 scans of documents in the formatted plan).
-    # Same derivation as shingle_index, checkpointed at the two narrow
-    # points (the distinct index and the per-doc counts).
-    index = (
-        shingle_rows(docs, "doc_id", "text", _NGRAM)
-        .dropDuplicates()
-        .localCheckpoint(eager=False)
-    )
+    # r18 restructure (VERDICT r17 items 1+8). The distinct index feeds
+    # FOUR heavy consumers (both capped candidate-join sides and both
+    # full-set verify sides), so it is materialized ONCE through the
+    # documented materialize_index policy — but the SIGNATURE path no
+    # longer chains behind it: min() is duplicate-insensitive, so sigs
+    # come off the RAW shingle rows with no distinct shuffle (r17 put
+    # the sig aggregation downstream of the checkpointed index and the
+    # driver measured the query 0.85x). Per-doc counts collapse to one
+    # count_distinct over the raw rows (narrow, 2 consumers,
+    # checkpointed). Candidate-doc pruning of the verify index (VERDICT
+    # item 8) was measured and REJECTED: this corpus's audit is
+    # exhaustive (no hot shingles), so candidate docs ~ all docs and
+    # the semi-join only added a pair-id union-distinct shuffle on top
+    # of the same materialization (8.3 s vs 6.8 s at sf0.1).
+    rows = shingle_rows(docs, "doc_id", "text", _NGRAM)
+    index = materialize_index(rows.dropDuplicates())
+    # counts read the materialized index (cheap block re-read);
+    # checkpointed because both verify-side count joins consume it
     counts = index.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")
     ).localCheckpoint(eager=False)
-    sigs = minhash_signatures(index, "doc_id", k=_MH_K)
+    sigs = minhash_signatures(rows, "doc_id", k=_MH_K)
     capped, hot = prune_hot_shingles(index, _AUDIT_MAX_DF, with_hot=True)
     ca_ = capped.select(F.col("doc_id").alias("doc_a"), "sh")
     cb_ = capped.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -1391,6 +1391,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tk = F.split("text", " ")
     n3 = F.greatest(F.size(tk) - 2, F.lit(0))
+    # NON-distinct gram rows: both aggregates below dedup inherently
+    # (count_distinct per doc; groupBy(g) keys on the gram), so the
+    # corpus-wide dropDuplicates shuffle — and r17's corpus-token-sized
+    # checkpoint of it, which the driver measured 0.69x at local[32] —
+    # disappear entirely (r18).
     grams = (
         docs.select(
             "doc_id",
@@ -1406,24 +1411,35 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.concat_ws(" ", F.col("z.0"), F.col("z.1"), F.col("z.2")).alias("g"),
         )
-        .distinct()
-        # r17: feeds the first-occurrence aggregate AND the join back —
-        # checkpoint so the explode + distinct shuffle run once
-        .localCheckpoint(eager=False)
     )
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # r18 algebraic rewrite (same result, oracle-verified): the old
+    # plan joined the corpus-token-sized distinct-gram frame BACK to
+    # the per-gram firsts on the gram key — the widest join in the
+    # query — only to count matches per doc. But n_novel per doc is
+    # just the number of grams whose corpus-min doc is this doc: one
+    # count over the firsts aggregate, keyed by first_doc. n_grams is
+    # an independent per-doc count_distinct. Two narrow per-doc frames,
+    # one 1-row-per-doc join, no gram-keyed join at all.
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count_distinct(F.col("g")).alias("n_grams")
+    )
+    novel = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
     return (
-        grams.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
-        )
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
-            "n_novel",
-            (F.col("n_novel") / F.col("n_grams").cast("double")).alias("novelty_frac"),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+                / F.col("n_grams").cast("double")
+            ).alias("novelty_frac"),
         )
         .orderBy("doc_id")
     )
