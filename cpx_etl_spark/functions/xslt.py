@@ -95,10 +95,12 @@ class _RTF:
 
 
 def _string(item) -> str:
-    if isinstance(item, bool):  # XPath boolean->string (before str: bool isn't)
-        return "true" if item else "false"
+    # str first — the hot operand shape (attribute values, text nodes);
+    # bool is not a str subclass, so the reorder is safe
     if isinstance(item, str):
         return item
+    if isinstance(item, bool):  # XPath boolean->string
+        return "true" if item else "false"
     if isinstance(item, _RTF):
         return item.text()
     if isinstance(item, _Doc):
@@ -107,6 +109,21 @@ def _string(item) -> str:
 
 
 import functools
+
+_RECLIMIT_OK = False
+
+
+def _ensure_recursion_limit() -> None:
+    """Raise the interpreter recursion limit to 5000 once per process
+    (template recursion needs ~8 CPython frames per level and is
+    already bounded by _MAX_TDEPTH). Never lowers an existing limit."""
+    global _RECLIMIT_OK
+    if not _RECLIMIT_OK:
+        import sys
+
+        if sys.getrecursionlimit() < 5000:
+            sys.setrecursionlimit(5000)
+        _RECLIMIT_OK = True
 
 
 def _close_paren(s: str, start: int) -> int:
@@ -947,6 +964,57 @@ class MiniXslt:
         # children's _emeta/_lattrs, and iter() is preorder
         for elem in (e for r in self._sheet_roots for e in r.iter()):
             self._ops[id(elem)] = self._compile_ops(elem)
+        # r18 closure compilation: every static op list, select and test
+        # expression becomes a bound closure once per stylesheet — the
+        # per-row executor then runs closure bodies instead of tag-
+        # dispatch chains (see the compiled-evaluators section below)
+        self._sel_fns: dict[str, object] = {}
+        self._test_fns: dict[str, object] = {}
+        self._bind_fns: dict[int, object] = {}
+        self._cfns: dict[int, tuple] = {}
+        # REVERSE preorder: children compile before their parents, so a
+        # parent's closures can FUSE a scope-free child body (its
+        # closure list inlined, no _run_children re-entry)
+        for root in self._sheet_roots:
+            for elem in reversed(list(root.iter())):
+                if isinstance(elem.tag, str):
+                    self._cfns[id(elem)] = tuple(
+                        self._compile_fn(op) for op in self._ops[id(elem)]
+                    )
+        # fast template dispatch (r18): in a mode whose every match
+        # pattern is '/' or a plain element name, the winning template
+        # per node is a static function of the node's tag alone (equal
+        # default priorities resolve by import precedence then
+        # declaration order, both known here) — one dict lookup replaces
+        # the per-node _match_score loop. Modes with any structural
+        # pattern (multi-step, predicate, wildcard, text()/node()) or
+        # with tie tracking keep the scored path.
+        self._fast_dispatch: dict = {}
+        for mode, rules in self._compiled_by_mode.items():
+            if self._mode_tracks_ties.get(mode, False):
+                continue
+            by_name: dict[str, tuple] = {}
+            doc_rule = None
+            ok = True
+            for pattern, prec, telem in rules:
+                if pattern == "/":
+                    if doc_rule is None or prec >= doc_rule[0]:
+                        doc_rule = (prec, telem)
+                elif (
+                    "/" not in pattern
+                    and "[" not in pattern
+                    and "(" not in pattern
+                    and not pattern.startswith("@")
+                    and pattern != "*"
+                ):
+                    cur = by_name.get(pattern)
+                    if cur is None or prec >= cur[0]:
+                        by_name[pattern] = (prec, telem)
+                else:
+                    ok = False
+                    break
+            if ok:
+                self._fast_dispatch[mode] = (doc_rule, by_name)
 
     # op tags for the precompiled _run_children lists
     (_OP_TEXT, _OP_VAR, _OP_PARAM, _OP_NODE, _OP_BADCOPY, _OP_VALUEOF,
@@ -1025,6 +1093,171 @@ class MiniXslt:
                 ops.append((self._OP_TEXT, escape(tl)))
         return tuple(ops)
 
+    def _compile_fn(self, op):
+        """One op tuple -> fn(ctx) -> str (r18). Each closure is the
+        exact body of the corresponding _run_children dispatch arm with
+        its static payload pre-bound (and selects/tests pre-compiled),
+        so the per-row loop never re-inspects op tags or re-plans
+        expressions. Side-effecting ops (variable/param bindings)
+        return ''."""
+
+        def body(elem):
+            """Runner for a nested instruction body: when the body
+            declares no bindings (the common case), its already-
+            compiled closure list is inlined — no _run_children
+            re-entry, no scope push (identical semantics: the generic
+            path skips the scope for binding-free bodies too).
+            Requires children-first compilation order."""
+            fns = self._cfns.get(id(elem))
+            if fns is None or self._hasbind.get(id(elem), True):
+                return lambda ctx, _e=elem: self._run_children(_e, ctx)
+            if not fns:
+                return lambda ctx: ""
+            if len(fns) == 1:
+                return fns[0]
+            return lambda ctx, _f=fns: "".join(f(ctx) for f in _f)
+
+        tag = op[0]
+        if tag == self._OP_TEXT:
+            return lambda ctx, _s=op[1]: _s
+        if tag == self._OP_VALUEOF:
+            sel = self._compile_select(op[1])
+
+            def f_valueof(ctx, _s=sel):
+                items = _s(ctx)
+                return escape(_string(items[0])) if items else ""
+            return f_valueof
+        if tag == self._OP_LITELEM:
+            sub = body(op[3])
+
+            def f_lit(ctx, _t=op[1], _a=op[2], _b=sub):
+                inner = _b(ctx)
+                return (f"<{_t}{_a}>{inner}</{_t}>" if inner
+                        else f"<{_t}{_a}/>")
+            return f_lit
+        if tag == self._OP_IF:
+            tst = self._compile_test(op[1])
+            sub = body(op[2])
+
+            def f_if(ctx, _t=tst, _b=sub):
+                return _b(ctx) if _t(ctx) else ""
+            return f_if
+        if tag == self._OP_CHOOSE:
+            whens = tuple(
+                (self._compile_test(t), body(b)) for t, b in op[1]
+            )
+            otherw = body(op[2]) if op[2] is not None else None
+
+            def f_choose(ctx, _w=whens, _o=otherw):
+                for t, br in _w:
+                    if t(ctx):
+                        return br(ctx)
+                return _o(ctx) if _o is not None else ""
+            return f_choose
+        if tag == self._OP_APPLYT:
+            _, sel, mode, elem2, has_sorts, has_wp = op
+            selfn = self._compile_select(sel) if sel is not None else None
+            if not has_sorts and not has_wp:
+                def f_applyt(ctx, _s=selfn, _m=mode):
+                    if _s is not None:
+                        nodes = _s(ctx)
+                    elif isinstance(ctx, ET.Element):
+                        nodes = self._node_children(ctx)
+                    elif isinstance(ctx, _Doc):
+                        nodes = [ctx.root]
+                    else:
+                        nodes = []
+                    return self._iterate(
+                        nodes, lambda n: self._apply_one(n, None, _m)
+                    )
+                return f_applyt
+
+            def f_applyt_full(ctx, _s=selfn, _m=mode, _e=elem2,
+                              _hs=has_sorts, _hw=has_wp):
+                if _s is not None:
+                    nodes = _s(ctx)
+                elif isinstance(ctx, ET.Element):
+                    nodes = self._node_children(ctx)
+                elif isinstance(ctx, _Doc):
+                    nodes = [ctx.root]
+                else:
+                    nodes = []
+                if _hs:
+                    nodes = self._sorted_nodes(nodes, _e, ctx)
+                tparams = (
+                    (self._gather_params(_e, ctx) or None) if _hw else None
+                )
+                return self._iterate(
+                    nodes,
+                    lambda n, _p=tparams: self._apply_one(n, _p, _m),
+                )
+            return f_applyt_full
+        if tag == self._OP_NODE:
+            elem, kind = op[1], op[2]
+            if kind == "for-each":
+                sel = self._compile_select(elem.get("select", "."))
+                has_sorts = bool(self._sorts.get(id(elem)))
+                sub = body(elem)
+                if not has_sorts and not self._needs_pos:
+                    def f_foreach(ctx, _s=sel, _b=sub):
+                        return "".join(_b(n) for n in _s(ctx))
+                    return f_foreach
+
+                def f_foreach_full(ctx, _s=sel, _e=elem, _b=sub,
+                                   _hs=has_sorts):
+                    nodes = _s(ctx)
+                    if _hs:
+                        nodes = self._sorted_nodes(nodes, _e, ctx)
+                    return self._iterate(nodes, _b)
+                return f_foreach_full
+            if kind == "call-template":
+                tname = elem.get("name", "")
+                telem = self.named.get(tname)
+                if telem is not None:
+                    wps = tuple(
+                        (wp.get("name", ""), self._compile_binding(wp))
+                        for wp in self._wparams.get(id(elem), ())
+                    )
+
+                    def f_callt(ctx, _t=telem, _w=wps):
+                        params = {n: f(ctx) for n, f in _w} or None
+                        self._enter_template()
+                        try:
+                            return self._run_children(_t, ctx,
+                                                      params=params)
+                        finally:
+                            self._tdepth -= 1
+                    return f_callt
+                # undeclared target: the interpreter raises when the
+                # call RUNS — preserve that timing
+                def f_callt_missing(ctx, _n=tname):
+                    raise XsltUnsupported(
+                        f"call to undeclared template {_n!r}"
+                    )
+                return f_callt_missing
+            return lambda ctx, _e=elem, _k=kind: self._run_node(_e, ctx, _k)
+        if tag == self._OP_VAR:
+            bind = self._compile_binding(op[1])
+
+            def f_var(ctx, _b=bind, _n=op[1].get("name", "")):
+                self._scopes[-1][_n] = _b(ctx)
+                return ""
+            return f_var
+        if tag == self._OP_PARAM:
+            bind = self._compile_binding(op[1])
+
+            def f_param(ctx, _b=bind, _n=op[1].get("name", "")):
+                if _n not in self._scopes[-1]:
+                    self._scopes[-1][_n] = _b(ctx)
+                return ""
+            return f_param
+
+        def f_badcopy(ctx):
+            raise XsltUnsupported(
+                'copy-of select="@*" outside an element constructor'
+            )
+        return f_badcopy
+
     # -- whitespace stripping (xsl:strip-space / xsl:preserve-space) -------
 
     def _strips_name(self, name: str) -> bool:
@@ -1071,8 +1304,6 @@ class MiniXslt:
     # -- public -----------------------------------------------------------
 
     def apply(self, xml: str) -> str:
-        import sys
-
         src_root = ET.fromstring(xml)
         self._apply_strip_space(src_root)
         if self._needs_parents:
@@ -1097,13 +1328,11 @@ class MiniXslt:
             self._scopes[0][g.get("name", "")] = self._eval_binding(g, doc)
         # template-dispatch depth is bounded at _MAX_TDEPTH below, but
         # a legitimate deep recursion still needs ~8 CPython frames per
-        # template level — lift the interpreter limit for the call
-        old_limit = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old_limit, 5000))
-        try:
-            return self._apply_to([doc])
-        finally:
-            sys.setrecursionlimit(old_limit)
+        # template level — lift the interpreter limit once per process
+        # (r18: the per-row raise/restore pair was two C calls per
+        # apply; the raised limit is harmless to keep)
+        _ensure_recursion_limit()
+        return self._apply_to([doc])
 
     # -- template dispatch ------------------------------------------------
 
@@ -1132,6 +1361,27 @@ class MiniXslt:
         precedence — the xsl:apply-imports dispatch (XSLT 1.0 §5.6).
         Import precedence eliminates candidates before specificity
         (§2.6.2): the comparison key leads with prec."""
+        fast = self._fast_dispatch.get(mode) if max_prec is None else None
+        if fast is not None:
+            doc_rule, by_name = fast
+            if isinstance(node, ET.Element):
+                hit = by_name.get(_local(node.tag))
+            elif isinstance(node, str):
+                return escape(node)  # no text()/node() rules in a fast mode
+            else:  # _Doc
+                hit = doc_rule
+            if hit is not None:
+                self._enter_template()
+                self._tframes.append((hit[0], mode, node))
+                try:
+                    return self._run_children(hit[1], node, params=params)
+                finally:
+                    self._tframes.pop()
+                    self._tdepth -= 1
+            # built-in rules, carrying the mode
+            if isinstance(node, _Doc):
+                return self._apply_to([node.root], mode=mode)
+            return self._apply_to(self._node_children(node), mode=mode)
         best = None
         track = self._mode_tracks_ties.get(mode, False)
         rules = self._compiled_by_mode.get(mode, ())
@@ -1340,6 +1590,13 @@ class MiniXslt:
         if scoped:
             self._scopes.append(dict(params) if params else {})
         try:
+            # compiled path (r18): every stylesheet-tree container has a
+            # closure list; run it directly
+            fns = self._cfns.get(id(container))
+            if fns is not None:
+                if len(fns) == 1:
+                    return fns[0](ctx)
+                return "".join(f(ctx) for f in fns)
             ops = self._ops.get(id(container))
             if ops is None:
                 # element outside the compiled sheet trees — compute
@@ -1427,8 +1684,9 @@ class MiniXslt:
                 self._scopes.pop()
 
     def _gather_params(self, elem: ET.Element, ctx) -> dict:
+        # with-param elements are sheet-static -> compiled bindings
         return {
-            wp.get("name", ""): self._eval_binding(wp, ctx)
+            wp.get("name", ""): self._compile_binding(wp)(ctx)
             for wp in self._wparams.get(id(elem), ())
         }
 
@@ -1440,9 +1698,10 @@ class MiniXslt:
             sel = s.get("select", ".")
             numeric = s.get("data-type", "text") == "number"
             reverse = s.get("order", "ascending") == "descending"
+            sfn = self._compile_select(sel)  # sort selects are static
 
-            def key(n, _sel=sel, _num=numeric):
-                items = self._select(n, _sel)
+            def key(n, _s=sfn, _num=numeric):
+                items = _s(n)
                 v = _string(items[0]) if items else ""
                 if _num:
                     try:
@@ -1826,6 +2085,355 @@ class MiniXslt:
         return hits
 
     # -- path / test evaluation -------------------------------------------
+
+    # -- compiled evaluators (r18) ------------------------------------------
+    #
+    # Selects, tests and instruction lists are stylesheet-static while
+    # apply() runs per row: the _select_plan/_test_plan caches already
+    # removed the string PARSING, but every evaluation still re-entered
+    # the generic dispatchers (plan-tag branch chains in _select/_test,
+    # the op-tag loop in _run_children, the per-rule _match_score loop
+    # in _apply_one). These compilers turn each static expression into
+    # a bound Python closure ONCE per stylesheet, so the per-row cost
+    # is the closure body alone. Semantics are identical by
+    # construction: every closure is a specialization of the exact
+    # branch the generic evaluator would have taken, and anything
+    # outside the specialized shapes falls back to the generic path.
+
+    def _compile_select(self, path: str):
+        """path -> fn(ctx) -> list, memoized per stylesheet."""
+        fn = self._sel_fns.get(path)
+        if fn is not None:
+            return fn
+        tag, payload, p = _select_plan(path)
+        if tag == 0:  # '.'
+            def fn(ctx):
+                return [ctx]
+        elif tag == 3:  # bare @attr
+            def fn(ctx, _a=payload):
+                if isinstance(ctx, ET.Element):
+                    v = ctx.attrib.get(_a)
+                    return [v] if v is not None else []
+                return []
+        elif tag == 4:  # bare element name
+            def fn(ctx, _n=p):
+                if isinstance(ctx, ET.Element):
+                    return [c for c in ctx if _local(c.tag) == _n]
+                if isinstance(ctx, _Doc):
+                    return [ctx.root] if _local(ctx.root.tag) == _n else []
+                return []
+        elif tag == 5 and "/" not in payload and "[" not in payload:
+            def fn(ctx, _n=payload):
+                return [self._lookup_var(_n)]
+        else:
+            fn = None
+            if tag in (2, 6) and p.startswith("key("):
+                fn = self._compile_key_select(p)
+            if fn is None and tag == 6 and not p.startswith(
+                ("/", "key(", "document(")
+            ):
+                # single child-name step with static predicates (the
+                # common predicated select, e.g. v[@key=$k]): compile
+                # the predicate tests and run the step inline. Any
+                # positional predicate or structural step falls back.
+                try:
+                    steps = _path_steps(p)
+                except XsltUnsupported:
+                    steps = None
+                if steps is not None and len(steps) == 1:
+                    name, preds, desc = steps[0]
+                    if (
+                        not desc
+                        and "(" not in name
+                        and name not in (".", "*")
+                        and not name.startswith("@")
+                    ):
+                        pks = [_pred_kind(x) for x in preds]
+                        if all(k[0] in ("plain", "index", "last")
+                               for k in pks):
+                            plan = tuple(
+                                ("plain", self._compile_test(k[1]))
+                                if k[0] == "plain"
+                                else (k[0], k[1] if k[0] == "index" else None)
+                                for k in pks
+                            )
+
+                            def fn(ctx, _n=name, _plan=plan):
+                                if isinstance(ctx, ET.Element):
+                                    cand = [
+                                        c for c in ctx
+                                        if _local(c.tag) == _n
+                                    ]
+                                elif isinstance(ctx, _Doc):
+                                    r = ctx.root
+                                    cand = (
+                                        [r] if _local(r.tag) == _n else []
+                                    )
+                                else:
+                                    return []
+                                for kind, payload2 in _plan:
+                                    if kind == "plain":
+                                        cand = [
+                                            c for c in cand if payload2(c)
+                                        ]
+                                    elif kind == "index":
+                                        k = payload2
+                                        cand = (
+                                            [cand[k - 1]]
+                                            if 0 < k <= len(cand)
+                                            else []
+                                        )
+                                    else:  # last()
+                                        cand = cand[-1:]
+                                return cand
+            if fn is None:
+                def fn(ctx, _p=path):
+                    return self._select(ctx, _p)
+        self._sel_fns[path] = fn
+        return fn
+
+    def _compile_key_select(self, p: str):
+        """Specialize ``key('name', value)`` and
+        ``key('name', value)/child`` selects: the name literal, the
+        value select and the optional single trailing child step are
+        static. Returns None (caller falls back to the generic path)
+        for any other shape. The per-call work left is the index lookup
+        plus the trailing child filter; the document-order sort only
+        runs when a lookup actually returns multiple nodes."""
+        open_at = p.index("(")
+        try:
+            end = _close_paren(p, open_at)
+        except XsltUnsupported:
+            return None
+        inner, rest = p[open_at + 1 : end], p[end + 1 :]
+        args = _split_args(inner)
+        if len(args) != 2:
+            return None
+        kname = _literal(args[0].strip())
+        if not isinstance(kname, str):
+            return None
+        arg = args[1].strip()
+        lit = _literal(arg)
+        if lit is not None:
+            if isinstance(lit, str):
+                static_vals = [lit]
+            else:
+                static_vals = [
+                    str(int(lit)) if lit.is_integer() else str(lit)
+                ]
+
+            def values_fn(ctx, _v=static_vals):
+                return _v
+        else:
+            vsel = self._compile_select(arg)
+
+            def values_fn(ctx, _s=vsel):
+                return [_string(it) for it in _s(ctx)]
+        step_name = None
+        if rest:
+            if not rest.startswith("/"):
+                return None
+            step = rest[1:]
+            if (
+                not step
+                or "/" in step
+                or "[" in step
+                or "(" in step
+                or step in (".", "*")
+                or step.startswith("@")
+            ):
+                return None
+            step_name = step
+
+        def fn(ctx, _k=kname, _vals=values_fn, _step=step_name):
+            doc_root = self._containing_root(ctx)
+            ikey = (id(doc_root), _k)
+            index = self._key_index.get(ikey)
+            if index is None:
+                index = self._key_index[ikey] = self._build_key(
+                    _k, doc_root
+                )
+            hits: list = []
+            seen: set[int] = set()
+            for v in _vals(ctx):
+                for node in index.get(v, ()):
+                    if id(node) not in seen:
+                        seen.add(id(node))
+                        hits.append(node)
+            if len(hits) > 1:
+                # union in document order, as XPath node-sets require
+                order = self._doc_orders[id(doc_root)]
+                hits.sort(key=lambda n: order[id(n)])
+            if _step is None:
+                return hits
+            out: list = []
+            for h in hits:
+                out.extend(c for c in h if _local(c.tag) == _step)
+            return out
+        return fn
+
+    def _compile_binding(self, elem: ET.Element):
+        """xsl:variable/param/with-param -> fn(ctx) -> value, memoized
+        per element — the static classification of _eval_binding
+        (quoted literal / numeric literal / select path / body RTF)
+        done once."""
+        fn = self._bind_fns.get(id(elem))
+        if fn is not None:
+            return fn
+        sel = elem.get("select")
+        if sel is not None:
+            sel = sel.strip()
+            if len(sel) >= 2 and sel[0] == "'" and sel[-1] == "'":
+                v = sel[1:-1]
+                fn = lambda ctx, _v=v: _v  # noqa: E731
+            elif _literal(sel) is not None:
+                fn = lambda ctx, _v=sel: _v  # noqa: E731 (lexical form)
+            else:
+                sfn = self._compile_select(sel)
+
+                def fn(ctx, _s=sfn):
+                    items = _s(ctx)
+                    return _string(items[0]) if items else ""
+        else:
+            def fn(ctx, _e=elem):
+                return _RTF(self._run_children(_e, ctx))
+        self._bind_fns[id(elem)] = fn
+        return fn
+
+    def _compile_test(self, expr: str):
+        """test expression -> fn(ctx) -> bool, memoized. Mirrors _test
+        branch for branch; the comparison kinds whose operand shapes
+        are static (literal / $var / path) specialize, everything else
+        delegates to the interpreted _test. An XsltUnsupported raised
+        while SPECIALIZING is deferred to evaluation time — the
+        interpreter only rejects an unsupported expression when it
+        actually runs, and a compiled stylesheet must behave the same."""
+        fn = self._test_fns.get(expr)
+        if fn is not None:
+            return fn
+        try:
+            fn = self._compile_test_inner(expr)
+        except XsltUnsupported as exc:
+            def fn(ctx, _e=exc):
+                raise _e
+        self._test_fns[expr] = fn
+        return fn
+
+    def _compile_test_inner(self, expr: str):
+        kind, payload = _test_plan(expr)
+        if kind == 0:
+            def fn(ctx):
+                return False
+        elif kind == 1:
+            subs = tuple(self._compile_test(p) for p in payload)
+
+            def fn(ctx, _s=subs):
+                return any(f(ctx) for f in _s)
+        elif kind == 2:
+            subs = tuple(self._compile_test(p) for p in payload)
+
+            def fn(ctx, _s=subs):
+                return all(f(ctx) for f in _s)
+        elif kind == 3:
+            fn = self._compile_test(payload)
+        elif kind == 4:
+            sub = self._compile_test(payload)
+
+            def fn(ctx, _s=sub):
+                return not _s(ctx)
+        elif kind == 5:
+            sel = self._compile_select(payload)
+
+            def fn(ctx, _s=sel):
+                items = _s(ctx)
+                if len(items) == 1 and isinstance(items[0], bool):
+                    return items[0]
+                return bool(items)
+        else:
+            fn = self._compile_comparison(expr, payload)
+        return fn
+
+    def _compile_comparison(self, expr: str, payload):
+        """kind-6 (comparison) specialization of _test. The operand
+        handling — literal-first swap, $var-as-number coercion,
+        node-set-vs-node-set sets — replays _test exactly, with the
+        static decisions (is the rhs a literal? a $var? a path?) made
+        once here."""
+        lhs, op, rhs = payload
+
+        def run_compare(values, rhs_lit, _op):
+            if isinstance(rhs_lit, float):
+                nums = []
+                for v in values:
+                    try:
+                        nums.append(float(v))
+                    except ValueError:
+                        pass
+                values = nums
+            if _op == "=":
+                return any(v == rhs_lit for v in values)
+            if _op == "!=":
+                return any(v != rhs_lit for v in values)
+            if not isinstance(rhs_lit, float):
+                raise XsltUnsupported(
+                    f"ordered comparison with string literal {expr!r}"
+                )
+            return any(
+                (_op == "<" and v < rhs_lit)
+                or (_op == "<=" and v <= rhs_lit)
+                or (_op == ">" and v > rhs_lit)
+                or (_op == ">=" and v >= rhs_lit)
+                for v in values
+            )
+
+        def side(tok):
+            """('lit', value) | ('var', name) | ('path', select_fn) —
+            mirrors operand_literal's classification, made static."""
+            if tok.startswith("$"):
+                return ("var", tok[1:])
+            lit = _literal(tok)
+            if lit is not None:
+                return ("lit", lit)
+            return ("path", tok)
+
+        rkind, rval = side(rhs)
+        if rkind == "path":
+            # literal-first spelling: swap operands and mirror the
+            # ordered operator (code-review r7)
+            lhs, rhs = rhs, lhs
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            rkind, rval = side(rhs)
+            if rkind == "path":
+                # node-set vs node-set (XPath 1.0 §3.4)
+                if op not in ("=", "!="):
+                    raise XsltUnsupported(
+                        f"ordered path-to-path comparison {expr!r}"
+                    )
+                lsel = self._compile_select(lhs)
+                rsel = self._compile_select(rhs)
+
+                def fn(ctx, _l=lsel, _r=rsel, _op=op):
+                    lvals = {_string(v) for v in _l(ctx)}
+                    rvals = {_string(v) for v in _r(ctx)}
+                    if _op == "=":
+                        return bool(lvals & rvals)
+                    return bool(lvals and rvals and len(lvals | rvals) > 1)
+                return fn
+        lsel = self._compile_select(lhs)
+        if rkind == "lit":
+            def fn(ctx, _l=lsel, _rl=rval, _op=op):
+                return run_compare([_string(v) for v in _l(ctx)], _rl, _op)
+            return fn
+
+        # $var operand: compares as a numeric literal when its string
+        # value parses as a number, else as a string — resolved per
+        # evaluation (the binding is scope-dependent)
+        def fn(ctx, _l=lsel, _n=rval, _op=op):
+            v = _string(self._lookup_var(_n))
+            num = _literal(v)
+            rhs_lit = v if num is None else num
+            return run_compare([_string(x) for x in _l(ctx)], rhs_lit, _op)
+        return fn
 
     def _select(self, ctx, path: str) -> list:
         tag, payload, path = _select_plan(path)
