@@ -4217,6 +4217,66 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_split_sessions(isl: DataFrame,
+                       cap_us: int = 12 * 3600 * 1_000_000) -> DataFrame:
+    """Greedy duration-cap session split over an island frame
+    (user_id, ts, event_id, island) — pure JVM array algebra (r18).
+
+    Per (user, island) the sorted event times fold into the (short)
+    session-boundary chain: s0 = island start, s_{k+1} = first event
+    time >= s_k + cap — `aggregate()` is exactly the sequential
+    recurrence a window frame can't express. Each event's session
+    start is then the largest boundary <= its time, and one grouped
+    aggregate emits (user_id, session_start, session_end, n_events,
+    is_cap_continuation). State stays bounded by one island, every
+    shuffle reuses the user_id hash partitioning, and comparisons run
+    on unix_micros int64 — integer-microsecond exact."""
+    agg = isl.groupBy("user_id", "island").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id))),"
+            " e -> unix_micros(e.ts))"
+        ).alias("tsus")
+    )
+    sess = agg.select(
+        "user_id",
+        "tsus",
+        F.expr(
+            f"aggregate(tsus, array(tsus[0]), (acc, t) -> "
+            f"IF(t >= element_at(acc, -1) + {cap_us}L, "
+            f"array_append(acc, t), acc))"
+        ).alias("bounds"),
+    )
+    ex = sess.select(
+        "user_id",
+        F.expr("tsus[0]").alias("island_start_us"),
+        F.explode(
+            F.expr(
+                "transform(tsus, t -> struct("
+                "t AS ts_us, "
+                "array_max(filter(bounds, b -> b <= t)) AS ss_us))"
+            )
+        ).alias("e"),
+    )
+    return (
+        ex.groupBy(
+            "user_id", F.col("e.ss_us").alias("ss_us"), "island_start_us"
+        )
+        .agg(
+            F.max("e.ts_us").alias("se_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("ss_us")).alias("session_start"),
+            F.timestamp_micros(F.col("se_us")).alias("session_end"),
+            "n_events",
+            (F.col("ss_us") > F.col("island_start_us")).alias(
+                "is_cap_continuation"
+            ),
+        )
+    )
+
+
 @register(
     "q_session_cap_split",
     oracle="""
@@ -4268,13 +4328,22 @@ def q_session_cap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     running session start — the rule every analytics warehouse wants
     ('a session lasts at most N hours') that NO window frame can
     express, because each split point depends on the previous one.
-    This is the applyInPandas showcase: the iterative splitter runs as
-    an Arrow-batched grouped-map over (user, island) — thousands of
-    small independent groups, embarrassingly parallel, state bounded
-    by one island — while the oracle proves the same semantics with a
-    recursive CTE. Cap comparisons are integer-microsecond exact in
-    both engines."""
-    import pandas as pd
+
+    r18 (VERDICT r17 item 4): the splitter moved from an applyInPandas
+    grouped map to PURE JVM array algebra, removing the Python/Arrow
+    boundary entirely. Per (user, island) the sorted event times fold
+    into the (short) session-boundary chain — `aggregate()` is exactly
+    the sequential recurrence a window frame can't express — and each
+    event's session start is the largest boundary <= its time. State
+    stays bounded by one island (the same guarantee the grouped map
+    relied on), every shuffle after the sessionize window reuses the
+    user_id hash partitioning, and the cap comparisons run on
+    unix_micros int64 — integer-microsecond exact, mirroring the
+    recursive-CTE oracle. (The grouped-map formulation remains as the
+    applyInPandas showcase in tests/test_relational.py's edge test,
+    which cross-checks these exact semantics.) Measured at sf0.1 the
+    Arrow boundary + per-group pandas overhead was ~half the query;
+    the fold is one interpreted projection per island instead."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
@@ -4293,65 +4362,7 @@ def q_session_cap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
 
-    # Grouped-map granularity matters: per-(user, island) groups are
-    # semantically natural but produced ~12k tiny pandas frames at
-    # sf0.1 — per-group Arrow/pandas overhead dominated (17 s). One
-    # group PER USER (islands handled inside, integer-microsecond
-    # numpy loop) is the same parallelism story at cluster scale
-    # (users >> cores) with ~10x fewer group constructions.
-    import numpy as np
-
-    cap_us = 12 * 3600 * 1_000_000
-
-    def split(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-        isl_id = pdf["island"].values
-        n = len(ts)
-        starts = np.empty(n, dtype="int64")
-        island_starts = np.empty(n, dtype="int64")
-        cur_isl, start, i_start = None, 0, 0
-        for i in range(n):
-            if cur_isl != isl_id[i]:
-                cur_isl, start, i_start = isl_id[i], ts[i], ts[i]
-            elif ts[i] >= start + cap_us:
-                start = ts[i]
-            starts[i] = start
-            island_starts[i] = i_start
-        out = (
-            pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"].values,
-                    "session_start": starts,
-                    "ts": ts,
-                    "island_start": island_starts,
-                }
-            )
-            .groupby("session_start", as_index=False)
-            .agg(
-                user_id=("user_id", "first"),
-                session_end=("ts", "max"),
-                n_events=("ts", "size"),
-                island_start=("island_start", "first"),
-            )
-        )
-        out["is_cap_continuation"] = out["session_start"] > out["island_start"]
-        out["session_start"] = out["session_start"].astype("datetime64[us]")
-        out["session_end"] = out["session_end"].astype("datetime64[us]")
-        return out[
-            ["user_id", "session_start", "session_end", "n_events",
-             "is_cap_continuation"]
-        ]
-
-    schema = (
-        "user_id bigint, session_start timestamp, session_end timestamp, "
-        "n_events bigint, is_cap_continuation boolean"
-    )
-    return (
-        isl.groupBy("user_id")
-        .applyInPandas(split, schema=schema)
-        .orderBy("user_id", "session_start")
-    )
+    return cap_split_sessions(isl).orderBy("user_id", "session_start")
 
 
 @register(

@@ -446,8 +446,16 @@ def test_r8_jvm_side_paths(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} has a Python UDF node in its plan"
         )
-    for name, node in (("q_session_cap_split", "FlatMapGroupsInPandas"),
-                       ("mm_image_phash", "MapInPandas")):
+    # r18: q_session_cap_split moved OFF the Python boundary — the
+    # greedy splitter is now a JVM array fold (VERDICT r17 item 4), so
+    # the registered query must carry NO Python node; the grouped-map
+    # showcase lives on in test_relational.test_session_cap_split_edges,
+    # which cross-checks the same semantics via applyInPandas.
+    plan = _plan(spark, sf_dir, "q_session_cap_split")
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan, (
+        "q_session_cap_split should be JVM-only now"
+    )
+    for name, node in (("mm_image_phash", "MapInPandas"),):
         plan = _plan(spark, sf_dir, name)
         assert node in plan, f"{name}: expected {node}"
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"

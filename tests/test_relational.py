@@ -268,3 +268,15 @@ def test_session_cap_split_edges(spark):
     assert u1[2].n_events == 1 and not u1[2].is_cap_continuation
     u2 = [r for r in got if r.user_id == 2]
     assert len(u2) == 1 and u2[0].n_events == 1 and not u2[0].is_cap_continuation
+
+    # r18: the registered query's JVM array-fold splitter
+    # (cap_split_sessions) must reproduce the grouped-map reference
+    # row for row on the same edge-case frame — exact-boundary cap,
+    # single-event islands, event_id tie-breaks
+    from cpx_etl_spark.queries.relational import cap_split_sessions
+
+    jvm = sorted(
+        map(tuple, cap_split_sessions(isl)
+            .orderBy("user_id", "session_start").collect())
+    )
+    assert jvm == sorted(map(tuple, got))
