@@ -931,10 +931,13 @@ class WinnowIndex:
 def _winnow_frames(df: DataFrame, id_col: str, text_col: str,
                    k: int, w: int):
     # r17: the fingerprint frame feeds candidates, verification AND the
-    # per-doc count — checkpoint so the window-min selection runs once
-    # (narrow: one (id, h, pos) row per winnowing window)
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).localCheckpoint(
-        eager=False
+    # per-doc count — materialize so the window-min selection runs once.
+    # The frame is ~2/(w+1) of corpus tokens (corpus-scale), so the cut
+    # goes through the documented materialize_index policy (r18;
+    # measured: one materialization beats three window-sort evaluations
+    # at both sf0.1 and sf1).
+    fps = materialize_index(
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     )
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("nf"))
     return fps, counts

@@ -2161,12 +2161,16 @@ def q_lm_fluency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r17 checkpoints: dtri feeds the LM head AND the per-doc scorer,
     # bg both bigram roles, uni all three unigram roles — without the
     # cuts the corpus-sized exploders re-ran per consumer (28 scans of
-    # documents in the formatted plan)
-    dtri = (
+    # documents in the formatted plan). dtri is the one corpus-scale
+    # frame here (distinct per-doc trigrams), so its cut goes through
+    # the documented materialize_index policy (r18); bg/uni/scored are
+    # vocabulary- / doc-bounded and keep plain checkpoints.
+    from cpx_etl_spark.operators.dedup import materialize_index
+
+    dtri = materialize_index(
         grams(3, ["w1", "w2", "w3"])
         .groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     tri = dtri.groupBy("w1", "w2", "w3").agg(F.sum("c").alias("c3"))
     bg = (
